@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §6/§7 M7).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count()-style action (foreach noop) so the
+full plan runs but results never collect to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pulsar_beam_spark.queries import REGISTRY  # noqa: E402
+from pulsar_beam_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the
+# shuffle/join/window/dedup paths that dominate at 100 TB.
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "r04_inner_join",
+    "r05_broadcast_join",
+    "r08_range_join",
+    "r10_asof_join",
+    "r11_tpch_q1_agg",
+    "r12_count_distinct",
+    "r14_rollup",
+    "r15_window_rank",
+    "r17_window_frames",
+    "r19_topk",
+    "r29_dedup_exact_latest",
+    "r30_ngram_jaccard_pairs",
+    "d_minhash_lsh_near_dup",
+    "r31_cosine_topk",
+    "r32_top_terms",
+    "s3_tumbling_window",
+    "s5_session_window",
+    "r34_pandas_grouped_map",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("pbs-bench")
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once so timings measure the plans,
+    # not first-touch session setup
+    REGISTRY["r19_topk"].spark(spark, sf_dir).foreach(lambda _: None)
+
+    total0 = time.perf_counter()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].spark(spark, sf_dir)
+        df.foreach(lambda _: None)
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - total0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

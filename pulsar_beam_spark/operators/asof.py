@@ -1,0 +1,92 @@
+"""As-of join (nearest-earlier right row per left row and key).
+
+Spark 3.x/4.x SQL has no native ASOF JOIN (SURVEY.md §2.2 R10). The
+scalable rewrite used here is the *union + running last_value* trick:
+
+    1. stack left and right rows into one frame tagged by side,
+    2. single shuffle: window PARTITION BY key ORDER BY (ts, side-tag)
+       carrying ``last(right_value, ignorenulls=True)`` forward,
+    3. keep left rows; each one has the latest right row with
+       right_ts <= left_ts attached.
+
+Cost model at scale: ONE hash shuffle of |L|+|R| rows on the join key and
+a per-partition sort — identical to a sort-merge join's shuffle, with no
+range-explosion (a naive ``l.ts >= r.ts`` theta-join is |L|x|R| per key).
+Skewed keys are handled by AQE skew-split since this is a plain window
+over a shuffled sort.
+
+Tie semantics: a right row at exactly left_ts IS visible (right sorts
+before left on equal ts), matching DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``
+which the oracle uses to cross-check (SURVEY.md §7 risk register).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the value columns of the
+    latest right row whose ``right_ts <= left_ts`` within the same ``on``
+    key (null when none exists).
+
+    The right timestamp itself is exposed as ``{right_ts}{suffix}``.
+    """
+    on = list(on)
+    carried = list(value_cols)
+    if right_ts not in carried:
+        carried = [right_ts, *carried]
+
+    left_cols = left.columns
+    out_names = {right_ts: right_ts + suffix}
+    for c in carried:
+        if c != right_ts:
+            out_names[c] = c + suffix if c in left_cols else c
+
+    l_tag = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .select(
+            *on,
+            "__ts",
+            "__side",
+            *[F.col(c).alias(c) for c in left_cols if c not in on],
+            *[F.lit(None).cast(right.schema[c].dataType).alias("__r_" + c) for c in carried],
+        )
+    )
+    r_tag = (
+        right.withColumn("__ts", F.col(right_ts))
+        .withColumn("__side", F.lit(0))
+        .select(
+            *on,
+            "__ts",
+            "__side",
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in on],
+            *[F.col(c).alias("__r_" + c) for c in carried],
+        )
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stacked = l_tag.unionByName(r_tag)
+    for c in carried:
+        stacked = stacked.withColumn("__r_" + c, F.last("__r_" + c, ignorenulls=True).over(w))
+
+    return stacked.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col("__r_" + c).alias(out_names[c]) for c in carried],
+    )

@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Five strategies, all expressed as distributed DataFrame plans (no driver
+collect; every stage is a shuffle-bounded Spark job that scales to the
+full corpus):
+
+- exact (latest-per-key window dedup) — also G8's changelog->snapshot
+  materialization (reference src/db/pulsardb.go:86-127 reads a compacted
+  topic last-write-wins; we express it relationally).
+- exact n-gram Jaccard pairs (the *oracle-checkable* ground truth for
+  near-dup; quadratic per shared shingle, so use on samples/buckets).
+- MinHash + LSH banding (the scale path: linear in corpus size, one
+  shuffle per stage — shingle explode, per-doc signature agg, band bucket
+  join). Candidates are verified with exact Jaccard afterwards.
+- SimHash (64-bit; hamming-distance pairs within LSH-ish prefix buckets).
+- embedding cosine near-dup (pairwise over a bucketed join).
+
+All hashing uses Spark built-ins (xxhash64 / hash) inside whole-stage
+codegen; nothing crosses to Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.texthash import shingles, tokens
+from ..functions.vector import cosine_sim
+
+# Mersenne prime 2^31-1: keeps a*h+b < 2^62 (ANSI-overflow-safe in one
+# 64-bit multiply) while giving a decent universal hash family.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup_latest(df: DataFrame, keys: Sequence[str], order_col: str, tiebreak: str) -> DataFrame:
+    """Keep the single latest row per key (row_number over desc order).
+
+    Reference parity: compacted-topic last-write-wins materialization,
+    src/db/pulsardb.go:92-96 (ReadCompacted) — SURVEY.md G8/R29.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(), F.col(tiebreak).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def doc_shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc — the set representation used
+    by both exact Jaccard and MinHash."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(shingles(tokens(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_jaccard_pairs(docs: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """All doc pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    Plan: explode to (id, shingle), self-join on shingle (co-partitioned
+    by shingle — only docs *sharing* a shingle ever meet, so the join is
+    output-bound, not |D|^2), count intersections, join per-doc set sizes
+    (broadcast-able aggregate), derive |union| = |A|+|B|-|A∩B|.
+    """
+    sets = doc_shingle_sets(docs, id_col, text_col, n).cache()
+    sizes = sets.groupBy("id").agg(F.count("*").alias("set_size"))
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash parameters (no RNG dependency —
+    derived from a fixed multiplicative sequence so resume/replay is stable)."""
+    params = []
+    a, b = seed * 2 + 1, seed + 7
+    for _ in range(num_hashes):
+        a = (a * 1103515245 + 12345) % _MERSENNE
+        b = (b * 69069 + 1) % _MERSENNE
+        params.append((a or 1, b))
+    return params
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``array<bigint>`` of length num_hashes.
+
+    One explode + one groupBy (map-side partial min) — the signature of a
+    100 TB corpus is a single shuffle of (doc, shingle-hash) pairs.
+    """
+    sets = doc_shingle_sets(docs, id_col, text_col, n)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    hashed = sets.select("id", h.alias("h"))
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    agg = hashed.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands, bucket on
+    the band hash, emit candidate pairs that collide in >= 1 band.
+
+    The band-bucket self-join is an equi-join on (band, bucket) — shuffled
+    once, output-bound. Distinct() collapses multi-band collisions.
+    """
+    sig_len_row = signatures.select(F.size("signature").alias("s")).head()
+    rows_per_band = (sig_len_row["s"] if sig_len_row else 0) // bands or 1
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice("signature", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")
+                    ))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: candidates from banding, then
+    *exact* Jaccard verification of candidates only (the standard
+    candidate-verify pattern; verification cost is |candidates|, not |D|^2)."""
+    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, n)
+    cand = minhash_lsh_candidates(sigs, bands)
+    sets = doc_shingle_sets(docs, id_col, text_col, n)
+    sizes = sets.groupBy("id").agg(F.count("*").alias("set_size"))
+    sa = sets.withColumnRenamed("id", "id_a")
+    sb = sets.withColumnRenamed("id", "id_b")
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 63) -> DataFrame:
+    """Per-doc SimHash: sum +/-1 per bit of each token's xxhash64, sign ->
+    bit. 63 bits (bit 63 would overflow the signed accumulator). One
+    explode + one groupBy with ``bits`` partial-agg sums."""
+    tok = docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+    h = tok.select("id", F.xxhash64("tok").alias("h"))
+    sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy("id").agg(*sums)
+    sim = agg.select(
+        "id",
+        sum(
+            [F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")) for b in range(bits)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sim
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 8, prefix_bits: int = 12) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed by the top
+    ``prefix_bits`` bits so the pairwise check never goes quadratic in |D|
+    (docs differing in the prefix are assumed non-dups — the standard
+    multi-probe tradeoff)."""
+    sims = simhash64(docs)
+    bucketed = sims.withColumn("bucket", F.shiftright(F.col("simhash"), 63 - prefix_bits))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cosine >= threshold).
+
+    Written as a theta-join for exactness; at 100 TB swap the join input
+    for LSH buckets (similarity.hyperplane_lsh_topk's bucketing) to keep
+    it output-bound — the verification expression is unchanged.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_sim("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,107 @@
+"""Approximate-nearest-neighbor similarity search over an embedding column.
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline and
+  the DuckDB-oracle-checkable form. Distributed: per-partition partial
+  top-k via the sort/limit Catalyst already does (TakeOrderedAndProject),
+  no driver-side loop.
+- ``hyperplane_lsh_topk``: the scale path — random-hyperplane signatures
+  bucket vectors; only the query's bucket neighborhood (exact bucket +
+  optional multi-probe hamming<=1) is scanned. Buckets are a plain
+  equi-join, so 100 TB of vectors shuffle once by bucket and the probe
+  touches a ~2^-bits fraction of the corpus.
+
+Hyperplanes are generated from a seeded NumPy RNG on the driver and
+shipped as *literal* plan constants (they are tiny: bits x dim doubles) —
+no broadcast variable or Python closure in the executors' hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_sim
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a constant query vector.
+
+    ORDER BY + LIMIT lowers to TakeOrderedAndProject: each partition keeps
+    k rows, the driver merges partition winners — no global sort shuffle.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def _signature_expr(vec_col: str, planes: np.ndarray):
+    """Bit-pack sign(v . plane_i) into a long, all in JVM expressions."""
+    bits_exprs = []
+    for i, plane in enumerate(planes):
+        const = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), const, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits_exprs.append(F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits_exprs[0]
+    for e in bits_exprs[1:]:
+        out = out + e
+    return out
+
+
+def hyperplane_lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: scan only vectors whose LSH bucket is within
+    ``multiprobe_hamming`` of the query's bucket, then exact-cosine rank.
+
+    Recall is tested against ``brute_force_topk`` in tests (tolerance
+    contract, SURVEY.md §5.2 — approx operators are recall-checked, not
+    hash-matched).
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, bits, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if float(qv @ plane) > 0:
+            qsig |= 1 << i
+    sig = _signature_expr(vec_col, planes)
+    bucketed = emb.withColumn("__bucket", sig)
+    probed = bucketed.filter(F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qsig))) <= multiprobe_hamming)
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        probed.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

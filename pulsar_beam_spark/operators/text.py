@@ -1,0 +1,106 @@
+"""Text-analysis operators for corpus curation: tokenization stats,
+language ID (stopword-lexicon heuristic), quality scoring, document
+fingerprinting, term frequency. All pure Spark built-ins (codegen'd),
+every one mirrorable in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texthash import poly_fingerprint, tokens
+
+# Tiny deterministic stopword lexicons; enough for the heuristic and for
+# an oracle-identical SQL mirror (kept deliberately short & literal).
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "mit", "auf", "für", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "sur"),
+}
+
+STOPWORDS_EN = LEXICONS["en"]
+
+
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy count
+    (runs of word chars of length<=4 via regexp splitting)."""
+    t = tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]{1,4}"), F.lit(0))).alias("n_subwords"),
+    )
+
+
+def _hit_count(toks, lexicon: tuple[str, ...]):
+    lex = F.array(*[F.lit(w) for w in lexicon])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lex, F.lower(t))))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Argmax over per-language stopword hit counts; deterministic
+    tie-break by lexicon order en > de > fr, 'und' (unknown) when all 0."""
+    t = tokens(text_col)
+    hits = {lang: _hit_count(t, lex) for lang, lex in LEXICONS.items()}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == F.lit(0), F.lit("und"))
+        .when(hits["en"] == best, F.lit("en"))
+        .when(hits["de"] == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        F.col(id_col),
+        *[h.alias(f"hits_{lang}") for lang, h in hits.items()],
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, mean token length, stopword
+    ratio, alpha ratio; plus a composite keep/drop flag. All ratios are
+    exact rational arithmetic rounded to 6 — oracle-stable."""
+    t = tokens(text_col)
+    n = F.size(t)
+    text_len = F.length(F.col(text_col))
+    alpha_len = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    stop_hits = _hit_count(t, STOPWORDS_EN)
+    return docs.select(
+        F.col(id_col),
+        text_len.alias("n_chars"),
+        n.alias("n_tokens"),
+        F.round(alpha_len / F.greatest(text_len, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(stop_hits / F.greatest(n, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round((text_len - n + 1) / F.greatest(n, F.lit(1)), 6).alias("mean_token_len"),
+        (
+            (n >= 20)
+            & (stop_hits / F.greatest(n, F.lit(1)) >= 0.01)
+            & (alpha_len / F.greatest(text_len, F.lit(1)) >= 0.5)
+        ).alias("keep"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rolling polynomial hash fingerprint per document (texthash.poly_fingerprint)."""
+    return docs.select(F.col(id_col), poly_fingerprint(text_col).alias("fingerprint"))
+
+
+def top_terms(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Global term frequency top-k, stopwords removed; deterministic
+    tie-break by term. Explode -> groupBy benefits from map-side partial
+    aggregation; top-k is TakeOrderedAndProject (no global sort shuffle)."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .filter(~F.array_contains(stop, F.lower(F.col("term"))))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(k)
+    )

@@ -1,0 +1,45 @@
+"""Physical-plan inspection helpers.
+
+Used by tests to assert the *plan we want at 100 TB*, not just a plan
+that happens to pass locally: filters pushed into the parquet scan,
+small dimensions broadcast, no gratuitous Exchange nodes, wide
+WholeStageCodegen spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def n_exchanges(df: DataFrame) -> int:
+    """Count shuffle Exchange operators (not broadcast exchanges)."""
+    plan = formatted_plan(df)
+    return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning") + plan.count(
+        "Exchange SinglePartition"
+    )
+
+
+def has_pushed_filters(df: DataFrame, fragment: str) -> bool:
+    plan = formatted_plan(df)
+    return "PushedFilters" in plan and fragment in plan
+
+
+def has_broadcast(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastExchange" in formatted_plan(df)
+
+
+def explain_summary(df: DataFrame) -> dict:
+    plan = formatted_plan(df)
+    return {
+        "shuffle_exchanges": plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "codegen_spans": plan.count("WholeStageCodegen"),
+        "pushed_filters": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
+    }

@@ -1,0 +1,1332 @@
+"""Declared query registry — the contract consumed by __spark_entry__.py.
+
+Every entry pairs a Spark DataFrame builder with (when SQL-expressible)
+an equivalent DuckDB oracle SQL string. Design rules for hash-stable
+oracle parity (SURVEY.md §5.2):
+
+- Money/decimal aggregates are INTEGERIZED: per-row ``round(x*100)`` to
+  BIGINT cents, integer sums (order-independent, exact), divide once at
+  the end — Spark's parallel sum and DuckDB's sequential sum then emit
+  bit-identical doubles. No float-accumulation nondeterminism.
+- Per-row float expressions are rounded to 6 decimals on both sides.
+- Integer sums in DuckDB are CAST(... AS BIGINT) (duckdb widens to
+  HUGEINT, Spark stays LongType).
+- Epoch seconds use floor() semantics on both sides.
+- Every computed column is aliased identically in both dialects.
+- LIMIT/top-k queries carry a unique-key tie-break so the result set is
+  deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.asof import asof_join
+from .operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup_latest,
+    exact_jaccard_pairs,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from .operators.multimodal import extract_features, media_from_documents
+from .operators.similarity import brute_force_topk, hyperplane_lsh_topk
+from .operators.text import language_id, quality_scores, token_stats, top_terms
+from .operators.text import doc_fingerprints
+from .model.topic import tenant_from_topic_col, topic_key_col
+from .sources.tables import load_table
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# -- integerized money helpers (see module docstring) ---------------------
+def cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def money_sum(col: str, alias: str) -> F.Column:
+    return (F.sum(cents(col)).cast("double") / 100).alias(alias)
+
+
+# == flagship =============================================================
+
+FLAGSHIP_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n_name
+"""
+
+
+@register("flagship_revenue_by_nation", FLAGSHIP_ORACLE,
+          doc="R1-R5+R11: 4-way join, broadcast dims, integerized revenue agg")
+def q_flagship(spark: SparkSession, sf: str) -> DataFrame:
+    li, o = T(spark, sf, "lineitem"), T(spark, sf, "orders")
+    c, n, r = T(spark, sf, "customer"), T(spark, sf, "nation"), T(spark, sf, "region")
+    revenue = (F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).cast("double") / 10000)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter((F.col("r_name") == "ASIA") & (F.col("o_orderdate") >= "1996-01-01"))
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+# == R1-R3: scan / projection / filter ===================================
+
+@register(
+    "r01_scan_project",
+    "SELECT p_partkey, p_name, round(p_retailprice * 0.9, 6) AS discounted FROM part",
+    doc="R1+R2: parquet scan with column pruning + computed projection",
+)
+def q_r01(spark, sf):
+    return T(spark, sf, "part").select(
+        "p_partkey", "p_name", F.round(F.col("p_retailprice") * 0.9, 6).alias("discounted")
+    )
+
+
+@register(
+    "r03_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND l_returnflag IN ('A','N') AND l_quantity BETWEEN 5 AND 30
+    """,
+    doc="R3: BETWEEN + IN filters, pushed to the parquet scan",
+)
+def q_r03(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+        & F.col("l_returnflag").isin("A", "N")
+        & F.col("l_quantity").between(5, 30)
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# == R4-R9: joins ========================================================
+
+@register(
+    "r04_inner_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100 AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment
+    """,
+    doc="R4+R11: shuffle hash/sort-merge equi-join + hash aggregate",
+)
+def q_r04(spark, sf):
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), money_sum("o_totalprice", "total_price"))
+    )
+
+
+@register(
+    "r05_broadcast_join",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name
+    """,
+    doc="R5: explicit broadcast of the small dims — no shuffle of the fact side",
+)
+def q_r05(spark, sf):
+    li, s, n = T(spark, sf, "lineitem"), T(spark, sf, "supplier"), T(spark, sf, "nation")
+    rev = (F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).cast("double") / 10000)
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(rev.alias("revenue"))
+    )
+
+
+@register(
+    "r06_left_join",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(round(o.o_totalprice*100,0) AS BIGINT)), 0) AS DOUBLE)/100 AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey
+    """,
+    doc="R6: left outer join preserving customers with zero orders",
+)
+def q_r06(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(
+            F.count(o.o_orderkey).alias("n_orders"),
+            (F.coalesce(F.sum(cents("o_totalprice")), F.lit(0).cast("long")).cast("double") / 100).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "r06_full_outer_join",
+    """
+    WITH s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1),
+         c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1)
+    SELECT coalesce(s.nationkey, c.nationkey) AS nationkey,
+           coalesce(n_supp, 0) AS n_supp, coalesce(n_cust, 0) AS n_cust
+    FROM s FULL JOIN c ON s.nationkey = c.nationkey
+    """,
+    doc="R6: full outer join of two aggregates",
+)
+def q_r06f(spark, sf):
+    s = T(spark, sf, "supplier").groupBy(F.col("s_nationkey").alias("nationkey")).agg(F.count("*").alias("n_supp"))
+    c = T(spark, sf, "customer").groupBy(F.col("c_nationkey").alias("nationkey")).agg(F.count("*").alias("n_cust"))
+    zero = F.lit(0).cast("long")
+    return (
+        s.join(c, "nationkey", "full")
+        .select(
+            F.col("nationkey"),
+            F.coalesce("n_supp", zero).alias("n_supp"),
+            F.coalesce("n_cust", zero).alias("n_cust"),
+        )
+    )
+
+
+@register(
+    "r07_semi_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY c_mktsegment
+    """,
+    doc="R7: left semi join (EXISTS)",
+)
+def q_r07s(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "r07_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="R7: left anti join (NOT EXISTS)",
+)
+def q_r07a(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "anti").select("c_custkey", "c_name")
+
+
+@register(
+    "r08_range_join",
+    """
+    SELECT n_name, count(*) AS n_pairs
+    FROM supplier s JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal < c.c_acctbal
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n_name
+    """,
+    doc="R8: equi+range theta join (equi key carries the shuffle; range is a post-filter)",
+)
+def q_r08(spark, sf):
+    s, c, n = T(spark, sf, "supplier"), T(spark, sf, "customer"), T(spark, sf, "nation")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal < c.c_acctbal))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "r09_cross_join",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    doc="R9: cross join of two bounded dims",
+)
+def q_r09(spark, sf):
+    return T(spark, sf, "region").crossJoin(T(spark, sf, "nation")).select("r_name", "n_name")
+
+
+@register(
+    "r10_asof_join",
+    """
+    WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.ts AS click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="R10: as-of join via union+window rewrite, cross-checked vs duckdb native ASOF",
+)
+def q_r10(spark, sf):
+    ev = T(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    joined = asof_join(p, c, ["user_id"], "ts", "ts", ["event_id"])
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_right").alias("click_id"),
+        F.col("ts_right").alias("click_ts"),
+    )
+
+
+# == R11-R14: aggregates =================================================
+
+@register(
+    "r11_tpch_q1_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000 AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100,0) AS BIGINT))
+                    * (100 + CAST(round(l_tax*100,0) AS BIGINT))) AS DOUBLE)/1000000 AS sum_charge,
+           CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_price,
+           CAST(sum(CAST(round(l_discount*100,0) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="R11: TPC-H Q1-shaped 8-agg hash aggregate, integerized money math",
+)
+def q_r11(spark, sf):
+    li = T(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2000-12-01")
+    qty, price, disc, tax = cents("l_quantity"), cents("l_extendedprice"), cents("l_discount"), cents("l_tax")
+    n = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(qty).cast("double") / 100).alias("sum_qty"),
+        (F.sum(price).cast("double") / 100).alias("sum_base_price"),
+        (F.sum(price * (100 - disc)).cast("double") / 10000).alias("sum_disc_price"),
+        (F.sum(price * (100 - disc) * (100 + tax)).cast("double") / 1000000).alias("sum_charge"),
+        (F.sum(qty).cast("double") / 100 / n).alias("avg_qty"),
+        (F.sum(price).cast("double") / 100 / n).alias("avg_price"),
+        (F.sum(disc).cast("double") / 100 / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "r12_distinct",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    doc="R12: distinct projection",
+)
+def q_r12(spark, sf):
+    return T(spark, sf, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "r12_count_distinct",
+    """
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="R12: exact count-distinct (expand+two-phase agg in Spark)",
+)
+def q_r12cd(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@register(
+    "r13_approx_count_distinct",
+    None,  # approximate — driver records rows-only; pytest checks rsd tolerance
+    doc="R13: HLL++ approx count-distinct (tolerance-checked, not hash-matched)",
+)
+def q_r13(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"))
+    )
+
+
+@register(
+    "r14_rollup",
+    """
+    SELECT r_name, n_name,
+           CAST(grouping(r_name) AS INTEGER) AS grp_r, CAST(grouping(n_name) AS INTEGER) AS grp_n,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100 AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="R14: rollup with grouping() flags",
+)
+def q_r14(spark, sf):
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    n, r = T(spark, sf, "nation"), T(spark, sf, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("grp_r"),
+            F.grouping("n_name").cast("int").alias("grp_n"),
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice", "total_price"),
+        )
+        .select("r_name", "n_name", "grp_r", "grp_n", "n_orders", "total_price")
+    )
+
+
+@register(
+    "r14_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) AS grp_f, CAST(grouping(l_linestatus) AS INTEGER) AS grp_s,
+           count(*) AS n_items
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="R14: cube",
+)
+def q_r14c(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("grp_f"),
+            F.grouping("l_linestatus").cast("int").alias("grp_s"),
+            F.count("*").alias("n_items"),
+        )
+        .select("l_returnflag", "l_linestatus", "grp_f", "grp_s", "n_items")
+    )
+
+
+# == R15-R19: windows / sort / top-k =====================================
+
+@register(
+    "r15_window_rank",
+    """
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER w AS rn, rank() OVER w AS rk,
+             dense_rank() OVER w AS drk, ntile(4) OVER w AS quartile
+      FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE rn <= 3
+    """,
+    doc="R15: ranking window functions, top-3 per nation",
+)
+def q_r15(spark, sf):
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        T(spark, sf, "customer")
+        .select(
+            "c_nationkey", "c_custkey", "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "r16_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           CAST(floor(epoch(o_orderdate)) - floor(epoch(lag(o_orderdate) OVER w)) AS BIGINT) AS gap_s
+    FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="R16: lag/lead analytic windows",
+)
+def q_r16(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return T(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        (F.unix_timestamp("o_orderdate") - F.unix_timestamp(F.lag("o_orderdate").over(w))).alias("gap_s"),
+    )
+
+
+@register(
+    "r17_window_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)/100 AS running_spend,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)/100 AS last3_spend
+    FROM orders
+    """,
+    doc="R17: rows-frame running + bounded windows, integerized",
+)
+def q_r17(spark, sf):
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = base.rowsBetween(-2, Window.currentRow)
+    c = cents("o_totalprice")
+    return T(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey",
+        (F.sum(c).over(run).cast("double") / 100).alias("running_spend"),
+        (F.sum(c).over(last3).cast("double") / 100).alias("last3_spend"),
+    )
+
+
+@register(
+    "r18_sort_with_position",
+    """
+    WITH top AS (SELECT o_orderkey, o_totalprice FROM orders
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 500)
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+    FROM top
+    """,
+    doc="R18: global sort verified by embedded position (TakeOrdered, no full-sort shuffle)",
+)
+def q_r18(spark, sf):
+    top = (
+        T(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(500)
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return top.withColumn("pos", F.row_number().over(w))
+
+
+@register(
+    "r19_topk",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+    doc="R19: top-k with unique tie-break (TakeOrderedAndProject)",
+)
+def q_r19(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# == R20-R21: set operations =============================================
+
+@register(
+    "r20_union_all",
+    """
+    SELECT src, count(*) AS n FROM (
+      SELECT 'high' AS src, o_orderkey FROM orders WHERE o_totalprice > 150000
+      UNION ALL
+      SELECT 'urgent' AS src, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) GROUP BY src
+    """,
+    doc="R20: union all of two branches",
+)
+def q_r20(spark, sf):
+    o = T(spark, sf, "orders")
+    hi = o.filter(F.col("o_totalprice") > 150000).select(F.lit("high").alias("src"), "o_orderkey")
+    ur = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.lit("urgent").alias("src"), "o_orderkey")
+    return hi.unionByName(ur).groupBy("src").agg(F.count("*").alias("n"))
+
+
+@register(
+    "r21_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT SELECT o_custkey AS c_custkey FROM orders
+    """,
+    doc="R21: intersect",
+)
+def q_r21i(spark, sf):
+    c = T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = T(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@register(
+    "r21_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT SELECT o_custkey AS c_custkey FROM orders
+    """,
+    doc="R21: except",
+)
+def q_r21e(spark, sf):
+    c = T(spark, sf, "customer").select("c_custkey")
+    o = T(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# == R22-R28: scalar function surface ====================================
+
+@register(
+    "r22_string_fns",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_u,
+           lower(p_brand) AS brand_l,
+           substr(p_name, 1, 5) AS name5,
+           p_brand || '/' || p_type AS brand_type,
+           length(p_name) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           trim(' ' || p_name || ' ') AS name_trim,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+           string_split(p_name, ' ')[1] AS name_first
+    FROM part
+    """,
+    doc="R22: string scalar functions, duckdb-parity semantics",
+)
+def q_r22(spark, sf):
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_u"),
+        F.lower("p_brand").alias("brand_l"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devowel"),
+        F.split("p_name", " ").getItem(0).alias("name_first"),
+    )
+
+
+@register(
+    "r23_date_fns",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           CAST(day(o_orderdate) AS INTEGER) AS o_day,
+           date_trunc('month', o_orderdate) AS o_month_start,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_epoch,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INTEGER) AS ship_delay_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    doc="R23: date/time functions (UTC both sides; floor-epoch convention)",
+)
+def q_r23(spark, sf):
+    li, o = T(spark, sf, "lineitem"), T(spark, sf, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_trunc("month", "o_orderdate").alias("o_month_start"),
+        F.unix_timestamp("o_orderdate").alias("o_epoch"),
+        F.datediff("l_shipdate", "o_orderdate").alias("ship_delay_days"),
+    )
+
+
+@register(
+    "r24_math_fns",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * l_discount, 6) AS disc_amt,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           abs(l_quantity - 25.0) AS qty_dev,
+           round(pow(l_discount + 1.0, 2), 6) AS disc_pow,
+           round(ln(l_extendedprice + 1.0), 6) AS log_price,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           ((l_orderkey % 7) + 7) % 7 AS key_mod
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+    doc="R24: math scalar functions (pmod spelled out for duckdb)",
+)
+def q_r24(spark, sf):
+    li = T(spark, sf, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("disc_amt"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.round(F.pow(F.col("l_discount") + 1.0, 2), 6).alias("disc_pow"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod"),
+    )
+
+
+@register(
+    "r25_array_fns",
+    """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_toks,
+           list_contains(toks, 'spark') AS has_spark,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+           list_sort(toks)[1] AS first_sorted,
+           array_to_string(toks[1:3], ' ') AS first3
+    FROM t
+    """,
+    doc="R25: array higher-order functions over tokenized text",
+)
+def q_r25(spark, sf):
+    d = T(spark, sf, "documents")
+    toks = F.split("text", r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.sort_array(toks).getItem(0).alias("first_sorted"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
+    )
+
+
+@register(
+    "r26_map_fns",
+    """
+    SELECT event_id,
+           map_extract(m, 'type')[1] AS mtype,
+           map_extract(m, 'uid')[1] AS muid,
+           array_to_string(map_keys(m), ',') AS keys_str,
+           CAST(cardinality(m) AS INTEGER) AS n_keys
+    FROM (SELECT event_id,
+                 map(['type','uid'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+          FROM events)
+    """,
+    doc="R26: map construction + element access (duckdb map_extract returns a list)",
+)
+def q_r26(spark, sf):
+    ev = T(spark, sf, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("mtype"),
+        F.element_at(m, "uid").alias("muid"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_str"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+@register(
+    "r27_json_fns",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="R27: JSON path extraction over the props payload column",
+)
+def q_r27(spark, sf):
+    ev = T(spark, sf, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "r28_conditional",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_x,
+           least(o_totalprice, 150000.0) AS capped,
+           greatest(o_totalprice, 50000.0) AS floored
+    FROM orders
+    """,
+    doc="R28: CASE WHEN / coalesce / nullif / least / greatest",
+)
+def q_r28(spark, sf):
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_x"),
+        F.least("o_totalprice", F.lit(150000.0)).alias("capped"),
+        F.greatest("o_totalprice", F.lit(50000.0)).alias("floored"),
+    )
+
+
+# == R29-R31 + extensions: dedup / similarity ============================
+
+@register(
+    "r29_dedup_exact_latest",
+    """
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="R29/G8: exact dedup — latest row per key (compacted-topic materialization)",
+)
+def q_r29(spark, sf):
+    ev = T(spark, sf, "events")
+    return exact_dedup_latest(ev, ["user_id"], "ts", "event_id").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+JACCARD_ORACLE = """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+"""
+
+
+@register(
+    "r30_ngram_jaccard_pairs",
+    JACCARD_ORACLE,
+    doc="R30 ground truth: exact 3-gram shingle Jaccard pairs >= 0.5 (output-bound shingle self-join)",
+)
+def q_r30(spark, sf):
+    return exact_jaccard_pairs(T(spark, sf, "documents"), threshold=0.5)
+
+
+@register(
+    "d_minhash_lsh_near_dup",
+    None,  # approximate candidates -> exact verify; recall checked in pytest vs r30
+    doc="R30 scale path: MinHash(32)+LSH(16 bands) candidates, exact-Jaccard verified",
+)
+def q_minhash(spark, sf):
+    return minhash_near_dup_pairs(
+        T(spark, sf, "documents"), threshold=0.5, num_hashes=32, bands=16
+    )
+
+
+@register(
+    "d_simhash_near_dup",
+    None,  # hash-function-dependent; golden-checked in pytest
+    doc="SimHash-63bit near-dup pairs within hamming<=8, prefix-bucketed",
+)
+def q_simhash(spark, sf):
+    return simhash_near_dup_pairs(T(spark, sf, "documents"), max_hamming=8, prefix_bits=12)
+
+
+EMBED_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4
+"""
+
+
+@register(
+    "d_embedding_near_dup",
+    EMBED_NEARDUP_ORACLE,
+    doc="Embedding-cosine near-dup pairs (exact; sequential-fold dot product both sides)",
+)
+def q_embed_dup(spark, sf):
+    return embedding_near_dup_pairs(T(spark, sf, "embeddings"), threshold=0.4)
+
+
+COSINE_TOPK_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], q.qv), x -> x[1] * x[2]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(e.embedding::DOUBLE[], x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))) AS cos
+      FROM embeddings e, q)
+SELECT vec_id, round(cos, 6) AS cosine FROM s ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+@register(
+    "r31_cosine_topk",
+    COSINE_TOPK_ORACLE,
+    doc="R31: brute-force cosine top-k to a constant query vector (TakeOrdered)",
+)
+def q_r31(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return brute_force_topk(emb, [float(x) for x in qrow["embedding"]], k=10)
+
+
+@register(
+    "s_ann_lsh_topk",
+    None,  # approximate — recall vs r31 checked in pytest
+    doc="R31 scale path: random-hyperplane LSH bucketed ANN top-k (multiprobe hamming<=1)",
+)
+def q_ann(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return hyperplane_lsh_topk(emb, [float(x) for x in qrow["embedding"]], k=10, bits=8)
+
+
+# == R32 + text analysis =================================================
+
+@register(
+    "r32_top_terms",
+    """
+    SELECT term, freq FROM (
+      SELECT term, count(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(text, ' +')) AS term FROM documents)
+      WHERE NOT list_contains(['the','a','of','and','to','in','is','on','for','with'], lower(term))
+      GROUP BY term)
+    ORDER BY freq DESC, term LIMIT 20
+    """,
+    doc="R32: global term frequency top-20, stopword-filtered",
+)
+def q_r32(spark, sf):
+    return top_terms(T(spark, sf, "documents"), k=20)
+
+
+@register(
+    "t_language_id",
+    """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks FROM documents),
+    h AS (SELECT doc_id,
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], lower(x)))) AS INTEGER) AS hits_en,
+          CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','mit','auf','für','von'], lower(x)))) AS INTEGER) AS hits_de,
+          CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans','pour','sur'], lower(x)))) AS INTEGER) AS hits_fr
+          FROM t)
+    SELECT doc_id, hits_en, hits_de, hits_fr,
+           CASE WHEN greatest(hits_en, hits_de, hits_fr) = 0 THEN 'und'
+                WHEN hits_en = greatest(hits_en, hits_de, hits_fr) THEN 'en'
+                WHEN hits_de = greatest(hits_en, hits_de, hits_fr) THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM h
+    """,
+    doc="Text: n-gram/stopword-lexicon language ID heuristic",
+)
+def q_langid(spark, sf):
+    return language_id(T(spark, sf, "documents"))
+
+
+@register(
+    "t_quality_scores",
+    """
+    WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, ' +') AS toks FROM documents),
+    x AS (SELECT doc_id, length(text) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_len,
+                 CAST(len(list_filter(toks, t2 -> list_contains(['the','a','of','and','to','in','is','on','for','with'], lower(t2)))) AS INTEGER) AS stop_hits
+          FROM t)
+    SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars, n_tokens,
+           round(alpha_len * 1.0 / greatest(n_chars, 1), 6) AS alpha_ratio,
+           round(stop_hits * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           round((n_chars - n_tokens + 1) * 1.0 / greatest(n_tokens, 1), 6) AS mean_token_len,
+           (n_tokens >= 20 AND stop_hits * 1.0 / greatest(n_tokens, 1) >= 0.01
+            AND alpha_len * 1.0 / greatest(n_chars, 1) >= 0.5) AS keep
+    FROM x
+    """,
+    doc="Text: quality scoring (length/alpha/stopword ratios + keep flag)",
+)
+def q_quality(spark, sf):
+    return quality_scores(T(spark, sf, "documents"))
+
+
+@register(
+    "t_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, ' +')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS INTEGER) AS n_unique_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}')) AS INTEGER) AS n_subwords
+    FROM documents
+    """,
+    doc="Text: whitespace + BPE-ish regex token counting",
+)
+def q_tokstats(spark, sf):
+    return token_stats(T(spark, sf, "documents"))
+
+
+@register(
+    "t_fingerprint",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT)),
+                                 (acc, x) -> (acc * 131 + x) % 1000000007)
+           END AS fingerprint
+    FROM documents
+    """,
+    doc="Text: rolling polynomial hash fingerprint (identical fold both engines)",
+)
+def q_fingerprint(spark, sf):
+    return doc_fingerprints(T(spark, sf, "documents"))
+
+
+# == R33-R35: UDF surface ================================================
+
+@register(
+    "r33_python_udf",
+    "SELECT doc_id, reverse(substr(text, 1, 20)) AS rev20 FROM documents",
+    doc="R33: scalar Python UDF (oracle = same fn in SQL); demo only — built-ins preferred",
+)
+def q_r33(spark, sf):
+    rev = F.udf(lambda s: s[::-1] if s is not None else None, "string")
+    return T(spark, sf, "documents").select(
+        "doc_id", rev(F.substring("text", 1, 20)).alias("rev20")
+    )
+
+
+@register(
+    "r34_pandas_scalar_udf",
+    "SELECT event_id, value * 2.0 + 1.0 AS scaled FROM events",
+    doc="R34: vectorized (Arrow) scalar pandas UDF — exact float arithmetic both sides",
+)
+def q_r34s(spark, sf):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def scale(v: pd.Series) -> pd.Series:
+        return v * 2.0 + 1.0
+
+    return T(spark, sf, "events").select("event_id", scale("value").alias("scaled"))
+
+
+@register(
+    "r34_pandas_grouped_map",
+    """
+    SELECT event_id, event_type,
+           CAST(count(*) OVER w AS BIGINT) * cents - CAST(sum(cents) OVER w AS BIGINT) AS demeaned_scaled
+    FROM (SELECT event_id, event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+    doc="R34: applyInPandas grouped-map — integerized demean (n*x - sum), exact both sides",
+)
+def q_r34g(spark, sf):
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = (pdf["value"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "demeaned_scaled": len(c) * c - c.sum(),
+            }
+        )
+
+    return (
+        T(spark, sf, "events")
+        .groupBy("event_type")
+        .applyInPandas(demean, "event_id bigint, event_type string, demeaned_scaled bigint")
+    )
+
+
+@register(
+    "r35_udtf_posexplode",
+    """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks FROM documents WHERE doc_id < 10)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+    FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+    """,
+    doc="R35: table-generating expansion (posexplode lateral view)",
+)
+def q_r35(spark, sf):
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 10)
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+
+
+# == gateway parity (G-rows, SURVEY §2.1) ================================
+
+# Synthesized fully-qualified topic per event (the events fixture has no
+# topic column; this mirrors BuildTopicFn, reference src/util/util.go:78-86).
+TOPIC_EXPR_SQL = (
+    "'persistent://tenant' || CAST(user_id % 5 AS VARCHAR) || '/ns' || "
+    "CAST(user_id % 3 AS VARCHAR) || '/' || event_type"
+)
+
+
+def topic_expr() -> F.Column:
+    return F.concat(
+        F.lit("persistent://tenant"), (F.col("user_id") % 5).cast("string"),
+        F.lit("/ns"), (F.col("user_id") % 3).cast("string"),
+        F.lit("/"), F.col("event_type"),
+    )
+
+
+@register(
+    "g06_topic_tokenize",
+    f"""
+    SELECT event_id, topic,
+           string_split(topic, '/')[3] AS tenant,
+           string_split(topic, '/')[4] AS namespace,
+           string_split(topic, '/')[5] AS short_topic
+    FROM (SELECT event_id, {TOPIC_EXPR_SQL} AS topic FROM events)
+    """,
+    doc="G6 parity: build + tokenize persistent://tenant/ns/topic (util.go:78-86,156-176)",
+)
+def q_g06(spark, sf):
+    ev = T(spark, sf, "events").withColumn("topic", topic_expr())
+    parts = F.split("topic", "/")
+    return ev.select(
+        "event_id", "topic",
+        parts.getItem(2).alias("tenant"),
+        parts.getItem(3).alias("namespace"),
+        parts.getItem(4).alias("short_topic"),
+    )
+
+
+@register(
+    "g07_sha1_key",
+    None,  # duckdb 1.0 lacks sha1(); golden-value parity asserted in pytest instead
+    doc="G7 parity: SHA-1 identity key sha1(topic_fn || pulsar_url) (topic.go:119-123)",
+)
+def q_g07(spark, sf):
+    ev = T(spark, sf, "events").withColumn("topic_full_name", topic_expr())
+    return ev.select(
+        "event_id",
+        topic_key_col("topic_full_name", F.lit("pulsar://cluster.local:6650")).alias("key"),
+    ).limit(200)
+
+
+@register(
+    "g08_changelog_snapshot",
+    """
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="G8 parity: changelog->snapshot, tombstone ('error') drops the key (pulsardb.go:86-127)",
+)
+def q_g08(spark, sf):
+    ev = T(spark, sf, "events")
+    return (
+        exact_dedup_latest(ev, ["user_id"], "ts", "event_id")
+        .filter(F.col("event_type") != "error")
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@register(
+    "g10_tenant_isolation",
+    f"""
+    SELECT event_id, tenant FROM (
+      SELECT event_id, string_split({TOPIC_EXPR_SQL}, '/')[3] AS tenant FROM events)
+    WHERE tenant = 'tenant3'
+    """,
+    doc="G10 parity: row-level tenant-isolation predicate (handlers.go:375-421)",
+)
+def q_g10(spark, sf):
+    ev = T(spark, sf, "events").withColumn("topic", topic_expr())
+    return ev.select("event_id", tenant_from_topic_col("topic").alias("tenant")).filter(
+        F.col("tenant") == "tenant3"
+    )
+
+
+# == S-rows in batch-checkable form (streaming semantics live in
+#    pulsar_beam_spark.streaming; these verify the window algebra) ========
+
+@register(
+    "s3_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="S3: tumbling 1h window agg (batch algebra of groupBy(window(ts,'1 hour')))",
+)
+def q_s3(spark, sf):
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), money_sum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "s4_sliding_window",
+    """
+    SELECT ws AS window_start, event_type, count(*) AS n
+    FROM (SELECT e.*, date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS ws
+          FROM events e, range(0, 2) r(k))
+    GROUP BY 1, 2
+    """,
+    doc="S4: sliding 2h/1h window agg (each event lands in 2 windows)",
+)
+def q_s4(spark, sf):
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@register(
+    "s5_session_window",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    y AS (SELECT user_id, ts,
+                 CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM x)
+    SELECT user_id, session_id, min(ts) AS session_start, count(*) AS n_events
+    FROM y GROUP BY 1, 2
+    """,
+    doc="S5: sessionization, 30-min gap (batch algebra of session_window)",
+)
+def q_s5(spark, sf):
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(lag_ts)) > 1800), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("new_s", new_s)
+        .withColumn("session_id", F.sum("new_s").over(run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "s6_stateful_dedup",
+    """
+    SELECT event_type, count(*) AS n FROM (
+      SELECT DISTINCT * FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
+    GROUP BY event_type
+    """,
+    doc="S6: dedup on message id — duplicated input collapses back to one row per event",
+)
+def q_s6(spark, sf):
+    ev = T(spark, sf, "events")
+    return (
+        ev.unionByName(ev)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "s7_bounded_poll",
+    """
+    SELECT event_type, event_id, ts, rn FROM (
+      SELECT event_type, event_id, ts,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 10
+    """,
+    doc="S7/G5 parity: bounded take-N-earliest per topic (poll batchSize=10, sse-broker.go:34-61)",
+)
+def q_s7(spark, sf):
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.select("event_type", "event_id", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+# == multimodal plumbing =================================================
+
+@register(
+    "m_binary_columns",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(octet_length(encode(text)) * 8 AS INTEGER) AS n_bits,
+           base64(encode(substr(text, 1, 12))) AS head_b64
+    FROM documents
+    """,
+    doc="Multimodal: opaque binary payload columns + byte-level metadata",
+)
+def q_mbin(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.bit_length("text").alias("n_bits"),
+        F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("head_b64"),
+    )
+
+
+@register(
+    "m_media_features",
+    None,  # mapInPandas plumbing with stubbed decoder — rows-only check
+    doc="Multimodal: Arrow-batched mapInPandas feature extraction over binary payloads (stub decode)",
+)
+def q_mfeat(spark, sf):
+    media = media_from_documents(T(spark, sf, "documents"))
+    return extract_features(media, fake=True).select(
+        "media_id", "modality", "n_bytes", "content_crc"
+    )
+
+
+# == exports consumed by __spark_entry__.py ==============================
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

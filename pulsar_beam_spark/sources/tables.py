@@ -1,0 +1,54 @@
+"""Batch table registry over the driver-generated parquet testdata.
+
+Reads go through ``spark.read.parquet`` so Catalyst keeps predicate
+pushdown, column pruning and partition pruning (verify with
+``plans.explain_summary``). At 100 TB the same call reads a partitioned
+table layout (``.../events/date=.../tenant=...``) — nothing here changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast in joins at any scale
+# factor (region/nation are bounded by geography; the others are bounded
+# relative to the fact tables but not absolutely — broadcast them only via
+# explicit hints where the query knows the cardinality).
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    if name == "events":
+        # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's
+        # reader rejects; read nanos as long and truncate to microseconds
+        # with integer division (duckdb truncates ns->us identically, so
+        # oracle comparisons agree). `div` keeps 64-bit precision — a
+        # double division would lose sub-ms precision at 2024 epochs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every table as a temp view (for the SQL entry points)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)

@@ -1,0 +1,5 @@
+from .ingest import ingest_stream, envelope_with_headers  # noqa: F401
+from .windows import tumbling_counts, sliding_counts, session_counts, dedup_stream  # noqa: F401
+from .poll import bounded_poll  # noqa: F401
+from .delivery import WebhookSink, deliver_stream  # noqa: F401
+from .reconciler import Reconciler  # noqa: F401

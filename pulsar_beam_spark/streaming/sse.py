@@ -1,0 +1,53 @@
+"""G4 — SSE-style continuous read: each message rendered as an
+``id:``/``data:`` frame pushed to a per-client callback.
+
+Reference parity (src/route/handlers.go:188-237): at-MOST-once — the
+reference Acks *before* writing the frame to the client (:227-231), so a
+dropped client loses in-flight messages. Here the foreachBatch callback
+swallows client errors (frames for a dead client are dropped, the batch
+still commits) which reproduces that guarantee; contrast delivery.py
+which raises to force redelivery (at-least-once).
+
+Subscription-name semantics (G6): a NonResumable* auto-name maps to a
+fresh throwaway checkpoint (unsubscribe-on-exit ≙ delete dir); a user
+name >= 5 chars maps to a stable checkpoint dir (resumable).
+"""
+
+from __future__ import annotations
+
+import secrets
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def gen_subscription_name() -> str:
+    """Auto-name parity: NonResumable<rand24> (src/model/topic.go:94)."""
+    return "NonResumable" + secrets.token_hex(12)
+
+
+def sse_frame(message_id: str, payload: bytes | None) -> str:
+    body = (payload or b"").decode("utf-8", errors="replace")
+    return f"id: {message_id}\ndata: {body}\n\n"
+
+
+def sse_stream(
+    stream: DataFrame,
+    client: Callable[[str], None],
+    checkpoint_dir: str,
+    query_name: str = "sse",
+):
+    def handle(df: DataFrame, _epoch: int) -> None:
+        for r in df.select("message_id", "payload").collect():
+            try:
+                client(sse_frame(r["message_id"], r["payload"]))
+            except Exception:
+                # client gone: frames drop, batch still commits (at-most-once)
+                return
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

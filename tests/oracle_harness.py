@@ -1,0 +1,66 @@
+"""Mimic of the driver's DuckDB-oracle comparison: run the Spark query and
+the oracle SQL on the same parquet tables, canonicalize (sort columns by
+name, sort rows), and compare row-count + dtypes + exact values.
+
+Used by tests/test_oracle_parity.py over every registry entry.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from pulsar_beam_spark.sources.tables import TABLES
+
+
+def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    errs: list[str] = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return [f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"]
+    if len(spark_df) != len(duck_df):
+        errs.append(f"row count differs: spark={len(spark_df)} duck={len(duck_df)}")
+        return errs
+    s = canonicalize(spark_df)
+    d = canonicalize(duck_df)
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(sv, dv)) if not _values_equal(x, y)
+        ]
+        if bad:
+            i, x, y = bad[0]
+            errs.append(f"col {c}: {len(bad)}/{len(sv)} values differ; first at row {i}: spark={x!r} duck={y!r}")
+    return errs
