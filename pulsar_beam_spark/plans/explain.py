@@ -17,6 +17,14 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def simple_plan(df: DataFrame) -> str:
+    """Simple-mode physical plan; WholeStageCodegen stages show as `*(n)`
+    (formatted mode hides codegen markers under AQE)."""
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
 def n_exchanges(df: DataFrame) -> int:
     """Count shuffle Exchange operators (not broadcast exchanges)."""
     plan = formatted_plan(df)
@@ -36,10 +44,11 @@ def has_broadcast(df: DataFrame) -> bool:
 
 def explain_summary(df: DataFrame) -> dict:
     plan = formatted_plan(df)
+    simple = simple_plan(df)
     return {
         "shuffle_exchanges": plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning"),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
-        "codegen_spans": plan.count("WholeStageCodegen"),
+        "codegen_spans": simple.count("*("),
         "pushed_filters": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
     }

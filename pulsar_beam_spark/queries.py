@@ -917,7 +917,9 @@ def q_r31(spark, sf):
 def q_ann(spark, sf):
     emb = T(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    return hyperplane_lsh_topk(emb, [float(x) for x in qrow["embedding"]], k=10, bits=8)
+    return hyperplane_lsh_topk(
+        emb, [float(x) for x in qrow["embedding"]], k=10, bits=8, multiprobe_hamming=2
+    )
 
 
 # == R32 + text analysis =================================================

@@ -1,0 +1,150 @@
+"""Parity micro-tests ported from the reference's unit tests
+(SURVEY.md §5.2 item 4): SHA-1 golden key, topic-FN build/tokenize
+matrix, subscription validation matrix, tenant predicate truth table,
+config-store CRUD lifecycle."""
+
+from __future__ import annotations
+
+import pytest
+
+from pulsar_beam_spark.model.topic import (
+    TopicStatus,
+    Webhook,
+    build_topic_fn,
+    gen_key_from_names,
+    get_initial_position,
+    get_subscription_type,
+    tokenize_topic_full_name,
+    validate_topic_config,
+    validate_webhook_config,
+)
+
+
+def test_sha1_golden_key():
+    # golden from reference src/unit-test/handlers_test.go:68-77
+    key = gen_key_from_names(
+        "persistent://picasso/local-useast1-gcp/yet-another-test-topic",
+        "pulsar+ssl://useast1.gcp.kafkaesque.io:6651",
+    )
+    assert key == "075fcf0870662590aa4b24939287f193a697ab26"
+
+
+def test_build_topic_fn_matrix():
+    # reference src/unit-test/util_test.go:381-411 semantics
+    assert build_topic_fn("p", "t", "ns", "top") == "persistent://t/ns/top"
+    assert build_topic_fn("persistent", "t", "ns", "top") == "persistent://t/ns/top"
+    assert build_topic_fn("np", "t", "ns", "top") == "non-persistent://t/ns/top"
+    with pytest.raises(ValueError):
+        build_topic_fn("x", "t", "ns", "top")
+    with pytest.raises(ValueError):
+        build_topic_fn("p", "", "ns", "top")
+
+
+def test_tokenize_topic_full_name():
+    assert tokenize_topic_full_name("persistent://a/b/c") == ("persistent", "a", "b", "c")
+    assert tokenize_topic_full_name("non-persistent://a/b/c")[0] == "non-persistent"
+    for bad in ("persistent://a/b", "a/b/c", "persistent://a/b/c/d", ""):
+        with pytest.raises(ValueError):
+            tokenize_topic_full_name(bad)
+
+
+def test_subscription_type_matrix():
+    # reference src/unit-test/handlers_test.go:243-338 semantics
+    assert get_subscription_type("") == "exclusive"
+    for t in ("exclusive", "shared", "keyshared", "failover"):
+        assert get_subscription_type(t) == t
+    with pytest.raises(ValueError):
+        get_subscription_type("bogus")
+    assert get_initial_position("") == "latest"
+    for p in ("latest", "earliest"):
+        assert get_initial_position(p) == p
+    with pytest.raises(ValueError):
+        get_initial_position("middle")
+
+
+def test_webhook_validation():
+    ok = [Webhook("http://h1.example.com/cb", "subone"), Webhook("https://h2.example.com/cb", "subtwo")]
+    validate_webhook_config(ok)
+    with pytest.raises(ValueError):  # short subscription name (<5)
+        validate_webhook_config([Webhook("http://h.example.com", "abc")])
+    with pytest.raises(ValueError):  # invalid url
+        validate_webhook_config([Webhook("not a url", "subone")])
+    with pytest.raises(ValueError):  # duplicate exclusive subscription
+        validate_webhook_config(
+            [Webhook("http://a.example.com", "samesub"), Webhook("http://b.example.com", "samesub")]
+        )
+    # duplicate names fine when shared
+    validate_webhook_config(
+        [
+            Webhook("http://a.example.com", "samesub", subscription_type="shared"),
+            Webhook("http://b.example.com", "samesub", subscription_type="shared"),
+        ]
+    )
+
+
+def test_validate_topic_config_returns_key():
+    key = validate_topic_config(
+        "persistent://picasso/local-useast1-gcp/yet-another-test-topic",
+        "pulsar+ssl://useast1.gcp.kafkaesque.io:6651",
+        [],
+    )
+    assert key == "075fcf0870662590aa4b24939287f193a697ab26"
+    with pytest.raises(ValueError):
+        validate_topic_config("persistent://a/b/c", "http://not-pulsar", [])
+
+
+def test_config_store_crud_lifecycle(spark, tmp_path):
+    """Mirrors reference src/unit-test/db_test.go:19-105:
+    create -> get -> update -> load -> delete -> get-fails."""
+    from pulsar_beam_spark.model.config_store import ConfigStore
+
+    store = ConfigStore(spark, str(tmp_path / "cfg"))
+    key = store.update(
+        "persistent://tenant1/ns/topicA",
+        "pulsar://cluster:6650",
+        [Webhook("http://hook.example.com/cb", "mysub01")],
+        tenant="tenant1",
+    )
+    got = store.get_by_key(key)
+    assert got is not None and got["topic_full_name"] == "persistent://tenant1/ns/topicA"
+    assert len(got["webhooks"]) == 1
+
+    # upsert replaces (last-write-wins snapshot)
+    store.update("persistent://tenant1/ns/topicA", "pulsar://cluster:6650", [], notes="v2")
+    got2 = store.get_by_key(key)
+    assert got2["notes"] == "v2" and got2["webhooks"] in ([], None)
+
+    assert len(store.load()) == 1
+    store.delete_by_key(key)
+    assert store.get_by_key(key) is None
+    with pytest.raises(KeyError):
+        store.delete_by_key(key)
+
+
+def test_tenant_predicate_truth_table(spark):
+    """Reference handlers_test.go:221-240 semantics via the Column expr."""
+    from pyspark.sql import functions as F
+
+    from pulsar_beam_spark.model.topic import tenant_allowed_col
+
+    df = spark.createDataFrame(
+        [("persistent://alice/ns/t",), ("persistent://bob/ns/t",)], ["topic"]
+    )
+    got = {
+        r["topic"]: r["ok"]
+        for r in df.select("topic", tenant_allowed_col(F.col("topic"), "alice").alias("ok")).collect()
+    }
+    assert got["persistent://alice/ns/t"] is True
+    assert got["persistent://bob/ns/t"] is False
+    # superrole sees everything
+    got2 = df.select(tenant_allowed_col(F.col("topic"), "admin", ("admin",)).alias("ok")).collect()
+    assert all(r["ok"] for r in got2)
+    # tenant-prefixed client subject convention
+    got3 = {
+        r["topic"]: r["ok"]
+        for r in df.select(
+            "topic", tenant_allowed_col(F.col("topic"), "alice-client-7").alias("ok")
+        ).collect()
+    }
+    assert got3["persistent://alice/ns/t"] is True
+    assert got3["persistent://bob/ns/t"] is False

@@ -4,12 +4,17 @@ Entries without an oracle are smoke-run (rows >= 0, stable schema)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pulsar_beam_spark.queries import REGISTRY
 
 from .conftest import SF_SMOKE
 from .oracle_harness import compare, duck_run
+
+# override with PBS_TEST_SF_DIR=/root/testdata/sf0.01 for driver-scale runs
+SF_SMOKE = os.environ.get("PBS_TEST_SF_DIR", SF_SMOKE)
 
 ORACLE_NAMES = [n for n, s in REGISTRY.items() if s.oracle is not None]
 ROWS_ONLY_NAMES = [n for n, s in REGISTRY.items() if s.oracle is None]

@@ -1,0 +1,263 @@
+"""Streaming golden tests (SURVEY.md §5.2 item 3): ingest envelope,
+windowed aggs, stateful dedup, bounded poll, webhook delivery with
+retry/ack/reply semantics, checkpoint-rollback redelivery, reconciler.
+
+All run on a file-based message stream with Trigger.AvailableNow +
+memory sinks so they complete synchronously.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_beam_spark.model.message import MESSAGE_SCHEMA
+from pulsar_beam_spark.model.topic import Webhook
+from pulsar_beam_spark.streaming.delivery import WebhookSink, deliver_stream
+from pulsar_beam_spark.streaming.ingest import envelope_with_headers
+from pulsar_beam_spark.streaming.poll import bounded_poll
+from pulsar_beam_spark.streaming.sse import gen_subscription_name, sse_frame
+from pulsar_beam_spark.streaming.windows import dedup_stream, tumbling_counts
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _messages(n=40, dup_every=10):
+    rows = []
+    for i in range(n):
+        mid = f"m-{i if i % dup_every or i == 0 else i - 1}"  # inject dups
+        rows.append(
+            (
+                mid,
+                f"persistent://tenant{i % 2}/ns/topic{i % 3}",
+                str(i % 5),
+                f'{{"v": {i}}}'.encode(),
+                T0 + timedelta(minutes=i),
+                T0 + timedelta(minutes=i, seconds=1),
+                {"PulsarBeamId": f"uuid-{i}"},
+            )
+        )
+    return rows
+
+
+@pytest.fixture()
+def msg_dir(spark, tmp_path):
+    d = str(tmp_path / "msgs")
+    spark.createDataFrame(_messages(), MESSAGE_SCHEMA).coalesce(1).write.parquet(d)
+    return d
+
+
+def _run_available_now(stream_df, tmp_path, name, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def test_ingest_envelope_with_headers(spark, msg_dir):
+    df = spark.read.schema(MESSAGE_SCHEMA).parquet(msg_dir)
+    env = envelope_with_headers(df)
+    row = env.filter(F.col("message_id") == "m-0").head()
+    import json
+
+    payload = json.loads(bytes(row["payload"]).decode())
+    assert payload["body"] == '{"v": 0}'
+    assert payload["headers"]["PulsarBeamId"] == "uuid-0"
+
+
+def test_tumbling_window_stream_matches_batch(spark, msg_dir, tmp_path):
+    stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(msg_dir)
+    agg = tumbling_counts(stream, width="10 minutes", watermark="5 minutes")
+    got = _run_available_now(agg, tmp_path, "tumbling_out", output_mode="append").collect()
+    batch = (
+        spark.read.schema(MESSAGE_SCHEMA)
+        .parquet(msg_dir)
+        .groupBy(F.window("event_time", "10 minutes").alias("w"), "topic")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "topic", "n")
+        .collect()
+    )
+    key = lambda r: (r["window_start"], r["topic"])
+    got_map = {key(r): r["n"] for r in got}
+    batch_map = {key(r): r["n"] for r in batch}
+    # availableNow emits all closed windows; watermark may hold back the
+    # final open window — everything emitted must match batch exactly
+    assert got_map
+    assert all(batch_map[k] == v for k, v in got_map.items())
+
+
+def test_stateful_dedup_stream(spark, msg_dir, tmp_path):
+    stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(msg_dir)
+    out = _run_available_now(dedup_stream(stream), tmp_path, "dedup_out").collect()
+    ids = [r["message_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    distinct_input = (
+        spark.read.schema(MESSAGE_SCHEMA).parquet(msg_dir).select("message_id").distinct().count()
+    )
+    assert len(ids) == distinct_input
+
+
+def test_bounded_poll_envelope(spark, msg_dir, tmp_path):
+    out = bounded_poll(spark, msg_dir, batch_size=10, checkpoint_dir=str(tmp_path / "poll1"))
+    assert out is not None
+    assert out["limit"] == 10 and out["size"] == 10 and len(out["messages"]) == 10
+    # earliest-first: first message is the earliest event_time
+    assert out["messages"][0]["message_id"] == "m-0"
+    assert out["messages"][0]["payload"] == '{"v": 0}'
+
+
+def test_bounded_poll_empty_is_204(spark, tmp_path):
+    d = str(tmp_path / "empty")
+    spark.createDataFrame([], MESSAGE_SCHEMA).write.parquet(d)
+    assert bounded_poll(spark, d, batch_size=5, checkpoint_dir=str(tmp_path / "poll2")) is None
+
+
+class _Transport:
+    """Scriptable fake webhook endpoint: list of (status, headers, body)."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = []
+
+    def __call__(self, url, body, headers):
+        self.calls.append((url, bytes(body), dict(headers)))
+        return self.script.pop(0) if len(self.script) > 1 else self.script[0]
+
+
+def test_webhook_sink_ack_semantics():
+    row = {
+        "message_id": "m-1",
+        "topic": "persistent://t/ns/a",
+        "payload": b'{"x": 1}',
+        "event_time": T0,
+        "publish_time": T0,
+        "properties": {"PulsarBeamId": "u1"},
+    }
+    ok = _Transport([(200, {}, b"")])
+    acked, reply = WebhookSink("http://h", transport=ok).push(row)
+    assert acked and reply is None
+    # enriched headers reach the endpoint (webhook.go:223-236 parity)
+    _, _, hdrs = ok.calls[0]
+    assert hdrs["PulsarMessageId"] == "m-1"
+    assert hdrs["Content-Type"] == "application/json"
+    assert hdrs["PulsarBeamId"] == "u1"
+
+    # 422 acks-and-drops (webhook.go:155)
+    acked, reply = WebhookSink("http://h", transport=_Transport([(422, {}, b"")])).push(row)
+    assert acked and reply is None
+
+    # 500 then 200: one retry succeeds
+    t = _Transport([(500, {}, b""), (200, {}, b"")])
+    sink = WebhookSink("http://h", transport=t, retry_wait_min_s=0.0)
+    acked, _ = sink.push(row)
+    assert acked and len(t.calls) == 2
+
+    # retries exhausted -> raises (no-ack -> redelivery)
+    with pytest.raises(RuntimeError):
+        WebhookSink("http://h", transport=_Transport([(503, {}, b"")]), retry_wait_min_s=0.0).push(row)
+
+    # reply chain: 2xx with TopicFn header produces (topic, url, body)
+    t = _Transport([(200, {"TopicFn": "persistent://t/ns/reply", "PulsarUrl": "pulsar://c:6650"}, b"pong")])
+    acked, reply = WebhookSink("http://h", transport=t).push(row)
+    assert acked and reply == ("persistent://t/ns/reply", "pulsar://c:6650", b"pong")
+
+
+def test_delivery_stream_end_to_end_with_reply(spark, msg_dir, tmp_path):
+    """G2+G3: deliver the stream to a stub endpoint; replies append to a
+    second table (the chained-stream 'sink source' loop)."""
+    t = _Transport([(200, {"TopicFn": "persistent://t/ns/reply"}, b"reply-body")])
+    sink = WebhookSink("http://stub", transport=t)
+    reply_dir = str(tmp_path / "reply-table")
+    stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(msg_dir)
+    q = deliver_stream(
+        stream.filter(F.col("topic") == "persistent://tenant0/ns/topic0"),
+        sink,
+        str(tmp_path / "ckpt-deliver"),
+        reply_table_dir=reply_dir,
+    )
+    # availableNow not set on deliver_stream: drive it until idle
+    q.processAllAvailable()
+    q.stop()
+    assert len(t.calls) > 0
+    replies = spark.read.schema(MESSAGE_SCHEMA).parquet(reply_dir).collect()
+    assert len(replies) == len(t.calls)
+    assert all(r["topic"] == "persistent://t/ns/reply" for r in replies)
+    assert bytes(replies[0]["payload"]) == b"reply-body"
+
+
+def test_delivery_redelivers_after_failure(spark, msg_dir, tmp_path):
+    """S8 at-least-once: a failing endpoint fails the batch; restarting
+    from the same checkpoint redelivers the messages."""
+    ckpt = str(tmp_path / "ckpt-redeliver")
+    bad = WebhookSink("http://stub", transport=_Transport([(503, {}, b"")]), retry_max=0)
+    stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(msg_dir)
+    q = deliver_stream(stream, bad, ckpt, query_name="redeliver-a")
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+        raise RuntimeError("expected stream failure")
+    q.stop()
+
+    good = _Transport([(200, {}, b"")])
+    stream2 = spark.readStream.schema(MESSAGE_SCHEMA).parquet(msg_dir)
+    q2 = deliver_stream(stream2, WebhookSink("http://stub", transport=good), ckpt, query_name="redeliver-b")
+    q2.processAllAvailable()
+    q2.stop()
+    delivered = {h["PulsarMessageId"] for _, _, h in good.calls}
+    expected = {r["message_id"] for r in spark.read.schema(MESSAGE_SCHEMA).parquet(msg_dir).collect()}
+    assert delivered == expected
+
+
+def test_reconciler_start_stop(spark, tmp_path):
+    """G9: activated (topic x webhook) pairs start once; deactivation stops."""
+    from pulsar_beam_spark.model.config_store import ConfigStore
+    from pulsar_beam_spark.streaming.reconciler import Reconciler
+
+    store = ConfigStore(spark, str(tmp_path / "cfg"))
+    store.update(
+        "persistent://t1/ns/a", "pulsar://c:6650",
+        [Webhook("http://h1.example.com/cb", "subs-a"), Webhook("http://h2.example.com/cb", "subs-b")],
+    )
+
+    class FakeQuery:
+        def __init__(self):
+            self.stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    started = []
+
+    def start_fn(row, ckpt):
+        started.append(row["url"])
+        return FakeQuery()
+
+    rec = Reconciler(spark, str(tmp_path / "ckpts"), start_fn)
+    s, t = rec.reconcile(store.snapshot())
+    assert len(s) == 2 and not t and sorted(started) == ["http://h1.example.com/cb", "http://h2.example.com/cb"]
+
+    # steady state: nothing new
+    s, t = rec.reconcile(store.snapshot())
+    assert not s and not t
+
+    # drop one webhook -> its query stops
+    store.update("persistent://t1/ns/a", "pulsar://c:6650", [Webhook("http://h1.example.com/cb", "subs-a")])
+    queries = dict(rec.running)
+    s, t = rec.reconcile(store.snapshot())
+    assert not s and len(t) == 1
+    assert queries[t[0]].stopped
+
+
+def test_sse_helpers():
+    name = gen_subscription_name()
+    assert name.startswith("NonResumable") and len(name) >= 24
+    frame = sse_frame("m-1", b"hello")
+    assert frame == "id: m-1\ndata: hello\n\n"
