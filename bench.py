@@ -6,8 +6,9 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed with a count()-style action (foreach noop) so the
-full plan runs but results never collect to the driver.
+Each query executes into the JVM-side noop datasource sink, so the full
+plan runs (every operator, every exchange) but no row ever crosses to
+Python or the driver — wall-clock measures the engine, not serde.
 """
 
 from __future__ import annotations
@@ -54,15 +55,17 @@ def main() -> None:
     spark = get_spark("pbs-bench")
     timings: dict[str, float] = {}
 
+    def run(name: str) -> None:
+        REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # warm the JVM + parquet footers once so timings measure the plans,
     # not first-touch session setup
-    REGISTRY["r19_topk"].spark(spark, sf_dir).foreach(lambda _: None)
+    run("r19_topk")
 
     total0 = time.perf_counter()
     for name in HEADLINE:
         t0 = time.perf_counter()
-        df = REGISTRY[name].spark(spark, sf_dir)
-        df.foreach(lambda _: None)
+        run(name)
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - total0, 3)
 

@@ -1324,6 +1324,114 @@ def q_mfeat(spark, sf):
     )
 
 
+# == additional window / pivot coverage ==================================
+
+@register(
+    "r15_percent_rank",
+    """
+    SELECT c_nationkey, c_custkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY CAST(round(c_acctbal*100,0) AS BIGINT), c_custkey)
+    """,
+    doc="R15: percent_rank/cume_dist (exact rational doubles both sides)",
+)
+def q_r15p(spark, sf):
+    w = Window.partitionBy("c_nationkey").orderBy(cents("c_acctbal"), F.col("c_custkey"))
+    return T(spark, sf, "customer").select(
+        "c_nationkey", "c_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "r16_first_last_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    """,
+    doc="R16: first_value/last_value with explicit full frame",
+)
+def q_r16fl(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return T(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+    )
+
+
+@register(
+    "r17_range_frame",
+    """
+    SELECT o_orderkey,
+           CAST(count(*) OVER (PARTITION BY o_custkey
+                               ORDER BY CAST(round(o_totalprice*100,0) AS BIGINT)
+                               RANGE BETWEEN 10000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_100k
+    FROM orders
+    """,
+    doc="R17: RANGE frame over integerized price (peers included identically)",
+)
+def q_r17r(spark, sf):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(cents("o_totalprice"))
+        .rangeBetween(-10_000_000, Window.currentRow)
+    )
+    return T(spark, sf, "orders").select(
+        "o_orderkey", F.count("*").over(w).alias("n_within_100k")
+    )
+
+
+@register(
+    "r_pivot_conditional",
+    """
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS other
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Pivot via conditional aggregation (the alias-stable pivot form)",
+)
+def q_pivot(spark, sf):
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("urgent"),
+            F.count(F.when(F.col("o_orderpriority") == "2-HIGH", 1)).alias("high"),
+            F.count(F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).alias("other"),
+        )
+    )
+
+
+@register(
+    "r13_percentile_exact",
+    """
+    SELECT l_returnflag,
+           quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.5) / 100 AS median_price,
+           quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.9) / 100 AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="R13 companion: exact interpolated percentile over integer cents",
+)
+def q_r13p(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.percentile(cents("l_extendedprice"), F.lit(0.5)) / 100).alias("median_price"),
+        (F.percentile(cents("l_extendedprice"), F.lit(0.9)) / 100).alias("p90_price"),
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
