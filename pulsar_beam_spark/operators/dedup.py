@@ -61,7 +61,11 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float, id_col: str = "doc_id
     output-bound, not |D|^2), count intersections, join per-doc set sizes
     (broadcast-able aggregate), derive |union| = |A|+|B|-|A∩B|.
     """
-    sets = doc_shingle_sets(docs, id_col, text_col, n).cache()
+    # deliberately NOT cached: the set is read twice (sizes + self-join)
+    # but recomputing a projection+explode is cheaper than pinning executor
+    # memory for the rest of the session (a leaked cache() here showed up
+    # as multi-second latency on *subsequent* queries in bench runs)
+    sets = doc_shingle_sets(docs, id_col, text_col, n)
     sizes = sets.groupBy("id").agg(F.count("*").alias("set_size"))
     a = sets.alias("a")
     b = sets.alias("b")
