@@ -69,6 +69,87 @@ def _signature_expr(vec_col: str, planes: np.ndarray):
     return out
 
 
+def _kmeans_centroids(
+    emb: DataFrame, id_col: str, vec_col: str, n_centroids: int, seed: int,
+    sample_cap: int = 256, iters: int = 8,
+) -> np.ndarray:
+    """Train a coarse quantizer on a deterministic driver-side sample.
+
+    At 100 TB you train the IVF coarse quantizer on a tiny sample anyway
+    (FAISS-style); only the *assignment* has to be distributed. The sample
+    here is id-strided (deterministic across partitionings, unlike
+    ``df.sample``), capped at ``sample_cap`` vectors.
+    """
+    n = emb.count()
+    stride = max(1, n // sample_cap)
+    rows = (
+        emb.filter((F.col(id_col) % stride) == 0)
+        .select(vec_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    pts = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = pts[rng.choice(len(pts), size=min(n_centroids, len(pts)), replace=False)]
+    for _ in range(iters):
+        # cosine k-means on the unit sphere: assign by max dot, re-mean, renormalize
+        assign = np.argmax(pts @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = pts[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse-quantize the corpus into ``n_centroids``
+    inverted lists, scan only the ``nprobe`` lists nearest the query, then
+    exact-cosine rank within them.
+
+    The assignment (argmax dot over centroids) is pure JVM expressions —
+    ``array_position(dots, array_max(dots))`` — so at scale the cell id can
+    be precomputed once and used as a partition column; the probe is then
+    partition pruning, not a scan.
+    """
+    cent = _kmeans_centroids(emb, id_col, vec_col, n_centroids, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    probe_ids = [int(i) for i in np.argsort(-(cent @ qv))[:nprobe]]
+
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    dots = F.array(*[
+        F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ) / norm
+        for c in cent
+    ])
+    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    probed = emb.withColumn("__cell", cell).filter(F.col("__cell").isin(probe_ids))
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        probed.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def hyperplane_lsh_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -35,7 +35,7 @@ from .operators.dedup import (
     simhash_near_dup_pairs,
 )
 from .operators.multimodal import extract_features, media_from_documents
-from .operators.similarity import brute_force_topk, hyperplane_lsh_topk
+from .operators.similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk
 from .operators.text import language_id, quality_scores, token_stats, top_terms
 from .operators.text import doc_fingerprints
 from .model.topic import tenant_from_topic_col, topic_key_col
@@ -1429,6 +1429,350 @@ def q_r13p(spark, sf):
     return li.groupBy("l_returnflag").agg(
         (F.percentile(cents("l_extendedprice"), F.lit(0.5)) / 100).alias("median_price"),
         (F.percentile(cents("l_extendedprice"), F.lit(0.9)) / 100).alias("p90_price"),
+    )
+
+
+# == subqueries / HAVING / grouping sets (Catalyst decorrelation) ========
+
+@register(
+    "r_scalar_subquery",
+    """
+    WITH g AS (SELECT CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS s,
+                      count(*) AS n FROM orders)
+    SELECT o_orderkey, o_totalprice FROM orders, g
+    WHERE CAST(round(o_totalprice*100,0) AS BIGINT) * n > s
+    """,
+    doc="Scalar subquery (orders above global mean price) — integer cross-multiply, no float avg",
+)
+def q_scalar_sub(spark, sf):
+    o = T(spark, sf, "orders")
+    g = o.agg(F.sum(cents("o_totalprice")).alias("s"), F.count("*").alias("n"))
+    return (
+        o.crossJoin(F.broadcast(g))
+        .filter(cents("o_totalprice") * F.col("n") > F.col("s"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "r_correlated_subquery_q17",
+    """
+    WITH a AS (SELECT l_partkey AS pk,
+                      CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sq,
+                      count(*) AS n
+               FROM lineitem GROUP BY 1)
+    SELECT CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100/7 AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey JOIN a ON pk = l_partkey
+    WHERE p_brand = 'Brand#11'
+      AND CAST(round(l_quantity*100,0) AS BIGINT) * n * 5 < sq
+    """,
+    doc="TPC-H Q17 shape: correlated avg-per-part subquery decorrelated to a grouped self-join",
+)
+def q_q17(spark, sf):
+    li, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(cents("l_quantity")).alias("sq"), F.count("*").alias("n")
+    )
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#11")), li.l_partkey == p.p_partkey)
+        .join(avg_q, li.l_partkey == avg_q.pk)
+        .filter(cents("l_quantity") * F.col("n") * 5 < F.col("sq"))
+        .agg(
+            (F.sum(cents("l_extendedprice")).cast("double") / 100 / 7).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "r_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100 AS total_spent
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 10
+    """,
+    doc="HAVING: post-aggregate predicate (filter above the hash aggregate)",
+)
+def q_having(spark, sf):
+    return (
+        T(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), money_sum("o_totalprice", "total_spent"))
+        .filter(F.col("n_orders") >= 10)
+    )
+
+
+@register(
+    "r14_grouping_sets",
+    """
+    SELECT r_name, c_mktsegment,
+           CAST(grouping(r_name) AS INTEGER) AS grp_r, CAST(grouping(c_mktsegment) AS INTEGER) AS grp_m,
+           count(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (c_mktsegment), (r_name, c_mktsegment))
+    """,
+    doc="R14: explicit GROUPING SETS (not derivable from rollup/cube)",
+)
+def q_grouping_sets(spark, sf):
+    c, n, r = T(spark, sf, "customer"), T(spark, sf, "nation"), T(spark, sf, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.groupingSets(
+            [["r_name"], ["c_mktsegment"], ["r_name", "c_mktsegment"]], "r_name", "c_mktsegment"
+        )
+        .agg(
+            F.grouping("r_name").cast("int").alias("grp_r"),
+            F.grouping("c_mktsegment").cast("int").alias("grp_m"),
+            F.count("*").alias("n"),
+        )
+        .select("r_name", "c_mktsegment", "grp_r", "grp_m", "n")
+    )
+
+
+# == TPC-H-shaped composites (multi-join + agg + top-k + having) =========
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000 AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: unshipped-order revenue, join->agg->topk, broadcast-filtered customer",
+)
+def q_q3(spark, sf):
+    c = T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = T(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    rev = (F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).cast("double") / 10000)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev.alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(vol) AS DOUBLE)/10000 AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                 CAST(round(l_extendedprice*100,0) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100,0) AS BIGINT)) AS vol
+          FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: two-nation trade volume by year (self-joined dim, disjunctive filter)",
+)
+def q_q7(spark, sf):
+    li, s, o, c = (T(spark, sf, t) for t in ("lineitem", "supplier", "orders", "customer"))
+    n1 = T(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = T(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    vol = cents("l_extendedprice") * (100 - cents("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum(vol).cast("double") / 10000).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer, top-20",
+)
+def q_q10(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    li, n = T(spark, sf, "lineitem"), T(spark, sf, "nation")
+    rev = (F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).cast("double") / 10000)
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (SELECT l_orderkey AS bk FROM lineitem GROUP BY 1
+                 HAVING CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) > 20000)
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT bk FROM big)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    doc="TPC-H Q18 shape: large-volume orders via HAVING + IN-subquery (semi join on agg)",
+)
+def q_q18(spark, sf):
+    c, o, li = T(spark, sf, "customer"), T(spark, sf, "orders"), T(spark, sf, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(F.sum(cents("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 20000)
+        .select("bk")
+    )
+    return (
+        li.join(big, li.l_orderkey == big.bk, "semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg((F.sum(cents("l_quantity")).cast("double") / 100).alias("sum_qty"))
+    )
+
+
+# == null-ordering semantics =============================================
+
+@register(
+    "r18_nulls_ordering",
+    """
+    SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_n
+    FROM orders ORDER BY status_n NULLS FIRST, o_orderkey LIMIT 100
+    """,
+    doc="R18: explicit NULLS FIRST ordering pinned identically on both engines",
+)
+def q_nulls(spark, sf):
+    o = T(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", F.nullif("o_orderstatus", F.lit("O")).alias("status_n"))
+        .orderBy(F.col("status_n").asc_nulls_first(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# == R34 grouped-agg pandas UDF / R35 real Python UDTF ===================
+
+@register(
+    "r34_pandas_grouped_agg",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS cents_sum,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="R34: grouped-agg pandas UDF (Arrow series -> scalar), integerized sum",
+)
+def q_r34a(spark, sf):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cents_sum(v: pd.Series) -> int:
+        return int((v * 100).round().astype("int64").sum())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    return (
+        T(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(cents_sum("value").alias("cents_sum"), n_rows("value").alias("n"))
+    )
+
+
+@register(
+    "r35_python_udtf",
+    """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks FROM documents WHERE doc_id < 5)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token,
+           CAST(length(toks[i]) AS INTEGER) AS token_len
+    FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+    """,
+    doc="R35: real PySpark UDTF class (eval/yield) applied via SQL LATERAL join",
+)
+def q_r35u(spark, sf):
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(t for t in _re.split(r"\s+", text) if t):
+                yield i, tok, len(tok)
+
+    spark.udtf.register("pbs_split_words", SplitWords)
+    T(spark, sf, "documents").filter(F.col("doc_id") < 5).createOrReplaceTempView(
+        "pbs_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.pos, f.token, f.token_len
+        FROM pbs_udtf_docs d, LATERAL pbs_split_words(d.text) f
+        """
+    )
+
+
+# == IVF ANN (second scale path beside LSH) ==============================
+
+@register(
+    "s_ann_ivf_topk",
+    None,  # approximate — recall vs r31 brute force checked in pytest
+    doc="R31 scale path 2: IVF coarse-quantizer ANN top-k (nprobe inverted lists)",
+)
+def q_ann_ivf(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return ivf_topk(
+        emb, [float(x) for x in qrow["embedding"]], k=10, n_centroids=16, nprobe=4
     )
 
 

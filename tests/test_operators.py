@@ -17,7 +17,11 @@ from pulsar_beam_spark.operators.dedup import (
     minhash_near_dup_pairs,
     simhash64,
 )
-from pulsar_beam_spark.operators.similarity import brute_force_topk, hyperplane_lsh_topk
+from pulsar_beam_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_topk,
+    ivf_topk,
+)
 from pulsar_beam_spark.sources.tables import load_table
 
 from .conftest import SF_SMOKE
@@ -82,6 +86,17 @@ def test_ann_recall_vs_brute_force(spark):
     overlap = len(set(exact) & set(approx)) / 10
     assert overlap >= 0.4, f"ANN overlap with exact top-10 too low: {overlap}"
     # the query vector itself must always survive probing (cos=1 bucket)
+    assert 0 in approx
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4).collect()]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, f"IVF overlap with exact top-10 too low: {overlap}"
+    # the query's own cell is always probed first -> vec 0 must appear
     assert 0 in approx
 
 
