@@ -261,3 +261,46 @@ def test_sse_helpers():
     assert name.startswith("NonResumable") and len(name) >= 24
     frame = sse_frame("m-1", b"hello")
     assert frame == "id: m-1\ndata: hello\n\n"
+
+
+def test_stateful_ttl_running_counts(spark, tmp_path):
+    """S-custom: applyInPandasWithState running counts accumulate ACROSS
+    micro-batches (proving per-key state survives batch boundaries)."""
+    from pulsar_beam_spark.streaming.stateful import running_counts_with_ttl
+
+    d = str(tmp_path / "msgs2")
+    rows = _messages(n=40, dup_every=10**9)  # no dups
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], MESSAGE_SCHEMA).coalesce(1).write.parquet(d)
+    spark.createDataFrame(rows[half:], MESSAGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = running_counts_with_ttl(stream, key_col="topic", ttl_ms=3_600_000)
+    got = _run_available_now(out, tmp_path, "ttl_counts", output_mode="update").collect()
+
+    # final (latest) emission per key must equal the batch ground truth
+    latest: dict[str, tuple] = {}
+    for r in got:
+        latest[r["key"]] = (r["n_messages"], r["total_bytes"], r["expired"])
+    batch = spark.read.schema(MESSAGE_SCHEMA).parquet(d)
+    truth = {
+        r["topic"]: (r["n"], r["b"])
+        for r in batch.groupBy("topic")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.octet_length("payload")).alias("b"),
+        )
+        .collect()
+    }
+    assert set(latest) == set(truth)
+    for k, (n, b) in truth.items():
+        assert latest[k] == (n, b, False), f"{k}: {latest[k]} != {(n, b)}"
+    # with maxFilesPerTrigger=1 there were >=2 batches, so some key must
+    # have emitted more than one update row (state carried forward)
+    assert len(got) > len(truth)
