@@ -43,7 +43,13 @@ HEADLINE = [
     "r30_ngram_jaccard_pairs",
     "d_minhash_lsh_near_dup",
     "r31_cosine_topk",
+    "s_ann_ivf_topk",
     "r32_top_terms",
+    "r_correlated_subquery_q17",
+    "tpch_q3_shipping_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
     "s3_tumbling_window",
     "s5_session_window",
     "r34_pandas_grouped_map",

@@ -71,3 +71,36 @@ def test_agg_has_partial_aggregation(spark):
     first_exchange = plan.find("Exchange")
     first_agg = plan.find("HashAggregate")
     assert first_agg != -1 and first_exchange != -1
+
+
+def test_q3_pushes_filters_and_partial_aggs(spark):
+    """Q3 shape: date/segment filters must reach the scans; the revenue
+    agg must partial-aggregate before its shuffle."""
+    df = REGISTRY["tpch_q3_shipping_priority"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "PushedFilters:" in plan
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in p for p in pushed), pushed
+    assert any("l_shipdate" in p for p in pushed), pushed
+    assert "TakeOrderedAndProject" in plan, "top-10 must not global-sort"
+
+
+def test_q7_broadcasts_all_dims(spark):
+    """Q7 self-joined nation dims + supplier must broadcast; the fact
+    table shuffles only for the orders/customer equi-joins + final agg."""
+    df = REGISTRY["tpch_q7_volume_shipping"].spark(spark, SF_SMOKE)
+    s = explain_summary(df)
+    assert s["broadcast_joins"] >= 3, s
+
+
+def test_q18_semi_join_before_wide_joins(spark):
+    """Q18: the IN-subquery must lower to a semi join (no dedup+inner)."""
+    plan = formatted_plan(REGISTRY["tpch_q18_large_orders"].spark(spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan[:1500]
+
+
+def test_scalar_subquery_broadcasts_singleton(spark):
+    """The global-average singleton must broadcast, not shuffle orders."""
+    df = REGISTRY["r_scalar_subquery"].spark(spark, SF_SMOKE)
+    assert has_broadcast(df)
+    assert n_exchanges(df) == 0, formatted_plan(df)[:1500]
