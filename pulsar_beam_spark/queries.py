@@ -1761,6 +1761,78 @@ def q_r35u(spark, sf):
     )
 
 
+# == R23/R27 depth: date arithmetic + structured JSON parsing ============
+
+@register(
+    "r23_date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(o_orderdate + INTERVAL 36 HOUR AS TIMESTAMP) AS sla_ts
+    FROM orders
+    """,
+    doc="R23 depth: date_add/quarter/dayofweek/last_day/interval arithmetic "
+        "(dow pinned to Spark's 1=Sunday convention)",
+)
+def q_r23a(spark, sf):
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_date"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 36 HOURS")).alias("sla_ts"),
+    )
+
+
+@register(
+    "r27_from_json_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           json_extract_string(props, '$.tag') AS tag,
+           json_extract_string(props, '$.missing') AS missing_f
+    FROM events
+    """,
+    doc="R27 depth: from_json into a typed struct (schema-on-read over the payload), "
+        "null-safe on absent fields",
+)
+def q_r27s(spark, sf):
+    ev = T(spark, sf, "events")
+    parsed = F.from_json(
+        "props", "struct<k:int, tag:string, missing:string>"
+    ).alias("j")
+    return ev.select("event_id", parsed).select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        F.col("j.tag").alias("tag"),
+        F.col("j.missing").alias("missing_f"),
+    )
+
+
+@register(
+    "r27_to_json_roundtrip",
+    """
+    SELECT event_id,
+           '{"id":' || CAST(event_id AS VARCHAR) || ',"type":"' || event_type || '"}' AS envelope
+    FROM events
+    """,
+    doc="R27 depth: to_json(struct(...)) envelope construction (G1 includeHeaders shape)",
+)
+def q_r27t(spark, sf):
+    ev = T(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type"))
+        ).alias("envelope"),
+    )
+
+
 # == IVF ANN (second scale path beside LSH) ==============================
 
 @register(
