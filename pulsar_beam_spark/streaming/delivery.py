@@ -118,13 +118,21 @@ def deliver_stream(
     failed batches roll back to the checkpoint and redeliver."""
     spark = stream.sparkSession
 
-    def handle(df: DataFrame, epoch: int) -> None:
-        rows = [r.asDict() for r in df.collect()]  # per-webhook topic slice: small per batch
-        replies = []
-        for row in rows:
-            acked, reply = sink.push(row)
+    def deliver_partition(rows):
+        # runs ON THE EXECUTOR: each partition posts its rows with one
+        # sink instance (≙ one pooled connection per partition, the
+        # reference's cached-producer pattern G13). A raised exception
+        # (retries exhausted) fails the task -> batch -> checkpoint
+        # rollback -> redelivery: at-least-once.
+        for r in rows:
+            acked, reply = sink.push(r.asDict())
             if acked and reply is not None:
-                replies.append(reply)
+                yield reply
+
+    def handle(df: DataFrame, epoch: int) -> None:
+        # delivery fans out across executors; only the (tiny) reply
+        # tuples come back to the driver for the chain append
+        replies = df.rdd.mapPartitions(deliver_partition).collect()
         if replies and reply_table_dir:
             rdf = spark.createDataFrame(
                 [

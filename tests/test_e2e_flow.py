@@ -22,14 +22,34 @@ TOPIC_B = "persistent://ming/ns/topic-b"
 
 
 class _ReplyingEndpoint:
-    """Cloud-function stand-in: echoes each body back, addressed to TOPIC_B."""
+    """Cloud-function stand-in: echoes each body back, addressed to TOPIC_B.
 
-    def __init__(self):
-        self.received = []
+    Records received bodies through a filesystem spool — delivery runs in
+    executor-side Python workers, so in-memory lists never reach the
+    driver process."""
+
+    def __init__(self, spool):
+        self.spool = str(spool)
 
     def __call__(self, url, body, headers):
-        self.received.append(bytes(body))
+        import os
+        import uuid
+
+        os.makedirs(self.spool, exist_ok=True)
+        with open(os.path.join(self.spool, f"{os.getpid()}-{uuid.uuid4().hex}.bin"), "wb") as f:
+            f.write(bytes(body))
         return 200, {"TopicFn": TOPIC_B, "PulsarUrl": "pulsar://c:6650"}, b"echo:" + bytes(body)
+
+    @property
+    def received(self):
+        import os
+
+        out = []
+        if os.path.isdir(self.spool):
+            for fn in sorted(os.listdir(self.spool)):
+                with open(os.path.join(self.spool, fn), "rb") as f:
+                    out.append(f.read())
+        return out
 
 
 def test_golden_flow(spark, tmp_path):
@@ -59,7 +79,7 @@ def test_golden_flow(spark, tmp_path):
     spark.createDataFrame(msgs, MESSAGE_SCHEMA).coalesce(1).write.parquet(ingest_dir)
 
     # 3. reconciler starts one delivery query per activated webhook
-    endpoint = _ReplyingEndpoint()
+    endpoint = _ReplyingEndpoint(tmp_path / "endpoint-spool")
     reply_dir = str(tmp_path / "topic-b")
 
     def start_fn(row, ckpt):

@@ -122,15 +122,46 @@ def test_bounded_poll_empty_is_204(spark, tmp_path):
 
 
 class _Transport:
-    """Scriptable fake webhook endpoint: list of (status, headers, body)."""
+    """Scriptable fake webhook endpoint: list of (status, headers, body).
 
-    def __init__(self, script):
+    Delivery runs executor-side (forked Python workers), so in-memory
+    call recording is invisible to the driver; pass ``spool`` (a shared
+    tmp dir) to record calls through the filesystem instead.
+    """
+
+    def __init__(self, script, spool=None):
         self.script = list(script)
-        self.calls = []
+        self.spool = str(spool) if spool is not None else None
+        self._local_calls = []
 
     def __call__(self, url, body, headers):
-        self.calls.append((url, bytes(body), dict(headers)))
+        rec = (url, bytes(body), dict(headers))
+        if self.spool:
+            import os
+            import pickle
+            import uuid
+
+            os.makedirs(self.spool, exist_ok=True)
+            path = os.path.join(self.spool, f"{os.getpid()}-{uuid.uuid4().hex}.pkl")
+            with open(path, "wb") as f:
+                pickle.dump(rec, f)
+        else:
+            self._local_calls.append(rec)
         return self.script.pop(0) if len(self.script) > 1 else self.script[0]
+
+    @property
+    def calls(self):
+        if not self.spool:
+            return self._local_calls
+        import os
+        import pickle
+
+        out = []
+        if os.path.isdir(self.spool):
+            for fn in sorted(os.listdir(self.spool)):
+                with open(os.path.join(self.spool, fn), "rb") as f:
+                    out.append(pickle.load(f))
+        return out
 
 
 def test_webhook_sink_ack_semantics():
@@ -174,7 +205,10 @@ def test_webhook_sink_ack_semantics():
 def test_delivery_stream_end_to_end_with_reply(spark, msg_dir, tmp_path):
     """G2+G3: deliver the stream to a stub endpoint; replies append to a
     second table (the chained-stream 'sink source' loop)."""
-    t = _Transport([(200, {"TopicFn": "persistent://t/ns/reply"}, b"reply-body")])
+    t = _Transport(
+        [(200, {"TopicFn": "persistent://t/ns/reply"}, b"reply-body")],
+        spool=tmp_path / "spool-reply",
+    )
     sink = WebhookSink("http://stub", transport=t)
     reply_dir = str(tmp_path / "reply-table")
     stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(msg_dir)
@@ -206,7 +240,7 @@ def test_delivery_redelivers_after_failure(spark, msg_dir, tmp_path):
         raise RuntimeError("expected stream failure")
     q.stop()
 
-    good = _Transport([(200, {}, b"")])
+    good = _Transport([(200, {}, b"")], spool=tmp_path / "spool-good")
     stream2 = spark.readStream.schema(MESSAGE_SCHEMA).parquet(msg_dir)
     q2 = deliver_stream(stream2, WebhookSink("http://stub", transport=good), ckpt, query_name="redeliver-b")
     q2.processAllAvailable()
