@@ -40,6 +40,7 @@ from .operators.text import language_id, quality_scores, token_stats, top_terms
 from .operators.text import doc_fingerprints
 from .model.topic import tenant_from_topic_col, topic_key_col
 from .sources.tables import load_table
+from .sql import run_sql
 
 
 @dataclass
@@ -1846,6 +1847,59 @@ def q_ann_ivf(spark, sf):
     return ivf_topk(
         emb, [float(x) for x in qrow["embedding"]], k=10, n_centroids=16, nprobe=4
     )
+
+
+@register(
+    "r13_approx_percentile",
+    None,  # sketch-based — tolerance vs exact percentile checked in pytest
+    doc="R13 companion: approx_percentile sketch (the 100 TB path; exact percentile "
+        "buffers each group's values, the KLL-style sketch merges in fixed space)",
+)
+def q_r13ap(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.percentile_approx(cents("l_extendedprice"), 0.5, 10000) / 100).alias("approx_median"),
+        (F.percentile_approx(cents("l_extendedprice"), 0.9, 10000) / 100).alias("approx_p90"),
+    )
+
+
+# == SQL-string surface: the SAME query text runs on both engines ========
+
+SHARED_SQL_AGG = """
+SELECT c_mktsegment,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       count(*) AS n_orders,
+       CAST(CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100 AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, year(o_orderdate)
+"""
+
+SHARED_SQL_WINDOW = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 2
+"""
+
+
+@register(
+    "sql_shared_dialect_agg",
+    SHARED_SQL_AGG,
+    doc="SQL entry point: the LITERAL SAME string runs through Catalyst and DuckDB "
+        "(register_tables exposes oracle-named views; no bespoke dialect)",
+)
+def q_sql_agg(spark, sf):
+    return run_sql(spark, sf, SHARED_SQL_AGG)
+
+
+@register(
+    "sql_shared_dialect_window",
+    SHARED_SQL_WINDOW,
+    doc="SQL entry point: identical window-function SQL on both engines",
+)
+def q_sql_win(spark, sf):
+    return run_sql(spark, sf, SHARED_SQL_WINDOW)
 
 
 # == exports consumed by __spark_entry__.py ==============================

@@ -144,3 +144,27 @@ def test_exact_jaccard_matches_planted_pairs(spark):
     pairs = exact_jaccard_pairs(docs, threshold=0.5).collect()
     assert all(0.5 <= r["jaccard"] <= 1.0 for r in pairs)
     assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_approx_percentile_tolerance(spark):
+    from pulsar_beam_spark.queries import REGISTRY
+
+    approx = {
+        r["l_returnflag"]: (r["approx_median"], r["approx_p90"])
+        for r in REGISTRY["r13_approx_percentile"].spark(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    exact = {
+        r["l_returnflag"]: (r["m"], r["p"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            (F.percentile(cents, F.lit(0.5)) / 100).alias("m"),
+            (F.percentile(cents, F.lit(0.9)) / 100).alias("p"),
+        )
+        .collect()
+    }
+    for flag, (am, ap) in approx.items():
+        em, ep = exact[flag]
+        assert abs(am - em) / em < 0.02, (flag, am, em)
+        assert abs(ap - ep) / ep < 0.02, (flag, ap, ep)
