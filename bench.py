@@ -56,6 +56,50 @@ HEADLINE = [
 ]
 
 
+def _noop_transport(url, body, headers):
+    # executor-side no-op endpoint: measures the engine's fan-out path
+    # (scan -> partition -> header enrichment -> ack bookkeeping), not
+    # network latency
+    return 200, {}, b""
+
+
+def bench_stream_fanout(spark, n: int = 50_000) -> float:
+    """Webhook fan-out delivery throughput (G2/S8): n messages through
+    deliver_stream with a no-op endpoint; returns wall seconds."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from pulsar_beam_spark.model.message import MESSAGE_SCHEMA
+    from pulsar_beam_spark.streaming.delivery import WebhookSink, deliver_stream
+
+    d = tempfile.mkdtemp(prefix="pbs-fanout-")
+    src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (
+            f"m-{i}",
+            f"persistent://t{i % 5}/ns/topic",
+            None,
+            b'{"v": %d}' % i,
+            t0 + timedelta(seconds=i % 3600),
+            t0 + timedelta(seconds=i % 3600),
+            None,
+        )
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows, MESSAGE_SCHEMA).repartition(8).write.parquet(src)
+    stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(src)
+    sink = WebhookSink("http://noop", transport=_noop_transport)
+    t0c = time.perf_counter()
+    q = deliver_stream(stream, sink, ckpt, query_name="bench-fanout")
+    q.processAllAvailable()
+    q.stop()
+    dt = time.perf_counter() - t0c
+    shutil.rmtree(d, ignore_errors=True)
+    return dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("pbs-bench")
@@ -73,6 +117,9 @@ def main() -> None:
         t0 = time.perf_counter()
         run(name)
         timings[name] = round(time.perf_counter() - t0, 3)
+    fanout_n = int(os.environ.get("SPARK_GRAFT_FANOUT_N", "50000"))
+    fanout_s = round(bench_stream_fanout(spark, fanout_n), 3)
+    timings[f"stream_fanout_{fanout_n}"] = fanout_s
     total = round(time.perf_counter() - total0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -83,6 +130,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "fanout_msgs_per_s": round(fanout_n / fanout_s, 1),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
