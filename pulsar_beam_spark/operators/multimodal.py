@@ -113,6 +113,38 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataF
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads.
+
+    Same mapInPandas shape as feature extraction: with ``fake=True`` the
+    "resized" payload is a deterministic truncation/pad of the original
+    bytes to width*height (so schema, batching, and size accounting are
+    exercised for real); ``fake=False`` reaches the stubbed decoder and
+    raises — swap in PIL's ``Image.resize`` when the library exists.
+    Output keeps MEDIA_SCHEMA with width/height stamped, so resize
+    composes with extract_features / frame_sample_plan.
+    """
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_content = []
+            for raw in pdf["content"]:
+                raw = bytes(raw) if raw is not None else b""
+                if not fake:
+                    decode_image(raw)
+                out_content.append(raw[:target].ljust(target, b"\0"))
+            out = pdf.copy()
+            out["content"] = out_content
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan* (timestamps to decode): pure-SQL
     sequence expansion; the decode itself is the stubbed kernel above."""

@@ -139,6 +139,16 @@ def test_multimodal_feature_plumbing(spark):
     assert plan.count() > 0
 
 
+def test_multimodal_resize_plumbing(spark):
+    from pulsar_beam_spark.operators.multimodal import media_from_documents, resize_media
+
+    media = media_from_documents(load_table(spark, SF_SMOKE, "documents").limit(20))
+    resized = resize_media(media, width=16, height=4, fake=True).collect()
+    assert len(resized) == 20
+    assert all(len(bytes(r["content"])) == 16 * 4 for r in resized)
+    assert all(r["width"] == 16 and r["height"] == 4 for r in resized)
+
+
 def test_exact_jaccard_matches_planted_pairs(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     pairs = exact_jaccard_pairs(docs, threshold=0.5).collect()
