@@ -1678,6 +1678,60 @@ def q_q18(spark, sf):
     )
 
 
+@register(
+    "tpch_q4_exists_late_ship",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS with a non-equi predicate -> semi join "
+        "(equi key carries the shuffle, date comparison rides along)",
+)
+def q_q4(spark, sf):
+    o = T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = T(spark, sf, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q2_correlated_min",
+    """
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal = (SELECT min(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    doc="TPC-H Q2 shape: correlated scalar-min subquery decorrelated to a "
+        "grouped min + equi-join (double equality is exact: same stored values)",
+)
+def q_q2(spark, sf):
+    c = T(spark, sf, "customer")
+    mins = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.min("c_acctbal").alias("min_bal")
+    )
+    return (
+        c.join(
+            F.broadcast(mins),
+            (c.c_nationkey == mins.nk) & (c.c_acctbal == mins.min_bal),
+        )
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
 # == null-ordering semantics =============================================
 
 @register(
