@@ -731,6 +731,35 @@ def q_r25(spark, sf):
 
 
 @register(
+    "r25_higher_order_fns",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           round(list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x), 6) AS sum_sq,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+           len(list_filter(v, x -> x > 0.9)) > 0 AS any_big,
+           round(list_reduce(list_transform(list_zip(v, v), p -> p[1] * p[2]), (a, x) -> a + x), 6) AS self_dot
+    FROM e
+    """,
+    doc="R25 depth: higher-order functions (transform/filter/exists/aggregate/zip_with) "
+        "as a user-facing surface — sequential folds match duckdb list_reduce exactly",
+)
+def q_r25h(spark, sf):
+    v = F.col("embedding").cast("array<double>")
+    return T(spark, sf, "embeddings").select(
+        "vec_id",
+        F.round(
+            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("sum_sq"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.exists(v, lambda x: x > 0.9).alias("any_big"),
+        F.round(
+            F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("self_dot"),
+    )
+
+
+@register(
     "r26_map_fns",
     """
     SELECT event_id,

@@ -338,3 +338,28 @@ def test_stateful_ttl_running_counts(spark, tmp_path):
     # with maxFilesPerTrigger=1 there were >=2 batches, so some key must
     # have emitted more than one update row (state carried forward)
     assert len(got) > len(truth)
+
+
+def test_stream_static_routing_join(spark, msg_dir, tmp_path):
+    """S9: the message stream joins a broadcast static config dim on
+    topic — the routing lookup that drives fan-out (G9's data plane)."""
+    configs = spark.createDataFrame(
+        [
+            (f"persistent://tenant{i % 2}/ns/topic{i % 3}", f"http://hook-{i % 3}.example.com", 1)
+            for i in range(6)
+        ],
+        "topic_full_name string, url string, status int",
+    ).dropDuplicates(["topic_full_name"])
+
+    stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(msg_dir)
+    routed = stream.join(
+        F.broadcast(configs.filter(F.col("status") == 1)),
+        stream.topic == configs.topic_full_name,
+    ).select("message_id", "topic", "url")
+
+    got = _run_available_now(routed, tmp_path, "routing_out").collect()
+    batch = spark.read.schema(MESSAGE_SCHEMA).parquet(msg_dir)
+    cfg_topics = {r["topic_full_name"]: r["url"] for r in configs.collect()}
+    expected = [r for r in batch.collect() if r["topic"] in cfg_topics]
+    assert len(got) == len(expected)
+    assert all(cfg_topics[r["topic"]] == r["url"] for r in got)
