@@ -53,6 +53,7 @@ HEADLINE = [
     "s3_tumbling_window",
     "s5_session_window",
     "r34_pandas_grouped_map",
+    "pipeline_corpus_curation",
 ]
 
 

@@ -1985,6 +1985,53 @@ def q_sql_win(spark, sf):
     return run_sql(spark, sf, SHARED_SQL_WINDOW)
 
 
+# == flagship curation pipeline: the LLM-data story end to end ===========
+# (defined last so it can reuse the registered oracle texts verbatim —
+# the oracle is literally the composition of the piece oracles)
+
+def _curation_oracle() -> str:
+    quality = REGISTRY["t_quality_scores"].oracle
+    jaccard = REGISTRY["r30_ngram_jaccard_pairs"].oracle
+    return f"""
+    WITH q AS ({quality}),
+         d AS ({jaccard}),
+         keep AS (SELECT q.doc_id, q.n_tokens FROM q
+                  WHERE q.keep AND q.doc_id NOT IN (SELECT id_b FROM d))
+    SELECT doc.lang, count(*) AS n_docs,
+           CAST(sum(keep.n_tokens) AS BIGINT) AS total_tokens
+    FROM keep JOIN documents doc ON doc.doc_id = keep.doc_id
+    GROUP BY doc.lang
+    """
+
+
+@register(
+    "pipeline_corpus_curation",
+    None,  # oracle attached right below (needs the registered piece oracles)
+    doc="Flagship LLM-pipeline composition: quality filter -> exact near-dup removal "
+        "(keep the lower doc_id of each pair) -> per-language doc/token accounting. "
+        "Every stage is the already-verified operator; the oracle is the literal "
+        "composition of the piece oracles.",
+)
+def q_curation(spark, sf):
+    docs = T(spark, sf, "documents")
+    q = quality_scores(docs).select("doc_id", "n_tokens", "keep")
+    dup_bs = exact_jaccard_pairs(docs, threshold=0.5).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    keep = q.filter(F.col("keep")).join(dup_bs, "doc_id", "anti")
+    return (
+        keep.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+REGISTRY["pipeline_corpus_curation"].oracle = _curation_oracle()
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
