@@ -1985,6 +1985,32 @@ def q_sql_win(spark, sf):
     return run_sql(spark, sf, SHARED_SQL_WINDOW)
 
 
+@register(
+    "r_unpivot",
+    """
+    SELECT c_custkey, metric, round(value, 6) AS value FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+    ) t
+    """,
+    doc="Unpivot/melt: wide columns to (key, metric, value) rows "
+        "(Spark DataFrame.unpivot == the UNION ALL relational algebra)",
+)
+def q_unpivot(spark, sf):
+    c = T(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return c.unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    ).select("c_custkey", "metric", F.round("v", 6).alias("value"))
+
+
 # == flagship curation pipeline: the LLM-data story end to end ===========
 # (defined last so it can reuse the registered oracle texts verbatim —
 # the oracle is literally the composition of the piece oracles)
