@@ -760,6 +760,37 @@ def q_r25h(spark, sf):
 
 
 @register(
+    "r25_nested_array_fns",
+    """
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(text, ' +') AS toks,
+                      CASE WHEN doc_id % 7 = 0 THEN NULL
+                           ELSE regexp_split_to_array(text, ' +') END AS maybe_toks
+               FROM documents WHERE doc_id < 40)
+    SELECT doc_id,
+           CAST(len(flatten([toks[1:2], toks[3:4]])) AS INTEGER) AS n_flat,
+           tok
+    FROM (SELECT doc_id, toks,
+                 unnest(CASE WHEN maybe_toks IS NULL THEN [NULL] ELSE maybe_toks END) AS tok
+          FROM t)
+    """,
+    doc="R25 depth: flatten + explode_outer (null array keeps the row with a null element)",
+)
+def q_r25n(spark, sf):
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    toks = F.split("text", r"\s+")
+    maybe = F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(toks)
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2)))).alias("n_flat"),
+            F.explode_outer(maybe).alias("tok"),
+        )
+        .select("doc_id", "n_flat", "tok")
+    )
+
+
+@register(
     "r26_map_fns",
     """
     SELECT event_id,
