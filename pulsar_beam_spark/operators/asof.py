@@ -36,13 +36,23 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row, plus the value columns of the
-    latest right row whose ``right_ts <= left_ts`` within the same ``on``
-    key (null when none exists).
+    nearest right row within the same ``on`` key (null when none exists).
+
+    ``direction="backward"`` (default): latest right with
+    ``right_ts <= left_ts`` — running ``last(ignorenulls)`` over an
+    unbounded-preceding frame. ``direction="forward"``: earliest right
+    with ``right_ts >= left_ts`` — ``first(ignorenulls)`` over an
+    unbounded-following frame. Both cost the same single shuffle.
+    Equal timestamps match in either direction (DuckDB ``>=``/``<=``
+    ASOF semantics, cross-checked in tests).
 
     The right timestamp itself is exposed as ``{right_ts}{suffix}``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     carried = list(value_cols)
     if right_ts not in carried:
@@ -77,14 +87,30 @@ def asof_join(
         )
     )
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     stacked = l_tag.unionByName(r_tag)
-    for c in carried:
-        stacked = stacked.withColumn("__r_" + c, F.last("__r_" + c, ignorenulls=True).over(w))
+    if direction == "backward":
+        # right (__side=0) sorts before left on equal ts -> visible
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in carried:
+            stacked = stacked.withColumn(
+                "__r_" + c, F.last("__r_" + c, ignorenulls=True).over(w)
+            )
+    else:
+        # left (__side=1) sorts before right on equal ts -> the frame
+        # [current, following] still sees an equal-ts right row
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        for c in carried:
+            stacked = stacked.withColumn(
+                "__r_" + c, F.first("__r_" + c, ignorenulls=True).over(w)
+            )
 
     return stacked.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in left_cols],

@@ -178,3 +178,35 @@ def test_approx_percentile_tolerance(spark):
         em, ep = exact[flag]
         assert abs(am - em) / em < 0.02, (flag, am, em)
         assert abs(ap - ep) / ep < 0.02, (flag, ap, ep)
+
+
+def test_asof_join_forward_vs_duckdb(spark):
+    """Forward direction (nearest-later) must equal duckdb's ASOF with
+    l.ts <= r.ts, including equal-timestamp matches."""
+    rng = random.Random(11)
+    left = [(k, rng.randint(0, 500), i) for i, k in enumerate(rng.choices("abc", k=80))]
+    right = [(k, rng.randint(0, 500), 1000 + i) for i, k in enumerate(rng.choices("abc", k=60))]
+    seen = set()
+    left = [r for r in left if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+    seen = set()
+    right = [r for r in right if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+
+    ldf = spark.createDataFrame(left, ["k", "ts", "lid"])
+    rdf = spark.createDataFrame(right, ["k", "ts", "rid"])
+    ours = {
+        (r["k"], r["ts"], r["lid"]): r["rid"]
+        for r in asof_join(ldf, rdf, ["k"], "ts", "ts", ["rid"], direction="forward").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k VARCHAR, ts BIGINT, lid BIGINT)")
+    con.execute("CREATE TABLE r(k VARCHAR, ts BIGINT, rid BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", left)
+    con.executemany("INSERT INTO r VALUES (?,?,?)", right)
+    theirs = {
+        (k, ts, lid): rid
+        for k, ts, lid, rid in con.execute(
+            "SELECT l.k, l.ts, l.lid, r.rid FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts <= r.ts"
+        ).fetchall()
+    }
+    assert ours == theirs
