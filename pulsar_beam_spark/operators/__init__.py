@@ -7,7 +7,23 @@ from .dedup import (  # noqa: F401
     minhash_lsh_candidates,
     minhash_near_dup_pairs,
     simhash64,
+    simhash_near_dup_pairs,
     embedding_near_dup_pairs,
+    doc_shingle_arrays,
 )
-from .similarity import brute_force_topk, hyperplane_lsh_topk  # noqa: F401
-from .text import doc_tokens, language_id, quality_scores, token_stats, top_terms  # noqa: F401
+from .similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk  # noqa: F401
+from .skew import salted_agg, salted_broadcast_fallback_join  # noqa: F401
+from .multimodal import (  # noqa: F401
+    extract_features,
+    frame_sample_plan,
+    media_from_documents,
+    resize_media,
+)
+from .text import (  # noqa: F401
+    doc_fingerprints,
+    doc_tokens,
+    language_id,
+    quality_scores,
+    token_stats,
+    top_terms,
+)

@@ -3,3 +3,5 @@ from .windows import tumbling_counts, sliding_counts, session_counts, dedup_stre
 from .poll import bounded_poll  # noqa: F401
 from .delivery import WebhookSink, deliver_stream  # noqa: F401
 from .reconciler import Reconciler  # noqa: F401
+from .sse import gen_subscription_name, sse_frame  # noqa: F401
+from .stateful import running_counts_with_ttl  # noqa: F401
