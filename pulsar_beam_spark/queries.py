@@ -2017,6 +2017,43 @@ def q_sql_win(spark, sf):
 
 
 @register(
+    "r11_misc_aggregates",
+    """
+    SELECT c_nationkey,
+           count_if(c_acctbal > 0) AS n_positive,
+           bool_and(c_acctbal > -1000) AS all_above_floor,
+           bool_or(c_acctbal > 9000) AS any_rich,
+           arg_max(c_custkey, CAST(round(c_acctbal*100,0) AS BIGINT) * 1000000 + c_custkey) AS richest_cust,
+           string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) FILTER (WHERE c_custkey % 500 = 0) AS sample_keys
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="R11 depth: count_if / bool_and / bool_or / max_by (composite tie-break) / "
+        "ordered string_agg — deterministic forms of the convenience aggregates",
+)
+def q_misc_agg(spark, sf):
+    c = T(spark, sf, "customer")
+    tiebreak = cents("c_acctbal") * 1000000 + F.col("c_custkey")
+    sampled = F.when(F.col("c_custkey") % 500 == 0, F.col("c_custkey"))
+    # sort numerically BEFORE stringifying (lexicographic '1000'<'500'
+    # would diverge from duckdb's ORDER BY c_custkey); empty group -> NULL
+    # to match string_agg-over-no-rows
+    keys_str = F.nullif(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(sampled)), lambda x: x.cast("string")),
+            ",",
+        ),
+        F.lit(""),
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.count_if(F.col("c_acctbal") > 0).alias("n_positive"),
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        F.max_by("c_custkey", tiebreak).alias("richest_cust"),
+        keys_str.alias("sample_keys"),
+    )
+
+
+@register(
     "r_unpivot",
     """
     SELECT c_custkey, metric, round(value, 6) AS value FROM (
