@@ -2079,6 +2079,56 @@ def q_unpivot(spark, sf):
     ).select("c_custkey", "metric", F.round("v", 6).alias("value"))
 
 
+@register(
+    "r_gap_fill_forward",
+    """
+    WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type,
+                          count(*) AS n,
+                          CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS cents
+                   FROM events GROUP BY 1, 2),
+    b AS (SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events),
+    spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS d FROM b),
+    grid AS (SELECT d, event_type FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+    j AS (SELECT g.d, g.event_type, coalesce(daily.n, 0) AS n, daily.cents
+          FROM grid g LEFT JOIN daily ON daily.d = g.d AND daily.event_type = g.event_type)
+    SELECT CAST(d AS TIMESTAMP) AS day, event_type, n,
+           last_value(cents IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill
+    FROM j
+    """,
+    doc="Time-series gap filling: date spine (sequence+explode) x entity grid, "
+        "left join daily aggregates, zero-fill counts, forward-fill sums "
+        "(last ignorenulls over an unbounded-preceding frame)",
+)
+def q_gap_fill(spark, sf):
+    ev = T(spark, sf, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum(cents("value")).alias("cents"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["d", "event_type"], "left")
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+            F.last("cents", ignorenulls=True).over(w).alias("cents_ffill"),
+        )
+    )
+
+
 # == flagship curation pipeline: the LLM-data story end to end ===========
 # (defined last so it can reuse the registered oracle texts verbatim —
 # the oracle is literally the composition of the piece oracles)
