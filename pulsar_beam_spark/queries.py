@@ -1429,6 +1429,28 @@ def q_r16fl(spark, sf):
 
 
 @register(
+    "r16_nth_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_order
+    FROM orders
+    """,
+    doc="R16 depth: nth_value with an explicit running frame (null until the 2nd row arrives)",
+)
+def q_r16n(spark, sf):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return T(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@register(
     "r17_range_frame",
     """
     SELECT o_orderkey,
