@@ -110,8 +110,9 @@ def main() -> None:
         REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # warm the JVM + parquet footers once so timings measure the plans,
-    # not first-touch session setup
-    run("r19_topk")
+    # not first-touch session setup (the flagship touches all 5 of its
+    # tables, so the first timed query starts from a warm catalog)
+    run("flagship_revenue_by_nation")
 
     total0 = time.perf_counter()
     for name in HEADLINE:

@@ -104,3 +104,38 @@ def top_terms(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame
         .orderBy(F.col("freq").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def tf_idf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF: tf * ln(N / df).
+
+    Distributed shape: one explode for term frequencies (shuffled by
+    (doc, term) — map-side combined), one distinct-explode for document
+    frequencies (shuffled by term), N as a broadcast singleton. The df
+    side joins by term; at corpus scale df is |vocabulary| rows — orders
+    of magnitude smaller than the corpus, typically broadcastable.
+    ``max_doc_id`` bounds the *output* (not the statistics): idf is
+    always computed over the full corpus.
+    """
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    df = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    out = tf
+    if max_doc_id is not None:
+        out = out.filter(F.col("id") < max_doc_id)
+    return (
+        out.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )

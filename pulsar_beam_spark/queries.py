@@ -37,7 +37,7 @@ from .operators.dedup import (
 from .operators.multimodal import extract_features, media_from_documents
 from .operators.similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk
 from .operators.text import language_id, quality_scores, token_stats, top_terms
-from .operators.text import doc_fingerprints
+from .operators.text import doc_fingerprints, tf_idf
 from .model.topic import tenant_from_topic_col, topic_key_col
 from .sources.tables import load_table
 from .sql import run_sql
@@ -1058,6 +1058,25 @@ def q_quality(spark, sf):
 )
 def q_tokstats(spark, sf):
     return token_stats(T(spark, sf, "documents"))
+
+
+@register(
+    "t_tfidf",
+    """
+    WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+           round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE tf.doc_id < 25
+    """,
+    doc="Text: per-(doc, term) TF-IDF — tf shuffle by (doc,term), df by term, "
+        "N broadcast; idf over the full corpus, output bounded for the gate",
+)
+def q_tfidf(spark, sf):
+    return tf_idf(T(spark, sf, "documents"), max_doc_id=25)
 
 
 @register(
