@@ -351,6 +351,54 @@ def q_r11(spark, sf):
 
 
 @register(
+    "r11_stats_aggregates",
+    """
+    WITH s AS (SELECT l_returnflag,
+                      count(*) AS n,
+                      CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sq,
+                      CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)
+                               * CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sqq,
+                      CAST(sum(CAST(round(l_discount*100,0) AS BIGINT)) AS BIGINT) AS sd,
+                      CAST(sum(CAST(round(l_discount*100,0) AS BIGINT)
+                               * CAST(round(l_discount*100,0) AS BIGINT)) AS BIGINT) AS sdd,
+                      CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)
+                               * CAST(round(l_discount*100,0) AS BIGINT)) AS BIGINT) AS sqd
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round(sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq) / (n * (n - 1.0))) / 100, 6) AS stddev_qty,
+           round((n * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * sd)
+                 / sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq)
+                 / sqrt(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd), 6) AS corr_qty_disc
+    FROM s
+    """,
+    doc="R11 depth: sample stddev + Pearson correlation derived from INTEGER moment "
+        "sums (n, Σx, Σx², Σxy exact in BIGINT; the float formula is scalar, so "
+        "parallel vs sequential accumulation cannot diverge)",
+)
+def q_stats(spark, sf):
+    li = T(spark, sf, "lineitem")
+    q, d = cents("l_quantity"), cents("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(d).alias("sd"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * d).alias("sqd"),
+    )
+    n = F.col("n")
+    var_q = n * F.col("sqq").cast("double") - F.col("sq").cast("double") * F.col("sq")
+    var_d = n * F.col("sdd").cast("double") - F.col("sd").cast("double") * F.col("sd")
+    cov = n * F.col("sqd").cast("double") - F.col("sq").cast("double") * F.col("sd")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt(var_q / (n * (n - F.lit(1.0)))) / 100, 6).alias("stddev_qty"),
+        F.round(cov / F.sqrt(var_q) / F.sqrt(var_d), 6).alias("corr_qty_disc"),
+    )
+
+
+@register(
     "r12_distinct",
     "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
     doc="R12: distinct projection",
