@@ -1881,6 +1881,242 @@ def q_q2(spark, sf):
     )
 
 
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: local-supplier volume — the c_nationkey = s_nationkey "
+        "equality makes the customer->supplier path a co-location constraint, "
+        "not just a lookup; dims broadcast, facts shuffle on orderkey only",
+)
+def q_q5(spark, sf):
+    c, o, li = T(spark, sf, "customer"), T(spark, sf, "orders"), T(spark, sf, "lineitem")
+    s, n, r = T(spark, sf, "supplier"), T(spark, sf, "nation"), T(spark, sf, "region")
+    rev = (F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).cast("double") / 10000)
+    return (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                    * CAST(round(l_discount*100,0) AS BIGINT)) AS DOUBLE)/10000 AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND CAST(round(l_discount*100,0) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: scan-only predicate aggregate — all three filters push "
+        "into the parquet scan; discount compared on the integer cents grid so "
+        "double-storage noise can't flip the BETWEEN on either engine",
+)
+def q_q6(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & cents("l_discount").between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice") * cents("l_discount")).cast("double") / 10000)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q12_priority_by_year",
+    """
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="TPC-H Q12 shape (adapted: schema has no l_shipmode, year(l_shipdate) "
+        "stands in): conditional CASE counts split one pass over the join",
+)
+def q_q12(spark, sf):
+    o, li = T(spark, sf, "orders"), T(spark, sf, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    """
+    SELECT CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice*100,0) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100,0) AS BIGINT)) ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                      * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share — both ratio terms are exact BIGINT "
+        "sums, so the single final division is bit-stable across engines",
+)
+def q_q14(spark, sf):
+    li, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    vol = cents("l_extendedprice") * (100 - cents("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
+    return (
+        li.filter((F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(vol).cast("double"))
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_count",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+      AND p_size IN (1, 8, 15, 22, 29, 36, 43, 50)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+    doc="TPC-H Q16 shape (adapted: negative-acctbal suppliers stand in for the "
+        "complaints exclusion): distinct-count agg over anti-joined fact",
+)
+def q_q16(spark, sf):
+    li, p, s = T(spark, sf, "lineitem"), T(spark, sf, "part"), T(spark, sf, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 8, 15, 22, 29, 36, 43, 50)
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "anti")
+        .join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_filter",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000 AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: three disjunct brand/size/quantity branches — the "
+        "common join key is extracted so the OR rides the join instead of "
+        "forcing a cross product",
+)
+def q_q19(spark, sf):
+    li, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    joined = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = (F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).cast("double") / 10000)
+    return joined.filter(branch).agg(rev.alias("revenue"), F.count("*").alias("n_items"))
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    """
+    WITH avg_bal AS (SELECT CAST(avg(CAST(round(c_acctbal*100,0) AS BIGINT)) AS DOUBLE)/100 AS ab
+                     FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS DOUBLE)/100 AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (adapted: c_mktsegment stands in for the phone country "
+        "code, dormant = no order since 1999): scalar-avg subquery + NOT EXISTS "
+        "anti join; avg over integer cents keeps the threshold bit-identical",
+)
+def q_q22(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    recent = o.filter(F.col("o_orderdate") >= "1999-01-01")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.avg(cents("c_acctbal")).cast("double") / 100).alias("ab")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, c.c_custkey == recent.o_custkey, "anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"), money_sum("c_acctbal", "totacctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
 # == null-ordering semantics =============================================
 
 @register(
