@@ -11,6 +11,11 @@ from .dedup import (  # noqa: F401
     embedding_near_dup_pairs,
     doc_shingle_arrays,
 )
+from .sampling import (  # noqa: F401
+    deterministic_split,
+    stable_bucket,
+    stratified_sample,
+)
 from .similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk  # noqa: F401
 from .skew import salted_agg, salted_broadcast_fallback_join  # noqa: F401
 from .multimodal import (  # noqa: F401

@@ -1,0 +1,86 @@
+"""Deterministic sampling and dataset-split operators.
+
+A 100 TB training-data pipeline cannot use ``df.sample()`` for
+train/val/test splits: the split must be *stable* — a document keeps its
+assignment across reruns, cluster sizes, and partition layouts, and the
+decision must be reachable from the key alone (no shuffle, no global
+state). The standard trick is a cryptographic-hash bucket of the key:
+
+    bucket(key) = int(md5(key)[:15 hex]) % n_buckets
+
+md5 is available and bit-identical in Spark, DuckDB, and most other
+engines, which keeps the split reproducible *across systems* — the same
+document lands in "train" whether the split runs here or in the oracle.
+(Spark's cheaper ``xxhash64`` is NOT portable across engines, so we pay
+md5's extra cycles for verifiability; at scale the scan dominates.)
+
+Scale notes:
+- The bucket is a pure per-row projection: no shuffle, fully pushed into
+  whole-stage codegen, trivially parallel at any partition count.
+- Stratified sampling shuffles once on the strata key (the unavoidable
+  minimum); the per-stratum top-k is a window over that one exchange.
+
+No analogue in the reference — its payloads are opaque bytes
+(src/model/message.go:12); this extends the engine for LLM-data work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits: fits a signed 64-bit int, so no sign wobble on
+# either engine.
+_HEX_CHARS = 15
+
+
+def stable_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Portable deterministic bucket in [0, n_buckets) from any key column."""
+    hex_prefix = F.substring(F.md5(key.cast("string").cast("binary")), 1, _HEX_CHARS)
+    return F.pmod(F.conv(hex_prefix, 16, 10).cast("long"), F.lit(n_buckets))
+
+
+def stable_bucket_sql(key_expr: str, n_buckets: int = 100) -> str:
+    """The DuckDB-equivalent SQL text for :func:`stable_bucket`."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, {_HEX_CHARS}) AS BIGINT)"
+        f" % {n_buckets}"
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key: str,
+    boundaries: tuple[int, int] = (80, 90),
+    labels: tuple[str, str, str] = ("train", "val", "test"),
+) -> DataFrame:
+    """Assign every row a stable train/val/test label keyed on ``key``.
+
+    ``boundaries=(80, 90)`` → buckets 0-79 train, 80-89 val, 90-99 test.
+    Rerunning (on any engine, at any parallelism) reproduces the exact
+    same assignment, so downstream epochs never leak val rows into train.
+    """
+    b = stable_bucket(F.col(key))
+    split = (
+        F.when(b < boundaries[0], labels[0])
+        .when(b < boundaries[1], labels[1])
+        .otherwise(labels[2])
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame, strata: list[str], key: str, k: int
+) -> DataFrame:
+    """Deterministic top-k rows per stratum, ordered by the stable hash.
+
+    Hash-ordering makes the pick pseudo-random but reproducible (unlike
+    ``ORDER BY rand()``), and md5 collisions are negligible so the order
+    is total — no tie-break nondeterminism between engines.
+    """
+    order = stable_bucket(F.col(key), 1 << 60)
+    w = Window.partitionBy(*strata).orderBy(order, F.col(key))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

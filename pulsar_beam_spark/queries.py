@@ -35,6 +35,7 @@ from .operators.dedup import (
     simhash_near_dup_pairs,
 )
 from .operators.multimodal import extract_features, media_from_documents
+from .operators.sampling import deterministic_split, stable_bucket_sql, stratified_sample
 from .operators.similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk
 from .operators.text import language_id, quality_scores, token_stats, top_terms
 from .operators.text import doc_fingerprints, tf_idf
@@ -2115,6 +2116,54 @@ def q_q22(spark, sf):
         .agg(F.count("*").alias("numcust"), money_sum("c_acctbal", "totacctbal"))
         .orderBy("c_mktsegment")
     )
+
+
+# == deterministic sampling / dataset splits =============================
+
+_SPLIT_BUCKET = stable_bucket_sql("doc_id", 100)
+
+@register(
+    "p_deterministic_split",
+    f"""
+    SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT n_chars,
+                 CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+                      WHEN {_SPLIT_BUCKET} < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+    GROUP BY split ORDER BY split
+    """,
+    doc="Pipeline: stable train/val/test split — md5-bucket of doc_id is a pure "
+        "per-row projection (no shuffle, engine-portable, rerun-stable); the "
+        "80/10/10 assignment survives reruns and cluster resizes",
+)
+def q_split(spark, sf):
+    d = deterministic_split(T(spark, sf, "documents"), "doc_id")
+    return (
+        d.groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "p_stratified_sample",
+    f"""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {stable_bucket_sql("doc_id", 1 << 60)}, doc_id)
+               AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 3 ORDER BY lang, sample_rank
+    """,
+    doc="Pipeline: deterministic stratified sample — top-3 docs per language by "
+        "stable-hash order (reproducible unlike ORDER BY rand(); one shuffle on "
+        "the strata key, the unavoidable minimum)",
+)
+def q_stratified(spark, sf):
+    d = stratified_sample(T(spark, sf, "documents"), ["lang"], "doc_id", 3)
+    return d.select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
 
 
 # == null-ordering semantics =============================================

@@ -210,3 +210,29 @@ def test_asof_join_forward_vs_duckdb(spark):
         ).fetchall()
     }
     assert ours == theirs
+
+
+def test_deterministic_split_is_stable_and_proportional(spark):
+    from pulsar_beam_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = deterministic_split(docs, "doc_id").select("doc_id", "split").toPandas()
+    b = deterministic_split(docs, "doc_id").select("doc_id", "split").toPandas()
+    # rerun-stable: identical assignment row-for-row
+    assert a.sort_values("doc_id").values.tolist() == b.sort_values("doc_id").values.tolist()
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9  # 80% target, wide tolerance at n=500
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+    # no leakage: a doc_id has exactly one split
+    assert a.groupby("doc_id")["split"].nunique().max() == 1
+
+
+def test_stratified_sample_bounds_and_determinism(spark):
+    from pulsar_beam_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    s1 = stratified_sample(docs, ["lang"], "doc_id", 3).select("doc_id", "lang").toPandas()
+    s2 = stratified_sample(docs, ["lang"], "doc_id", 3).select("doc_id", "lang").toPandas()
+    assert sorted(map(tuple, s1.values)) == sorted(map(tuple, s2.values))
+    per = s1.groupby("lang").size()
+    assert (per <= 3).all() and len(per) == docs.select("lang").distinct().count()
