@@ -104,3 +104,41 @@ def test_scalar_subquery_broadcasts_singleton(spark):
     df = REGISTRY["r_scalar_subquery"].spark(spark, SF_SMOKE)
     assert has_broadcast(df)
     assert n_exchanges(df) == 0, formatted_plan(df)[:1500]
+
+
+def test_q6_all_filters_push_to_scan(spark):
+    """Q6 is scan-dominated: shipdate + quantity must reach the parquet
+    reader so at 100 TB row-group stats skip most of the table."""
+    df = REGISTRY["tpch_q6_forecast_revenue"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+
+
+def test_q19_single_join_despite_disjunction(spark):
+    """The three OR branches share the p_partkey=l_partkey key: one
+    broadcast hash join, never a cross product with post-filter."""
+    df = REGISTRY["tpch_q19_disjunctive_filter"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert has_broadcast(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_anti_join_broadcasts_exclusion(spark):
+    df = REGISTRY["tpch_q16_supplier_part_count"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+
+
+def test_q5_broadcasts_all_dims(spark):
+    """supplier/nation/region broadcast; only the fact tables shuffle."""
+    df = REGISTRY["tpch_q5_local_supplier_volume"].spark(spark, SF_SMOKE)
+    s = explain_summary(df)
+    assert s["broadcast_joins"] >= 3, formatted_plan(df)[:2000]
+
+
+def test_split_is_shuffle_free_projection(spark):
+    """The md5 bucket must stay a per-row projection: the only exchange
+    in the split query is the final 3-group aggregate's."""
+    df = REGISTRY["p_deterministic_split"].spark(spark, SF_SMOKE)
+    assert n_exchanges(df) <= 1, formatted_plan(df)[:2000]
