@@ -11,6 +11,7 @@ from .dedup import (  # noqa: F401
     embedding_near_dup_pairs,
     doc_shingle_arrays,
 )
+from .packing import sequence_pack  # noqa: F401
 from .sampling import (  # noqa: F401
     deterministic_split,
     stable_bucket,

@@ -35,6 +35,7 @@ from .operators.dedup import (
     simhash_near_dup_pairs,
 )
 from .operators.multimodal import extract_features, media_from_documents
+from .operators.packing import sequence_pack
 from .operators.sampling import deterministic_split, stable_bucket_sql, stratified_sample
 from .operators.similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk
 from .operators.text import language_id, quality_scores, token_stats, top_terms
@@ -2164,6 +2165,41 @@ def q_split(spark, sf):
 def q_stratified(spark, sf):
     d = stratified_sample(T(spark, sf, "documents"), ["lang"], "doc_id", 3)
     return d.select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
+
+
+@register(
+    "p_sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             greatest(1, CAST(floor(n_chars/4) AS BIGINT)) AS toks,
+             {stable_bucket_sql("doc_id", 8)} AS shard,
+             {stable_bucket_sql("doc_id", 1 << 60)} AS ord
+      FROM documents),
+    p AS (
+      SELECT shard, toks,
+             sum(toks) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                             ROWS UNBOUNDED PRECEDING) - toks AS start_offset
+      FROM t)
+    SELECT shard, CAST(floor(start_offset/2048.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_tokens
+    FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id
+    """,
+    doc="Pipeline: concat-and-chunk sequence packing — docs shard by stable "
+        "hash, a partitioned cumulative-sum window assigns each doc's context "
+        "window; one shuffle on the shard key, parallel across shards "
+        "(a global order would serialize the window onto one partition)",
+)
+def q_packing(spark, sf):
+    d = T(spark, sf, "documents").withColumn(
+        "toks", F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4).cast("long"))
+    )
+    packed = sequence_pack(d, "doc_id", "toks", context_len=2048, n_shards=8)
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("pack_tokens"))
+        .orderBy("shard", "pack_id")
+    )
 
 
 # == null-ordering semantics =============================================

@@ -236,3 +236,26 @@ def test_stratified_sample_bounds_and_determinism(spark):
     assert sorted(map(tuple, s1.values)) == sorted(map(tuple, s2.values))
     per = s1.groupby("lang").size()
     assert (per <= 3).all() and len(per) == docs.select("lang").distinct().count()
+
+
+def test_sequence_packing_invariants(spark):
+    from pulsar_beam_spark.operators.packing import sequence_pack
+
+    docs = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "toks", F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4).cast("long"))
+    )
+    packed = sequence_pack(docs, "doc_id", "toks", context_len=2048, n_shards=8)
+    pdf = packed.select("doc_id", "shard", "start_offset", "pack_id", "toks").toPandas()
+    # every doc assigned exactly once; token mass conserved
+    assert pdf["doc_id"].is_unique
+    assert pdf["toks"].sum() == docs.agg(F.sum("toks")).collect()[0][0]
+    for _, shard in pdf.groupby("shard"):
+        s = shard.sort_values("start_offset")
+        # offsets are the exclusive prefix sum of token counts
+        assert (s["start_offset"].diff().dropna() == s["toks"].shift(1).dropna()).all()
+        # pack ids start at 0 and are contiguous
+        pids = sorted(s["pack_id"].unique())
+        assert pids == list(range(len(pids)))
+    # rerun-stable
+    pdf2 = sequence_pack(docs, "doc_id", "toks", 2048, 8).select("doc_id", "pack_id").toPandas()
+    assert pdf.set_index("doc_id")["pack_id"].to_dict() == pdf2.set_index("doc_id")["pack_id"].to_dict()
