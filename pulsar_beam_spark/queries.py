@@ -2588,9 +2588,44 @@ REGISTRY["pipeline_corpus_curation"].oracle = _curation_oracle()
 
 # == exports consumed by __spark_entry__.py ==============================
 
+# The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
+# insertion order.  Round 1 verified the first 50 registrations (recorded in
+# CORRECTNESS_r01.json); this ordering puts every not-yet-driver-verified
+# oracle-bearing entry in the front window so round 2 covers the remainder
+# (TPC-H composites, pandas UDF/UDTF, G/S rows, sampling/packing, second
+# operator variants).  Entries already green in round 1, plus no-oracle
+# entries (which can only ever get a rows-only check), follow behind.
+_ROUND1_VERIFIED = frozenset({
+    "flagship_revenue_by_nation", "r01_scan_project", "r03_filter",
+    "r04_inner_join", "r05_broadcast_join", "r06_left_join",
+    "r06_full_outer_join", "r07_semi_join", "r07_anti_join",
+    "r08_range_join", "r09_cross_join", "r10_asof_join", "r11_tpch_q1_agg",
+    "r11_stats_aggregates", "r12_distinct", "r12_count_distinct",
+    "r13_approx_count_distinct", "r14_rollup", "r14_cube",
+    "r15_window_rank", "r16_lag_lead", "r17_window_frames",
+    "r18_sort_with_position", "r19_topk", "r20_union_all", "r21_intersect",
+    "r21_except", "r22_string_fns", "r23_date_fns", "r24_math_fns",
+    "r25_array_fns", "r25_higher_order_fns", "r25_nested_array_fns",
+    "r26_map_fns", "r27_json_fns", "r28_conditional",
+    "r29_dedup_exact_latest", "r30_ngram_jaccard_pairs",
+    "d_minhash_lsh_near_dup", "d_simhash_near_dup", "d_embedding_near_dup",
+    "r31_cosine_topk", "s_ann_lsh_topk", "r32_top_terms", "t_language_id",
+    "t_quality_scores", "t_token_stats", "t_tfidf", "t_fingerprint",
+    "r33_python_udf",
+})
+
+
+def _driver_order() -> list[str]:
+    front = [n for n, s in REGISTRY.items()
+             if n not in _ROUND1_VERIFIED and s.oracle is not None]
+    back = [n for n in REGISTRY if n not in front]
+    return front + back
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {name: REGISTRY[name].oracle for name in _driver_order()
+            if REGISTRY[name].oracle is not None}
