@@ -82,17 +82,32 @@ def tenant_from_topic_col(topic: Column | str = "topic") -> Column:
     return F.split(c, "/").getItem(2)
 
 
+def eval_tenant_prefix(token_sub: str) -> str:
+    """The tenant a dash-nested subject belongs to: the subject minus its
+    LAST '-'-segment (reference ExtractEvalTenant,
+    src/route/handlers.go:406-420).  'tenant1-foo-bar' -> 'tenant1-foo';
+    a subject with no dash has no tenant prefix ('')."""
+    parts = token_sub.split("-")
+    return "-".join(parts[:-1])
+
+
 def tenant_allowed_col(topic: Column | str, subject: str, superroles: tuple[str, ...] = ()) -> Column:
     """Row-level tenant-isolation predicate (reference G10,
-    src/route/handlers.go:375-421): subject must equal the tenant, be a
-    superrole, or follow the '<tenant>-client-...' suffix convention."""
+    src/route/handlers.go:375-421 VerifySubjectBasedOnTopic/VerifySubject):
+    the token may carry several comma-separated subjects; access is granted
+    iff ANY subject is a superrole, equals the tenant exactly, or — per
+    ExtractEvalTenant — its prefix up to the last '-'-segment equals the
+    tenant exactly (so 'tenant1-foo-bar' matches tenant 'tenant1-foo',
+    NOT tenant 'tenant1')."""
     tenant = tenant_from_topic_col(topic)
-    subj = F.lit(subject)
-    return (
-        (tenant == subj)
-        | F.lit(subject in superroles)
-        | subj.startswith(F.concat(tenant, F.lit("-")))
-    )
+    allowed = F.lit(False)
+    for sub in subject.split(","):
+        branch = (tenant == F.lit(sub)) | F.lit(sub in superroles)
+        prefix = eval_tenant_prefix(sub)
+        if prefix:
+            branch = branch | (tenant == F.lit(prefix))
+        allowed = allowed | branch
+    return allowed
 
 
 @dataclass
@@ -106,7 +121,9 @@ class Webhook:
 
 
 def get_subscription_type(s: str) -> str:
-    """reference src/model/topic.go:138-151 (empty -> exclusive)."""
+    """reference src/model/topic.go:138-151 (case-insensitive, empty ->
+    exclusive; the reference lowercases before matching)."""
+    s = s.lower()
     if s == "":
         return "exclusive"
     if s not in SUBSCRIPTION_TYPES:
@@ -115,7 +132,9 @@ def get_subscription_type(s: str) -> str:
 
 
 def get_initial_position(s: str) -> str:
-    """reference src/model/topic.go:126-135 (empty -> latest)."""
+    """reference src/model/topic.go:126-135 (case-insensitive, empty ->
+    latest)."""
+    s = s.lower()
     if s == "":
         return "latest"
     if s not in INITIAL_POSITIONS:
@@ -125,13 +144,15 @@ def get_initial_position(s: str) -> str:
 
 def validate_webhook_config(webhooks: list[Webhook]) -> None:
     """reference src/model/topic.go:157-183: URL shape, subscription name
-    >= 5 chars, exclusive subscription names unique."""
+    non-empty (the >=5-char rule belongs to the consumer-subscription
+    path only — handlers.go:457, see streaming/sse.py consumer_params),
+    exclusive subscription names unique."""
     seen_exclusive: set[str] = set()
     for wh in webhooks:
         if not re.match(r"^(http|https|pulsar|pulsar\+ssl)://[A-Za-z0-9\-\.]+(:\d+)?(/.*)?$", wh.url):
             raise ValueError(f"invalid webhook url {wh.url!r}")
-        if len(wh.subscription) < 5:
-            raise ValueError(f"subscription name too short: {wh.subscription!r}")
+        if not wh.subscription.strip():
+            raise ValueError("subscription name is missing")
         st = get_subscription_type(wh.subscription_type)
         get_initial_position(wh.initial_position)
         if st == "exclusive":

@@ -27,9 +27,9 @@ import time
 import urllib.error
 import urllib.request
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def _is_json(b: bytes) -> bool:
@@ -134,15 +134,17 @@ def deliver_stream(
         # tuples come back to the driver for the chain append
         replies = df.rdd.mapPartitions(deliver_partition).collect()
         if replies and reply_table_dir:
+            # Stamp produce-time timestamps into the tuples themselves:
+            # the declared MESSAGE_SCHEMA has non-nullable time columns, so
+            # None placeholders would make createDataFrame raise (the
+            # reference stamps EventTime at produce, pulsar-producer.go:91).
+            now = datetime.now(timezone.utc).replace(tzinfo=None)
             rdf = spark.createDataFrame(
                 [
-                    (f"reply-{epoch}-{i}", t, None, body, None, None, {"PulsarUrl": url})
+                    (f"reply-{epoch}-{i}", t, None, body, now, now, {"PulsarUrl": url})
                     for i, (t, url, body) in enumerate(replies)
                 ],
                 schema=stream.schema,
-            )
-            rdf = rdf.withColumn("event_time", F.current_timestamp()).withColumn(
-                "publish_time", F.current_timestamp()
             )
             rdf.write.mode("append").parquet(reply_table_dir)
 

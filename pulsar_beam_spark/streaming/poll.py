@@ -63,6 +63,10 @@ def bounded_poll(
     )
     q.awaitTermination()
 
+    # AvailableNow may split the backlog into several micro-batches (e.g.
+    # maxFilesPerTrigger); each batch contributed its own earliest rows, so
+    # re-sort the union before truncating to the globally earliest batch.
+    sink_rows.sort(key=lambda r: (r["event_time"], r["message_id"]))
     batch = sink_rows[:batch_size]
     if not batch:
         return None

@@ -26,6 +26,27 @@ def gen_subscription_name() -> str:
     return "NonResumable" + secrets.token_hex(12)
 
 
+def consumer_params(
+    subscription_name: str = "",
+    subscription_type: str = "",
+    initial_position: str = "",
+) -> tuple[str, str, str]:
+    """Resolve (name, type, position) the way the reference's
+    ConsumerParams does (src/route/handlers.go:440-461): empty name ->
+    auto NonResumable*, else the user name must be >4 chars — this is the
+    ONLY place the 5-char rule applies (webhook-config validation merely
+    requires non-empty, src/model/topic.go:164)."""
+    from ..model.topic import get_initial_position, get_subscription_type
+
+    sub_type = get_subscription_type(subscription_type)
+    init_pos = get_initial_position(initial_position)
+    if not subscription_name:
+        return gen_subscription_name(), sub_type, init_pos
+    if len(subscription_name) < 5:
+        raise ValueError("subscription name must be more than 4 characters")
+    return subscription_name, sub_type, init_pos
+
+
 def sse_frame(message_id: str, payload: bytes | None) -> str:
     body = (payload or b"").decode("utf-8", errors="replace")
     return f"id: {message_id}\ndata: {body}\n\n"

@@ -49,24 +49,44 @@ def test_tokenize_topic_full_name():
 
 
 def test_subscription_type_matrix():
-    # reference src/unit-test/handlers_test.go:243-338 semantics
+    # reference src/unit-test/handlers_test.go:243-338 semantics;
+    # reference lowercases before matching (topic.go ToLower), so mixed
+    # case like 'Shared' is valid.
     assert get_subscription_type("") == "exclusive"
     for t in ("exclusive", "shared", "keyshared", "failover"):
         assert get_subscription_type(t) == t
+    assert get_subscription_type("Shared") == "shared"
+    assert get_subscription_type("KeyShared") == "keyshared"
     with pytest.raises(ValueError):
         get_subscription_type("bogus")
     assert get_initial_position("") == "latest"
     for p in ("latest", "earliest"):
         assert get_initial_position(p) == p
+    assert get_initial_position("Earliest") == "earliest"
     with pytest.raises(ValueError):
         get_initial_position("middle")
+
+
+def test_consumer_params_five_char_rule():
+    # the >=5-char subscription-name rule lives ONLY in the consumer path
+    # (reference handlers.go:457); webhook-config validation is non-empty.
+    from pulsar_beam_spark.streaming.sse import consumer_params
+
+    name, st, pos = consumer_params("", "Shared", "Earliest")
+    assert name.startswith("NonResumable") and st == "shared" and pos == "earliest"
+    assert consumer_params("mysub01")[0] == "mysub01"
+    with pytest.raises(ValueError):
+        consumer_params("abc")
 
 
 def test_webhook_validation():
     ok = [Webhook("http://h1.example.com/cb", "subone"), Webhook("https://h2.example.com/cb", "subtwo")]
     validate_webhook_config(ok)
-    with pytest.raises(ValueError):  # short subscription name (<5)
-        validate_webhook_config([Webhook("http://h.example.com", "abc")])
+    # short-but-non-empty names are VALID here (reference topic.go:164
+    # only requires non-empty; the 5-char rule is the consumer path's)
+    validate_webhook_config([Webhook("http://h.example.com", "abc")])
+    with pytest.raises(ValueError):  # empty/whitespace subscription name
+        validate_webhook_config([Webhook("http://h.example.com", "  ")])
     with pytest.raises(ValueError):  # invalid url
         validate_webhook_config([Webhook("not a url", "subone")])
     with pytest.raises(ValueError):  # duplicate exclusive subscription
@@ -139,12 +159,18 @@ def test_tenant_predicate_truth_table(spark):
     # superrole sees everything
     got2 = df.select(tenant_allowed_col(F.col("topic"), "admin", ("admin",)).alias("ok")).collect()
     assert all(r["ok"] for r in got2)
-    # tenant-prefixed client subject convention
-    got3 = {
-        r["topic"]: r["ok"]
-        for r in df.select(
-            "topic", tenant_allowed_col(F.col("topic"), "alice-client-7").alias("ok")
-        ).collect()
-    }
-    assert got3["persistent://alice/ns/t"] is True
-    assert got3["persistent://bob/ns/t"] is False
+    # ExtractEvalTenant: subject minus its LAST dash-segment must equal
+    # the tenant exactly (reference handlers_test.go:226-232 vectors:
+    # 'picasso-1234' -> picasso OK; 'picasso-monet-1234' -> picasso-monet
+    # OK but NOT picasso; misspelled 'picaso-1234' rejected).
+    def check(subject: str, topic: str) -> bool:
+        one = spark.createDataFrame([(topic,)], ["topic"])
+        return one.select(tenant_allowed_col(F.col("topic"), subject).alias("ok")).head()["ok"]
+
+    assert check("alice-1234", "persistent://alice/ns/t") is True
+    assert check("alice-client-7", "persistent://alice/ns/t") is False  # belongs to 'alice-client'
+    assert check("alice-client-7", "persistent://alice-client/ns/t") is True
+    assert check("alic-1234", "persistent://alice/ns/t") is False
+    # comma-separated multi-subject: any match grants (handlers.go:391)
+    assert check("alice-1234,myadmin", "persistent://alice/ns/t") is True
+    assert check("alic-1234,myadmin", "persistent://alice/ns/t") is False
