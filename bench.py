@@ -42,6 +42,7 @@ HEADLINE = [
     "r29_dedup_exact_latest",
     "r30_ngram_jaccard_pairs",
     "d_minhash_lsh_near_dup",
+    "d_embedding_near_dup",
     "r31_cosine_topk",
     "s_ann_ivf_topk",
     "r32_top_terms",

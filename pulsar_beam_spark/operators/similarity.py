@@ -88,6 +88,8 @@ def _kmeans_centroids(
         .limit(sample_cap)
         .collect()
     )
+    if not rows:
+        return np.empty((0, 0))
     pts = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -995,7 +995,10 @@ SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4
     doc="Embedding-cosine near-dup pairs (exact; sequential-fold dot product both sides)",
 )
 def q_embed_dup(spark, sf):
-    return embedding_near_dup_pairs(T(spark, sf, "embeddings"), threshold=0.4)
+    return embedding_near_dup_pairs(
+        T(spark, sf, "embeddings"), threshold=0.4,
+        verify_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 COSINE_TOPK_ORACLE = """
@@ -2561,15 +2564,19 @@ def _curation_oracle() -> str:
 @register(
     "pipeline_corpus_curation",
     None,  # oracle attached right below (needs the registered piece oracles)
-    doc="Flagship LLM-pipeline composition: quality filter -> exact near-dup removal "
+    doc="Flagship LLM-pipeline composition: quality filter -> near-dup removal "
         "(keep the lower doc_id of each pair) -> per-language doc/token accounting. "
-        "Every stage is the already-verified operator; the oracle is the literal "
-        "composition of the piece oracles.",
+        "The dedup stage is the SCALE path: MinHash+LSH candidates verified with "
+        "exact Jaccard (dedup.minhash_near_dup_pairs) — linear in corpus size, "
+        "never the quadratic exact-pairs discovery. The oracle composes the "
+        "exact-Jaccard piece oracle: candidate-verify returns exactly the "
+        "threshold-qualified pairs (recall asserted in tests/test_operators.py), "
+        "so the composition still hash-matches.",
 )
 def q_curation(spark, sf):
     docs = T(spark, sf, "documents")
     q = quality_scores(docs).select("doc_id", "n_tokens", "keep")
-    dup_bs = exact_jaccard_pairs(docs, threshold=0.5).select(
+    dup_bs = minhash_near_dup_pairs(docs, threshold=0.5).select(
         F.col("id_b").alias("doc_id")
     ).distinct()
     keep = q.filter(F.col("keep")).join(dup_bs, "doc_id", "anti")

@@ -259,3 +259,34 @@ def test_sequence_packing_invariants(spark):
     # rerun-stable
     pdf2 = sequence_pack(docs, "doc_id", "toks", 2048, 8).select("doc_id", "pack_id").toPandas()
     assert pdf.set_index("doc_id")["pack_id"].to_dict() == pdf2.set_index("doc_id")["pack_id"].to_dict()
+
+
+def test_embedding_cell_blocking_is_lossless(spark):
+    """Triangle-inequality cell pruning must return EXACTLY the all-pairs
+    answer (it is a lossless blocking, not an approximation)."""
+    from pulsar_beam_spark.operators.dedup import (
+        embedding_near_dup_all_pairs,
+        embedding_near_dup_pairs,
+    )
+    from pulsar_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {tuple(r) for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+    exact = {tuple(r) for r in embedding_near_dup_all_pairs(emb, threshold=0.4).collect()}
+    assert got == exact and len(got) > 0
+
+
+def test_minhash_path_equals_exact_at_curation_threshold(spark):
+    """The curation pipeline's dedup stage is MinHash+LSH candidates with
+    exact-Jaccard verification; its composed oracle is the exact-pairs
+    SQL, so candidate recall must be total on the fixture corpus."""
+    from pulsar_beam_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        minhash_near_dup_pairs,
+    )
+    from pulsar_beam_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    mh = {tuple(r) for r in minhash_near_dup_pairs(docs, threshold=0.5).collect()}
+    ex = {tuple(r) for r in exact_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert mh == ex and len(mh) > 0

@@ -142,3 +142,13 @@ def test_split_is_shuffle_free_projection(spark):
     in the split query is the final 3-group aggregate's."""
     df = REGISTRY["p_deterministic_split"].spark(spark, SF_SMOKE)
     assert n_exchanges(df) <= 1, formatted_plan(df)[:2000]
+
+
+def test_embedding_near_dup_is_blocked_equi_join(spark):
+    """The embedding near-dup must be a cell-blocked equi-join (candidate
+    cell pairs -> hash join on cell), never a nested-loop all-pairs: no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    df = REGISTRY["d_embedding_near_dup"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
