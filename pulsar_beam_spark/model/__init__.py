@@ -11,4 +11,4 @@ from .topic import (  # noqa: F401
     get_subscription_type,
     get_initial_position,
 )
-from .config_store import ConfigStore, changelog_snapshot  # noqa: F401
+from .config_store import ConfigStore, InMemoryConfigStore, changelog_snapshot  # noqa: F401

@@ -13,6 +13,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     IntegerType,
+    LongType,
     MapType,
     StringType,
     StructField,
@@ -58,5 +59,11 @@ TOPIC_CONFIG_SCHEMA = StructType(
         StructField("webhooks", ArrayType(WEBHOOK_SCHEMA), True),
         StructField("created_at", TimestampType(), True),
         StructField("updated_at", TimestampType(), True),
+        # monotonic per-store sequence: last-write-wins is decided by
+        # (updated_at, version), so two writes inside one clock tick (or
+        # from a coarse clock) still order deterministically — the role
+        # Pulsar's ledger/entry id plays for the reference's compacted
+        # topic (src/db/pulsardb.go:92-96)
+        StructField("version", LongType(), True),
     ]
 )

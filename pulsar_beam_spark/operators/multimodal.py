@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The actual decoders (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are stubbed: ``decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a *deterministic* fake feature vector
-is derived from the bytes (so tests exercise the real Spark plumbing —
-schema, Arrow batching, partitioning — end to end).
+The heavyweight decoders (PIL/ffmpeg/librosa) are NOT in this container;
+``decode_image`` implements dependency-free PPM(P6) and 24-bpp BMP
+parsing so the ``fake=False`` path runs END TO END on real image bytes
+(decode -> stats features / nearest-neighbor resize), and raises
+NotImplementedError for formats that genuinely need PIL/cv2. The
+``fake=True`` path derives a deterministic digest feature vector from
+arbitrary bytes (so the documents fixture exercises the same plumbing —
+schema, Arrow batching, partitioning — without valid image payloads).
 
 Scale design: mapInPandas streams Arrow record batches through Python, so
 peak executor memory is one batch (spark.sql.execution.arrow.maxRecordsPerBatch),
@@ -72,9 +75,103 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(content: bytes) -> "object":
-    """Real decoder entry point — not available in this container."""
-    raise NotImplementedError("image decoding requires PIL/cv2, not present in this environment")
+def _parse_ppm_p6(b: bytes) -> tuple[int, int, bytes]:
+    """Binary PPM (P6): ASCII header 'P6 <w> <h> <maxval>' with optional
+    '#' comments, then w*h*3 raw RGB bytes. Returns (w, h, rgb)."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit ppm unsupported")
+    rgb = b[pos : pos + w * h * 3]
+    if len(rgb) != w * h * 3:
+        raise ValueError("truncated ppm payload")
+    return w, h, rgb
+
+
+def _parse_bmp24(b: bytes) -> tuple[int, int, bytes]:
+    """Uncompressed 24-bpp BMP (BITMAPINFOHEADER): bottom-up BGR rows
+    padded to 4 bytes. Returns (w, h, rgb) in top-down RGB order."""
+    if not b.startswith(b"BM"):
+        raise ValueError("not a bmp")
+    data_off = int.from_bytes(b[10:14], "little")
+    header_size = int.from_bytes(b[14:18], "little")
+    if header_size < 40:
+        raise ValueError("bmp core header unsupported")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bpp bmp supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = data_off + src_row * stride
+        for col in range(w):
+            bgr = b[base + col * 3 : base + col * 3 + 3]
+            if len(bgr) != 3:
+                raise ValueError("truncated bmp payload")
+            dst = (row * w + col) * 3
+            out[dst], out[dst + 1], out[dst + 2] = bgr[2], bgr[1], bgr[0]
+    return w, h, bytes(out)
+
+
+def decode_image(content: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free decoder for the two formats parseable without
+    PIL/cv2 (neither is in this container): binary PPM (P6) and
+    uncompressed 24-bpp BMP. Returns (width, height, top-down RGB bytes).
+    Other magics raise NotImplementedError — swap in PIL here when the
+    library exists."""
+    if content.startswith(b"P6"):
+        return _parse_ppm_p6(content)
+    if content.startswith(b"BM"):
+        return _parse_bmp24(content)
+    raise NotImplementedError(
+        "only PPM(P6)/BMP(24bpp) decode in-container; other formats need PIL/cv2"
+    )
+
+
+def encode_ppm_p6(width: int, height: int, rgb: bytes) -> bytes:
+    """Inverse of _parse_ppm_p6 — used by the non-fake resize path."""
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def image_stats_features(content: bytes) -> list[float]:
+    """Real 8-dim feature vector from a decoded image: dimensions plus
+    per-channel means and gray min/mean/max — deterministic, library-free."""
+    w, h, rgb = decode_image(content)
+    n = w * h
+    sums = [0, 0, 0]
+    gmin, gmax, gsum = 255.0, 0.0, 0.0
+    for i in range(n):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+        gray = (r + g + b) / 3.0
+        gmin, gmax, gsum = min(gmin, gray), max(gmax, gray), gsum + gray
+    return [
+        float(w), float(h),
+        sums[0] / n, sums[1] / n, sums[2] / n,
+        gmin, gsum / n, gmax,
+    ]
 
 
 def _fake_features(content: bytes, dim: int = 8) -> list[float]:
@@ -86,9 +183,11 @@ def _fake_features(content: bytes, dim: int = 8) -> list[float]:
 def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    With ``fake=False`` this calls the (stubbed) real decoder and raises;
-    with ``fake=True`` it computes a deterministic digest-based feature
-    vector — identical Spark plumbing either way.
+    With ``fake=True`` features are a deterministic digest of the bytes
+    (exercises the plumbing on payloads that aren't real images); with
+    ``fake=False`` the payload is DECODED (PPM/BMP in-container, see
+    decode_image) and features are real image statistics — identical
+    Spark plumbing either way.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,9 +196,7 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataF
             feats = []
             for raw in content:
                 raw = bytes(raw) if raw is not None else b""
-                if not fake:
-                    decode_image(raw)
-                feats.append(_fake_features(raw, dim))
+                feats.append(image_stats_features(raw) if not fake else _fake_features(raw, dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -121,25 +218,40 @@ def resize_media(
     Same mapInPandas shape as feature extraction: with ``fake=True`` the
     "resized" payload is a deterministic truncation/pad of the original
     bytes to width*height (so schema, batching, and size accounting are
-    exercised for real); ``fake=False`` reaches the stubbed decoder and
-    raises — swap in PIL's ``Image.resize`` when the library exists.
-    Output keeps MEDIA_SCHEMA with width/height stamped, so resize
-    composes with extract_features / frame_sample_plan.
+    exercised on non-image payloads); with ``fake=False`` the payload is
+    decoded (PPM/BMP in-container) and nearest-neighbor-resampled to
+    (width, height), re-encoded as PPM P6. Output keeps MEDIA_SCHEMA
+    with width/height stamped, so resize composes with
+    extract_features / frame_sample_plan.
     """
     target = width * height
+
+    def _nn_resize(raw: bytes) -> bytes:
+        sw, sh, rgb = decode_image(raw)
+        out = bytearray(width * height * 3)
+        for y in range(height):
+            sy = min(sh - 1, y * sh // height)
+            for x in range(width):
+                sx = min(sw - 1, x * sw // width)
+                s, d = (sy * sw + sx) * 3, (y * width + x) * 3
+                out[d : d + 3] = rgb[s : s + 3]
+        return encode_ppm_p6(width, height, bytes(out))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_content = []
             for raw in pdf["content"]:
                 raw = bytes(raw) if raw is not None else b""
-                if not fake:
-                    decode_image(raw)
-                out_content.append(raw[:target].ljust(target, b"\0"))
+                if fake:
+                    out_content.append(raw[:target].ljust(target, b"\0"))
+                else:
+                    out_content.append(_nn_resize(raw))
             out = pdf.copy()
             out["content"] = out_content
             out["width"] = width
             out["height"] = height
+            if not fake:
+                out["mime"] = "image/x-portable-pixmap"
             yield out
 
     return media.mapInPandas(batches, MEDIA_SCHEMA)

@@ -113,12 +113,23 @@ def test_validate_topic_config_returns_key():
         validate_topic_config("persistent://a/b/c", "http://not-pulsar", [])
 
 
-def test_config_store_crud_lifecycle(spark, tmp_path):
-    """Mirrors reference src/unit-test/db_test.go:19-105:
-    create -> get -> update -> load -> delete -> get-fails."""
-    from pulsar_beam_spark.model.config_store import ConfigStore
+@pytest.fixture(params=["parquet", "memory"])
+def config_store(request, spark, tmp_path):
+    from pulsar_beam_spark.model.config_store import ConfigStore, InMemoryConfigStore
 
-    store = ConfigStore(spark, str(tmp_path / "cfg"))
+    if request.param == "parquet":
+        return ConfigStore(spark, str(tmp_path / "cfg"))
+    return InMemoryConfigStore()
+
+
+def test_config_store_crud_lifecycle(config_store):
+    """Mirrors reference src/unit-test/db_test.go:19-105 over BOTH
+    backends (parquet changelog / in-memory dict — the reference's
+    pluggable Crud interface, src/db/interface.go:15-39):
+    create -> get -> update -> load -> delete -> get-fails.
+    No sleeps: same-clock-tick writes must resolve by the monotonic
+    version sequence, not wall-clock luck."""
+    store = config_store
     key = store.update(
         "persistent://tenant1/ns/topicA",
         "pulsar://cluster:6650",
@@ -129,10 +140,12 @@ def test_config_store_crud_lifecycle(spark, tmp_path):
     assert got is not None and got["topic_full_name"] == "persistent://tenant1/ns/topicA"
     assert len(got["webhooks"]) == 1
 
-    # upsert replaces (last-write-wins snapshot)
-    store.update("persistent://tenant1/ns/topicA", "pulsar://cluster:6650", [], notes="v2")
+    # upsert replaces (last-write-wins snapshot); burst of same-tick
+    # writes must land on the LAST one via the version tiebreak
+    for i in range(2, 6):
+        store.update("persistent://tenant1/ns/topicA", "pulsar://cluster:6650", [], notes=f"v{i}")
     got2 = store.get_by_key(key)
-    assert got2["notes"] == "v2" and got2["webhooks"] in ([], None)
+    assert got2["notes"] == "v5" and got2["webhooks"] in ([], None)
 
     assert len(store.load()) == 1
     store.delete_by_key(key)

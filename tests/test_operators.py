@@ -290,3 +290,78 @@ def test_minhash_path_equals_exact_at_curation_threshold(spark):
     mh = {tuple(r) for r in minhash_near_dup_pairs(docs, threshold=0.5).collect()}
     ex = {tuple(r) for r in exact_jaccard_pairs(docs, threshold=0.5).collect()}
     assert mh == ex and len(mh) > 0
+
+
+def _make_ppm(w, h):
+    rgb = bytes((x * 7 + y * 13 + c * 29) % 256 for y in range(h) for x in range(w) for c in range(3))
+    return b"P6\n# test comment\n%d %d\n255\n" % (w, h) + rgb, rgb
+
+
+def _make_bmp(w, h):
+    # bottom-up 24bpp BMP with row padding; same pixel function as the ppm
+    stride = (w * 3 + 3) & ~3
+    px = bytearray()
+    for row in range(h - 1, -1, -1):
+        for x in range(w):
+            r, g, b = ((x * 7 + row * 13 + c * 29) % 256 for c in range(3))
+            px += bytes((b, g, r))
+        px += b"\0" * (stride - w * 3)
+    header = (b"BM" + (14 + 40 + len(px)).to_bytes(4, "little") + b"\0\0\0\0"
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(px).to_bytes(4, "little")
+              + b"\0" * 16)
+    rgb = bytes((x * 7 + y * 13 + c * 29) % 256 for y in range(h) for x in range(w) for c in range(3))
+    return header + bytes(px), rgb
+
+
+def test_image_decode_roundtrip():
+    """The dependency-free decoders must agree with each other and with
+    the encoder: PPM(P6) and 24-bpp BMP of the same pixels decode to the
+    same (w, h, rgb)."""
+    import pytest as _pytest
+
+    from pulsar_beam_spark.operators.multimodal import decode_image, encode_ppm_p6
+
+    ppm, rgb = _make_ppm(5, 3)
+    assert decode_image(ppm) == (5, 3, rgb)
+    bmp, rgb2 = _make_bmp(5, 3)
+    assert decode_image(bmp) == (5, 3, rgb2)
+    assert rgb == rgb2
+    assert decode_image(encode_ppm_p6(5, 3, rgb)) == (5, 3, rgb)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....")
+
+
+def test_multimodal_nonfake_decode_end_to_end(spark):
+    """fake=False runs the REAL kernel over Spark: decode -> image-stat
+    features, and decode -> nearest-neighbor resize -> re-encoded PPM
+    that itself decodes to the target size."""
+    from pulsar_beam_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        extract_features,
+        image_stats_features,
+        resize_media,
+    )
+
+    ppm, _ = _make_ppm(8, 6)
+    bmp, _ = _make_bmp(4, 4)
+    rows = [
+        (1, "image", ppm, "image/x-portable-pixmap", 8, 6, None),
+        (2, "image", bmp, "image/bmp", 4, 4, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in extract_features(media, fake=False).collect()}
+    assert feats[1]["features"] == image_stats_features(ppm)
+    assert feats[1]["features"][:2] == [8.0, 6.0]
+    assert feats[2]["features"][:2] == [4.0, 4.0]
+
+    resized = {r["media_id"]: r for r in resize_media(media, 3, 2, fake=False).collect()}
+    for mid in (1, 2):
+        w, h, rgb = decode_image(bytes(resized[mid]["content"]))
+        assert (w, h) == (3, 2) and len(rgb) == 3 * 2 * 3
+        assert resized[mid]["mime"] == "image/x-portable-pixmap"
