@@ -101,10 +101,14 @@ def test_ivf_recall_vs_brute_force(spark):
 
 
 def test_approx_count_distinct_tolerance(spark):
+    """R13 tolerance contract (SURVEY.md §5.2): HLL++ with declared
+    rsd=0.05 must land within 3*rsd = 15% of the exact count (rsd is one
+    relative standard deviation; 3 sigma bounds the flake rate while
+    still catching a broken sketch, which errs by orders of magnitude)."""
     li = load_table(spark, SF_SMOKE, "lineitem")
     exact = li.select(F.countDistinct("l_partkey").alias("n")).head()["n"]
     approx = li.select(F.approx_count_distinct("l_partkey", 0.05).alias("n")).head()["n"]
-    assert abs(approx - exact) / exact <= 0.15
+    assert abs(approx - exact) / exact <= 3 * 0.05
 
 
 def test_simhash_is_deterministic_and_discriminative(spark):
@@ -157,6 +161,10 @@ def test_exact_jaccard_matches_planted_pairs(spark):
 
 
 def test_approx_percentile_tolerance(spark):
+    """R13 tolerance contract: approx_percentile's accuracy parameter
+    (10000 in the registry query) bounds rank error to 1/accuracy; on
+    this distribution a 2% relative VALUE bound is comfortably implied
+    and still catches a mis-wired sketch."""
     from pulsar_beam_spark.queries import REGISTRY
 
     approx = {

@@ -363,3 +363,155 @@ def test_stream_static_routing_join(spark, msg_dir, tmp_path):
     expected = [r for r in batch.collect() if r["topic"] in cfg_topics]
     assert len(got) == len(expected)
     assert all(cfg_topics[r["topic"]] == r["url"] for r in got)
+
+
+# == G11: admission control ==============================================
+
+def test_semaphore_reference_parity():
+    """Ports reference TestSemaphore verbatim
+    (src/unit-test/middleware_test.go:152-174)."""
+    from pulsar_beam_spark.streaming.admission import Semaphore, SemaphoreError
+
+    sema = Semaphore(2)
+    with pytest.raises(SemaphoreError, match="all semaphore buffer empty"):
+        sema.release()
+    sema.acquire()
+    sema.acquire()
+    with pytest.raises(SemaphoreError, match="all semaphore buffer full"):
+        sema.acquire()
+    sema.release()
+    sema.acquire()
+    sema.release()
+    sema.release()
+    with pytest.raises(SemaphoreError, match="all semaphore buffer empty"):
+        sema.release()
+
+
+def test_admission_gate_sheds_overload():
+    """Over-admission: 32 concurrent requests against a cap of 4 — the
+    gate must keep observed concurrency <= 4 and answer the overflow
+    with 429 instead of queueing (middleware.go:71-81 semantics)."""
+    import threading
+
+    from pulsar_beam_spark.streaming.admission import (
+        HTTP_TOO_MANY_REQUESTS,
+        Semaphore,
+        admission_gate,
+    )
+
+    cap, n = 4, 32
+    sema = Semaphore(cap)
+    lock = threading.Lock()
+    state = {"now": 0, "peak": 0}
+    hold = threading.Event()
+
+    def handler():
+        with lock:
+            state["now"] += 1
+            state["peak"] = max(state["peak"], state["now"])
+        hold.wait(0.2)  # keep the permit long enough for overlap
+        with lock:
+            state["now"] -= 1
+        return 200, "ok"
+
+    gated = admission_gate(sema, handler)
+    results = []
+
+    def request():
+        results.append(gated()[0])
+
+    threads = [threading.Thread(target=request) for _ in range(n)]
+    for t in threads:
+        t.start()
+    time.sleep(0.1)
+    hold.set()
+    for t in threads:
+        t.join()
+
+    assert state["peak"] <= cap
+    assert results.count(200) >= cap
+    assert results.count(HTTP_TOO_MANY_REQUESTS) == n - results.count(200)
+    assert sema.in_flight == 0
+
+
+def test_per_trigger_admission_bounds_batches(spark, tmp_path):
+    """The engine-side admission knob: with maxFilesPerTrigger=1 over a
+    4-file backlog, every micro-batch admits exactly one file's rows —
+    bounded in-flight work per trigger (G11 -> source backpressure)."""
+    from pulsar_beam_spark.streaming.admission import bounded_batch_sizes
+
+    d = str(tmp_path / "msgs-parts")
+    spark.createDataFrame(_messages(40), MESSAGE_SCHEMA).repartition(4).write.parquet(d)
+    stream = (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    sizes = bounded_batch_sizes(stream, str(tmp_path / "ckpt-admission"))
+    assert sum(sizes) == 40
+    assert len(sizes) == 4, f"one admitted file per trigger => 4 micro-batches, got {sizes}"
+    assert max(sizes) < 40, "no trigger may admit the whole backlog"
+
+
+# == S2: watermark late-data drop (explicit golden) ======================
+
+def test_s2_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
+    """Golden S2 assertion: a row arriving in a later micro-batch with
+    event_time older than the advanced watermark must NOT change an
+    already-finalized window. Three ordered micro-batches: (0) on-time
+    backlog advances the watermark past the first window; (1) a fresh
+    row makes the engine finalize+emit that window; (2) a LATE row
+    targeting the finalized window plus a fresh row. The first window
+    must appear exactly once, with batch 0's count only — no merge, no
+    duplicate re-emission.
+
+    (Empirically pinned: a late row whose window state is still LIVE in
+    the same batch that finalizes it IS merged by Spark — the drop
+    guarantee applies once the watermark passed and state was evicted,
+    which is exactly the contract this test locks in.)"""
+    import os
+
+    d = str(tmp_path / "late-src")
+    os.makedirs(d)
+
+    def rows(times_min):
+        return [
+            (
+                f"m-{i}-{t}",
+                "persistent://tenant0/ns/t",
+                None,
+                b"{}",
+                T0 + timedelta(minutes=t),
+                T0 + timedelta(minutes=t),
+                None,
+            )
+            for i, t in enumerate(times_min)
+        ]
+
+    # batch 0: 2 rows in window [00:00,00:05), backlog to 00:27
+    #   -> watermark after batch 0 = 00:17
+    # batch 1: fresh 00:30 -> window [00:00,00:05) evicted+emitted (n=2)
+    # batch 2: LATE 00:02 (far below watermark 00:20) + fresh 00:33
+    base = time.time()
+    for i, ts in enumerate([[0, 3, 6, 9, 12, 15, 18, 21, 24, 27], [30], [2, 33]]):
+        before = set(os.listdir(d))
+        spark.createDataFrame(rows(ts), MESSAGE_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+        for f in set(os.listdir(d)) - before:
+            if f.endswith(".parquet"):
+                # file source admits oldest-mtime first: pin batch order
+                os.utime(os.path.join(d, f), (base + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    out = tumbling_counts(stream, width="5 minutes", watermark="10 minutes")
+    got = _run_available_now(out, tmp_path, "s2_late_drop").collect()
+
+    first = [r for r in got if r["window_start"] == T0]
+    assert len(first) == 1, f"finalized window must be emitted exactly once, got {got}"
+    assert first[0]["n"] == 2, (
+        f"late row beyond watermark must be dropped (expected file A's 2 rows), got {first[0]}"
+    )
