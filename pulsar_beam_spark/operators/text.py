@@ -139,3 +139,69 @@ def tf_idf(
             F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
         )
     )
+
+
+def repetition_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Intra-document repetition features (Gopher-style filters): total /
+    distinct word n-grams, duplicate-n-gram fraction, and the most
+    frequent n-gram's share. High values flag boilerplate/degenerate
+    docs that near-dup removal misses (it only sees CROSS-doc overlap).
+
+    Plan: one explode -> (doc, gram) count (map-side combined) -> per-doc
+    agg — two shuffles total, both keyed small; docs shorter than n
+    tokens come back with zero counts via the left join.
+    """
+    from ..functions.texthash import shingles
+
+    sh = docs.select(F.col(id_col).alias("id"), F.explode(shingles(tokens(text_col), n)).alias("g"))
+    freq = sh.groupBy("id", "g").agg(F.count("*").alias("f"))
+    agg = freq.groupBy("id").agg(
+        F.sum("f").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("f").cast("long").alias("top"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("total", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct_ngrams"),
+            F.round(
+                F.when(F.col("total") > 0, 1.0 - F.col("n_distinct") * 1.0 / F.col("total")).otherwise(0.0), 6
+            ).alias("dup_ngram_frac"),
+            F.round(
+                F.when(F.col("total") > 0, F.col("top") * 1.0 / F.col("total")).otherwise(0.0), 6
+            ).alias("top_ngram_frac"),
+        )
+    )
+
+
+# (pattern, replacement) in application order; counts are taken on the
+# ORIGINAL text so overlapping rewrites can't hide matches
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction for training corpora: replace emails / IPv4s /
+    NANP-style phone fragments with typed placeholder tags and count the
+    redactions per category. Pure regexp built-ins (codegen'd, zero
+    shuffles — scale is scan throughput); patterns chosen to behave
+    identically under Java regex (Spark) and RE2 (DuckDB oracle).
+    """
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(f"n_{name}s")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))

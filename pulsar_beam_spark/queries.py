@@ -39,7 +39,7 @@ from .operators.packing import sequence_pack
 from .operators.sampling import deterministic_split, stable_bucket_sql, stratified_sample
 from .operators.similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk
 from .operators.text import language_id, quality_scores, token_stats, top_terms
-from .operators.text import doc_fingerprints, tf_idf
+from .operators.text import doc_fingerprints, pii_scrub, repetition_scores, tf_idf
 from .model.topic import tenant_from_topic_col, topic_key_col
 from .sources.tables import load_table
 from .sql import run_sql
@@ -2591,6 +2591,83 @@ def q_curation(spark, sf):
 
 
 REGISTRY["pipeline_corpus_curation"].oracle = _curation_oracle()
+
+
+# == round-2 additions (registered AFTER the curation pipeline so the
+#    driver's 50-entry front window stays exactly the round-1-unverified
+#    set; these land at positions 51+ and get verified in a later round) =
+
+REPETITION_ORACLE = """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t)-1, 0)),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS g
+      FROM toks),
+f AS (SELECT doc_id, g, count(*) AS f FROM g GROUP BY 1, 2),
+a AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS nd, CAST(max(f) AS BIGINT) AS top
+      FROM f GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(total, 0) AS n_ngrams,
+       coalesce(nd, 0) AS n_distinct_ngrams,
+       round(CASE WHEN total > 0 THEN 1.0 - nd*1.0/total ELSE 0.0 END, 6) AS dup_ngram_frac,
+       round(CASE WHEN total > 0 THEN top*1.0/total ELSE 0.0 END, 6) AS top_ngram_frac
+FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+"""
+
+
+@register(
+    "t_repetition_scores",
+    REPETITION_ORACLE,
+    doc="Gopher-style intra-doc repetition: duplicate/top 2-gram fractions "
+        "(cross-doc dedup can't see these; boilerplate filter)",
+)
+def q_repetition(spark, sf):
+    return repetition_scores(T(spark, sf, "documents"), n=2)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+PII_ORACLE = f"""
+WITH p AS (SELECT doc_id,
+  'contact user' || CAST(doc_id AS VARCHAR) || '@example.com call 555-'
+    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 ' || text AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{_PII_EMAIL}', '<EMAIL>', 'g'),
+    '{_PII_IP}', '<IP>', 'g'),
+    '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM p
+"""
+
+
+@register(
+    "t_pii_scrub",
+    PII_ORACLE,
+    doc="PII redaction with per-category counts over a deterministic "
+        "planted-PII column (emails/IPv4/phone fragments); zero-shuffle "
+        "regexp built-ins",
+)
+def q_pii(spark, sf):
+    docs = T(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 "), F.col("text"),
+        ).alias("text"),
+    )
+    return pii_scrub(planted)
 
 
 # == exports consumed by __spark_entry__.py ==============================

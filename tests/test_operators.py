@@ -373,3 +373,38 @@ def test_multimodal_nonfake_decode_end_to_end(spark):
         w, h, rgb = decode_image(bytes(resized[mid]["content"]))
         assert (w, h) == (3, 2) and len(rgb) == 3 * 2 * 3
         assert resized[mid]["mime"] == "image/x-portable-pixmap"
+
+
+def test_pii_scrub_planted_vectors(spark):
+    from pulsar_beam_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org then 10.1.2.3 and 555-1234 done"),
+            (2, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (1, 1, 1)
+    assert got[1]["scrubbed"] == "mail <EMAIL> then <IP> and <PHONE> done"
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 0, 0)
+    assert got[2]["scrubbed"] == "no pii here at all"
+
+
+def test_repetition_scores_flags_degenerate_docs(spark):
+    from pulsar_beam_spark.operators.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),        # one 2-gram repeated 4x
+            (2, "all words here are fully unique"), # no repeated 2-gram
+            (3, "tiny"),                            # < n tokens -> zero ngrams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(df, n=2).collect()}
+    assert got[1]["n_ngrams"] == 4 and got[1]["n_distinct_ngrams"] == 1
+    assert got[1]["dup_ngram_frac"] == 0.75 and got[1]["top_ngram_frac"] == 1.0
+    assert got[2]["dup_ngram_frac"] == 0.0
+    assert got[3]["n_ngrams"] == 0 and got[3]["dup_ngram_frac"] == 0.0
