@@ -187,3 +187,42 @@ def test_tenant_predicate_truth_table(spark):
     # comma-separated multi-subject: any match grants (handlers.go:391)
     assert check("alice-1234,myadmin", "persistent://alice/ns/t") is True
     assert check("alic-1234,myadmin", "persistent://alice/ns/t") is False
+
+
+def test_kafka_normalization_and_connector_options(spark):
+    """Connector seam (SURVEY §4.3): option builders map G6 subscription
+    semantics onto source options, and the Kafka wire schema normalizes
+    to MESSAGE_SCHEMA — verified on batch rows (no broker in-container)."""
+    from datetime import datetime
+
+    from pulsar_beam_spark.model.message import MESSAGE_SCHEMA
+    from pulsar_beam_spark.sources.connectors import (
+        kafka_source_options,
+        normalize_kafka,
+        pulsar_source_options,
+    )
+
+    opts = kafka_source_options("b:9092", "events", "Earliest", max_offsets_per_trigger=500)
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "500"
+    with pytest.raises(ValueError):
+        kafka_source_options("b:9092", "events", "middle")
+    assert pulsar_source_options("pulsar://c:6650", "http://c:8080", "t")["startingOffsets"] == "latest"
+
+    wire = spark.createDataFrame(
+        [
+            (b"k1", b'{"v":1}', "persistent://t/ns/a", 0, 42,
+             datetime(2024, 1, 1), 0, [("PulsarBeamId", b"uuid-1")]),
+            (None, b"x", "persistent://t/ns/a", 1, 7, datetime(2024, 1, 2), 0, None),
+        ],
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, timestampType int, "
+        "headers array<struct<key:string,value:binary>>",
+    )
+    out = normalize_kafka(wire)
+    assert [f.name for f in out.schema.fields] == [f.name for f in MESSAGE_SCHEMA.fields]
+    rows = {r["message_id"]: r for r in out.collect()}
+    r1 = rows["persistent://t/ns/a-0-42"]
+    assert bytes(r1["payload"]) == b'{"v":1}' and r1["key"] == "k1"
+    assert r1["properties"] == {"PulsarBeamId": "uuid-1"}
+    assert rows["persistent://t/ns/a-1-7"]["properties"] == {}
