@@ -84,3 +84,41 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    source_col: str,
+    key: str,
+    weights: dict[str, float],
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic dataset mixing: keep fraction ``weights[source]`` of
+    each source's rows (sources absent from ``weights`` drop entirely) —
+    the standard pretraining-mixture op ("2 parts web, 1 part code, ...")
+    expressed as a pure per-row predicate.
+
+    Like the split operator this MUST NOT use ``df.sample()``: the kept
+    subset has to be stable across reruns/engines so epoch composition is
+    reproducible. A row survives iff its stable md5 bucket (keyed on
+    ``key``, independent of partitioning) falls below
+    ``weights[source] * n_buckets``. Zero shuffles; composes with
+    deterministic_split (the two hash on disjoint bucket spaces only if
+    keys differ — salt the key with the op name when stacking).
+    """
+    b = stable_bucket(F.concat(F.lit("mix:"), F.col(key).cast("string")), n_buckets)
+    thresholds = F.create_map(
+        *[x for s, w in sorted(weights.items()) for x in (F.lit(s), F.lit(int(w * n_buckets)))]
+    )
+    return df.filter(b < F.coalesce(thresholds[F.col(source_col)], F.lit(0)))
+
+
+def weighted_mix_sql(
+    source_col: str, key_expr: str, weights: dict[str, float], n_buckets: int = 10_000
+) -> str:
+    """DuckDB-equivalent predicate text for :func:`weighted_mix`."""
+    bucket = stable_bucket_sql(f"'mix:' || CAST({key_expr} AS VARCHAR)", n_buckets)
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(w * n_buckets)}" for s, w in sorted(weights.items())
+    )
+    return f"({bucket}) < (CASE {source_col} {cases} ELSE 0 END)"

@@ -36,7 +36,13 @@ from .operators.dedup import (
 )
 from .operators.multimodal import extract_features, media_from_documents
 from .operators.packing import sequence_pack
-from .operators.sampling import deterministic_split, stable_bucket_sql, stratified_sample
+from .operators.sampling import (
+    deterministic_split,
+    stable_bucket_sql,
+    stratified_sample,
+    weighted_mix,
+    weighted_mix_sql,
+)
 from .operators.similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk
 from .operators.text import language_id, quality_scores, token_stats, top_terms
 from .operators.text import doc_fingerprints, pii_scrub, repetition_scores, tf_idf
@@ -2668,6 +2674,26 @@ def q_pii(spark, sf):
         ).alias("text"),
     )
     return pii_scrub(planted)
+
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+MIX_ORACLE = f"""
+SELECT doc_id, source FROM documents
+WHERE {weighted_mix_sql("source", "doc_id", _MIX_WEIGHTS)}
+"""
+
+
+@register(
+    "p_weighted_mix",
+    MIX_ORACLE,
+    doc="Deterministic pretraining-mixture sampling: per-source keep "
+        "fractions via the portable md5 bucket (zero shuffles; stable "
+        "across engines/reruns — df.sample() can't provide that)",
+)
+def q_weighted_mix(spark, sf):
+    docs = T(spark, sf, "documents")
+    return weighted_mix(docs, "source", "doc_id", _MIX_WEIGHTS).select("doc_id", "source")
 
 
 # == exports consumed by __spark_entry__.py ==============================

@@ -408,3 +408,25 @@ def test_repetition_scores_flags_degenerate_docs(spark):
     assert got[1]["dup_ngram_frac"] == 0.75 and got[1]["top_ngram_frac"] == 1.0
     assert got[2]["dup_ngram_frac"] == 0.0
     assert got[3]["n_ngrams"] == 0 and got[3]["dup_ngram_frac"] == 0.0
+
+
+def test_weighted_mix_is_stable_and_proportional(spark):
+    from pulsar_beam_spark.operators.sampling import weighted_mix
+    from pulsar_beam_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    w = {"src0": 1.0, "src1": 0.5, "src4": 0.2}
+    a = {r["doc_id"] for r in weighted_mix(docs, "source", "doc_id", w).collect()}
+    b = {r["doc_id"] for r in weighted_mix(docs.repartition(13), "source", "doc_id", w).collect()}
+    assert a == b, "mixture must be independent of partitioning"
+    per_src = {
+        r["source"]: r["n"]
+        for r in weighted_mix(docs, "source", "doc_id", w)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_src["src0"] == totals["src0"], "weight 1.0 keeps everything"
+    assert set(per_src) == {"src0", "src1", "src4"}, "unlisted sources drop"
+    # binomial-ish bounds on the kept fractions (25 docs per source)
+    assert 0.2 <= per_src["src1"] / totals["src1"] <= 0.8
+    assert 0.0 < per_src["src4"] / totals["src4"] <= 0.5

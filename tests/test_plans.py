@@ -152,3 +152,29 @@ def test_embedding_near_dup_is_blocked_equi_join(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_pii_scrub_is_pure_projection(spark):
+    """PII scrubbing is regexp built-ins over a scan: zero exchanges."""
+    df = REGISTRY["t_pii_scrub"].spark(spark, SF_SMOKE)
+    assert n_exchanges(df) == 0, formatted_plan(df)[:2000]
+
+
+def test_weighted_mix_is_shuffle_free_filter(spark):
+    """The mixture predicate must stay a per-row filter: no exchange, and
+    the source/doc_id columns pruned at the parquet scan."""
+    df = REGISTRY["p_weighted_mix"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert n_exchanges(df) == 0, plan[:2000]
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" not in read_schema, "unused text column must be pruned"
+
+
+def test_repetition_scores_partial_aggregates(spark):
+    """Repetition scoring: explode -> two keyed aggs, both with map-side
+    partial aggregation (no extra shuffles beyond the two groupBys +
+    the left join back to doc ids)."""
+    from pulsar_beam_spark.plans.explain import simple_plan
+
+    df = REGISTRY["t_repetition_scores"].spark(spark, SF_SMOKE)
+    assert "partial_count" in simple_plan(df) or "partial_sum" in simple_plan(df)
