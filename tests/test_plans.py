@@ -178,3 +178,22 @@ def test_repetition_scores_partial_aggregates(spark):
 
     df = REGISTRY["t_repetition_scores"].spark(spark, SF_SMOKE)
     assert "partial_count" in simple_plan(df) or "partial_sum" in simple_plan(df)
+
+
+def test_q8_broadcasts_dims_single_ratio(spark):
+    """Q8: both nation copies + region broadcast; the conditional
+    numerator/denominator sums are partial-aggregated map-side."""
+    from pulsar_beam_spark.plans.explain import simple_plan
+
+    df = REGISTRY["tpch_q8_market_share"].spark(spark, SF_SMOKE)
+    s = explain_summary(df)
+    assert s["broadcast_joins"] >= 3, formatted_plan(df)[:2000]
+    assert "partial_sum" in simple_plan(df)
+
+
+def test_q21_no_cartesian_from_double_exists(spark):
+    """Q21's EXISTS/NOT-EXISTS pair compiles to one per-order aggregate
+    pass joined back by order key — hash joins only."""
+    df = REGISTRY["tpch_q21_waiting_suppliers"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
