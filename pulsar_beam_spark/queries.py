@@ -2929,6 +2929,86 @@ def q_q21(spark, sf):
     )
 
 
+SESSIONIZE_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM e)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "r_sessionize_gap",
+    SESSIONIZE_ORACLE,
+    doc="Batch sessionization (gap 30min): lag -> session-boundary flag -> "
+        "running-sum session id -> per-session agg. The batch algebra "
+        "behind S5's session_window; one window shuffle on user_id, reused "
+        "by all three passes",
+)
+def q_sessionize(spark, sf):
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+SCD2_ORACLE = """
+SELECT user_id, event_id, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+WHERE event_type <> 'error'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "r_scd2_intervals",
+    SCD2_ORACLE,
+    doc="SCD2 interval build over the changelog (G8's other half): each "
+        "non-tombstone version gets [valid_from, valid_to) via lead(), "
+        "open-ended current row flagged — one window shuffle",
+)
+def q_scd2(spark, sf):
+    ev = T(spark, sf, "events").filter(F.col("event_type") != "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in

@@ -515,3 +515,28 @@ def test_s2_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
     assert first[0]["n"] == 2, (
         f"late row beyond watermark must be dropped (expected file A's 2 rows), got {first[0]}"
     )
+
+
+# == stream-stream interval join (beyond-reference capability) ===========
+
+def test_stream_stream_interval_join_matches_batch(spark, msg_dir, tmp_path):
+    """Watermarked stream⋈stream interval join must produce exactly the
+    batch join's rows (the reference can only correlate streams through
+    an external webhook round-trip; Spark joins them natively with
+    bounded state)."""
+    from pulsar_beam_spark.streaming.joins import interval_join
+
+    stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(msg_dir)
+    joined = interval_join(stream, stream, key="key", within="5 minutes")
+    got = {
+        (r["l_message_id"], r["r_message_id"])
+        for r in _run_available_now(joined, tmp_path, "ss_join").collect()
+    }
+
+    batch = spark.read.schema(MESSAGE_SCHEMA).parquet(msg_dir)
+    expect = {
+        (r["l_message_id"], r["r_message_id"])
+        for r in interval_join(batch, batch, key="key", within="5 minutes").collect()
+    }
+    assert expect, "fixture must produce joined pairs"
+    assert got == expect
