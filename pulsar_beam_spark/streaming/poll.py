@@ -27,6 +27,7 @@ def bounded_poll(
     source_dir: str,
     batch_size: int = 10,
     checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> dict | None:
     """One bounded poll: read what is available now, keep the earliest
     ``batch_size`` messages by (event_time, message_id), return the JSON
@@ -53,9 +54,11 @@ def bounded_poll(
         )
         sink_rows.extend(r.asDict() for r in rows)
 
+    reader = spark.readStream.schema(MESSAGE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     q = (
-        spark.readStream.schema(MESSAGE_SCHEMA)
-        .parquet(source_dir)
+        reader.parquet(source_dir)
         .writeStream.foreachBatch(take_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -540,3 +540,25 @@ def test_stream_stream_interval_join_matches_batch(spark, msg_dir, tmp_path):
     }
     assert expect, "fixture must produce joined pairs"
     assert got == expect
+
+
+def test_bounded_poll_globally_earliest_across_micro_batches(spark, tmp_path):
+    """When AvailableNow splits the backlog into several micro-batches
+    (maxFilesPerTrigger=1 over 4 files), the poll must still return the
+    GLOBALLY earliest batch_size messages — each batch contributes its
+    own earliest rows and the union re-sorts before truncation."""
+    d = str(tmp_path / "poll-multi")
+    # 4 files, event times interleaved across files: file i holds
+    # minutes i, i+4, i+8, ... so no single file contains the global head
+    all_rows = _messages(40, dup_every=1000)
+    for i in range(4):
+        spark.createDataFrame(all_rows[i::4], MESSAGE_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d)
+    out = bounded_poll(
+        spark, d, batch_size=6,
+        checkpoint_dir=str(tmp_path / "poll-multi-ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert out is not None and out["size"] == 6
+    got = [m["message_id"] for m in out["messages"]]
+    assert got == [f"m-{i}" for i in range(6)], got
