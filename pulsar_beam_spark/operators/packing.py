@@ -31,6 +31,42 @@ from pyspark.sql import functions as F
 from .sampling import stable_bucket
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 80,
+    stride: int = 64,
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with overlap
+    (``stride`` < ``chunk_size`` -> ``chunk_size - stride`` chars of
+    overlap) — the RAG/embedding-prep sibling of sequence packing.
+
+    Pure per-row generate-and-explode: ``sequence`` builds the 1-based
+    start offsets, ``explode`` emits one row per chunk, ``substr`` clips
+    the final short chunk. No shuffle at any corpus size — chunking is
+    embarrassingly parallel and stays inside whole-stage codegen.
+
+    Returns (id_col, chunk_idx INT, chunk_start INT, chunk STRING,
+    chunk_len INT).
+    """
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1)), F.lit(stride)
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.explode(starts).alias("chunk_start"))
+        .select(
+            id_col,
+            F.floor((F.col("chunk_start") - 1) / stride).cast("int").alias("chunk_idx"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.col(text_col)
+            .substr(F.col("chunk_start"), F.lit(chunk_size))
+            .alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
 def sequence_pack(
     df: DataFrame,
     key: str,

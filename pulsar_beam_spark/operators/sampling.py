@@ -86,6 +86,28 @@ def stratified_sample(
     )
 
 
+def shard_shuffle(df: DataFrame, key: str, n_shards: int = 1024) -> DataFrame:
+    """Deterministic global training-order shuffle, sharded.
+
+    Training wants each epoch to read documents in a pseudo-random but
+    REPRODUCIBLE order. A single global ``ORDER BY hash`` with positions
+    would force one partition; instead each row gets a stable ``shard``
+    (the unit data loaders consume) and a ``pos_in_shard`` from a
+    row_number over that shard, ordered by an independent salted hash.
+    One window shuffle, parallel across ``n_shards``; both the shard and
+    the order derive from md5 of the key, so any engine reproduces the
+    exact same epoch order.
+    """
+    shard = stable_bucket(F.col(key), n_shards)
+    order = stable_bucket(F.concat(F.lit("ord:"), F.col(key).cast("string")), 1 << 60)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", key)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("shuffle_key", order)
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+    )
+
+
 def weighted_mix(
     df: DataFrame,
     source_col: str,

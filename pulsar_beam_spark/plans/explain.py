@@ -25,12 +25,23 @@ def simple_plan(df: DataFrame) -> str:
     )
 
 
-def n_exchanges(df: DataFrame) -> int:
-    """Count shuffle Exchange operators (not broadcast exchanges)."""
-    plan = formatted_plan(df)
-    return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning") + plan.count(
-        "Exchange SinglePartition"
-    )
+def n_exchanges(df: DataFrame, include_single_partition: bool = True) -> int:
+    """Count shuffle Exchange operators (not broadcast exchanges).
+
+    Parses the SIMPLE-mode plan: formatted mode prints the node name and
+    its `hashpartitioning(...)` arguments on separate lines, so matching
+    "Exchange hashpartitioning" there silently counts zero.
+
+    ``include_single_partition=False`` ignores ``Exchange SinglePartition``
+    nodes — the inherent (and tiny: pre-aggregated partials only) exchange
+    under a global aggregate — so tests can assert "the fact table never
+    shuffles" without forbidding global aggregation itself.
+    """
+    plan = simple_plan(df)
+    n = plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+    if include_single_partition:
+        n += plan.count("Exchange SinglePartition")
+    return n
 
 
 def has_pushed_filters(df: DataFrame, fragment: str) -> bool:
@@ -46,7 +57,8 @@ def explain_summary(df: DataFrame) -> dict:
     plan = formatted_plan(df)
     simple = simple_plan(df)
     return {
-        "shuffle_exchanges": plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning"),
+        "shuffle_exchanges": simple.count("Exchange hashpartitioning")
+        + simple.count("Exchange rangepartitioning"),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "codegen_spans": simple.count("*("),

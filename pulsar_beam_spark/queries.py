@@ -34,10 +34,13 @@ from .operators.dedup import (
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
 )
+from .operators.decontam import decontaminate
+from .operators.merge import merge_upsert
 from .operators.multimodal import extract_features, media_from_documents
-from .operators.packing import sequence_pack
+from .operators.packing import chunk_documents, sequence_pack
 from .operators.sampling import (
     deterministic_split,
+    shard_shuffle,
     stable_bucket_sql,
     stratified_sample,
     weighted_mix,
@@ -2149,10 +2152,10 @@ _SPLIT_BUCKET = stable_bucket_sql("doc_id", 100)
 )
 def q_split(spark, sf):
     d = deterministic_split(T(spark, sf, "documents"), "doc_id")
-    return (
-        d.groupBy("split")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
-        .orderBy("split")
+    # no orderBy: a global sort adds a range exchange for display order the
+    # driver's order-insensitive compare never needs
+    return d.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
 
 
@@ -3006,6 +3009,139 @@ def q_scd2(spark, sf):
         F.col("ts").alias("valid_from"),
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+DECONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(text, ' +') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(generate_series(1, greatest(len(t)-3, 0)),
+                               i -> array_to_string(t[i:i+3], ' '))) AS g
+  FROM toks),
+ev AS (SELECT DISTINCT g FROM grams WHERE source = 'src19'),
+hits AS (
+  SELECT tg.doc_id, count(*) AS n
+  FROM grams tg JOIN ev USING (g) WHERE tg.source <> 'src19' GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_contaminated_ngrams,
+       CAST(CASE WHEN coalesce(n, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+WHERE d.source <> 'src19'
+"""
+
+
+@register(
+    "p_decontaminate",
+    DECONTAM_ORACLE,
+    doc="Eval-set decontamination: word-4-gram overlap of the training "
+        "corpus (source<>src19) against a held-out benchmark (src19). "
+        "Tiny eval n-gram set broadcast — the corpus is never shuffled "
+        "for the probe; one groupBy(doc_id) for the count",
+)
+def q_decontaminate(spark, sf):
+    docs = T(spark, sf, "documents")
+    return decontaminate(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"),
+        n=4,
+    )
+
+
+CHUNK_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1), 64)) AS cs
+  FROM documents)
+SELECT doc_id,
+       CAST((cs - 1) // 64 AS INT) AS chunk_idx,
+       CAST(cs AS INT) AS chunk_start,
+       substr(text, CAST(cs AS INT), 80) AS chunk,
+       CAST(length(substr(text, CAST(cs AS INT), 80)) AS INT) AS chunk_len
+FROM s
+"""
+
+
+@register(
+    "p_chunk_documents",
+    CHUNK_ORACLE,
+    doc="RAG/embedding-prep chunking: 80-char windows, stride 64 (16 "
+        "overlap), generate-and-explode per row — zero shuffles at any "
+        "corpus size",
+)
+def q_chunk_documents(spark, sf):
+    return chunk_documents(
+        T(spark, sf, "documents"), chunk_size=80, stride=64
+    )
+
+
+SHARD_SHUFFLE_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id,
+         ({stable_bucket_sql('doc_id', 64)}) AS shard,
+         ({stable_bucket_sql("'ord:' || CAST(doc_id AS VARCHAR)", 1 << 60)}) AS shuffle_key
+  FROM documents)
+SELECT doc_id, shard, shuffle_key,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id)
+            AS BIGINT) AS pos_in_shard
+FROM k
+"""
+
+
+@register(
+    "p_shard_shuffle",
+    SHARD_SHUFFLE_ORACLE,
+    doc="Deterministic global training-order shuffle: stable md5 shard + "
+        "independent salted order hash + per-shard position. One window "
+        "shuffle, parallel across shards; any engine reproduces the "
+        "epoch order bit-for-bit",
+)
+def q_shard_shuffle(spark, sf):
+    docs = T(spark, sf, "documents")
+    return shard_shuffle(docs, "doc_id", n_shards=64).select(
+        "doc_id", "shard", "shuffle_key", "pos_in_shard"
+    )
+
+
+MERGE_UPSERT_ORACLE = """
+WITH r AS (
+  SELECT user_id, value, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, value, ts AS updated_at
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register(
+    "r_merge_upsert",
+    MERGE_UPSERT_ORACLE,
+    doc="Incremental MERGE INTO: base snapshot (events < 2024-01-20) "
+        "full-outer-joined with the latest-per-key delta slice "
+        "(tombstone=error deletes). Oracle is the one-shot snapshot of "
+        "the WHOLE log — the merge must reproduce it exactly. Delta "
+        "pre-shrunk to one row per touched key before the join; AQE "
+        "broadcasts the small delta so the base is not shuffled",
+)
+def q_merge_upsert(spark, sf):
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    ev = T(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value", "event_type",
+        F.col("ts").alias("updated_at"),
+    )
+    base = (
+        exact_dedup_latest(ev.filter(F.col("ts") < cutoff), ["user_id"], "ts", "event_id")
+        .filter(F.col("event_type") != "error")
+        .select("user_id", "value", "updated_at")
+    )
+    delta = ev.filter(F.col("ts") >= cutoff)
+    return merge_upsert(
+        base, delta,
+        keys=["user_id"], order_col="ts", tiebreak="event_id",
+        tombstone=F.col("event_type") == "error",
+        payload_cols=["value", "updated_at"],
     )
 
 

@@ -430,3 +430,85 @@ def test_weighted_mix_is_stable_and_proportional(spark):
     # binomial-ish bounds on the kept fractions (25 docs per source)
     assert 0.2 <= per_src["src1"] / totals["src1"] <= 0.8
     assert 0.0 < per_src["src4"] / totals["src4"] <= 0.5
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE truth table on hand-built changelogs: untouched pass-through,
+    upsert replaces payload, tombstone deletes, delta re-creates a key the
+    base never had, and tombstone-then-nothing stays deleted."""
+    from pulsar_beam_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "k int, v string, t int"
+    )
+    delta = spark.createDataFrame(
+        [
+            (2, "b2", 20, 0),   # upsert existing
+            (2, "b1", 15, 0),   # older delta row — must lose to b2
+            (3, None, 20, 1),   # tombstone deletes
+            (4, "d", 20, 0),    # insert new key
+            (5, "e", 20, 0),    # insert then delete within the delta
+            (5, None, 21, 1),
+        ],
+        "k int, v string, t int, dead int",
+    )
+    out = merge_upsert(
+        base, delta, keys=["k"], order_col="t", tiebreak="t",
+        tombstone=F.col("dead") == 1, payload_cols=["v", "t"],
+    )
+    got = {r["k"]: (r["v"], r["t"]) for r in out.collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 20), 4: ("d", 20)}
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk grid: full coverage with the declared overlap, short final
+    chunk clipped, single-chunk doc, and exact-multiple lengths do not
+    emit a phantom empty chunk."""
+    from pulsar_beam_spark.operators.packing import chunk_documents
+
+    rows = [
+        (1, "x" * 128),   # exact multiple of stride: starts 1, 65
+        (2, "y" * 130),   # straddles: starts 1, 65, 129 -> last chunk len 2
+        (3, "z" * 10),    # single short chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(df, chunk_size=80, stride=64)
+    pdf = out.toPandas().sort_values(["doc_id", "chunk_idx"])
+    by_doc = {k: g for k, g in pdf.groupby("doc_id")}
+    assert list(by_doc[1]["chunk_start"]) == [1, 65]
+    assert list(by_doc[1]["chunk_len"]) == [80, 64]
+    assert list(by_doc[2]["chunk_start"]) == [1, 65, 129]
+    assert list(by_doc[2]["chunk_len"]) == [80, 66, 2]
+    assert list(by_doc[3]["chunk_len"]) == [10]
+    # reconstruction: non-overlapped prefixes concatenate back to the text
+    for doc_id, text in rows:
+        g = by_doc[doc_id]
+        rebuilt = "".join(
+            c[: 64] if i < len(g) - 1 else c
+            for i, c in enumerate(g.sort_values("chunk_idx")["chunk"])
+        )
+        assert rebuilt == text, doc_id
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A training doc sharing a 4-gram with the eval set is flagged; a
+    disjoint doc is not; counts are DISTINCT n-gram hits."""
+    from pulsar_beam_spark.operators.decontam import decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text the quick brown fox jumps here"),  # 2 shared 4-grams
+            (2, "completely disjoint words only appear here now"),
+            (3, "quick brown fox jumps quick brown fox jumps"),  # dup grams count once
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_contaminated_ngrams"], r["contaminated"])
+        for r in decontaminate(train, eval_docs, n=4).collect()
+    }
+    assert got == {1: (2, 1), 2: (0, 0), 3: (1, 1)}

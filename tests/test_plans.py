@@ -100,10 +100,12 @@ def test_q18_semi_join_before_wide_joins(spark):
 
 
 def test_scalar_subquery_broadcasts_singleton(spark):
-    """The global-average singleton must broadcast, not shuffle orders."""
+    """The global-average singleton must broadcast, not shuffle orders:
+    the only exchange allowed is the singleton's own SinglePartition
+    gather of pre-aggregated partials."""
     df = REGISTRY["r_scalar_subquery"].spark(spark, SF_SMOKE)
     assert has_broadcast(df)
-    assert n_exchanges(df) == 0, formatted_plan(df)[:1500]
+    assert n_exchanges(df, include_single_partition=False) == 0, formatted_plan(df)[:1500]
 
 
 def test_q6_all_filters_push_to_scan(spark):
@@ -158,6 +160,42 @@ def test_pii_scrub_is_pure_projection(spark):
     """PII scrubbing is regexp built-ins over a scan: zero exchanges."""
     df = REGISTRY["t_pii_scrub"].spark(spark, SF_SMOKE)
     assert n_exchanges(df) == 0, formatted_plan(df)[:2000]
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval n-gram probe must be a broadcast hash join — the corpus
+    is never shuffled for membership. Allowed exchanges: the per-doc hit
+    count and the left join re-attaching zero counts."""
+    df = REGISTRY["p_decontaminate"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert has_broadcast(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert n_exchanges(df) <= 2, plan[:2000]
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Chunking is generate-and-explode per row: zero exchanges."""
+    df = REGISTRY["p_chunk_documents"].spark(spark, SF_SMOKE)
+    assert n_exchanges(df) == 0, formatted_plan(df)[:2000]
+
+
+def test_shard_shuffle_single_exchange(spark):
+    """Epoch-order shuffle = one hash exchange on the shard key (the
+    per-shard row_number window), nothing global."""
+    df = REGISTRY["p_shard_shuffle"].spark(spark, SF_SMOKE)
+    assert n_exchanges(df) == 1, formatted_plan(df)[:2000]
+
+
+def test_merge_upsert_two_exchanges_no_nlj(spark):
+    """MERGE: one exchange per side (base window + delta latest-per-key
+    window); the full-outer join must reuse those partitionings, and the
+    latest-per-key must lower to WindowGroupLimit (top-1 short-circuit,
+    no full per-key sort materialization)."""
+    df = REGISTRY["r_merge_upsert"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert n_exchanges(df) <= 2, plan[:2000]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan, plan[:2000]
 
 
 def test_weighted_mix_is_shuffle_free_filter(spark):
