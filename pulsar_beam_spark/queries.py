@@ -27,16 +27,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.asof import asof_join
+from .operators.decontam import decontaminate
 from .operators.dedup import (
+    duplicate_span_stats,
     embedding_near_dup_pairs,
     exact_dedup_latest,
     exact_jaccard_pairs,
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
 )
-from .operators.decontam import decontaminate
 from .operators.merge import merge_upsert
 from .operators.multimodal import extract_features, media_from_documents
+from .operators.vectors import quantize_vectors, range_search
 from .operators.packing import chunk_documents, sequence_pack
 from .operators.sampling import (
     deterministic_split,
@@ -3143,6 +3145,91 @@ def q_merge_upsert(spark, sf):
         tombstone=F.col("event_type") == "error",
         payload_cols=["value", "updated_at"],
     )
+
+
+SPAN_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
+spans AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) // 10),
+                               i -> array_to_string(t[(i-1)*10+1 : i*10], ' '))) AS sp
+  FROM toks WHERE len(t) >= 10),
+flagged AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY sp) AS n_docs_with_span FROM spans)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN n_docs_with_span >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register(
+    "p_span_dedup",
+    SPAN_DEDUP_ORACLE,
+    doc="Cross-document exact span dedup (Lee et al. 2022 signal): tile "
+        "docs into non-overlapping 10-token spans, count per doc how many "
+        "spans appear verbatim in other docs. No self-join — one window "
+        "over the span value + the per-doc rollup (2 shuffles total)",
+)
+def q_span_dedup(spark, sf):
+    return duplicate_span_stats(T(spark, sf, "documents"), span=10)
+
+
+QUANTIZE_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id,
+       CAST(len(e) AS INT) AS n_dims,
+       sqrt(list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y)) AS norm,
+       list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale,
+       array_to_string(
+         list_transform(e, x -> CAST(CAST(floor(
+           x * 127.0 / list_max(list_transform(e, y -> abs(y))) + 0.5)
+           AS INT) AS VARCHAR)), ',') AS codes
+FROM v
+"""
+
+
+@register(
+    "e_vector_quantize",
+    QUANTIZE_ORACLE,
+    doc="Vector-store prep: L2 norm + symmetric int8 quantization "
+        "(scale=max_abs/127, floor(x+0.5) rounding — engine-portable). "
+        "Pure per-row folds, zero exchanges; codes CSV-stringified so the "
+        "oracle pins every component",
+)
+def q_vector_quantize(spark, sf):
+    return quantize_vectors(T(spark, sf, "embeddings")).select(
+        "vec_id", "n_dims", "norm", "scale",
+        F.concat_ws(",", F.transform("codes", lambda x: x.cast("string"))).alias("codes"),
+    )
+
+
+RANGE_SEARCH_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             round(
+               list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], q.qv), x -> x[1] * x[2]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(e.embedding::DOUBLE[], x -> x * x), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))), 6) AS cosine
+      FROM embeddings e, q)
+SELECT vec_id, cosine FROM s WHERE cosine >= 0.3
+"""
+
+
+@register(
+    "e_range_search",
+    RANGE_SEARCH_ORACLE,
+    doc="Cosine radius search (the other vector-store read API next to "
+        "top-k): all vectors within a similarity threshold of the query. "
+        "Codegen'd fold against a literal query vector + in-place filter — "
+        "shuffle-free scan at any corpus size",
+)
+def q_range_search(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return range_search(emb, [float(x) for x in qrow["embedding"]], threshold=0.3)
 
 
 # == exports consumed by __spark_entry__.py ==============================

@@ -8,6 +8,7 @@ from __future__ import annotations
 import random
 
 import duckdb
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -512,3 +513,68 @@ def test_decontaminate_planted_overlap(spark):
         for r in decontaminate(train, eval_docs, n=4).collect()
     }
     assert got == {1: (2, 1), 2: (0, 0), 3: (1, 1)}
+
+
+def test_duplicate_span_stats_planted(spark):
+    """Docs sharing a verbatim 10-token span are mutually flagged; a doc
+    below the span length emits nothing; unique spans are not flagged."""
+    from pulsar_beam_spark.operators.dedup import duplicate_span_stats
+
+    boiler = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, boiler + " aa bb cc dd ee ff gg hh ii jj"),   # boiler + unique span
+        (2, boiler + " kk ll mm nn oo pp qq rr ss tt"),   # boiler + unique span
+        (3, "zz yy xx ww vv uu ts sr rq qp"),             # one unique span
+        (4, "too short to tile"),                          # < 10 tokens: absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in duplicate_span_stats(df, span=10).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1), 3: (1, 0)}
+
+
+def test_quantize_vectors_roundtrip(spark):
+    """Codes stay in [-127,127]; dequantized components are within half a
+    quantization step; l2_normalize yields unit vectors."""
+    from pulsar_beam_spark.operators.vectors import l2_normalize, quantize_vectors
+
+    rows = [(1, [3.0, -4.0, 0.5]), (2, [0.1, 0.2, -0.05]), (3, [-1.0, 1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_vectors(df).collect()}
+    for vid, vec in rows:
+        r = out[vid]
+        assert r["n_dims"] == 3
+        # embeddings are stored float32: compare at float32 precision
+        assert abs(r["norm"] - sum(x * x for x in vec) ** 0.5) < 1e-6
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        for x, c in zip(vec, r["codes"]):
+            x32 = float(np.float32(x))  # what the column actually stores
+            assert abs(c * r["scale"] - x32) <= r["scale"] / 2 + 1e-12
+    norms = (
+        df.select(F.aggregate(
+            F.transform(l2_normalize("embedding"), lambda x: x * x),
+            F.lit(0.0), lambda a, x: a + x,
+        ).alias("n2")).collect()
+    )
+    assert all(abs(r["n2"] - 1.0) < 1e-12 for r in norms)
+
+
+def test_range_search_matches_brute_force(spark):
+    """Radius search returns exactly the brute-force rows at/above the
+    threshold, including the query vector itself at cosine 1."""
+    from pulsar_beam_spark.operators.similarity import brute_force_topk
+    from pulsar_beam_spark.operators.vectors import range_search
+
+    from pulsar_beam_spark.sources.tables import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    thr = 0.25
+    got = {(r["vec_id"], r["cosine"]) for r in range_search(emb, q, thr).collect()}
+    want = {
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(emb, q, k=emb.count()).collect()
+        if r["cosine"] >= thr
+    }
+    assert got == want and (0, 1.0) in got

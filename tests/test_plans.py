@@ -235,3 +235,27 @@ def test_q21_no_cartesian_from_double_exists(spark):
     df = REGISTRY["tpch_q21_waiting_suppliers"].spark(spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_is_shuffle_free(spark):
+    """Normalize/quantize is a narrow per-row projection: no exchange."""
+    df = REGISTRY["e_vector_quantize"].spark(spark, SF_SMOKE)
+    assert n_exchanges(df) == 0, formatted_plan(df)[:2000]
+
+
+def test_range_search_is_shuffle_free_scan(spark):
+    """Radius search is scan + codegen'd fold + filter: no exchange, no
+    join of any kind."""
+    df = REGISTRY["e_range_search"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert n_exchanges(df) == 0, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_span_dedup_two_exchanges_no_join(spark):
+    """Cross-doc span dedup must not self-join: one window exchange on
+    the span value + the per-doc rollup exchange, nothing else."""
+    df = REGISTRY["p_span_dedup"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert n_exchanges(df) == 2, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
