@@ -55,6 +55,10 @@ HEADLINE = [
     "s5_session_window",
     "r34_pandas_grouped_map",
     "pipeline_corpus_curation",
+    "p_decontaminate",
+    "p_span_dedup",
+    "r_merge_upsert",
+    "e_vector_quantize",
 ]
 
 
