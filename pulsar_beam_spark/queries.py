@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.asof import asof_join
+from .operators.components import dedup_clusters
 from .operators.decontam import decontaminate
 from .operators.dedup import (
     duplicate_span_stats,
@@ -3230,6 +3231,36 @@ def q_range_search(spark, sf):
     emb = T(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     return range_search(emb, [float(x) for x in qrow["embedding"]], threshold=0.3)
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({{JACCARD}}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+SELECT u AS doc_id,
+       CAST(min(r) AS BIGINT) AS component,
+       CAST(CASE WHEN u = min(r) THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM reach GROUP BY u
+""".replace("{JACCARD}", JACCARD_ORACLE)
+
+
+@register(
+    "d_dedup_clusters",
+    DEDUP_CLUSTERS_ORACLE,
+    doc="Pairs -> clusters: distributed connected components (iterative "
+        "min-label propagation, localCheckpoint per round) over the exact "
+        "Jaccard>=0.5 pair graph; cluster id = min doc_id, which is the "
+        "canonical keep-doc. Oracle = ANSI recursive CTE transitive "
+        "closure. The iterative-algorithm operator class: transitive "
+        "grouping SQL window/join algebra cannot express in one pass",
+)
+def q_dedup_clusters(spark, sf):
+    pairs = exact_jaccard_pairs(T(spark, sf, "documents"), threshold=0.5)
+    return dedup_clusters(pairs)
 
 
 # == exports consumed by __spark_entry__.py ==============================

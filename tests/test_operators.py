@@ -578,3 +578,31 @@ def test_range_search_matches_brute_force(spark):
         if r["cosine"] >= thr
     }
     assert got == want and (0, 1.0) in got
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Transitivity: a-b, b-c, c-d collapse to one cluster labeled by the
+    min id even though a and d never share a pair; disjoint pair keeps
+    its own cluster; exactly one canonical doc per cluster."""
+    from pulsar_beam_spark.operators.components import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(3, 9), (9, 5), (5, 7), (20, 21)], "id_a long, id_b long"
+    )
+    rows = dedup_clusters(pairs).collect()
+    comp = {r["doc_id"]: r["component"] for r in rows}
+    canon = {r["doc_id"]: r["is_canonical"] for r in rows}
+    assert comp == {3: 3, 9: 3, 5: 3, 7: 3, 20: 20, 21: 20}
+    assert canon == {3: 1, 9: 0, 5: 0, 7: 0, 20: 1, 21: 0}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 30-node path graph needs many propagation rounds — exercises the
+    convergence loop + lineage truncation, and the fixpoint test."""
+    from pulsar_beam_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(31)}
