@@ -3233,6 +3233,44 @@ def q_range_search(spark, sf):
     return range_search(emb, [float(x) for x in qrow["embedding"]], threshold=0.3)
 
 
+FRAME_SAMPLE_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(unnest(generate_series(0, CAST(strlen(text) AS BIGINT), 100))
+            AS BIGINT) AS frame_ts_ms
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+@register(
+    "m_frame_sample",
+    FRAME_SAMPLE_ORACLE,
+    doc="Multimodal: video frame-sampling plan — per-clip decode "
+        "timestamps every 100 ms via sequence+explode (duration falls "
+        "back to payload byte length on the synthetic fixture). Pure "
+        "per-row expansion, zero exchanges; the decode of each listed "
+        "frame is the mapInPandas kernel",
+)
+def q_frame_sample(spark, sf):
+    from .operators.multimodal import frame_sample_plan
+
+    return frame_sample_plan(media_from_documents(T(spark, sf, "documents")), every_ms=100)
+
+
+@register(
+    "m_resize_media",
+    None,  # mapInPandas plumbing — rows-only check (binary payload output)
+    doc="Multimodal: Arrow-batched nearest-neighbor resize plumbing over "
+        "binary payloads (fake-mode deterministic byte shaping; real "
+        "PPM/BMP decode path exercised in tests)",
+)
+def q_resize_media(spark, sf):
+    from .operators.multimodal import resize_media
+
+    return resize_media(
+        media_from_documents(T(spark, sf, "documents")), width=16, height=4, fake=True
+    ).select("media_id", "modality", "width", "height", F.octet_length("content").alias("n_bytes"))
+
+
 DEDUP_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE pairs AS ({{JACCARD}}),
 edges AS (SELECT id_a AS u, id_b AS v FROM pairs
