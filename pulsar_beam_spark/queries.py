@@ -3301,6 +3301,56 @@ def q_dedup_clusters(spark, sf):
     return dedup_clusters(pairs)
 
 
+def _curation_clustered_oracle() -> str:
+    quality = REGISTRY["t_quality_scores"].oracle
+    jaccard = REGISTRY["r30_ngram_jaccard_pairs"].oracle
+    return f"""
+    WITH RECURSIVE q AS ({quality}),
+    p AS ({jaccard}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+    noncanon AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> min(r)),
+    keep AS (SELECT q.doc_id, q.n_tokens FROM q
+             WHERE q.keep AND q.doc_id NOT IN (SELECT doc_id FROM noncanon))
+    SELECT doc.lang, count(*) AS n_docs,
+           CAST(sum(keep.n_tokens) AS BIGINT) AS total_tokens
+    FROM keep JOIN documents doc ON doc.doc_id = keep.doc_id
+    GROUP BY doc.lang
+    """
+
+
+@register(
+    "pipeline_curation_clustered",
+    None,  # oracle attached right below (composes registered piece oracles)
+    doc="Cluster-aware curation: quality filter -> MinHash+LSH pair "
+        "discovery -> connected components -> keep ONE canonical doc per "
+        "duplicate cluster (pairwise id_b-removal under/over-removes on "
+        "transitive duplicates) -> per-language doc/token accounting. "
+        "Oracle composes the quality + exact-Jaccard piece oracles with "
+        "the recursive-CTE closure",
+)
+def q_curation_clustered(spark, sf):
+    docs = T(spark, sf, "documents")
+    q = quality_scores(docs).select("doc_id", "n_tokens", "keep")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    noncanon = dedup_clusters(pairs).filter(F.col("is_canonical") == 0).select("doc_id")
+    keep = q.filter(F.col("keep")).join(noncanon, "doc_id", "anti")
+    return (
+        keep.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+REGISTRY["pipeline_curation_clustered"].oracle = _curation_clustered_oracle()
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
