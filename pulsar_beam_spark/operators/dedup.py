@@ -142,6 +142,26 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
+def _band_buckets(signatures: DataFrame, bands: int, sig_len: int) -> DataFrame:
+    """(id, band, bucket) rows: the signature split into ``bands`` bands,
+    each band hashed to one bucket value."""
+    rows_per_band = sig_len // bands or 1
+    return signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice("signature", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")
+                    ))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 8, sig_len: int | None = None
 ) -> DataFrame:
@@ -156,21 +176,7 @@ def minhash_lsh_candidates(
     if sig_len is None:
         sig_len_row = signatures.select(F.size("signature").alias("s")).head()
         sig_len = sig_len_row["s"] if sig_len_row else 0
-    rows_per_band = sig_len // bands or 1
-    banded = signatures.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.transform(
-                        F.slice("signature", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")
-                    ))).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _band_buckets(signatures, bands, sig_len)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -449,4 +455,72 @@ def duplicate_span_stats(
     return flagged.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_spans"),
         F.sum((F.col("n_docs_with_span") >= 2).cast("long")).alias("n_dup_spans"),
+    )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup: which NEW documents near-duplicate something
+    already IN the corpus — the production dedup shape, where a daily
+    ingest batch is screened against the accumulated corpus instead of
+    re-running corpus×corpus.
+
+    Per flagged new doc, the single best corpus match:
+    (doc_id, dup_of, jaccard), jaccard maximal (ties -> lowest dup_of).
+    Duplicates *within* the new batch are out of scope — run the
+    symmetric `minhash_near_dup_pairs` on the batch for those.
+
+    Scale design: both sides get MinHash signatures (one shuffle each,
+    the corpus side is incrementally maintainable as a stored table keyed
+    by doc — only the new batch is re-signed in steady state); candidates
+    come from the band-bucket equi-join, which AQE broadcasts when the
+    new batch is small. Verification touches candidates only, and the
+    best-match window partitions by new-doc id — bounded by the batch,
+    not the corpus.
+    """
+    sig_new = minhash_signatures(new_docs, num_hashes, id_col, text_col, n)
+    sig_old = minhash_signatures(corpus, num_hashes, id_col, text_col, n)
+    bn = _band_buckets(sig_new, bands, num_hashes).alias("n")
+    bo = _band_buckets(sig_old, bands, num_hashes).alias("o")
+    cand = (
+        bn.join(
+            bo,
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .select(F.col("n.id").alias("id_new"), F.col("o.id").alias("id_old"))
+        .distinct()
+    )
+    an = doc_shingle_arrays(new_docs, id_col, text_col, n).select(
+        F.col("id").alias("id_new"), F.col("shset").alias("set_n")
+    )
+    ao = doc_shingle_arrays(corpus, id_col, text_col, n).select(
+        F.col("id").alias("id_old"), F.col("shset").alias("set_o")
+    )
+    verified = (
+        cand.join(an, "id_new")
+        .join(ao, "id_old")
+        .withColumn("inter", F.size(F.array_intersect("set_n", "set_o")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("set_n") + F.size("set_o") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("id_new").orderBy(F.col("jaccard").desc(), F.col("id_old").asc())
+    return (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id_new").alias("doc_id"),
+            F.col("id_old").alias("dup_of"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
     )

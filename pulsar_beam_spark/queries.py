@@ -31,6 +31,7 @@ from .operators.components import dedup_clusters
 from .operators.decontam import decontaminate
 from .operators.dedup import (
     duplicate_span_stats,
+    incremental_near_dup,
     embedding_near_dup_pairs,
     exact_dedup_latest,
     exact_jaccard_pairs,
@@ -3299,6 +3300,48 @@ FROM reach GROUP BY u
 def q_dedup_clusters(spark, sf):
     pairs = exact_jaccard_pairs(T(spark, sf, "documents"), threshold=0.5)
     return dedup_clusters(pairs)
+
+
+INCREMENTAL_DEDUP_ORACLE = """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s
+          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 GROUP BY 1, 2),
+j AS (SELECT id_new, id_old, c * 1.0 / (sa.sz + sb.sz - c) AS j
+      FROM inter JOIN sizes sa ON sa.doc_id = id_new
+                 JOIN sizes sb ON sb.doc_id = id_old
+      WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5),
+r AS (SELECT id_new, id_old, j,
+             row_number() OVER (PARTITION BY id_new ORDER BY j DESC, id_old) AS rn
+      FROM j)
+SELECT id_new AS doc_id, id_old AS dup_of, round(j, 6) AS jaccard
+FROM r WHERE rn = 1
+"""
+
+
+@register(
+    "d_incremental_near_dup",
+    INCREMENTAL_DEDUP_ORACLE,
+    doc="Production dedup shape: screen a NEW ingest batch (doc_id%5=0) "
+        "against the EXISTING corpus (rest) — MinHash signatures both "
+        "sides, asymmetric band-bucket join for candidates, exact-Jaccard "
+        "verify, best corpus match per flagged new doc. Corpus signatures "
+        "are incrementally maintainable as a stored table; only the batch "
+        "is re-signed in steady state. Oracle = exact cross-Jaccard",
+)
+def q_incremental_near_dup(spark, sf):
+    docs = T(spark, sf, "documents")
+    return incremental_near_dup(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        threshold=0.5,
+    )
 
 
 def _curation_clustered_oracle() -> str:

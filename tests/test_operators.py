@@ -606,3 +606,26 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {i: 0 for i in range(31)}
+
+
+def test_incremental_near_dup_planted(spark):
+    """A new doc that copies a corpus doc is flagged with that doc as its
+    best match; an original new doc is not flagged; within-batch dups are
+    out of scope by contract."""
+    from pulsar_beam_spark.operators.dedup import incremental_near_dup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different corpus content words here " * 5)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base + "tail words"),                      # near-dup of 1
+            (11, "fresh unseen material nothing shared " * 5),  # original
+            (12, base),                                      # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["dup_of"] for r in incremental_near_dup(new, corpus).collect()}
+    assert got == {10: 1, 12: 1}
