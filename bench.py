@@ -59,6 +59,8 @@ HEADLINE = [
     "p_span_dedup",
     "r_merge_upsert",
     "e_vector_quantize",
+    "d_incremental_near_dup",
+    "pipeline_curation_clustered",
 ]
 
 

@@ -259,3 +259,13 @@ def test_span_dedup_two_exchanges_no_join(spark):
     plan = formatted_plan(df)
     assert n_exchanges(df) == 2, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    """Batch-vs-corpus screening must stay equi-join shaped end to end:
+    band-bucket candidates, array verify, best-match window — never a
+    nested-loop or cartesian pairing of batch x corpus."""
+    df = REGISTRY["d_incremental_near_dup"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan, plan[:2000]
