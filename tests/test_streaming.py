@@ -8,6 +8,7 @@ memory sinks so they complete synchronously.
 
 from __future__ import annotations
 
+import os
 import time
 from datetime import datetime, timedelta
 
@@ -562,3 +563,62 @@ def test_bounded_poll_globally_earliest_across_micro_batches(spark, tmp_path):
     assert out is not None and out["size"] == 6
     got = [m["message_id"] for m in out["messages"]]
     assert got == [f"m-{i}" for i in range(6)], got
+
+
+def test_snapshot_merge_stream_multi_batch(spark, tmp_path):
+    """Streaming snapshot maintenance invariant: after N micro-batches of
+    changelog slices (forced with maxFilesPerTrigger=1, files written out
+    of event-time order), the snapshot equals the one-shot latest-per-key
+    materialization of the WHOLE log with tombstones dropped — late-
+    arriving older rows never clobber, newer tombstones delete, stale
+    upserts after a tombstone stay dead."""
+    from pulsar_beam_spark.operators.dedup import exact_dedup_latest
+    from pulsar_beam_spark.streaming.merge_sink import (
+        read_snapshot,
+        snapshot_merge_stream,
+    )
+
+    schema = "k long, v string, ts long, seq long, dead int"
+    # three files -> three micro-batches; deliberately NOT in ts order
+    batches = [
+        [(1, "a2", 20, 1, 0), (2, "b1", 10, 2, 0), (3, "c1", 10, 3, 0)],
+        [(1, "a1", 10, 4, 0), (3, None, 30, 5, 1), (4, "d1", 10, 6, 0)],  # stale a1; tombstone 3
+        [(3, "c0", 20, 7, 0), (2, "b2", 30, 8, 0), (5, None, 5, 9, 1)],   # stale c0 after tombstone
+    ]
+    src = str(tmp_path / "log")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/f{i}")
+    # flatten into one dir of files
+    import glob, shutil
+    os.makedirs(f"{src}/all", exist_ok=True)
+    for i in range(len(batches)):
+        for j, f in enumerate(sorted(glob.glob(f"{src}/f{i}/*.parquet"))):
+            shutil.copy(f, f"{src}/all/part-{i}-{j}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/all")
+    )
+    q = snapshot_merge_stream(
+        stream, str(tmp_path / "snap"), str(tmp_path / "ckpt-merge"),
+        keys=["k"], order_col="ts", tiebreak="seq",
+        tombstone=F.col("dead") == 1, payload_cols=["v"],
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["k"]: (r["v"], r["ts"])
+        for r in read_snapshot(spark, str(tmp_path / "snap")).collect()
+    }
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = {
+        r["k"]: (r["v"], r["ts"])
+        for r in exact_dedup_latest(full, ["k"], "ts", "seq")
+        .filter(F.col("dead") == 0)
+        .collect()
+    }
+    assert got == want
+    assert got == {1: ("a2", 20), 2: ("b2", 30), 4: ("d1", 10)}
