@@ -47,6 +47,39 @@ def brute_force_topk(
     )
 
 
+def mips_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by INNER PRODUCT to a constant query vector — the
+    retrieval metric for unnormalized embeddings (recommendation scores,
+    learned rerankers) where cosine's normalization is wrong.
+
+    Same execution shape as brute_force_topk: a codegen'd per-row fold,
+    ORDER BY + LIMIT lowered to TakeOrderedAndProject (per-partition
+    top-k, driver merge — no global sort shuffle, no join). For an
+    index-accelerated variant at 100 TB, the standard norm-augmentation
+    reduction applies: append sqrt(M^2 - ||v||^2) to each vector (M =
+    max norm) and the query's MIPS order equals cosine order in the
+    augmented space, so ivf_topk / hyperplane_lsh_topk serve MIPS with
+    no new index machinery.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), q, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), F.round(dot, 6).alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))

@@ -179,6 +179,51 @@ def repetition_scores(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's own
+    unigram LM — the cheap 'perplexity-ish' quality signal used to rank
+    documents before an expensive model-based filter (low avg logprob =
+    rare-token soup: OCR noise, codes, gibberish).
+
+    Determinism contract (SURVEY §5.2): each token's ln(freq/total) is
+    rounded to 1e-6 and integerized to micro-nats; per-doc sums are exact
+    integer sums (order-independent across partitions), divided once at
+    the end. ln() itself is IEEE-correctly-rounded on both engines, and
+    the 1e-6 rounding absorbs the last-ulp difference — same pattern the
+    driver-green t_tfidf entry relies on.
+
+    Plan shape: one explode -> groupBy(term) for the vocab (map-side
+    combined), the corpus total as a broadcast singleton, logprobs joined
+    back to the exploded tokens by term (|vocab| << corpus rows — AQE
+    broadcasts it at any realistic vocabulary size), then one groupBy by
+    doc. Docs with zero tokens keep a NULL avg via the left join — they
+    carry no evidence, which is not the same as scoring well.
+    """
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    total = toks.agg(F.count("*").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("freq") / F.col("total")) * 1e6, 0).cast("long").alias("lp_micro"),
+    )
+    per_doc = (
+        toks.join(lp, "term")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_lm_tokens"), F.sum("lp_micro").alias("s"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_lm_tokens", F.lit(0).cast("long")).alias("n_lm_tokens"),
+            F.round(F.col("s") / F.col("n_lm_tokens") / 1e6, 6).alias("avg_logprob"),
+        )
+    )
+
+
 # (pattern, replacement) in application order; counts are taken on the
 # ORIGINAL text so overlapping rewrites can't hide matches
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
