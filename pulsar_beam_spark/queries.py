@@ -3424,6 +3424,65 @@ REGISTRY["pipeline_curation_clustered"].oracle = _curation_clustered_oracle()
 
 
 @register(
+    "r_skew_salted_agg",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           count(*) AS n_items,
+           CAST(max(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS max_qty_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Skew: two-phase salted aggregation (operators/skew.salted_agg) — "
+        "3 dominant group keys fan out over 16 salted reducers, a tiny "
+        "second agg merges partials; result provably identical to the "
+        "plain GROUP BY (that IS the oracle). The shape AQE cannot fix: "
+        "map-side combine still leaves one reducer per hot key",
+)
+def q_skew_agg(spark, sf):
+    from .operators.skew import salted_agg
+
+    li = T(spark, sf, "lineitem").withColumn("qty_cents", cents("l_quantity"))
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        salt_source_cols=["l_orderkey", "l_linenumber"],
+        aggs={
+            "sum_qty_cents": ("sum", "qty_cents"),
+            "n_items": ("count", "l_orderkey"),
+            "max_qty_cents": ("max", "qty_cents"),
+        },
+        n_salts=16,
+    )
+
+
+@register(
+    "r_skew_salted_join",
+    """
+    SELECT p_brand,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100 AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Skew: salted replicated join (operators/skew."
+        "salted_broadcast_fallback_join) — big side salted by non-key "
+        "columns, small side exploded n_salts x so every (key, salt) "
+        "partition holds its copy; row-identical to the plain equi-join "
+        "(that IS the oracle). The fallback for a hot join key when the "
+        "small side exceeds the broadcast threshold",
+)
+def q_skew_join(spark, sf):
+    from .operators.skew import salted_broadcast_fallback_join
+
+    li = T(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    p = T(spark, sf, "part").select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    joined = salted_broadcast_fallback_join(li, p, on="l_partkey", n_salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"), money_sum("l_extendedprice", "revenue")
+    )
+
+
+@register(
     "t_unigram_logprob",
     """
     WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS term FROM documents),
