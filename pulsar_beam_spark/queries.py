@@ -3483,6 +3483,149 @@ def q_skew_join(spark, sf):
 
 
 @register(
+    "r_funnel_sequence",
+    """
+    SELECT user_id,
+           CASE WHEN v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
+                     AND v < c AND c < p THEN 3
+                WHEN v IS NOT NULL AND c IS NOT NULL AND v < c THEN 2
+                WHEN v IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage,
+           v AS first_view, c AS first_click, p AS first_purchase
+    FROM (SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+          FROM events GROUP BY user_id)
+    """,
+    doc="Analytics: first-touch funnel (view -> click -> purchase by first "
+        "occurrence) — conditional min aggregation, ONE shuffle on user_id "
+        "with map-side partials; no self-join, no per-user event collection "
+        "(the naive sequence-match shape shuffles the raw event log per "
+        "step). Stage = deepest prefix reached in order",
+)
+def q_funnel(spark, sf):
+    ev = T(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    stage = (
+        F.when(
+            F.col("v").isNotNull() & F.col("c").isNotNull() & F.col("p").isNotNull()
+            & (F.col("v") < F.col("c")) & (F.col("c") < F.col("p")),
+            3,
+        )
+        .when(F.col("v").isNotNull() & F.col("c").isNotNull() & (F.col("v") < F.col("c")), 2)
+        .when(F.col("v").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return firsts.select(
+        "user_id",
+        stage.alias("funnel_stage"),
+        F.col("v").alias("first_view"),
+        F.col("c").alias("first_click"),
+        F.col("p").alias("first_purchase"),
+    )
+
+
+@register(
+    "d_fuzzy_name_pairs",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    """,
+    doc="Dedup: blocked fuzzy-match pair join — entity-resolution shape: "
+        "block on an exact key (brand), pairwise edit distance only within "
+        "blocks (bounded block size => never corpus-quadratic), JVM "
+        "built-in levenshtein. The record-linkage complement to the "
+        "token-set (Jaccard) and vector (cosine) near-dup families",
+)
+def q_fuzzy(spark, sf):
+    p = T(spark, sf, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn("edit_dist", dist.cast("int"))
+        .filter(F.col("edit_dist") <= 8)
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            "edit_dist",
+        )
+    )
+
+
+# Z-order (Morton) interleave of two bucketized keys: 16 bits each ->
+# 32-bit z-value. Bit-level expressions only — identical arithmetic on
+# both engines, so the oracle can mirror it term by term.
+def _zorder_sql(xcol: str, ycol: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def _zorder_col(x: F.Column, y: F.Column, bits: int = 8) -> F.Column:
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
+@register(
+    "l_zorder_layout",
+    f"""
+    WITH k AS (SELECT l_orderkey, l_partkey, l_suppkey,
+                      CAST(l_partkey % 256 AS BIGINT) AS xb,
+                      CAST(l_suppkey % 256 AS BIGINT) AS yb
+               FROM lineitem),
+    z AS (SELECT l_orderkey, l_partkey, l_suppkey,
+                 {_zorder_sql('xb', 'yb')} AS zval FROM k)
+    SELECT CAST(floor(zval / 1024) AS BIGINT) AS zfile,
+           count(*) AS n_rows,
+           CAST(min(l_partkey) AS BIGINT) AS part_min, CAST(max(l_partkey) AS BIGINT) AS part_max,
+           CAST(min(l_suppkey) AS BIGINT) AS supp_min, CAST(max(l_suppkey) AS BIGINT) AS supp_max
+    FROM z GROUP BY zfile
+    """,
+    doc="Layout: z-order (Morton) clustering key over (part, supp) with "
+        "per-file min/max ranges — the multi-column data-skipping story: "
+        "sorting files by the interleaved key keeps BOTH columns' per-file "
+        "ranges narrow, so a predicate on either prunes files (a single-"
+        "column sort gives narrow ranges on one column only). Pure bit "
+        "expressions in codegen; the grouping simulates 1024-row files "
+        "and emits exactly the min/max stats a parquet footer would carry",
+)
+def q_zorder(spark, sf):
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    xb = (F.col("l_partkey") % 256).cast("long")
+    yb = (F.col("l_suppkey") % 256).cast("long")
+    z = _zorder_col(xb, yb)
+    return (
+        li.withColumn("zval", z)
+        .groupBy(F.floor(F.col("zval") / 1024).cast("long").alias("zfile"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("part_min"),
+            F.max("l_partkey").cast("long").alias("part_max"),
+            F.min("l_suppkey").cast("long").alias("supp_min"),
+            F.max("l_suppkey").cast("long").alias("supp_max"),
+        )
+    )
+
+
+@register(
     "t_unigram_logprob",
     """
     WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS term FROM documents),
