@@ -269,3 +269,53 @@ def test_incremental_dedup_no_cartesian(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_funnel_single_exchange_no_join(spark):
+    """First-touch funnel is ONE hash aggregate keyed by user with
+    map-side partials — no self-join per funnel step, no extra stage."""
+    df = REGISTRY["r_funnel_sequence"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert n_exchanges(df) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_fuzzy_pairs_equi_join_only(spark):
+    """Blocked fuzzy match must pair rows via the block-key equi-join;
+    the edit-distance predicate is a post-join filter, never the join
+    itself (no nested loop / cartesian)."""
+    df = REGISTRY["d_fuzzy_name_pairs"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_is_projection_plus_one_agg_exchange(spark):
+    """The z-value is a pure per-row bit expression: the only exchange is
+    the per-file stats aggregate."""
+    df = REGISTRY["l_zorder_layout"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert n_exchanges(df) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_salted_agg_two_phase(spark):
+    """Salted aggregation must show BOTH aggregation phases (salted
+    partial + merge) and exactly the two corresponding exchanges."""
+    df = REGISTRY["r_skew_salted_agg"].spark(spark, SF_SMOKE)
+    assert n_exchanges(df) == 2, formatted_plan(df)[:2000]
+
+
+def test_mips_topk_take_ordered_join_free(spark):
+    df = REGISTRY["e_mips_topk"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_unigram_logprob_vocab_joins_not_corpus_sized(spark):
+    """The LM join must be equi-join shaped (vocab joined back to the
+    token stream) — no cartesian; the total-count side is a broadcast."""
+    df = REGISTRY["t_unigram_logprob"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast(df), plan[:2000]
