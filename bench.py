@@ -61,6 +61,12 @@ HEADLINE = [
     "e_vector_quantize",
     "d_incremental_near_dup",
     "pipeline_curation_clustered",
+    "r_skew_salted_agg",
+    "r_funnel_sequence",
+    "d_fuzzy_name_pairs",
+    "t_unigram_logprob",
+    "e_mips_topk",
+    "l_zorder_layout",
 ]
 
 

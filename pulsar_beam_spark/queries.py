@@ -3536,23 +3536,29 @@ def q_funnel(spark, sf):
     SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
            CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
     FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 8
     """,
     doc="Dedup: blocked fuzzy-match pair join — entity-resolution shape: "
-        "block on an exact key (brand), pairwise edit distance only within "
-        "blocks (bounded block size => never corpus-quadratic), JVM "
-        "built-in levenshtein. The record-linkage complement to the "
-        "token-set (Jaccard) and vector (cosine) near-dup families",
+        "block on an exact composite key (brand, size), pairwise edit "
+        "distance only within blocks, JVM built-in levenshtein. The "
+        "record-linkage complement to the token-set (Jaccard) and vector "
+        "(cosine) near-dup families. Live demo of SCALE.md's hot-block "
+        "rule: brand alone leaves ~800-row blocks at sf0.1 (8.0M "
+        "levenshtein pairs, 17.6 s); widening the key to (brand, size) "
+        "bounds blocks at ~16 rows (160k pairs, sub-second) with the "
+        "same blocked-ER semantics",
 )
 def q_fuzzy(spark, sf):
-    p = T(spark, sf, "part").select("p_partkey", "p_brand", "p_name")
+    p = T(spark, sf, "part").select("p_partkey", "p_brand", "p_size", "p_name")
     a, b = p.alias("a"), p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
         .withColumn("edit_dist", dist.cast("int"))

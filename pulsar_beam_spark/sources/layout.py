@@ -17,6 +17,8 @@ Two mechanisms, both demonstrated end-to-end in tests/test_layout.py:
 
 from __future__ import annotations
 
+import glob
+import math
 import os
 import shutil
 
@@ -46,6 +48,44 @@ def write_partitioned(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_col: str | None = None,
+) -> dict:
+    """Rewrite a directory of many small parquet files into size-targeted
+    files — the small-files remediation every long-running micro-batch
+    sink needs (streaming epochs accrete KB-scale files until footer
+    reads and task-launch overhead dominate scans; the reference's
+    webhook sink has the same accretion problem on its receiving side).
+
+    Output file count = ceil(input_bytes / target_file_bytes). With
+    ``sort_col`` the rewrite uses ``repartitionByRange`` so per-file
+    min/max ranges stay narrow and data-skipping survives compaction;
+    without it a plain round-robin repartition balances bytes. At
+    cluster scale run this per partition directory (tenant/date), not
+    over the whole table, so compaction parallelizes and commits
+    per-partition atomically.
+
+    Returns {"files_in", "files_out", "bytes_in", "target_files"}.
+    """
+    files_in = glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
+    bytes_in = sum(os.path.getsize(p) for p in files_in)
+    n = max(1, math.ceil(bytes_in / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    out = df.repartitionByRange(n, sort_col) if sort_col else df.repartition(n)
+    out.write.mode("overwrite").parquet(dst_path)
+    files_out = glob.glob(os.path.join(dst_path, "**", "*.parquet"), recursive=True)
+    return {
+        "files_in": len(files_in),
+        "files_out": len(files_out),
+        "bytes_in": bytes_in,
+        "target_files": n,
+    }
 
 
 def write_bucketed(

@@ -67,3 +67,42 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() == plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_small_files(spark, tmp_path):
+    """64 tiny files -> size-targeted rewrite: row-identical content,
+    file count collapses to the computed target, and range-sorting by
+    the key keeps per-file key ranges disjoint (data-skipping survives)."""
+    from pulsar_beam_spark.sources.layout import compact_small_files
+    from pulsar_beam_spark.sources.tables import load_table
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts", "value")
+    ev.repartition(64).write.parquet(src)
+
+    import glob as _g
+    import os as _os
+
+    bytes_in = sum(
+        _os.path.getsize(p)
+        for p in _g.glob(_os.path.join(src, "**", "*.parquet"), recursive=True)
+    )
+    stats = compact_small_files(
+        spark, src, dst, target_file_bytes=max(1, bytes_in // 4), sort_col="event_id"
+    )
+    assert stats["files_in"] == 64
+    assert stats["files_out"] <= 6, stats  # ~4 target + range-split slop
+    a = spark.read.parquet(dst)
+    assert a.count() == ev.count()
+    # per-file event_id ranges must not overlap after the range rewrite
+    import pyspark.sql.functions as F
+
+    ranges = (
+        a.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["hi"] <= cur["lo"], (prev, cur)
