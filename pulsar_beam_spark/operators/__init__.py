@@ -17,7 +17,7 @@ from .sampling import (  # noqa: F401
     stable_bucket,
     stratified_sample,
 )
-from .similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk  # noqa: F401
+from .similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk, mips_topk  # noqa: F401
 from .skew import salted_agg, salted_broadcast_fallback_join  # noqa: F401
 from .multimodal import (  # noqa: F401
     extract_features,
@@ -32,4 +32,5 @@ from .text import (  # noqa: F401
     quality_scores,
     token_stats,
     top_terms,
+    unigram_logprob,
 )
