@@ -293,6 +293,7 @@ def embedding_near_dup_pairs(
     n_centroids: int = 16,
     seed: int = 42,
     verify_partitions: int | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine >= threshold) via
     EXACT cell-pair blocking — candidate-verify, never a nested-loop |D|^2.
@@ -330,7 +331,7 @@ def embedding_near_dup_pairs(
     from .similarity import _kmeans_centroids
 
     spark = emb.sparkSession
-    cent = _kmeans_centroids(emb, id_col, vec_col, n_centroids, seed)
+    cent = _kmeans_centroids(emb, id_col, vec_col, n_centroids, seed, n_hint=n_hint)
     if cent is None or not len(cent):
         return emb.select(
             F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),

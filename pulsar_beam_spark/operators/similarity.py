@@ -104,7 +104,7 @@ def _signature_expr(vec_col: str, planes: np.ndarray):
 
 def _kmeans_centroids(
     emb: DataFrame, id_col: str, vec_col: str, n_centroids: int, seed: int,
-    sample_cap: int = 256, iters: int = 8,
+    sample_cap: int = 256, iters: int = 8, n_hint: int | None = None,
 ) -> np.ndarray:
     """Train a coarse quantizer on a deterministic driver-side sample.
 
@@ -112,8 +112,13 @@ def _kmeans_centroids(
     (FAISS-style); only the *assignment* has to be distributed. The sample
     here is id-strided (deterministic across partitionings, unlike
     ``df.sample``), capped at ``sample_cap`` vectors.
+
+    ``n_hint`` lets callers that know the corpus size (parquet footer
+    metadata via ``sources.tables.table_rowcount``) skip the count()
+    job — the stride only needs the order of magnitude, and a full scan
+    to learn it is the exact anti-pattern at 100 TB.
     """
-    n = emb.count()
+    n = n_hint if n_hint is not None else emb.count()
     stride = max(1, n // sample_cap)
     rows = (
         emb.filter((F.col(id_col) % stride) == 0)
@@ -147,6 +152,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_hint: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse-quantize the corpus into ``n_centroids``
     inverted lists, scan only the ``nprobe`` lists nearest the query, then
@@ -157,7 +163,7 @@ def ivf_topk(
     be precomputed once and used as a partition column; the probe is then
     partition pruning, not a scan.
     """
-    cent = _kmeans_centroids(emb, id_col, vec_col, n_centroids, seed)
+    cent = _kmeans_centroids(emb, id_col, vec_col, n_centroids, seed, n_hint=n_hint)
     qv = np.asarray(query_vec, dtype=np.float64)
     qv = qv / max(np.linalg.norm(qv), 1e-12)
     probe_ids = [int(i) for i in np.argsort(-(cent @ qv))[:nprobe]]

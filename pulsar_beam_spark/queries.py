@@ -1009,9 +1009,14 @@ SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4
     doc="Embedding-cosine near-dup pairs (exact; sequential-fold dot product both sides)",
 )
 def q_embed_dup(spark, sf):
+    from .sources.tables import table_rowcount
+
     return embedding_near_dup_pairs(
         T(spark, sf, "embeddings"), threshold=0.4,
         verify_partitions=spark.sparkContext.defaultParallelism,
+        # parquet-footer rowcount: sizes the quantizer sample stride
+        # without a count() scan job (results identical — same n)
+        n_hint=table_rowcount(sf, "embeddings"),
     )
 
 
@@ -2411,10 +2416,13 @@ def q_r27t(spark, sf):
     doc="R31 scale path 2: IVF coarse-quantizer ANN top-k (nprobe inverted lists)",
 )
 def q_ann_ivf(spark, sf):
+    from .sources.tables import table_rowcount
+
     emb = T(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     return ivf_topk(
-        emb, [float(x) for x in qrow["embedding"]], k=10, n_centroids=16, nprobe=4
+        emb, [float(x) for x in qrow["embedding"]], k=10, n_centroids=16, nprobe=4,
+        n_hint=table_rowcount(sf, "embeddings"),
     )
 
 

@@ -31,6 +31,17 @@ TABLES = (
 ALWAYS_BROADCAST = ("region", "nation")
 
 
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — a driver-side
+    metadata read (milliseconds), not a Spark scan job. Used to size
+    driver-side samples (e.g. the IVF coarse-quantizer stride) without
+    paying a full count() pass over the table: at 100 TB a count() is a
+    real job; the footers already know the answer."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
