@@ -50,6 +50,16 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     errs: list[str] = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         return [f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"]
+    # The driver's value-hash is representation-sensitive: an int64 Spark
+    # column vs a float64 DuckDB column (e.g. an uncast HUGEINT count_if/sum)
+    # hashes differently even when 61 == 61.0.  Catch that locally.
+    for c in spark_df.columns:
+        sk = spark_df[c].dtype.kind
+        dk = duck_df[c].dtype.kind
+        if {sk, dk} <= {"i", "u"} or sk == dk:
+            continue
+        if {sk, dk} == {"i", "f"} or {sk, dk} == {"u", "f"}:
+            errs.append(f"col {c}: dtype family differs: spark={spark_df[c].dtype} duck={duck_df[c].dtype}")
     if len(spark_df) != len(duck_df):
         errs.append(f"row count differs: spark={len(spark_df)} duck={len(duck_df)}")
         return errs
