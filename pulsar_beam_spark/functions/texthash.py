@@ -1,9 +1,10 @@
-"""Text tokenization / shingling / deterministic hashing as pure Spark
+r"""Text tokenization / shingling / deterministic hashing as pure Spark
 column expressions (JVM-side, codegen-friendly; no Python UDFs).
 
 Determinism notes for oracle parity:
-- ``tokens`` splits on runs of whitespace and drops empties, matching
-  duckdb ``regexp_split_to_array(text, ' +')``.
+- ``tokens`` splits on runs of whitespace (``\s+``) and drops empties,
+  matching duckdb ``list_filter(regexp_split_to_array(text, '\s+'),
+  x -> x != '')`` exactly — including tabs/newlines and empty text.
 - ``poly_fingerprint`` is a polynomial rolling hash mod 1e9+7 evaluated as
   a sequential fold, so Spark and DuckDB (``list_reduce``) agree exactly;
   every intermediate stays < 2^63 (ANSI-safe, no overflow).

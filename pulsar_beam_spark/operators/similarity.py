@@ -73,10 +73,14 @@ def mips_topk(
         F.lit(0.0),
         lambda a, x: a + x,
     )
+    # Order by the UNROUNDED dot (vec_id tiebreak) so a near-tie at the
+    # k-th boundary can't flip membership vs the oracle's ORDER BY on the
+    # raw inner product; round only in the final projection.
     return (
-        emb.select(F.col(id_col).alias("vec_id"), F.round(dot, 6).alias("dot"))
-        .orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+        emb.select(F.col(id_col).alias("vec_id"), dot.alias("_dot_raw"))
+        .orderBy(F.col("_dot_raw").desc(), F.col("vec_id").asc())
         .limit(k)
+        .select("vec_id", F.round(F.col("_dot_raw"), 6).alias("dot"))
     )
 
 

@@ -73,6 +73,10 @@ def compact_small_files(
 
     Returns {"files_in", "files_out", "bytes_in", "target_files"}.
     """
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        # mode('overwrite') deletes dst before the lazy read scans it —
+        # a same-path call would destroy the source data.
+        raise ValueError("compact_small_files: dst_path must differ from src_path")
     files_in = glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
     bytes_in = sum(os.path.getsize(p) for p in files_in)
     n = max(1, math.ceil(bytes_in / target_file_bytes))
