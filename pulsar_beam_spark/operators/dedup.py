@@ -292,7 +292,6 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     seed: int = 42,
-    verify_partitions: int | None = None,
     n_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine >= threshold) via
@@ -338,30 +337,41 @@ def embedding_near_dup_pairs(
             F.lit(0.0).alias("cosine"),
         ).limit(0)
 
-    v = F.col(vec_col).cast("array<double>")
-    norm = F.greatest(
-        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), F.lit(1e-12)
-    )
-    dots = F.array(*[
-        F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ) / norm
-        for c in cent
-    ])
-    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    # Per-row L2 norm computed ONCE here and carried through the join:
-    # the pair cosine is then a single fold (dot) plus a division — the
-    # same float ops in the same order as dot/(||a||*||b||) evaluated
-    # per-pair, so oracle bit-parity holds, at a third of the work over
-    # the (quadratic) pair set.
-    row_norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    assigned = emb.select(
-        F.col(id_col).alias("id"), v.alias("v"), cell.alias("cell"),
-        row_norm.alias("nrm"),
-        F.acos(F.least(F.greatest(F.array_max(dots), F.lit(-1.0)), F.lit(1.0))).alias("angle"),
-    )
+    import pandas as pd
+
+    # Cell assignment is a numpy GEMM inside mapInPandas (one Arrow pass
+    # over the vectors) rather than n_centroids interpreted fold
+    # expressions per row — assignment only picks the BLOCKING, so a
+    # last-ulp argmax tie going either way is still lossless as long as
+    # radii are computed from the same assignment (they are: the angle
+    # travels with the row).
+    def _assign_batches(pdfs):
+        for pdf in pdfs:
+            if pdf.empty:
+                yield pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                    "v": pd.Series(dtype="object"),
+                                    "cell": pd.Series(dtype="int32"),
+                                    "angle": pd.Series(dtype="float64")})
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+            sims = (V / nrm[:, None]) @ cent.T
+            yield pd.DataFrame({
+                "id": pdf[id_col].to_numpy(),
+                "v": list(V),
+                "cell": sims.argmax(axis=1).astype("int32"),
+                "angle": np.arccos(np.clip(sims.max(axis=1), -1.0, 1.0)),
+            })
+
+    # localCheckpoint (lazy): assignment feeds the radii collect AND both
+    # replication sides; checkpointing materializes it once without the
+    # session-lifetime executor-memory pin of cache() (a leaked cache here
+    # showed up as latency on SUBSEQUENT queries in round-1 bench runs).
+    # At cluster scale persist to a table (cells double as the partition
+    # column) instead.
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        _assign_batches, "id long, v array<double>, cell int, angle double"
+    ).localCheckpoint(eager=False)
 
     # per-cell angular radius (tiny: one row per cell)
     radii = {
@@ -378,40 +388,74 @@ def embedding_near_dup_pairs(
     ]
     pairs_df = spark.createDataFrame(cell_pairs, "ca int, cb int")
 
-    # Candidate generation is NARROW — only (id, cell) flows through the
-    # blocked self-join; vectors rejoin by id at verification time (the
-    # same candidate-verify shape as minhash_near_dup_pairs). This keeps
-    # the blocked join's shuffle tiny and lets the (possibly much larger)
-    # verify stage parallelize independently of the join's partitioning.
-    ca_side = assigned.select(F.col("id").alias("id_a"), F.col("cell").alias("cell_a"))
-    cb_side = assigned.select(F.col("id").alias("id_b"), F.col("cell").alias("cell_b"))
-    cand = (
-        ca_side.join(F.broadcast(pairs_df), F.col("cell_a") == F.col("ca"))
-        .join(cb_side, (F.col("cell_b") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
+    # Verify stage: replicate each vector to the cell pairs it belongs to
+    # (broadcast join, replication factor = cells-paired-with-mine — tiny
+    # when pruning bites, bounded by n_centroids when it doesn't), then
+    # enumerate + score pairs GROUP-LOCALLY with one numpy GEMM per cell
+    # pair inside applyInPandas. This replaces a per-candidate-row join +
+    # interpreted per-pair fold (2M candidate rows shuffled, ~5s at
+    # sf0.1) with an Arrow transfer of just the replicated vectors
+    # (|D| x replication rows) and a vectorized matrix multiply.
+    #
+    # Exactness contract: the GEMM is a PREFILTER at (threshold - 1e-9);
+    # every survivor is re-scored with a sequential left-to-right Python
+    # float fold — bit-identical to the JVM fold this replaced and to the
+    # oracle's DuckDB list_reduce (all three are IEEE-double chains in
+    # the same order), so the emitted cosine and the >= threshold
+    # decision match the exact plan exactly. GEMM-vs-fold error for
+    # unit-ish vectors is ~1e-15 relative, six orders below the margin.
+    rep_a = assigned.join(F.broadcast(pairs_df), F.col("cell") == F.col("ca")).select(
+        "ca", "cb", F.lit(0).alias("side"), "id", "v"
     )
-    if verify_partitions:
-        # local[n] escape hatch: AQE coalesces the small-input candidate
-        # stage by BYTES, blind to the per-row fold cost of verification —
-        # an explicit narrow repartition spreads the verify stage. At
-        # cluster scale leave None: input sizes keep AQE's sizing honest.
-        cand = cand.repartition(verify_partitions)
-    sa = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    sb = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    # (An unrolled 64-term element_at chain was measured 7x SLOWER than
-    # this fold on 2M pairs — the chain exceeds codegen limits and falls
-    # back to interpreted element_at per term, while the fold's lambda
-    # loop is a single evaluator over primitive arrays.)
-    pair_dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    rep_b = assigned.join(F.broadcast(pairs_df), F.col("cell") == F.col("cb")).select(
+        "ca", "cb", F.lit(1).alias("side"), "id", "v"
     )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("cosine", pair_dot / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    rep = rep_a.unionByName(rep_b)
+
+    def _seqfold_dot(va, vb) -> float:
+        s = 0.0
+        for p in range(va.shape[0]):  # left-to-right IEEE-double chain
+            s = s + float(va[p]) * float(vb[p])
+        return s
+
+    def _verify_cell_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        A = pdf[pdf["side"] == 0]
+        B = pdf[pdf["side"] == 1]
+        if A.empty or B.empty:
+            return empty
+        VA = np.stack(A["v"].to_numpy())
+        VB = np.stack(B["v"].to_numpy())
+        na = np.maximum(np.linalg.norm(VA, axis=1), 1e-300)
+        nb = np.maximum(np.linalg.norm(VB, axis=1), 1e-300)
+        ids_a = A["id"].to_numpy()
+        ids_b = B["id"].to_numpy()
+        sims = (VA @ VB.T) / np.outer(na, nb)
+        ia, ib = np.nonzero(sims >= threshold - 1e-9)
+        keep = ids_a[ia] < ids_b[ib]
+        ia, ib = ia[keep], ib[keep]
+        rows = []
+        for x, y in zip(ia, ib):
+            va, vb = VA[x], VB[y]
+            # survivors re-scored with the oracle's exact float chain:
+            # seqfold(a.b) / (sqrt(seqfold(a.a)) * sqrt(seqfold(b.b)))
+            c = _seqfold_dot(va, vb) / (
+                math.sqrt(_seqfold_dot(va, va)) * math.sqrt(_seqfold_dot(vb, vb))
+            )
+            if c >= threshold:
+                rows.append((int(ids_a[x]), int(ids_b[y]), c))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+    out = rep.groupBy("ca", "cb").applyInPandas(
+        _verify_cell_pair, "id_a long, id_b long, cosine double"
     )
+    # final rounding stays in Spark so round-half semantics match the
+    # oracle's round(x, 6) exactly (Python round() is half-even)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def duplicate_span_stats(

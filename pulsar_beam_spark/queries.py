@@ -1013,7 +1013,6 @@ def q_embed_dup(spark, sf):
 
     return embedding_near_dup_pairs(
         T(spark, sf, "embeddings"), threshold=0.4,
-        verify_partitions=spark.sparkContext.defaultParallelism,
         # parquet-footer rowcount: sizes the quantizer sample stride
         # without a count() scan job (results identical — same n)
         n_hint=table_rowcount(sf, "embeddings"),
