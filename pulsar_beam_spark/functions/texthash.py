@@ -54,3 +54,23 @@ def poly_fingerprint(s: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * MULT + x.cast("long")) % MOD,
     )
+
+
+def exploded_nonnull(df, cols, arr, alias):
+    """``df.select(*cols, explode(arr).alias(alias))`` without the hidden
+    2x generator re-evaluation.
+
+    Catalyst's InferFiltersFromGenerate rewrites ``explode(expr)`` into a
+    pushed-down ``size(expr) > 0 AND isnotnull(expr)`` filter BELOW any
+    exchange — for expensive generators (shingling, tokenization) that
+    evaluates the whole expression two extra times per input row, and in
+    the pre-shuffle stage whose parallelism is the file-split count.
+    ``explode_outer`` is exempt from the rule; a post-explode null filter
+    on the (already computed) scalar restores inner-explode semantics
+    exactly, because our token/shingle arrays never contain null
+    elements.
+    """
+    from pyspark.sql import functions as _F
+
+    out = df.select(*cols, _F.explode_outer(arr).alias(alias))
+    return out.filter(_F.col(alias).isNotNull())

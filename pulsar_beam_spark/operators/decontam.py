@@ -29,18 +29,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.texthash import shingles, tokens
+from ..functions.texthash import exploded_nonnull, shingles, tokens
+from ..sources.tables import spread_small_input
 
 
 def eval_ngram_set(eval_docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
     """Distinct word n-grams of the evaluation set — the broadcast probe
     side. One column ``g``."""
-    return (
-        eval_docs.select(
-            F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("g")
-        )
-        .distinct()
-    )
+    return exploded_nonnull(
+        eval_docs, [], F.array_distinct(shingles(tokens(text_col), n)), "g"
+    ).distinct()
 
 
 def decontaminate(
@@ -57,9 +55,9 @@ def decontaminate(
     Returns (id_col, n_contaminated_ngrams BIGINT, contaminated INT).
     """
     grams = eval_ngram_set(eval_docs, text_col, n)
-    train_grams = train_docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("g"),
+    train_grams = exploded_nonnull(
+        spread_small_input(train_docs), [F.col(id_col)],
+        F.array_distinct(shingles(tokens(text_col), n)), "g",
     )
     hits = (
         train_grams.join(F.broadcast(grams), "g")

@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.texthash import shingles, tokens
+from ..functions.texthash import exploded_nonnull, shingles, tokens
 from ..functions.vector import cosine_sim
 
 # Mersenne prime 2^31-1: keeps a*h+b < 2^62 (ANSI-overflow-safe in one
@@ -47,10 +47,12 @@ def exact_dedup_latest(df: DataFrame, keys: Sequence[str], order_col: str, tiebr
 def doc_shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shingle) pairs, distinct per doc — the exploded set
     representation used by the exact-Jaccard pair discovery self-join."""
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(shingles(tokens(text_col), n)).alias("shingle"))
-        .distinct()
-    )
+    from ..sources.tables import spread_small_input
+
+    return exploded_nonnull(
+        spread_small_input(docs), [F.col(id_col).alias("id")],
+        shingles(tokens(text_col), n), "shingle",
+    ).distinct()
 
 
 def doc_shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
@@ -63,7 +65,9 @@ def doc_shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     shuffles. Document arrays are bounded by document length, so row
     width stays sane.
     """
-    return docs.select(
+    from ..sources.tables import spread_small_input
+
+    return spread_small_input(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(tokens(text_col), n)).alias("shset"),
     )
@@ -126,12 +130,21 @@ def minhash_signatures(
     """Per-doc MinHash signature as ``array<bigint>`` of length num_hashes.
 
     One explode + one groupBy (map-side partial min) — the signature of a
-    100 TB corpus is a single shuffle of (doc, shingle-hash) pairs.
+    100 TB corpus is a single shuffle of per-doc PARTIAL MINS (32 longs
+    per doc per mapper), not of the shingles themselves.
     (A row-local array formulation — 32 × transform+array_min per row —
     measured ~70% slower at sf0.1: per-document array allocations lose to
-    the codegen'd incremental min over exploded rows.)
+    the codegen'd incremental min over exploded rows. And the previous
+    explode→distinct() formulation paid a full extra shuffle of the
+    (id, shingle-string) rows just to dedup within doc — row-local
+    array_distinct does that for free in the scan projection.)
     """
-    sets = doc_shingle_sets(docs, id_col, text_col, n)
+    from ..sources.tables import spread_small_input
+
+    sets = exploded_nonnull(
+        doc_shingle_arrays(spread_small_input(docs), id_col, text_col, n),
+        ["id"], F.col("shset"), "shingle",
+    )
     h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     hashed = sets.select("id", h.alias("h"))
     mins = [
@@ -234,7 +247,11 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", b
     """Per-doc SimHash: sum +/-1 per bit of each token's xxhash64, sign ->
     bit. 63 bits (bit 63 would overflow the signed accumulator). One
     explode + one groupBy with ``bits`` partial-agg sums."""
-    tok = docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+    from ..sources.tables import spread_small_input
+
+    tok = exploded_nonnull(
+        spread_small_input(docs), [F.col(id_col).alias("id")], tokens(text_col), "tok"
+    )
     h = tok.select("id", F.xxhash64("tok").alias("h"))
     sums = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
@@ -369,7 +386,9 @@ def embedding_near_dup_pairs(
     # showed up as latency on SUBSEQUENT queries in round-1 bench runs).
     # At cluster scale persist to a table (cells double as the partition
     # column) instead.
-    assigned = emb.select(id_col, vec_col).mapInPandas(
+    from ..sources.tables import spread_small_input
+
+    assigned = spread_small_input(emb.select(id_col, vec_col)).mapInPandas(
         _assign_batches, "id long, v array<double>, cell int, angle double"
     ).localCheckpoint(eager=False)
 
@@ -492,8 +511,10 @@ def duplicate_span_stats(
             lambda i: F.concat_ws(" ", F.slice(toks, i * span + 1, span)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    per_doc = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(spans_arr)).alias("sp")
+    from ..sources.tables import spread_small_input
+
+    per_doc = exploded_nonnull(
+        spread_small_input(docs), [F.col(id_col)], F.array_distinct(spans_arr), "sp"
     )
     w = Window.partitionBy("sp")
     flagged = per_doc.withColumn("n_docs_with_span", F.count("*").over(w))

@@ -9,7 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.texthash import poly_fingerprint, tokens
+from ..functions.texthash import exploded_nonnull, poly_fingerprint, tokens
+from ..sources.tables import spread_small_input
 
 # Tiny deterministic stopword lexicons; enough for the heuristic and for
 # an oracle-identical SQL mirror (kept deliberately short & literal).
@@ -97,7 +98,7 @@ def top_terms(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame
     aggregation; top-k is TakeOrderedAndProject (no global sort shuffle)."""
     stop = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     return (
-        docs.select(F.explode(tokens(text_col)).alias("term"))
+        exploded_nonnull(spread_small_input(docs), [], tokens(text_col), "term")
         .filter(~F.array_contains(stop, F.lower(F.col("term"))))
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
@@ -122,7 +123,9 @@ def tf_idf(
     ``max_doc_id`` bounds the *output* (not the statistics): idf is
     always computed over the full corpus.
     """
-    toks = docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    toks = exploded_nonnull(
+        spread_small_input(docs), [F.col(id_col).alias("id")], tokens(text_col), "term"
+    )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     df = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
@@ -155,7 +158,10 @@ def repetition_scores(
     """
     from ..functions.texthash import shingles
 
-    sh = docs.select(F.col(id_col).alias("id"), F.explode(shingles(tokens(text_col), n)).alias("g"))
+    sh = exploded_nonnull(
+        spread_small_input(docs), [F.col(id_col).alias("id")],
+        shingles(tokens(text_col), n), "g",
+    )
     freq = sh.groupBy("id", "g").agg(F.count("*").alias("f"))
     agg = freq.groupBy("id").agg(
         F.sum("f").cast("long").alias("total"),
@@ -201,7 +207,9 @@ def unigram_logprob(
     doc. Docs with zero tokens keep a NULL avg via the left join — they
     carry no evidence, which is not the same as scoring well.
     """
-    toks = docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    toks = exploded_nonnull(
+        spread_small_input(docs), [F.col(id_col).alias("id")], tokens(text_col), "term"
+    )
     vocab = toks.groupBy("term").agg(F.count("*").alias("freq"))
     total = toks.agg(F.count("*").alias("total"))
     lp = vocab.crossJoin(F.broadcast(total)).select(

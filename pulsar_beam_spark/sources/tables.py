@@ -63,3 +63,29 @@ def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
     """Register every table as a temp view (for the SQL entry points)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+
+
+def spread_small_input(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Round-robin repartition a DataFrame to core count IF its input
+    parallelism is below ``min_fraction`` of the cluster's slots.
+
+    Why: CPU-heavy per-row projections (shingle hashing, tokenization,
+    per-row GEMM batches) that sit BEFORE the first shuffle inherit the
+    file-split parallelism of the scan. At 100 TB splits outnumber cores
+    by orders of magnitude and this is a no-op (the partition check costs
+    a plan analysis, no job). On a small local fixture a table is often
+    ONE split, serializing the expensive map stage on a single core —
+    the repartition costs a shuffle of the (small) input and buys back
+    full-width execution. Deterministic for our uses: downstream
+    operators aggregate/join by key, so partition placement never
+    changes results.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if nparts >= max(2, int(target * min_fraction)):
+        return df
+    return df.repartition(target)
