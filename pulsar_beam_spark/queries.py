@@ -3683,6 +3683,241 @@ def q_mips(spark, sf):
     return mips_topk(emb, [float(x) for x in qrow["embedding"]], k=10)
 
 
+# == fifth wave: temporal/statistical/retrieval composites ===============
+
+@register(
+    "r10_asof_forward",
+    """
+    WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, nc.event_id AS next_click_id, nc.ts AS next_click_ts
+    FROM p LEFT JOIN LATERAL (
+      SELECT event_id, ts FROM c
+      WHERE c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.ts ASC LIMIT 1
+    ) nc ON true
+    """,
+    doc="R10 companion: FORWARD as-of join (earliest right event at or "
+        "after each left event — the 'next action' lookup). Same "
+        "union+window rewrite as backward, first_value over an "
+        "unbounded-following frame; one shuffle. Oracle is a LATERAL "
+        "top-1 probe, the semantic spec of forward-asof.",
+)
+def q_r10_forward(spark, sf):
+    ev = T(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    joined = asof_join(p, c, ["user_id"], "ts", "ts", ["event_id"], direction="forward")
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_right").alias("next_click_id"),
+        F.col("ts_right").alias("next_click_ts"),
+    )
+
+
+@register(
+    "r_ewma_smoothing",
+    """
+    WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type,
+                          CAST(CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE) AS DOUBLE) AS cents
+                   FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, list(cents ORDER BY d) AS vs FROM daily GROUP BY 1)
+    SELECT event_type,
+           CAST(len(vs) AS BIGINT) AS n_days,
+           round(list_reduce(vs, (acc, x) -> x * 0.3 + acc * 0.7), 6) AS ewma_cents
+    FROM s
+    """,
+    doc="Time-series smoothing: per-key EWMA (alpha=0.3) over the daily "
+        "sum series — an ORDER-DEPENDENT left fold, the class of "
+        "computation naive parallel aggregation gets wrong. Spark packs "
+        "each key's (bounded: days-per-key) series into a sorted array "
+        "and folds with F.aggregate seeded from element 1 — the exact "
+        "IEEE chain DuckDB's list_reduce evaluates, so parity is "
+        "bit-stable. One shuffle (daily agg) + one (series pack).",
+)
+def q_ewma(spark, sf):
+    ev = T(spark, sf, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.sum(cents("value")).cast("double").alias("cents"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "cents"))).alias("s")
+    )
+    vals = F.transform("s", lambda x: x["cents"])
+    tail = F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0)))
+    ewma = F.aggregate(tail, F.element_at(vals, 1), lambda acc, x: x * 0.3 + acc * 0.7)
+    return series.select(
+        "event_type",
+        F.size(vals).cast("long").alias("n_days"),
+        F.round(ewma, 6).alias("ewma_cents"),
+    )
+
+
+@register(
+    "r_histogram_bins",
+    """
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(value), 6) AS bin_min,
+           round(max(value), 6) AS bin_max
+    FROM events GROUP BY 1
+    """,
+    doc="Fixed-width histogram: floor-bucketized value -> per-bin count "
+        "and actual extrema. One map-side-combined shuffle; the "
+        "equi-width complement to the quantile (equi-depth) ops.",
+)
+def q_histogram(spark, sf):
+    ev = T(spark, sf, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 50).cast("long").alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("bin_min"),
+        F.round(F.max("value"), 6).alias("bin_max"),
+    )
+
+
+@register(
+    "e_grouped_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+    s AS (SELECT q.qid, e.vec_id,
+                 list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], q.qv), x -> x[1] * x[2]),
+                             (x, y) -> x + y) AS d
+          FROM embeddings e, q WHERE e.vec_id != q.qid),
+    r AS (SELECT qid, vec_id, d,
+                 row_number() OVER (PARTITION BY qid ORDER BY d DESC, vec_id) AS rn
+          FROM s)
+    SELECT qid, vec_id, round(d, 6) AS dot, CAST(rn AS INTEGER) AS rn
+    FROM r WHERE rn <= 5
+    """,
+    doc="Similarity: BATCH multi-query top-k (the retrieval API shape: a "
+        "query SET joined against the corpus, rank per query) — "
+        "broadcast the query side, one codegen'd dot per (query, "
+        "candidate), rank window partitioned by query. At 100 TB the "
+        "corpus never shuffles: queries broadcast, per-query rank is a "
+        "partial TakeOrdered under the window. Self-matches excluded.",
+)
+def q_grouped_topk(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    cand = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("vec_id").asc())
+    return (
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("d", dot)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", F.round("d", 6).alias("dot"), F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@register(
+    "r_partial_agg_merge",
+    """
+    WITH sharded AS (
+      SELECT l_orderkey % 8 AS shard, l_returnflag AS k,
+             count(*) AS c,
+             sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS s,
+             min(l_quantity) AS mn, max(l_quantity) AS mx
+      FROM lineitem GROUP BY 1, 2)
+    SELECT k,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(CAST(sum(s) AS BIGINT) AS DOUBLE) / 100 AS total_price,
+           round(CAST(CAST(sum(s) AS BIGINT) AS DOUBLE) / 100 / sum(c), 6) AS avg_price,
+           min(mn) AS min_qty, max(mx) AS max_qty
+    FROM sharded GROUP BY k
+    """,
+    doc="Mergeable partial aggregates: shard-level (count,sum,min,max) "
+        "partials re-aggregated to exact per-key finals — the algebraic "
+        "re-aggregation contract behind incremental rollup tables and "
+        "two-level aggregation at 100 TB (partials maintained per "
+        "shard/epoch, merge is tiny). avg derived from merged sum/count, "
+        "never averaged-of-averages.",
+)
+def q_partial_merge(spark, sf):
+    li = T(spark, sf, "lineitem")
+    sharded = li.groupBy(
+        (F.col("l_orderkey") % 8).alias("shard"), F.col("l_returnflag").alias("k")
+    ).agg(
+        F.count("*").alias("c"),
+        F.sum(cents("l_extendedprice")).alias("s"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+    )
+    return sharded.groupBy("k").agg(
+        F.sum("c").alias("n_rows"),
+        (F.sum("s").cast("double") / 100).alias("total_price"),
+        F.round(F.sum("s").cast("double") / 100 / F.sum("c"), 6).alias("avg_price"),
+        F.min("mn").alias("min_qty"),
+        F.max("mx").alias("max_qty"),
+    )
+
+
+@register(
+    "r_robust_stats",
+    """
+    WITH m AS (SELECT l_returnflag,
+                      quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.5) / 100 AS med
+               FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag,
+           round(min(m.med), 6) AS median_price,
+           round(quantile_cont(abs(CAST(round(l.l_extendedprice*100,0) AS BIGINT) / 100.0 - m.med), 0.5), 6) AS mad
+    FROM lineitem l JOIN m USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    doc="Robust statistics: per-group median + median-absolute-deviation "
+        "— two-pass (medians join back broadcast, deviations re-ranked). "
+        "The outlier-resistant spread metric quality filters use where "
+        "stddev is poisoned by the tail it is supposed to find.",
+)
+def q_robust(spark, sf):
+    li = T(spark, sf, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        (F.percentile(cents("l_extendedprice"), F.lit(0.5)) / 100).alias("med")
+    )
+    j = li.join(F.broadcast(med), "l_returnflag")
+    dev = F.abs(cents("l_extendedprice") / 100.0 - F.col("med"))
+    return j.groupBy("l_returnflag").agg(
+        F.round(F.min("med"), 6).alias("median_price"),
+        F.round(F.percentile(dev, F.lit(0.5)), 6).alias("mad"),
+    )
+
+
+@register(
+    "r_union_by_name",
+    """
+    SELECT count(*) AS n,
+           CAST(count(o_totalprice) AS BIGINT) AS n_price,
+           CAST(count(o_orderdate) AS BIGINT) AS n_date
+    FROM (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS DATE) AS o_orderdate FROM orders
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderdate FROM orders
+    ) t
+    """,
+    doc="Schema-evolution union: two generations of a table (columns "
+        "added/dropped) merged with unionByName(allowMissingColumns) — "
+        "absent columns null-filled by NAME, not position. The batch "
+        "analogue of a schema-evolving ingest log.",
+)
+def q_union_by_name(spark, sf):
+    o = T(spark, sf, "orders")
+    v1 = o.select("o_orderkey", "o_totalprice")
+    v2 = o.select("o_orderkey", "o_orderdate")
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.agg(
+        F.count("*").alias("n"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderdate").alias("n_date"),
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
