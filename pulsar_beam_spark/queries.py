@@ -3981,8 +3981,12 @@ _DRIVER_VERIFIED = _ROUND1_VERIFIED | _ROUND2_VERIFIED
 def _driver_order() -> list[str]:
     front = [n for n, s in REGISTRY.items()
              if n not in _DRIVER_VERIFIED and s.oracle is not None]
-    back = [n for n in REGISTRY if n not in front]
-    return front + back
+    # no-oracle entries next: they can only ever get a rows-only driver
+    # check, but that check is still a recorded row — spend leftover
+    # window slots on them rather than on re-verifying green entries
+    no_oracle = [n for n, s in REGISTRY.items() if s.oracle is None]
+    back = [n for n in REGISTRY if n not in front and n not in no_oracle]
+    return front + no_oracle + back
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
