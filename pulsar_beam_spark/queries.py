@@ -3918,6 +3918,28 @@ def q_union_by_name(spark, sf):
     )
 
 
+@register(
+    "r13_hll_mergeable",
+    None,  # sketch estimate — tolerance vs exact count-distinct checked in pytest
+    doc="R13 scale path: MERGEABLE HLL sketches — per-shard hll_sketch_agg "
+        "partials, hll_union_agg merge, estimate at the end. The "
+        "re-aggregatable sketch contract (same shape as "
+        "r_partial_agg_merge but sublinear state): shard/epoch partials "
+        "are maintained incrementally and the merge is tiny — THE "
+        "count-distinct pattern at 100 TB, where exact per-key distinct "
+        "state is unbounded. Datasketches HLL, lgConfigK=12 (~2.5% rse).",
+)
+def q_hll_mergeable(spark, sf):
+    ev = T(spark, sf, "events")
+    shard = ev.groupBy(
+        (F.col("event_id") % 16).alias("shard"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    return (
+        shard.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in

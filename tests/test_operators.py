@@ -629,3 +629,34 @@ def test_incremental_near_dup_planted(spark):
     )
     got = {r["doc_id"]: r["dup_of"] for r in incremental_near_dup(new, corpus).collect()}
     assert got == {10: 1, 12: 1}
+
+
+def test_hll_mergeable_within_tolerance(spark):
+    """r13_hll_mergeable: the shard-merged HLL estimate must sit within
+    the sketch's documented error (lgConfigK=12 -> rse ~0.025; assert 5
+    sigma) of the exact distinct count, and merging shard sketches must
+    equal sketching the whole table (mergeability contract)."""
+    from pulsar_beam_spark.queries import REGISTRY
+    from .conftest import SF_SMOKE
+
+    import pyspark.sql.functions as F
+
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["r13_hll_mergeable"].spark(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    whole = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("e"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, v in est.items():
+        assert abs(v - exact[k]) <= max(3.0, 0.125 * exact[k]), (k, v, exact[k])
+        assert v == whole[k], (k, v, whole[k])  # merge == single-pass sketch
