@@ -660,3 +660,31 @@ def test_hll_mergeable_within_tolerance(spark):
     for k, v in est.items():
         assert abs(v - exact[k]) <= max(3.0, 0.125 * exact[k]), (k, v, exact[k])
         assert v == whole[k], (k, v, whole[k])  # merge == single-pass sketch
+
+
+def test_exploded_nonnull_matches_inner_explode(spark):
+    """exploded_nonnull must be row-identical to plain explode() for
+    null-free arrays (docs with <n tokens -> empty array -> no rows)."""
+    import pyspark.sql.functions as F
+    from pulsar_beam_spark.functions.texthash import exploded_nonnull, shingles, tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, ""), (4, "p q r")], "id long, text string"
+    )
+    inner = df.select("id", F.explode(shingles(tokens("text"), 3)).alias("g"))
+    outer = exploded_nonnull(df, ["id"], shingles(tokens("text"), 3), "g")
+    assert sorted(map(tuple, inner.collect())) == sorted(map(tuple, outer.collect()))
+
+
+def test_spread_small_input_conditional(spark):
+    """spread_small_input widens a 1-partition input to core count and
+    leaves an already-parallel input untouched."""
+    from pulsar_beam_spark.sources.tables import spread_small_input
+
+    narrow = spark.range(100).coalesce(1)
+    wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism)
+    assert (
+        spread_small_input(narrow).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert spread_small_input(wide) is wide

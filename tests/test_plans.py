@@ -319,3 +319,16 @@ def test_unigram_logprob_vocab_joins_not_corpus_sized(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert has_broadcast(df), plan[:2000]
+
+
+def test_minhash_generator_not_duplicated(spark):
+    """InferFiltersFromGenerate must not re-evaluate the shingle
+    expression in a pushed-down filter: the expensive generator
+    (concat_ws over sliced token arrays) appears exactly once in the
+    physical plan — in the Generate node."""
+    from pulsar_beam_spark.operators.dedup import minhash_signatures
+    from pulsar_beam_spark.plans.explain import simple_plan
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = simple_plan(minhash_signatures(docs))
+    assert plan.count("concat_ws") == 1, plan[:3000]
