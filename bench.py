@@ -67,6 +67,10 @@ HEADLINE = [
     "t_unigram_logprob",
     "e_mips_topk",
     "l_zorder_layout",
+    "r_ewma_smoothing",
+    "e_grouped_topk",
+    "r13_hll_mergeable",
+    "r_partial_agg_merge",
 ]
 
 
