@@ -3940,6 +3940,97 @@ def q_hll_mergeable(spark, sf):
     )
 
 
+SHARED_SQL_NOT_IN = """
+SELECT
+  (SELECT count(*) FROM orders
+   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)) AS n_excl_nonnull,
+  (SELECT count(*) FROM orders
+   WHERE nullif(o_custkey, 1) NOT IN (SELECT nullif(c_custkey, c_custkey) FROM customer WHERE c_custkey = 1)) AS n_with_null_probe
+"""
+
+
+@register(
+    "sql_shared_dialect_not_in",
+    SHARED_SQL_NOT_IN,
+    doc="SQL entry point: NULL-AWARE NOT IN — the classic three-valued-"
+        "logic trap. The literal same string runs on both engines: the "
+        "first count is a plain anti-join; the second probes against a "
+        "subquery containing NULL, so NOT IN is UNKNOWN for every row "
+        "and the count is 0 (Spark lowers this to NullAwareAntiJoin). "
+        "An engine that rewrites NOT IN to NOT EXISTS naively gets the "
+        "second count wrong.",
+)
+def q_sql_not_in(spark, sf):
+    return run_sql(spark, sf, SHARED_SQL_NOT_IN)
+
+
+@register(
+    "r_cohort_retention",
+    """
+    WITH firsts AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_d FROM events GROUP BY 1),
+    act AS (SELECT DISTINCT e.user_id, f.first_d,
+                   CAST(floor(date_diff('day', f.first_d, CAST(e.ts AS DATE)) / 7.0) AS INTEGER) AS week_off
+            FROM events e JOIN firsts f USING (user_id))
+    SELECT date_trunc('week', first_d) AS cohort_week, week_off,
+           count(*) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: each user anchored to their first-seen "
+        "date, activity bucketed into week offsets, users counted once "
+        "per (cohort-week, offset) cell — the product-analytics "
+        "composite (two aggregations + a self-referential join). The "
+        "firsts side is per-user (orders of magnitude smaller than the "
+        "event log) and joins back broadcast at any realistic scale.",
+)
+def q_cohort(spark, sf):
+    ev = T(spark, sf, "events")
+    d = F.to_date("ts")
+    firsts = ev.groupBy("user_id").agg(F.min(d).alias("first_d"))
+    act = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "first_d",
+            F.floor(F.datediff(d, F.col("first_d")) / 7.0).cast("int").alias("week_off"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_trunc("week", "first_d").alias("cohort_week"), "week_off"
+    ).agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "r_market_basket",
+    """
+    WITH items AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+                   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT a.b AS brand_a, b.b AS brand_b, count(*) AS n_orders
+    FROM items a JOIN items b ON a.ok = b.ok AND a.b < b.b
+    GROUP BY 1, 2
+    """,
+    doc="Market-basket co-occurrence: distinct (order, brand) pairs "
+        "self-joined WITHIN the order key (co-partitioned equi-join — "
+        "pair explosion bounded by per-basket size, never |orders|^2), "
+        "counted per brand pair. The association-mining shape (frequent "
+        "itemset support counting) on the TPC-H schema.",
+)
+def q_basket(spark, sf):
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    pt = T(spark, sf, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.b") < F.col("b.b")))
+        .groupBy(F.col("a.b").alias("brand_a"), F.col("b.b").alias("brand_b"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
