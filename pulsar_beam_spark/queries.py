@@ -54,6 +54,7 @@ from .operators.similarity import brute_force_topk, hyperplane_lsh_topk, ivf_top
 from .operators.text import language_id, quality_scores, token_stats, top_terms
 from .operators.text import doc_fingerprints, pii_scrub, repetition_scores, tf_idf
 from .operators.text import unigram_logprob
+from .functions.texthash import poly_fingerprint
 from .model.topic import gen_key_from_names, tenant_from_topic_col, topic_key_col
 from .sources.tables import load_table
 from .sql import run_sql
@@ -4029,6 +4030,138 @@ def q_basket(spark, sf):
         .groupBy(F.col("a.b").alias("brand_a"), F.col("b.b").alias("brand_b"))
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+# == RAG index pipeline: chunk -> hash-embed -> retrieve =================
+
+# Deterministic (a, b) projection constants for the portable hash
+# embedding; every product stays < 2^63 (fp < 1e9+7, a < 2^20).
+_RAG_PROJ = [(10007, 3), (100003, 17), (1000003, 29), (131071, 101), (524287, 211), (8191, 401), (127, 1009), (31, 2003)]
+
+RAG_INDEX_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1), 64)) AS cs
+  FROM documents),
+chunks AS (
+  SELECT doc_id, CAST((cs - 1) // 64 AS INT) AS chunk_idx,
+         substr(text, CAST(cs AS INT), 80) AS chunk
+  FROM s),
+fp AS (
+  SELECT doc_id, chunk_idx,
+         CASE WHEN length(chunk) = 0 THEN 0
+              ELSE list_reduce(list_transform(generate_series(1, length(chunk)),
+                                              i -> CAST(ascii(chunk[i]) AS BIGINT)),
+                               (acc, x) -> (acc * 131 + x) % 1000000007)
+         END AS f
+  FROM chunks),
+emb AS (
+  SELECT doc_id, chunk_idx,
+         list_transform([[10007, 3], [100003, 17], [1000003, 29], [131071, 101], [524287, 211], [8191, 401], [127, 1009], [31, 2003]],
+                        p -> CAST((f * p[1] + p[2]) % 1000000007 AS DOUBLE) / 1000000007) AS e
+  FROM fp),
+q AS (SELECT doc_id AS qid, e AS qe FROM emb WHERE doc_id < 3 AND chunk_idx = 0),
+scored AS (
+  SELECT q.qid, c.doc_id AS cand_doc, c.chunk_idx AS cand_chunk,
+         list_reduce(list_transform(list_zip(c.e, q.qe), x -> x[1] * x[2]),
+                     (x, y) -> x + y) AS d
+  FROM emb c, q WHERE c.doc_id >= 3),
+r AS (SELECT qid, cand_doc, cand_chunk, d,
+             row_number() OVER (PARTITION BY qid ORDER BY d DESC, cand_doc, cand_chunk) AS rn
+      FROM scored)
+SELECT qid, cand_doc, cand_chunk, round(d, 6) AS score, CAST(rn AS INTEGER) AS rn
+FROM r WHERE rn <= 3
+"""
+
+
+@register(
+    "pipeline_rag_index",
+    RAG_INDEX_ORACLE,
+    doc="End-to-end RAG indexing pipeline, fully oracle-checked: chunk "
+        "(80-char windows, stride 64, zero-shuffle explode) -> "
+        "deterministic hash embedding (polynomial fingerprint projected "
+        "through 8 integer-affine maps -- a stand-in with the exact "
+        "dataflow of a model encoder, portable to SQL) -> top-3 "
+        "retrieval per query chunk (broadcast query set, per-query rank "
+        "window). The corpus side never shuffles until the final "
+        "per-query rank of scored candidates.",
+)
+def q_rag_index(spark, sf):
+    chunks = chunk_documents(T(spark, sf, "documents"), chunk_size=80, stride=64)
+    fp = poly_fingerprint("chunk")
+    emb_arr = F.array(*[
+        ((fp * F.lit(a) + F.lit(b)) % F.lit(1_000_000_007)).cast("double") / 1_000_000_007
+        for a, b in _RAG_PROJ
+    ])
+    emb = chunks.select("doc_id", "chunk_idx", emb_arr.alias("e"))
+    q = emb.filter((F.col("doc_id") < 3) & (F.col("chunk_idx") == 0)).select(
+        F.col("doc_id").alias("qid"), F.col("e").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("d").desc(), F.col("cand_doc").asc(), F.col("cand_chunk").asc()
+    )
+    return (
+        emb.filter(F.col("doc_id") >= 3)
+        .select(F.col("doc_id").alias("cand_doc"), F.col("chunk_idx").alias("cand_chunk"), "e")
+        .join(F.broadcast(q))
+        .withColumn("d", dot)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cand_doc", "cand_chunk",
+                F.round("d", 6).alias("score"), F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@register(
+    "r_data_quality_audit",
+    """
+    SELECT
+      (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderkey IS NULL) AS n_orphan_lineitems,
+      (SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS n_nonpositive_price,
+      (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS n_dup_orderkeys,
+      (SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate < o.o_orderdate) AS n_time_travel,
+      (SELECT count(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_bad_nation_fk
+    """,
+    doc="Data-quality audit: referential orphans (anti-join), constraint "
+        "violations (range / temporal-order), key uniqueness, FK domain "
+        "membership -- the dbt-test / expectation-suite shape as ONE "
+        "pass of broadcast-able probes. Each check is independently "
+        "distributable; the final row is a crossJoin of five "
+        "pre-aggregated singletons.",
+)
+def q_dq_audit(spark, sf):
+    li = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_orphan_lineitems"))
+    )
+    nonpos = o.filter(F.col("o_totalprice") <= 0).agg(
+        F.count("*").alias("n_nonpositive_price")
+    )
+    dups = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_dup_orderkeys")
+    )
+    ttravel = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count("*").alias("n_time_travel"))
+    )
+    badfk = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti")
+        .agg(F.count("*").alias("n_bad_nation_fk"))
+    )
+    out = orphans
+    for sub in (nonpos, dups, ttravel, badfk):
+        out = out.crossJoin(F.broadcast(sub))
+    return out
 
 
 # == exports consumed by __spark_entry__.py ==============================
