@@ -622,3 +622,35 @@ def test_snapshot_merge_stream_multi_batch(spark, tmp_path):
     }
     assert got == want
     assert got == {1: ("a2", 20), 2: ("b2", 30), 4: ("d1", 10)}
+
+
+def test_delivery_arrow_path_null_fields(spark, tmp_path):
+    """The Arrow-batched delivery path (mapInPandas) must preserve the
+    per-row semantics of the old pickle path for null payload / key /
+    properties: empty body posted, no crash on missing properties."""
+    from datetime import datetime
+
+    from pulsar_beam_spark.model.message import MESSAGE_SCHEMA
+    from pulsar_beam_spark.streaming.delivery import WebhookSink, deliver_stream
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("m-null", "persistent://t/ns/a", None, None, t0, t0, None),
+        ("m-empty", "persistent://t/ns/a", None, b"", t0, t0, {}),
+        ("m-props", "persistent://t/ns/a", "k1", b'{"v":1}', t0, t0, {"X-Tag": "z"}),
+    ]
+    src = str(tmp_path / "src-null")
+    spark.createDataFrame(rows, MESSAGE_SCHEMA).write.parquet(src)
+    spool = tmp_path / "spool-null"
+    t = _Transport([(200, {}, b"")], spool=spool)
+    stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(src)
+    q = deliver_stream(stream, WebhookSink("http://stub", transport=t), str(tmp_path / "ckpt-null"))
+    q.processAllAvailable()
+    q.stop()
+    by_id = {h["PulsarMessageId"]: (body, h) for _, body, h in t.calls}
+    assert set(by_id) == {"m-null", "m-empty", "m-props"}
+    assert by_id["m-null"][0] == b"" and by_id["m-empty"][0] == b""
+    body, hdrs = by_id["m-props"]
+    assert body == b'{"v":1}'
+    assert hdrs["Content-Type"] == "application/json"
+    assert hdrs["X-Tag"] == "z"
