@@ -6,7 +6,8 @@ The heavyweight decoders (PIL/ffmpeg/librosa) are NOT in this container;
 parsing so the ``fake=False`` path runs END TO END on real image bytes
 (decode -> stats features / nearest-neighbor resize), and raises
 NotImplementedError for formats that genuinely need PIL/cv2. The
-``fake=True`` path derives a deterministic digest feature vector from
+WAV (RIFF/PCM-16) audio parses dependency-free too (audio_stats_features).
+The ``fake=True`` path derives a deterministic digest feature vector from
 arbitrary bytes (so the documents fixture exercises the same plumbing —
 schema, Arrow batching, partitioning — without valid image payloads).
 
@@ -148,9 +149,95 @@ def decode_image(content: bytes) -> tuple[int, int, bytes]:
     )
 
 
+def media_stats_features(content: bytes) -> list[float]:
+    """Magic-dispatched real feature extraction: PPM/BMP -> image stats,
+    RIFF/WAVE -> audio stats. The fake=False path of extract_features."""
+    if content.startswith(b"P6") or content.startswith(b"BM"):
+        return image_stats_features(content)
+    if content[:4] == b"RIFF":
+        return audio_stats_features(content)
+    raise NotImplementedError("undecodable media magic; PPM/BMP/WAV supported in-container")
+
+
 def encode_ppm_p6(width: int, height: int, rgb: bytes) -> bytes:
     """Inverse of _parse_ppm_p6 — used by the non-fake resize path."""
     return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def _parse_wav_pcm16(b: bytes) -> tuple[int, int, list[int]]:
+    """Dependency-free WAV decoder: RIFF/WAVE container, 'fmt ' chunk with
+    PCM (format 1) 16-bit samples, 'data' chunk. Returns (sample_rate,
+    n_channels, interleaved int16 samples)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, bits = 12, None, None, None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            if fmt != 1:
+                raise ValueError(f"only PCM wav supported (fmt={fmt})")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if bits != 16:
+                raise ValueError(f"only 16-bit PCM supported (bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("wav missing fmt/data chunk")
+    n = len(data) // 2
+    samples = [
+        int.from_bytes(data[2 * i : 2 * i + 2], "little", signed=True) for i in range(n)
+    ]
+    return rate, channels, samples
+
+
+def encode_wav_pcm16(rate: int, channels: int, samples: list[int]) -> bytes:
+    """Inverse of _parse_wav_pcm16 — fixture generator for tests."""
+    data = b"".join(
+        int(s).to_bytes(2, "little", signed=True) for s in samples
+    )
+    byte_rate = rate * channels * 2
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def audio_stats_features(content: bytes) -> list[float]:
+    """Real 8-dim feature vector from decoded PCM audio: duration,
+    rate, channels, RMS, zero-crossing rate, min/mean/max amplitude —
+    deterministic, library-free (the audio analogue of
+    image_stats_features)."""
+    import math
+
+    rate, channels, samples = _parse_wav_pcm16(content)
+    n = max(1, len(samples))
+    frames = len(samples) // max(1, channels)
+    sq = 0.0
+    zc = 0
+    smin, smax, ssum = 32767.0, -32768.0, 0.0
+    prev_sign = None
+    for s in samples:
+        sq += float(s) * float(s)
+        sign = s >= 0
+        if prev_sign is not None and sign != prev_sign:
+            zc += 1
+        prev_sign = sign
+        smin, smax, ssum = min(smin, float(s)), max(smax, float(s)), ssum + s
+    return [
+        frames / float(rate), float(rate), float(channels),
+        math.sqrt(sq / n), zc / float(n), smin, ssum / n, smax,
+    ]
 
 
 def image_stats_features(content: bytes) -> list[float]:
@@ -196,7 +283,7 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataF
             feats = []
             for raw in content:
                 raw = bytes(raw) if raw is not None else b""
-                feats.append(image_stats_features(raw) if not fake else _fake_features(raw, dim))
+                feats.append(media_stats_features(raw) if not fake else _fake_features(raw, dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

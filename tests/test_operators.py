@@ -688,3 +688,31 @@ def test_spread_small_input_conditional(spark):
         == spark.sparkContext.defaultParallelism
     )
     assert spread_small_input(wide) is wide
+
+
+def test_extract_features_real_mixed_media(spark):
+    """fake=False feature extraction dispatches by magic: a real PPM image
+    and a real PCM WAV through the same Arrow-batched operator, features
+    matching the local reference computation exactly."""
+    import math
+
+    from pulsar_beam_spark.operators.multimodal import (
+        audio_stats_features,
+        encode_ppm_p6,
+        encode_wav_pcm16,
+        extract_features,
+        image_stats_features,
+    )
+
+    rgb = bytes([10, 20, 30, 200, 150, 100, 0, 0, 0, 255, 255, 255])  # 2x2
+    ppm = encode_ppm_p6(2, 2, rgb)
+    wav = encode_wav_pcm16(8000, 1, [int(12000 * math.sin(i / 7.0)) for i in range(160)])
+    media = spark.createDataFrame(
+        [(1, "image", ppm, "image/x-portable-pixmap", None, None, None),
+         (2, "audio", wav, "audio/wav", None, None, None)],
+        "media_id long, modality string, content binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    out = {r["media_id"]: list(r["features"]) for r in extract_features(media, fake=False).collect()}
+    assert out[1] == image_stats_features(ppm)
+    assert out[2] == audio_stats_features(wav)
