@@ -20,9 +20,15 @@ from .sampling import (  # noqa: F401
 from .similarity import brute_force_topk, hyperplane_lsh_topk, ivf_topk, mips_topk  # noqa: F401
 from .skew import salted_agg, salted_broadcast_fallback_join  # noqa: F401
 from .multimodal import (  # noqa: F401
+    audio_stats_features,
+    decode_image,
+    encode_ppm_p6,
+    encode_wav_pcm16,
     extract_features,
     frame_sample_plan,
+    image_stats_features,
     media_from_documents,
+    media_stats_features,
     resize_media,
 )
 from .text import (  # noqa: F401
