@@ -716,3 +716,37 @@ def test_extract_features_real_mixed_media(spark):
     out = {r["media_id"]: list(r["features"]) for r in extract_features(media, fake=False).collect()}
     assert out[1] == image_stats_features(ppm)
     assert out[2] == audio_stats_features(wav)
+
+
+def test_asof_join_matches_bruteforce_both_directions(spark):
+    """The union+window as-of rewrite must equal the brute-force
+    per-row nearest lookup for BOTH directions, including equal-ts
+    matches, keys with no right rows, and multiple candidates."""
+    from datetime import datetime, timedelta
+
+    from pulsar_beam_spark.operators.asof import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    # deterministic pseudo-random layout: 6 keys, staggered times
+    left = [(k, f"L{k}-{i}", t0 + timedelta(seconds=(i * 37 + k * 11) % 100))
+            for k in range(6) for i in range(8)]
+    right = [(k, f"R{k}-{j}", t0 + timedelta(seconds=(j * 23 + k * 7) % 100))
+             for k in range(5) for j in range(6)]  # key 5 has NO right rows
+    ldf = spark.createDataFrame(left, "key int, lid string, ts timestamp")
+    rdf = spark.createDataFrame(right, "key int, rid string, ts timestamp")
+
+    for direction in ("backward", "forward"):
+        got = {
+            (r["key"], r["lid"]): r["rid_right"] if "rid_right" in r else r["rid"]
+            for r in asof_join(
+                ldf, rdf, ["key"], "ts", "ts", ["rid"], direction=direction
+            ).collect()
+        }
+        for k, lid, lts in left:
+            if direction == "backward":
+                cands = [(rts, rid) for (rk, rid, rts) in right if rk == k and rts <= lts]
+                want = max(cands)[1] if cands else None
+            else:
+                cands = [(rts, rid) for (rk, rid, rts) in right if rk == k and rts >= lts]
+                want = min(cands)[1] if cands else None
+            assert got[(k, lid)] == want, (direction, k, lid, lts, got[(k, lid)], want)
