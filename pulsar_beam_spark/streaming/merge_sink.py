@@ -101,3 +101,61 @@ def snapshot_merge_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_sketch_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
+    """Current sketch-table view: keys + sketch + approx_distinct."""
+    v = _latest_version(snapshot_dir)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(snapshot_dir, v))
+
+
+def sketch_merge_stream(
+    stream: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    value_col: str,
+    lg_k: int = 12,
+    query_name: str = "sketch-merge",
+):
+    """Incremental per-key distinct-count maintenance: each micro-batch is
+    sketched (hll_sketch_agg), merged with the stored sketches
+    (hll_union_agg), and re-estimated — the streaming completion of
+    r13_hll_mergeable.
+
+    State is ONE row per key with a fixed-size sketch (~2^lg_k bytes):
+    bounded regardless of how many distinct values flow through — the
+    only way to keep streaming COUNT(DISTINCT) at 100 TB, where exact
+    per-key value sets are unbounded state. HLL union is associative and
+    order-insensitive, so the maintained estimate equals the single-pass
+    batch sketch exactly (asserted in tests), regardless of micro-batch
+    slicing. Same versioned-parquet + atomic pointer-flip exactly-once
+    scheme as snapshot_merge_stream.
+    """
+    os.makedirs(snapshot_dir, exist_ok=True)
+    spark = stream.sparkSession
+
+    def handle(batch_df: DataFrame, epoch: int) -> None:
+        delta = batch_df.groupBy(*keys).agg(
+            F.hll_sketch_agg(value_col, lg_k).alias("sk")
+        )
+        base = read_sketch_snapshot(spark, snapshot_dir)
+        merged = (
+            delta if base is None else base.select(*keys, "sk").unionByName(delta)
+        ).groupBy(*keys).agg(F.hll_union_agg("sk").alias("sk"))
+        out = merged.withColumn(
+            "approx_distinct", F.hll_sketch_estimate("sk").cast("long")
+        )
+        vdir = f"v{epoch}"
+        out.write.mode("overwrite").parquet(os.path.join(snapshot_dir, vdir))
+        _flip_pointer(snapshot_dir, vdir)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -654,3 +654,50 @@ def test_delivery_arrow_path_null_fields(spark, tmp_path):
     assert body == b'{"v":1}'
     assert hdrs["Content-Type"] == "application/json"
     assert hdrs["X-Tag"] == "z"
+
+
+def test_sketch_merge_stream_matches_single_pass(spark, tmp_path):
+    """Incremental HLL maintenance across micro-batches equals the
+    single-pass batch sketch EXACTLY (union associativity), and sits
+    within tolerance of the exact distinct count."""
+    import pyspark.sql.functions as F
+
+    from pulsar_beam_spark.streaming.merge_sink import (
+        read_sketch_snapshot,
+        sketch_merge_stream,
+    )
+
+    src = str(tmp_path / "sketch-src")
+    rows = [(f"u{i % 97}", ["click", "view", "buy"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    # 4 files -> maxFilesPerTrigger=1 forces multiple micro-batches
+    df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id string, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    snap = str(tmp_path / "sketch-snap")
+    q = sketch_merge_stream(
+        stream, snap, str(tmp_path / "sketch-ckpt"), ["event_type"], "user_id"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in read_sketch_snapshot(spark, snap).collect()
+    }
+    single = {
+        r["event_type"]: r["e"]
+        for r in df.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).cast("long").alias("e"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in df.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert got == single, (got, single)
+    for k, v in got.items():
+        assert abs(v - exact[k]) <= max(3.0, 0.125 * exact[k])
