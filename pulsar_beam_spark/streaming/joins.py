@@ -50,3 +50,41 @@ def interval_join(
         & (rt <= lt + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, "inner")
+
+
+def interval_join_left_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "key",
+    left_ts: str = "event_time",
+    right_ts: str = "event_time",
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every left row appears;
+    unmatched ones carry nulls on the right.
+
+    The subtle Structured Streaming semantics this pins: an outer null
+    result for a left row can only be EMITTED once the watermark proves
+    no matching right row can still arrive (left.ts + within < right
+    watermark), so outer rows trail the inner rows by up to the
+    watermark delay — but the eventual output equals the batch left
+    join exactly, which is what the golden test asserts after the
+    stream drains. Both watermarks are REQUIRED for outer joins (the
+    engine refuses unbounded outer state).
+    """
+    l = left.select([F.col(c).alias(f"{left_prefix}{c}") for c in left.columns])
+    r = right.select([F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
+    if l.isStreaming:
+        l = l.withWatermark(f"{left_prefix}{left_ts}", watermark)
+    if r.isStreaming:
+        r = r.withWatermark(f"{right_prefix}{right_ts}", watermark)
+    lt, rt = F.col(f"{left_prefix}{left_ts}"), F.col(f"{right_prefix}{right_ts}")
+    cond = (
+        (F.col(f"{left_prefix}{key}") == F.col(f"{right_prefix}{key}"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "leftOuter")

@@ -701,3 +701,59 @@ def test_sketch_merge_stream_matches_single_pass(spark, tmp_path):
     assert got == single, (got, single)
     for k, v in got.items():
         assert abs(v - exact[k]) <= max(3.0, 0.125 * exact[k])
+
+
+def test_stream_stream_left_outer_interval_join_matches_batch(spark, tmp_path):
+    """S-depth: LEFT OUTER stream-stream interval join — unmatched left
+    rows surface with nulls once the watermark closes their window; the
+    drained output equals the identical batch left join."""
+    from datetime import datetime, timedelta
+
+    from pulsar_beam_spark.streaming.joins import interval_join_left_outer
+
+    t0 = datetime(2024, 1, 1)
+    lrows = [(k, f"L{i}", t0 + timedelta(minutes=i)) for k in (1, 2) for i in range(12)]
+    # key 1 gets matches for even minutes only; key 2 none at all
+    rrows = [(1, f"R{i}", t0 + timedelta(minutes=i, seconds=30)) for i in range(0, 12, 2)]
+    schema_l = "key int, lid string, event_time timestamp"
+    schema_r = "key int, rid string, event_time timestamp"
+    ldir, rdir = str(tmp_path / "lsrc"), str(tmp_path / "rsrc")
+    ldf = spark.createDataFrame(lrows, schema_l)
+    rdf = spark.createDataFrame(rrows, schema_r)
+    ldf.write.parquet(ldir)
+    rdf.write.parquet(rdir)
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    joined = interval_join_left_outer(
+        spark.readStream.schema(schema_l).parquet(ldir),
+        spark.readStream.schema(schema_r).parquet(rdir),
+        within="1 minutes", watermark="2 minutes",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # Structured Streaming emits an outer-null row only once the
+    # watermark PROVES the window closed; rows at the tail of a drained
+    # stream stay open forever. Advance both watermarks with a sentinel
+    # batch (filtered out of the assertion) so every real outer row
+    # flushes — exactly what a live stream's ongoing traffic does.
+    sent = t0 + timedelta(hours=2)
+    spark.createDataFrame([(99, "SL", sent)], schema_l).write.mode("append").parquet(ldir)
+    spark.createDataFrame([(99, "SR", sent)], schema_r).write.mode("append").parquet(rdir)
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["l_key"], r["l_lid"], r["r_rid"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["l_key"] != 99
+    )
+    want = sorted(
+        (r["l_key"], r["l_lid"], r["r_rid"])
+        for r in interval_join_left_outer(ldf, rdf, within="1 minutes").collect()
+    )
+    assert got == want
+    assert any(rid is None for _, _, rid in got)  # outer nulls actually exercised
