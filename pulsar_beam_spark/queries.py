@@ -4164,6 +4164,138 @@ def q_dq_audit(spark, sf):
     return out
 
 
+@register(
+    "t_keyword_extraction",
+    """
+    WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (SELECT tf.doc_id, tf.term,
+                      CAST(round(tf.tf * ln(n.n_docs * 1.0 / df.df) * 1e6, 0) AS BIGINT) AS w_micro
+               FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (SELECT doc_id, term, w_micro,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY w_micro DESC, term) AS rn
+          FROM scored)
+    SELECT doc_id, term, w_micro, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 3
+    """,
+    doc="Text: per-document keyword extraction — top-3 terms by TF-IDF "
+        "(micro-integerized weight for engine-exact parity, term "
+        "tiebreak) via a rank window over the tf_idf composite. The "
+        "keyword/tag generation stage of a curation pipeline.",
+)
+def q_keywords(spark, sf):
+    docs = T(spark, sf, "documents")
+    # integerized micro-nat weight (the 6dp-double tf_idf operator would
+    # rank identically but hash differently at ties)
+    from .functions.texthash import exploded_nonnull, tokens
+    from .sources.tables import spread_small_input
+
+    toks = exploded_nonnull(
+        spread_small_input(docs), [F.col("doc_id").alias("id")], tokens("text"), "term"
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("id").alias("doc_id"), "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")) * 1e6, 0)
+            .cast("long").alias("w_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("w_micro").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "w_micro", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@register(
+    "r_interval_union_days",
+    """
+    WITH iv AS (SELECT o.o_custkey AS k, o.o_orderdate AS s, l.l_shipdate AS e
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_shipdate >= o.o_orderdate),
+    m AS (SELECT k, s, e,
+                 max(e) OVER (PARTITION BY k ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          FROM iv)
+    SELECT k AS o_custkey,
+           CAST(sum(date_diff('day',
+                    CASE WHEN prev_max IS NULL OR prev_max < s THEN s
+                         ELSE prev_max END,
+                    CASE WHEN e > (CASE WHEN prev_max IS NULL OR prev_max < s THEN s ELSE prev_max END)
+                         THEN e
+                         ELSE (CASE WHEN prev_max IS NULL OR prev_max < s THEN s ELSE prev_max END) END))
+                AS BIGINT) AS covered_days,
+           count(*) AS n_intervals
+    FROM m GROUP BY k
+    """,
+    doc="Interval-union aggregation: per customer, total days covered by "
+        "the UNION of [order date, ship date] intervals — overlaps "
+        "counted once. The classic sweep: sort by start, running max of "
+        "prior ends (one window), clamp each interval's uncovered "
+        "contribution. One shuffle; no self-join, no explosion to "
+        "per-day rows (the naive date-explode is |days| x |intervals|).",
+)
+def q_interval_union(spark, sf):
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("s"),
+                F.col("l_shipdate").alias("e"))
+    )
+    w = (
+        Window.partitionBy("k").orderBy(F.col("s").asc(), F.col("e").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.withColumn("prev_max", F.max("e").over(w))
+    start = F.when(F.col("prev_max").isNull() | (F.col("prev_max") < F.col("s")), F.col("s")).otherwise(F.col("prev_max"))
+    end = F.when(F.col("e") > start, F.col("e")).otherwise(start)
+    return m.groupBy(F.col("k").alias("o_custkey")).agg(
+        F.sum(F.datediff(end, start)).cast("long").alias("covered_days"),
+        F.count("*").alias("n_intervals"),
+    )
+
+
+@register(
+    "r_percent_of_total",
+    """
+    WITH a AS (SELECT c_mktsegment,
+                      sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS cents
+               FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+    SELECT c_mktsegment,
+           CAST(CAST(cents AS DOUBLE)/100 AS DOUBLE) AS segment_total,
+           round(cents * 1.0 / sum(cents) OVER (), 6) AS pct_of_total
+    FROM a
+    """,
+    doc="Ratio-to-report: per-segment totals with share of grand total "
+        "via an empty-frame window over the (tiny) aggregate — the "
+        "grand total never forces a second scan of the fact table.",
+)
+def q_pct_total(spark, sf):
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    a = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(cents("o_totalprice")).alias("cents"))
+    )
+    w = Window.partitionBy()
+    return a.select(
+        "c_mktsegment",
+        (F.col("cents").cast("double") / 100).alias("segment_total"),
+        F.round(F.col("cents") * 1.0 / F.sum("cents").over(w), 6).alias("pct_of_total"),
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
