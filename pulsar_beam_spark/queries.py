@@ -4361,8 +4361,16 @@ def _driver_order() -> list[str]:
              if n not in _DRIVER_VERIFIED and s.oracle is not None]
     # no-oracle entries next: they can only ever get a rows-only driver
     # check, but that check is still a recorded row — spend leftover
-    # window slots on them rather than on re-verifying green entries
-    no_oracle = [n for n, s in REGISTRY.items() if s.oracle is None]
+    # window slots on them rather than on re-verifying green entries.
+    # Those that have NEVER had a driver row (any kind) lead.
+    _HAS_ROWS_ONLY_ROW = frozenset({
+        "r13_approx_count_distinct", "d_minhash_lsh_near_dup",
+        "d_simhash_near_dup", "s_ann_lsh_topk",
+    })
+    no_oracle = sorted(
+        (n for n, s in REGISTRY.items() if s.oracle is None),
+        key=lambda n: (n in _HAS_ROWS_ONLY_ROW, list(REGISTRY).index(n)),
+    )
     back = [n for n in REGISTRY if n not in front and n not in no_oracle]
     return front + no_oracle + back
 
