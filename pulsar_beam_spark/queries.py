@@ -4296,6 +4296,45 @@ def q_pct_total(spark, sf):
     )
 
 
+@register(
+    "r_ohlc_bars",
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900) AS TIMESTAMP) AS bar,
+                      CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id AS ord,
+                      value
+               FROM events)
+    SELECT event_type, bar,
+           round(arg_min(value, ord), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(arg_max(value, ord), 6) AS close,
+           count(*) AS n_events
+    FROM e GROUP BY 1, 2
+    """,
+    doc="Time-series resample: 15-minute OHLC bars per key — open/close "
+        "via min_by/max_by on a composite (epoch-micros + event_id) "
+        "ordering key so equal-timestamp ties break deterministically on "
+        "both engines; high/low/count are plain aggregates. One "
+        "map-side-combined shuffle; the downsampling shape every "
+        "metrics/telemetry pipeline needs.",
+)
+def q_ohlc(spark, sf):
+    ev = T(spark, sf, "events")
+    bar = F.to_timestamp(
+        (F.floor(F.unix_timestamp("ts") / 900) * 900).cast("long")
+    )
+    ord_key = F.floor(F.unix_timestamp("ts")).cast("long") * 1000000 + F.col("event_id")
+    e = ev.select("event_type", bar.alias("bar"), ord_key.alias("ord"), "value")
+    return e.groupBy("event_type", "bar").agg(
+        F.round(F.min_by("value", "ord"), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", "ord"), 6).alias("close"),
+        F.count("*").alias("n_events"),
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
