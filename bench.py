@@ -71,6 +71,7 @@ HEADLINE = [
     "e_grouped_topk",
     "r13_hll_mergeable",
     "r_partial_agg_merge",
+    "r_ohlc_bars",
 ]
 
 
