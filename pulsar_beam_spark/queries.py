@@ -771,7 +771,7 @@ def q_r24(spark, sf):
 @register(
     "r25_array_fns",
     """
-    WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks FROM documents)
+    WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks FROM documents)
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_toks,
            list_contains(toks, 'spark') AS has_spark,
@@ -828,9 +828,9 @@ def q_r25h(spark, sf):
     "r25_nested_array_fns",
     """
     WITH t AS (SELECT doc_id,
-                      list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks,
+                      list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks,
                       CASE WHEN doc_id % 7 = 0 THEN NULL
-                           ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') END AS maybe_toks
+                           ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') END AS maybe_toks
                FROM documents WHERE doc_id < 40)
     SELECT doc_id,
            CAST(len(flatten([toks[1:2], toks[3:4]])) AS INTEGER) AS n_flat,
@@ -949,7 +949,7 @@ def q_r29(spark, sf):
 
 
 JACCARD_ORACLE = """
-WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t FROM documents),
+WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
@@ -1062,7 +1062,7 @@ def q_ann(spark, sf):
     """
     SELECT term, freq FROM (
       SELECT term, count(*) AS freq FROM (
-        SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS term FROM documents)
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term FROM documents)
       WHERE NOT list_contains(['the','a','of','and','to','in','is','on','for','with'], lower(term))
       GROUP BY term)
     ORDER BY freq DESC, term LIMIT 20
@@ -1076,7 +1076,7 @@ def q_r32(spark, sf):
 @register(
     "t_language_id",
     """
-    WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks FROM documents),
     h AS (SELECT doc_id,
           CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], lower(x)))) AS INTEGER) AS hits_en,
           CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','mit','auf','für','von'], lower(x)))) AS INTEGER) AS hits_de,
@@ -1098,7 +1098,7 @@ def q_langid(spark, sf):
 @register(
     "t_quality_scores",
     """
-    WITH t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks FROM documents),
     x AS (SELECT doc_id, length(text) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens,
                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_len,
                  CAST(len(list_filter(toks, t2 -> list_contains(['the','a','of','and','to','in','is','on','for','with'], lower(t2)))) AS INTEGER) AS stop_hits
@@ -1121,8 +1121,8 @@ def q_quality(spark, sf):
     "t_token_stats",
     """
     SELECT doc_id,
-           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS INTEGER) AS n_tokens,
-           CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))) AS INTEGER) AS n_unique_tokens,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))) AS INTEGER) AS n_unique_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}')) AS INTEGER) AS n_subwords
     FROM documents
     """,
@@ -1135,7 +1135,7 @@ def q_tokstats(spark, sf):
 @register(
     "t_tfidf",
     """
-    WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS term FROM documents),
+    WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term FROM documents),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
     df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
     n AS (SELECT count(*) AS n FROM documents)
@@ -1227,7 +1227,7 @@ def q_r34g(spark, sf):
 @register(
     "r35_udtf_posexplode",
     """
-    WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks FROM documents WHERE doc_id < 10)
+    WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks FROM documents WHERE doc_id < 10)
     SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
     FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
     """,
@@ -2304,7 +2304,7 @@ def q_r34a(spark, sf):
 @register(
     "r35_python_udtf",
     """
-    WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks FROM documents WHERE doc_id < 5)
+    WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks FROM documents WHERE doc_id < 5)
     SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token,
            CAST(length(toks[i]) AS INTEGER) AS token_len
     FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
@@ -2648,7 +2648,7 @@ REGISTRY["pipeline_corpus_curation"].oracle = _curation_oracle()
 #    set; these land at positions 51+ and get verified in a later round) =
 
 REPETITION_ORACLE = """
-WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t FROM documents),
+WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t FROM documents),
 g AS (SELECT doc_id,
              unnest(list_transform(generate_series(1, greatest(len(t)-1, 0)),
                                    i -> array_to_string(t[i:i+1], ' '))) AS g
@@ -3055,7 +3055,7 @@ def q_scd2(spark, sf):
 
 DECONTAM_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, source, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t FROM documents),
+  SELECT doc_id, source, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t FROM documents),
 grams AS (
   SELECT DISTINCT doc_id, source,
          unnest(list_transform(generate_series(1, greatest(len(t)-3, 0)),
@@ -3188,7 +3188,7 @@ def q_merge_upsert(spark, sf):
 
 SPAN_DEDUP_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t FROM documents),
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t FROM documents),
 spans AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(1, len(t) // 10),
@@ -3340,7 +3340,7 @@ def q_dedup_clusters(spark, sf):
 
 
 INCREMENTAL_DEDUP_ORACLE = """
-WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t FROM documents),
+WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
@@ -3642,7 +3642,7 @@ def q_zorder(spark, sf):
 @register(
     "t_unigram_logprob",
     """
-    WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS term FROM documents),
+    WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term FROM documents),
     vocab AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1),
     tot AS (SELECT count(*) AS total FROM toks),
     lp AS (SELECT term, CAST(round(ln(freq * 1.0 / total) * 1e6, 0) AS BIGINT) AS lp_micro
@@ -4392,7 +4392,28 @@ _ROUND2_VERIFIED = frozenset({
     "pipeline_corpus_curation",
 })
 
-_DRIVER_VERIFIED = _ROUND1_VERIFIED | _ROUND2_VERIFIED
+# Round-3 driver-green rows (CORRECTNESS_r03.json, hash_match=true; 47/47
+# oracle-bearing entries in the window were green, zero reds).
+_ROUND3_VERIFIED = frozenset({
+    "r11_misc_aggregates", "r_unpivot", "r_gap_fill_forward",
+    "t_repetition_scores", "t_pii_scrub", "p_weighted_mix",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q13_order_distribution", "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers", "r_sessionize_gap", "r_scd2_intervals",
+    "p_decontaminate", "p_chunk_documents", "p_shard_shuffle",
+    "r_merge_upsert", "p_span_dedup", "e_vector_quantize", "e_range_search",
+    "m_frame_sample", "d_dedup_clusters", "d_incremental_near_dup",
+    "pipeline_curation_clustered", "r_skew_salted_agg", "r_skew_salted_join",
+    "r_funnel_sequence", "d_fuzzy_name_pairs", "l_zorder_layout",
+    "t_unigram_logprob", "e_mips_topk", "r10_asof_forward",
+    "r_ewma_smoothing", "r_histogram_bins", "e_grouped_topk",
+    "r_partial_agg_merge", "r_robust_stats", "r_union_by_name",
+    "sql_shared_dialect_not_in", "r_cohort_retention", "r_market_basket",
+    "pipeline_rag_index", "r_data_quality_audit", "t_keyword_extraction",
+    "r_interval_union_days", "r_percent_of_total", "r_ohlc_bars",
+})
+
+_DRIVER_VERIFIED = _ROUND1_VERIFIED | _ROUND2_VERIFIED | _ROUND3_VERIFIED
 
 
 def _driver_order() -> list[str]:
@@ -4405,6 +4426,8 @@ def _driver_order() -> list[str]:
     _HAS_ROWS_ONLY_ROW = frozenset({
         "r13_approx_count_distinct", "d_minhash_lsh_near_dup",
         "d_simhash_near_dup", "s_ann_lsh_topk",
+        # round-3 rows-only rows (CORRECTNESS_r03.json, err=no_oracle)
+        "m_media_features", "s_ann_ivf_topk", "r13_approx_percentile",
     })
     no_oracle = sorted(
         (n for n, s in REGISTRY.items() if s.oracle is None),
