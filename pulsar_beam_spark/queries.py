@@ -2440,6 +2440,99 @@ def q_r13ap(spark, sf):
     )
 
 
+# == ANN recall audit: the approx path gets a HASH-matchable contract ====
+#
+# s_ann_lsh_topk / s_ann_ivf_topk are inherently rows-only at the driver (a
+# value-hash on an approximate result is meaningless).  This entry instead
+# makes the approximation itself the checked artifact: both engines
+# independently compute (a) the LSH probe set — hyperplane signatures from
+# the SAME seeded plane constants, inlined as plan literals in Spark and as
+# DOUBLE[] literals in the oracle SQL — (b) the exact cosine top-k, and
+# (c) recall@k as an INTEGER hit count.  Dot products are sequential IEEE
+# double folds in both engines (F.aggregate vs list_reduce), so bucket
+# signatures and rank orders match bit-for-bit and the integers hash-match.
+
+def _ann_audit_dot_sql(vexpr: str, consts) -> str:
+    lits = ",".join(repr(float(c)) for c in consts)
+    return (f"list_reduce(list_transform(list_zip({vexpr}, [{lits}]::DOUBLE[]), "
+            "x -> x[1]*x[2]), (x, y) -> x + y)")
+
+
+def _ann_recall_audit_oracle(bits: int = 8, seed: int = 42, dim: int = 64,
+                             hamming: int = 2, k: int = 10) -> str:
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    sig_terms = " + ".join(
+        f"(CASE WHEN {_ann_audit_dot_sql('v', p)} > 0 THEN CAST({1 << i} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    )
+    cos = ("list_reduce(list_transform(list_zip({v}, qv), x -> x[1]*x[2]), (x, y) -> x + y)"
+           " / (sqrt(list_reduce(list_transform({v}, x -> x * x), (x, y) -> x + y))"
+           " * sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)))")
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {sig_terms} AS sig
+  FROM embeddings),
+q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 0),
+probed AS (
+  SELECT s.vec_id, s.v FROM sigs s, q
+  WHERE bit_count(xor(s.sig, q.qsig)) <= {hamming}),
+ann AS (
+  SELECT p.vec_id FROM probed p, q
+  ORDER BY {cos.format(v='p.v')} DESC, p.vec_id LIMIT {k}),
+exact AS (
+  SELECT s.vec_id FROM sigs s, q
+  ORDER BY {cos.format(v='s.v')} DESC, s.vec_id LIMIT {k})
+SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM probed) AS n_probed,
+       (SELECT CAST(count(*) AS BIGINT) FROM ann JOIN exact USING (vec_id)) AS hits
+"""
+
+
+@register(
+    "s_ann_recall_audit",
+    _ann_recall_audit_oracle(),
+    doc="R31 audit: LSH-probe recall@10 vs exact top-k as integer counts — the "
+        "tolerance contract for the ANN scale path, made hash-checkable "
+        "(VERDICT r03 item 2; same golden-constant strategy as g07_sha1_key)",
+)
+def q_ann_recall_audit(spark, sf):
+    from .functions.vector import cosine_sim
+    from .operators.similarity import _hyperplanes, _signature_expr
+
+    bits, seed, hamming, k = 8, 42, 2, 10
+    emb = T(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow["embedding"]]
+    planes = _hyperplanes(len(qvec), bits, seed)
+    # Driver-side query signature via the SAME sequential IEEE fold the
+    # engines use (plain Python loop, not numpy BLAS — summation order is
+    # part of the contract).
+    qsig = 0
+    for i, plane in enumerate(planes):
+        d = 0.0
+        for x, y in zip(qvec, plane):
+            d += x * float(y)
+        if d > 0:
+            qsig |= 1 << i
+    q = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
+    cos = cosine_sim(F.col("embedding"), q)
+    sigs = emb.withColumn("__sig", _signature_expr("embedding", planes))
+    probed = sigs.filter(
+        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig).cast("long"))) <= hamming)
+    ann = (probed.select("vec_id", cos.alias("__cos"))
+           .orderBy(F.col("__cos").desc(), F.col("vec_id")).limit(k).select("vec_id"))
+    exact = (emb.select("vec_id", cos.alias("__cos"))
+             .orderBy(F.col("__cos").desc(), F.col("vec_id")).limit(k).select("vec_id"))
+    return (
+        ann.join(exact, "vec_id").agg(F.count("*").alias("hits"))
+        .crossJoin(probed.agg(F.count("*").alias("n_probed")))
+        .select(F.lit(k).cast("long").alias("k"), "n_probed", "hits")
+    )
+
+
 # == SQL-string surface: the SAME query text runs on both engines ========
 
 SHARED_SQL_AGG = """
