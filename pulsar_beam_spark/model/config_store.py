@@ -12,6 +12,18 @@ topic used as a table* (src/db/pulsardb.go). Here:
   computes imperatively.
 - ``InMemoryConfigStore`` — the dict backend (src/db/in-memory.go:53-140)
   for tests/ephemeral runs; same API, same semantics.
+- ``FileConfigStore`` — a document store: one JSON document per key in a
+  directory, atomic replace per write.  The structural analogue of the
+  reference's Mongo backend (src/db/mongo.go:92-258 — a keyed document
+  collection with InsertOne/FindOne/$set-upsert/DeleteOne), completing
+  the reference's three-backend plurality behind one Crud API.
+
+All backends also expose the reference's full Crud surface
+(src/db/interface.go:15-25): ``create`` (dup-create fails, the
+DocAlreadyExisted contract from in-memory.go:61-62 / Mongo's unique-key
+insert), ``get_by_topic`` / ``delete`` (name-pair addressing via the
+SHA-1 key), alongside upsert ``update`` / ``get_by_key`` /
+``delete_by_key`` / ``load``.
 
 Ordering: last-write-wins is decided by ``(updated_at, version)`` where
 ``version`` is a monotonic per-store sequence — the analogue of the
@@ -35,7 +47,30 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .message import TOPIC_CONFIG_SCHEMA
-from .topic import TopicStatus, Webhook, validate_topic_config
+from .topic import TopicStatus, Webhook, gen_key_from_names, validate_topic_config
+
+
+class DocAlreadyExisted(ValueError):
+    """create() on an existing key (reference src/db/in-memory.go:61-62)."""
+
+
+class _CrudByNamesMixin:
+    """Name-pair addressing on top of the keyed primitives — the
+    reference's GetByTopic/Delete half of the Crud interface
+    (src/db/interface.go:16,20), which just re-derives the SHA-1 key
+    (src/db/mongo.go:119-125)."""
+
+    def create(self, topic_full_name: str, pulsar_url: str, webhooks=None, **kw) -> str:
+        key = gen_key_from_names(topic_full_name, pulsar_url)
+        if self.get_by_key(key) is not None:
+            raise DocAlreadyExisted(key)
+        return self.update(topic_full_name, pulsar_url, webhooks, **kw)
+
+    def get_by_topic(self, topic_full_name: str, pulsar_url: str) -> dict | None:
+        return self.get_by_key(gen_key_from_names(topic_full_name, pulsar_url))
+
+    def delete(self, topic_full_name: str, pulsar_url: str) -> None:
+        self.delete_by_key(gen_key_from_names(topic_full_name, pulsar_url))
 
 
 def changelog_snapshot(changelog: DataFrame, key: str = "key", version_col: str = "updated_at",
@@ -86,7 +121,7 @@ def _config_doc(key: str, topic_full_name: str, pulsar_url: str, webhooks: list[
     }
 
 
-class ConfigStore:
+class ConfigStore(_CrudByNamesMixin):
     """Append-only changelog on disk + snapshot reads.
 
     API parity with the reference Crud interface (src/db/interface.go:15-25):
@@ -170,7 +205,7 @@ class ConfigStore:
         return [r.asDict(recursive=True) for r in self.snapshot().collect()]
 
 
-class InMemoryConfigStore:
+class InMemoryConfigStore(_CrudByNamesMixin):
     """Dict-backed Crud backend (reference src/db/in-memory.go:53-140):
     same API and last-write-wins/tombstone semantics as ConfigStore, no
     Spark session needed. The reference keeps tombstones implicit (the
@@ -212,6 +247,109 @@ class InMemoryConfigStore:
 
     def load(self) -> list[dict]:
         return [copy.deepcopy(d) for d in self._docs.values()]
+
+
+class FileConfigStore(_CrudByNamesMixin):
+    """Document-store Crud backend: one ``<key>.json`` file per config in
+    a directory — the structural analogue of the reference's Mongo
+    backend (src/db/mongo.go:92-258: keyed document collection,
+    InsertOne / FindOne{key} / $set upsert / DeleteOne{key}).
+
+    Like Mongo (and the in-memory map), deletion REMOVES the document —
+    there is no tombstone row; the changelog/tombstone discipline is
+    ConfigStore's domain.  Writes are atomic (tmp file + ``os.replace``)
+    so a crashed writer never leaves a torn document, and the monotonic
+    version sequence is recovered from the surviving documents on
+    reopen — same recovery rule as ConfigStore._max_version.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._version = max(
+            (d.get("version", 0) for d in self._iter_docs()), default=0)
+
+    def _doc_path(self, key: str) -> str:
+        if not key.isalnum():  # SHA-1 hex — refuse path traversal
+            raise ValueError(f"malformed key: {key!r}")
+        return os.path.join(self.path, f"{key}.json")
+
+    def _iter_docs(self):
+        import json
+
+        for fn in sorted(os.listdir(self.path)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.path, fn)) as f:
+                    yield self._from_json(json.load(f))
+
+    @staticmethod
+    def _to_json(doc: dict) -> dict:
+        out = dict(doc)
+        for c in ("created_at", "updated_at"):
+            out[c] = doc[c].isoformat()
+        out["webhooks"] = [
+            list(w[:6]) + [w[6].isoformat(), w[7].isoformat(),
+                           w[8].isoformat() if w[8] is not None else None]
+            for w in doc.get("webhooks") or []
+        ]
+        return out
+
+    @staticmethod
+    def _from_json(doc: dict) -> dict:
+        out = dict(doc)
+        for c in ("created_at", "updated_at"):
+            out[c] = datetime.fromisoformat(doc[c])
+        out["webhooks"] = [
+            tuple(w[:6]) + (datetime.fromisoformat(w[6]), datetime.fromisoformat(w[7]),
+                            datetime.fromisoformat(w[8]) if w[8] is not None else None)
+            for w in doc.get("webhooks") or []
+        ]
+        return out
+
+    def _next_version(self) -> int:
+        self._version += 1
+        return self._version
+
+    def update(
+        self,
+        topic_full_name: str,
+        pulsar_url: str,
+        webhooks: list[Webhook] | None = None,
+        token: str = "",
+        tenant: str = "",
+        notes: str | None = None,
+        topic_status: int = int(TopicStatus.ACTIVATED),
+    ) -> str:
+        import json
+
+        webhooks = webhooks or []
+        key = validate_topic_config(topic_full_name, pulsar_url, webhooks)
+        doc = _config_doc(key, topic_full_name, pulsar_url, webhooks, token, tenant,
+                          notes, topic_status, _now(), self._next_version())
+        target = self._doc_path(key)
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._to_json(doc), f)
+        os.replace(tmp, target)
+        return key
+
+    def get_by_key(self, key: str) -> dict | None:
+        import json
+
+        try:
+            with open(self._doc_path(key)) as f:
+                return self._from_json(json.load(f))
+        except FileNotFoundError:
+            return None
+
+    def delete_by_key(self, key: str) -> None:
+        try:
+            os.remove(self._doc_path(key))
+        except FileNotFoundError:
+            raise KeyError(key) from None
+
+    def load(self) -> list[dict]:
+        return list(self._iter_docs())
 
 
 _ = asdict  # (dataclass helper retained for API users)

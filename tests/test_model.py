@@ -113,12 +113,15 @@ def test_validate_topic_config_returns_key():
         validate_topic_config("persistent://a/b/c", "http://not-pulsar", [])
 
 
-@pytest.fixture(params=["parquet", "memory"])
+@pytest.fixture(params=["parquet", "memory", "file"])
 def config_store(request, spark, tmp_path):
-    from pulsar_beam_spark.model.config_store import ConfigStore, InMemoryConfigStore
+    from pulsar_beam_spark.model.config_store import (
+        ConfigStore, FileConfigStore, InMemoryConfigStore)
 
     if request.param == "parquet":
         return ConfigStore(spark, str(tmp_path / "cfg"))
+    if request.param == "file":
+        return FileConfigStore(str(tmp_path / "docs"))
     return InMemoryConfigStore()
 
 
@@ -152,6 +155,44 @@ def test_config_store_crud_lifecycle(config_store):
     assert store.get_by_key(key) is None
     with pytest.raises(KeyError):
         store.delete_by_key(key)
+
+
+def test_config_store_full_crud_surface(config_store):
+    """The reference Crud interface's other half (src/db/interface.go:15-25):
+    Create (dup fails, DocAlreadyExisted — in-memory.go:61-62), GetByTopic
+    and Delete by (topicFullName, pulsarURL) name pair."""
+    from pulsar_beam_spark.model.config_store import DocAlreadyExisted
+
+    store = config_store
+    tfn, url = "persistent://tenant2/ns/topicB", "pulsar://cluster:6650"
+    key = store.create(tfn, url, [Webhook("http://hook.example.com/cb", "mysub02")])
+    with pytest.raises(DocAlreadyExisted):
+        store.create(tfn, url, [])
+    got = store.get_by_topic(tfn, url)
+    assert got is not None and got["key"] == key
+    store.delete(tfn, url)
+    assert store.get_by_topic(tfn, url) is None
+    with pytest.raises(KeyError):
+        store.delete(tfn, url)
+
+
+def test_file_config_store_reopen_resumes_version(tmp_path):
+    """Document-store persistence: a reopened store sees prior documents
+    and resumes the monotonic version sequence (the reference's Mongo
+    docs survive process restart; ConfigStore._max_version analogue)."""
+    from pulsar_beam_spark.model.config_store import FileConfigStore
+
+    p = str(tmp_path / "docs")
+    s1 = FileConfigStore(p)
+    k = s1.update("persistent://t/ns/a", "pulsar://c:6650", [], notes="first")
+    s1.update("persistent://t/ns/b", "pulsar://c:6650", [], notes="second")
+
+    s2 = FileConfigStore(p)
+    assert len(s2.load()) == 2
+    assert s2.get_by_key(k)["notes"] == "first"
+    s2.update("persistent://t/ns/a", "pulsar://c:6650", [], notes="third")
+    doc = s2.get_by_key(k)
+    assert doc["notes"] == "third" and doc["version"] == 3
 
 
 def test_tenant_predicate_truth_table(spark):
