@@ -19,10 +19,13 @@ Scale design:
 - Round count is bounded by the component diameter. Near-dup clusters
   are small and dense (mirrors/boilerplate), so diameter is tiny — this
   is the right algorithm for the dedup workload. For adversarial
-  long-chain graphs at 100 TB, switch to alternating large-star /
-  small-star contractions (Kiveris et al., "Connected Components in
-  MapReduce and Beyond"), which converges in O(log n) rounds with the
-  same join+min building blocks.
+  long-chain graphs at 100 TB, ``connected_components_star`` implements
+  the alternating large-star / small-star contraction (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond"): each round shrinks
+  every component toward a star rooted at its minimum id, converging in
+  O(log n) rounds instead of O(diameter) — property-tested on a path
+  graph (diameter = n) in tests/test_operators.py. ``algorithm="auto"``
+  picks it above an edge-count threshold.
 - The edge list is held symmetric (both directions) so propagation is a
   plain equi-join; memory is 2|E|, the price of never needing a second
   join per round.
@@ -73,11 +76,102 @@ def connected_components(
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
 
 
-def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (lo, hi), no self-loops, distinct."""
+    return (
+        e.select(F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def _large_star(c: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to the minimum of u's
+    closed neighborhood. Emitted edges (m, v) always have m < v."""
+    sym = c.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+        c.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("mv", "u").alias("m"))
+    return _canon(
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("u"), F.col("v"))
+    )
+
+
+def _small_star(c: DataFrame) -> DataFrame:
+    """For each node hi (viewing each edge oriented to its larger
+    endpoint), connect all its smaller neighbors AND hi itself to the
+    minimum smaller neighbor."""
+    g = c.groupBy("hi").agg(F.min("lo").alias("m"))
+    members = c.join(g, "hi").select(F.col("m").alias("u"), F.col("lo").alias("v"))
+    roots = g.select(F.col("m").alias("u"), F.col("hi").alias("v"))
+    return _canon(members.union(roots))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 40,
+    return_rounds: bool = False,
+):
+    """(node, component) via alternating large-star/small-star contraction
+    (Kiveris et al.) — O(log n) rounds on ANY graph shape, vs the
+    propagation loop's O(diameter). Same output contract as
+    ``connected_components``: component = min node id, isolated nodes not
+    emitted.
+
+    Fixpoint: star graphs rooted at component minima are invariant under
+    both operations, so convergence is detected exactly by edge-set
+    equality (count match + empty subtract — both cheap: the candidate
+    sets shrink geometrically).
+    """
+    cur = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))).localCheckpoint()
+    rounds = 0
+    for _ in range(max_iters):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        rounds += 1
+        if nxt.count() == cur.count() and nxt.subtract(cur).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    # converged star edges are (root=lo, member=hi)
+    members = cur.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+    roots = cur.select(F.col("lo").alias("component")).distinct().select(
+        F.col("component").alias("node"), "component"
+    )
+    labels = members.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+    if return_rounds:
+        return labels, rounds
+    return labels
+
+
+# Above this many edges the O(diameter) propagation loop is no longer a
+# safe default (an adversarial chain means unbounded rounds); hand off to
+# the O(log n) star contraction.
+STAR_EDGE_THRESHOLD = 100_000
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   algorithm: str = "auto") -> DataFrame:
     """Near-dup pairs -> (doc_id, component, is_canonical): the cluster id
     is the minimum doc_id in the cluster, and exactly that doc is marked
-    canonical — the keep-set of a cluster-aware dedup stage."""
-    comp = connected_components(pairs, id_a, id_b)
+    canonical — the keep-set of a cluster-aware dedup stage.
+
+    ``algorithm``: "propagation" (O(diameter) rounds — right for the
+    small dense clusters near-dup graphs produce), "star" (O(log n)
+    rounds — right for huge or adversarially-chained graphs), or "auto"
+    (propagation below STAR_EDGE_THRESHOLD edges, star above; the one
+    count() this costs is trivial next to either loop)."""
+    if algorithm == "auto":
+        # materialize once: the dispatch count() and the CC loop both read
+        # the checkpoint instead of recomputing the (near-dup) pair lineage
+        pairs = pairs.localCheckpoint()
+        algorithm = "star" if pairs.count() > STAR_EDGE_THRESHOLD else "propagation"
+    cc = connected_components if algorithm == "propagation" else connected_components_star
+    comp = cc(pairs, id_a, id_b)
     return comp.select(
         F.col("node").alias("doc_id"),
         F.col("component").cast("long").alias("component"),

@@ -608,6 +608,63 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(31)}
 
 
+def test_star_cc_path_graph_olog_rounds(spark):
+    """The scale-path property (Kiveris et al. alternating large/small
+    star): on an adversarial PATH graph of n nodes (diameter = n-1, the
+    worst case for label propagation's O(diameter) loop), the star
+    contraction must converge in O(log n) rounds and still label every
+    node with the component minimum."""
+    import math
+
+    from pulsar_beam_spark.operators.components import connected_components_star
+
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels, rounds = connected_components_star(edges, return_rounds=True)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # propagation would need ~n rounds; star must be logarithmic
+    # (2*log2(n)+4 = 20 for n=256 — generous bound, observed ~6)
+    assert rounds <= 2 * int(math.log2(n)) + 4, rounds
+
+
+def test_star_cc_matches_propagation_random_graph(spark):
+    """Algorithm equivalence: both CC implementations produce the same
+    labeling on a seeded random graph with multiple components, reversed
+    edges, duplicates and self-loop-adjacent shapes."""
+    import random
+
+    from pulsar_beam_spark.operators.components import (
+        connected_components, connected_components_star)
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(140)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    b = {r["node"]: r["component"] for r in connected_components_star(df).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_dedup_clusters_algorithm_dispatch(spark):
+    """auto/star/propagation all yield identical cluster output on the
+    same pair list (the d_dedup_clusters contract is algorithm-blind)."""
+    from pulsar_beam_spark.operators.components import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(3, 9), (9, 5), (5, 7), (20, 21)], "id_a long, id_b long"
+    )
+    want = {(r["doc_id"], r["component"], r["is_canonical"])
+            for r in dedup_clusters(pairs, algorithm="propagation").collect()}
+    got_star = {(r["doc_id"], r["component"], r["is_canonical"])
+                for r in dedup_clusters(pairs, algorithm="star").collect()}
+    got_auto = {(r["doc_id"], r["component"], r["is_canonical"])
+                for r in dedup_clusters(pairs, algorithm="auto").collect()}
+    assert want == got_star == got_auto
+
+
 def test_incremental_near_dup_planted(spark):
     """A new doc that copies a corpus doc is flagged with that doc as its
     best match; an original new doc is not flagged; within-batch dups are
