@@ -35,8 +35,15 @@ def kafka_source_options(
     topics: str,
     initial_position: str = "latest",
     max_offsets_per_trigger: int | None = None,
+    subscription_name: str | None = None,
 ) -> dict[str, str]:
-    """G6/G11 knob mapping for the built-in Kafka source."""
+    """G6/G11 knob mapping for the built-in Kafka source.
+
+    Option names are the spark-sql-kafka-0-10 documented set:
+    kafka.bootstrap.servers / subscribe / startingOffsets /
+    maxOffsetsPerTrigger / kafka.group.id.  A durable subscription name
+    (reference: resumable non-NonResumable subs, src/model/topic.go:94)
+    maps to kafka.group.id — the broker-side consumer identity."""
     opts = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topics,
@@ -44,6 +51,8 @@ def kafka_source_options(
     }
     if max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if subscription_name is not None:
+        opts["kafka.group.id"] = subscription_name
     return opts
 
 
@@ -52,15 +61,24 @@ def pulsar_source_options(
     admin_url: str,
     topics: str,
     initial_position: str = "latest",
+    subscription_name: str | None = None,
 ) -> dict[str, str]:
     """Options for the StreamNative pulsar-spark connector
-    (format 'pulsar')."""
-    return {
+    (format 'pulsar'): service.url / admin.url / topics /
+    startingOffsets / predefinedSubscription per its documented option
+    schema.  predefinedSubscription is the G6 durable-subscription
+    mapping (the connector resumes the named Pulsar subscription, the
+    way the reference resumes user-named subs and auto-unsubscribes
+    NonResumable* ones — src/route/handlers.go:216-220)."""
+    opts = {
         "service.url": service_url,
         "admin.url": admin_url,
         "topics": topics,
         "startingOffsets": get_initial_position(initial_position),
     }
+    if subscription_name is not None:
+        opts["predefinedSubscription"] = subscription_name
+    return opts
 
 
 def normalize_kafka(df: DataFrame) -> DataFrame:
@@ -97,12 +115,14 @@ def open_kafka_stream(
     topics: str,
     initial_position: str = "latest",
     max_offsets_per_trigger: int | None = None,
+    subscription_name: str | None = None,
 ) -> DataFrame:
     """readStream from Kafka, normalized to the Message envelope.
     Requires the spark-sql-kafka package on the classpath."""
     reader = spark.readStream.format("kafka")
     for k, v in kafka_source_options(
-        bootstrap_servers, topics, initial_position, max_offsets_per_trigger
+        bootstrap_servers, topics, initial_position, max_offsets_per_trigger,
+        subscription_name,
     ).items():
         reader = reader.option(k, v)
     try:
@@ -121,11 +141,14 @@ def open_pulsar_stream(
     admin_url: str,
     topics: str,
     initial_position: str = "latest",
+    subscription_name: str | None = None,
 ) -> DataFrame:
     """readStream from Pulsar via the StreamNative connector; the
     connector already emits Pulsar's message metadata columns."""
     reader = spark.readStream.format("pulsar")
-    for k, v in pulsar_source_options(service_url, admin_url, topics, initial_position).items():
+    for k, v in pulsar_source_options(
+        service_url, admin_url, topics, initial_position, subscription_name
+    ).items():
         reader = reader.option(k, v)
     try:
         return reader.load()
