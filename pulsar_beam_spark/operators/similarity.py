@@ -173,13 +173,15 @@ def ivf_topk(
     probe_ids = [int(i) for i in np.argsort(-(cent @ qv))[:nprobe]]
 
     v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    # argmax_c (v.c / ||v||) == argmax_c (v.c): the norm is a shared
+    # positive factor, so skip it — one fewer fold per row in the
+    # assignment expression (the per-row hot path).
     dots = F.array(*[
         F.aggregate(
             F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
             F.lit(0.0),
             lambda a, x: a + x,
-        ) / norm
+        )
         for c in cent
     ])
     cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
