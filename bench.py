@@ -119,6 +119,50 @@ def bench_stream_fanout(spark, n: int = 50_000) -> float:
     return dt
 
 
+def bench_skew_stress(spark, n: int = 2_000_000) -> dict[str, float]:
+    """Hot-key join stress (VERDICT r03 item 7): 50% of ``n`` rows on one
+    key, dim too big to broadcast (threshold forced off). Three variants:
+    naive (AQE skew-join disabled — one reducer owns half the table),
+    aqe (the engine default: runtime skew split), salted (the manual
+    rewrite for shapes AQE can't fix). Same result rows in all three."""
+    from pulsar_beam_spark.operators.skew import salted_broadcast_fallback_join, skewed_fixture
+    from pulsar_beam_spark.plans.explain import execute_jvm
+
+    big, dim = skewed_fixture(spark, n_rows=n)
+    big, dim = big.localCheckpoint(), dim.localCheckpoint()  # exclude gen cost
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )}
+    out: dict[str, float] = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+        for label, skew_on, salted in (
+            ("skew_join_naive", "false", False),
+            ("skew_join_aqe", "true", False),
+            ("skew_join_salted", "false", True),
+        ):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_on)
+            j = (salted_broadcast_fallback_join(big, dim, on="key", n_salts=16)
+                 if salted else big.join(dim, "key")).select("val", "name")
+            t0 = time.perf_counter()
+            assert execute_jvm(j) == n
+            out[label] = round(time.perf_counter() - t0, 3)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("pbs-bench")
@@ -150,6 +194,9 @@ def main() -> None:
     fanout_n = int(os.environ.get("SPARK_GRAFT_FANOUT_N", "50000"))
     fanout_s = round(bench_stream_fanout(spark, fanout_n), 3)
     timings[f"stream_fanout_{fanout_n}"] = fanout_s
+    skew_n = int(os.environ.get("SPARK_GRAFT_SKEW_N", "2000000"))
+    skew = bench_skew_stress(spark, skew_n)
+    timings.update(skew)
     total = round(time.perf_counter() - total0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -161,6 +208,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "fanout_msgs_per_s": round(fanout_n / fanout_s, 1),
+                "skew_speedup_aqe": round(skew["skew_join_naive"] / skew["skew_join_aqe"], 2),
+                "skew_speedup_salted": round(skew["skew_join_naive"] / skew["skew_join_salted"], 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

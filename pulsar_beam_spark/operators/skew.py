@@ -37,6 +37,27 @@ def _salt_col(cols: list[str], n_salts: int) -> Column:
     return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
 
 
+def skewed_fixture(spark, n_rows: int = 2_000_000, n_keys: int = 50_000,
+                   hot_every: int = 2):
+    """Synthetic hot-key tables for skew stress (VERDICT r03 item 7):
+    ``big`` has every ``hot_every``-th row on key 0 (so 1/hot_every of
+    the table lands in ONE join/agg partition unsalted) and the rest
+    uniform over ``n_keys-1`` keys; ``dim`` covers all keys.  Generated
+    from ``spark.range`` — deterministic, no fixture files, any size.
+    """
+    big = spark.range(n_rows).select(
+        F.when(F.pmod("id", F.lit(hot_every)) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys - 1)) + 1)
+        .cast("long").alias("key"),
+        F.col("id").alias("val"),
+    )
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("key"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+    )
+    return big, dim
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

@@ -44,6 +44,26 @@ def n_exchanges(df: DataFrame, include_single_partition: bool = True) -> int:
     return n
 
 
+def executed_plan(df: DataFrame) -> str:
+    """Post-execution physical plan string. Under AQE this is the FINAL
+    adaptive plan (isFinalPlan=true) — the only place runtime re-plans
+    (skew-join splits ``skew=true``, SMJ->broadcast demotions, coalesced
+    partitions) are visible; the pre-execution explain shows none of
+    them. Call only after an action has run on ``df``."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def execute_jvm(df: DataFrame) -> int:
+    """Run ``df``'s OWN QueryExecution entirely JVM-side and return the
+    row count. Unlike ``df.count()`` (wraps the plan in an aggregate —
+    which suppresses AQE rewrites that would violate the agg's required
+    distribution, e.g. skew-join splits) or ``df.write`` (a NEW
+    QueryExecution, so ``executed_plan(df)`` stays unexecuted), this
+    drains the exact plan ``executed_plan`` will report, with no rows
+    crossing to Python."""
+    return df._jdf.queryExecution().executedPlan().execute().count()
+
+
 def has_pushed_filters(df: DataFrame, fragment: str) -> bool:
     plan = formatted_plan(df)
     return "PushedFilters" in plan and fragment in plan

@@ -66,3 +66,84 @@ def test_salted_left_join_preserves_unmatched(spark):
         .count()
     )
     assert plain == salted
+
+
+# == 10x skew stress (VERDICT r03 item 7) ================================
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _confs(spark, **kv):
+    """Set session confs, restore on exit (the session is shared)."""
+    old = {}
+    for k, v in kv.items():
+        key = k.replace("__", ".")
+        old[key] = spark.conf.get(key, None)
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, v in old.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+
+
+def test_aqe_skew_join_kicks_in_at_scale(spark):
+    """At 10x-test-data scale (2M rows, 50% on one key), the engine
+    default must self-heal a skewed sort-merge join: the FINAL adaptive
+    plan shows the skew-split marker. This is the 100 TB story — AQE
+    re-plans at runtime; salting is only for shapes AQE can't touch."""
+    from pulsar_beam_spark.operators.skew import skewed_fixture
+    from pulsar_beam_spark.plans.explain import execute_jvm, executed_plan
+
+    big, dim = skewed_fixture(spark, n_rows=2_000_000)
+    with _confs(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",  # dim "too big"
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512k",
+        },
+    ):
+        # bare join (no downstream agg: AQE skips the skew split when it
+        # would violate a downstream required distribution — that shape
+        # is exactly what salted_agg is for), drained JVM-side so THIS
+        # QueryExecution is the one that runs
+        joined = big.join(dim, "key").select("val", "name")
+        assert execute_jvm(joined) == 2_000_000
+        plan = executed_plan(joined)
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan[:2000]
+
+
+def test_salting_spreads_hot_key_partitions(spark):
+    """Deterministic (timing-free) proof the salted shuffle fixes the
+    hot partition: partition row-counts after repartition-by-key vs
+    repartition-by-(key, salt). Unsalted, the hot key's reducer owns
+    ~50% of all rows; salted, the max partition must shrink by >=4x."""
+    from pyspark.sql import functions as F
+
+    from pulsar_beam_spark.operators.skew import _salt_col, skewed_fixture
+
+    n = 1_000_000
+    big, _ = skewed_fixture(spark, n_rows=n)
+    parts = 32
+
+    def max_partition_rows(df):
+        dist = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().agg(F.max("count")).head()[0]
+        )
+        return int(dist)
+
+    unsalted = max_partition_rows(big.repartition(parts, "key"))
+    salted = max_partition_rows(
+        big.withColumn("__s", _salt_col(["val"], 16)).repartition(parts, "key", "__s")
+    )
+    assert unsalted >= int(n * 0.45)  # the hot reducer owns half the table
+    assert salted * 4 <= unsalted, (salted, unsalted)
