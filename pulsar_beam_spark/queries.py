@@ -4428,6 +4428,444 @@ def q_ohlc(spark, sf):
     )
 
 
+# == round-4 wave 1: warehouse / time-series / graph depth ===============
+
+@register(
+    "r_gaps_islands",
+    """
+WITH d AS (SELECT DISTINCT user_id,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+           FROM events),
+g AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d)
+SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM g GROUP BY user_id, grp
+""",
+    doc="Gaps-and-islands: consecutive-active-day runs per user via the "
+        "day - row_number() constant-group trick (one shuffle, no self-join)",
+)
+def q_gaps_islands(spark, sf):
+    ev = T(spark, sf, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        d.withColumn("grp", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.min("day").alias("start_day"), F.max("day").alias("end_day"),
+             F.count("*").alias("n_days"))
+        .drop("grp")
+    )
+
+
+@register(
+    "r_mode_per_group",
+    """
+WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           FROM orders GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY n DESC, o_orderpriority) AS rn
+      FROM c)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1
+""",
+    doc="Statistical mode per group with deterministic lexical tie-break "
+        "(count-then-rank; no collect/driver loop)",
+)
+def q_mode_per_group(spark, sf):
+    o = T(spark, sf, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
+
+
+@register(
+    "r_weighted_median",
+    """
+WITH w AS (SELECT l_returnflag,
+                  CAST(round(l_extendedprice*100,0) AS BIGINT) AS pc,
+                  CAST(l_quantity AS BIGINT) AS q
+           FROM lineitem),
+c AS (SELECT l_returnflag, pc, q,
+             CAST(sum(q) OVER (PARTITION BY l_returnflag ORDER BY pc
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+             CAST(sum(q) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      FROM w)
+SELECT l_returnflag, CAST(min(pc) AS DOUBLE)/100 AS weighted_median
+FROM c WHERE cw*2 >= tw GROUP BY l_returnflag
+""",
+    doc="Weighted median (quantity-weighted price): RANGE-frame cumulative "
+        "weight — peers collapse, so the cut point is deterministic without "
+        "a row-level tiebreak; integer weights, exact both engines",
+)
+def q_weighted_median(spark, sf):
+    li = T(spark, sf, "lineitem")
+    w = li.select(
+        "l_returnflag", cents("l_extendedprice").alias("pc"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    cum = Window.partitionBy("l_returnflag").orderBy("pc").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("l_returnflag")
+    return (
+        w.withColumn("cw", F.sum("q").over(cum))
+        .withColumn("tw", F.sum("q").over(tot))
+        .filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg((F.min("pc").cast("double") / 100).alias("weighted_median"))
+    )
+
+
+@register(
+    "r_string_agg",
+    """
+SELECT p_brand,
+       array_to_string(list_sort(array_agg(DISTINCT p_type)), ',') AS types_csv,
+       CAST(count(DISTINCT p_type) AS BIGINT) AS n_types
+FROM part GROUP BY p_brand
+""",
+    doc="Ordered string aggregation (LISTAGG shape): set-collect + sort + "
+        "join — deterministic regardless of row arrival order",
+)
+def q_string_agg(spark, sf):
+    p = T(spark, sf, "part")
+    return p.groupBy("p_brand").agg(
+        F.array_join(F.array_sort(F.collect_set("p_type")), ",").alias("types_csv"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+@register(
+    "r_regexp_extract_all",
+    """
+SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+  SELECT unnest(regexp_extract_all(text, '[a-z]{6,}')) AS w FROM documents)
+GROUP BY w ORDER BY freq DESC, w LIMIT 15
+""",
+    doc="R22 depth: regexp_extract_all + explode + count — the "
+        "multi-match-per-row extraction surface",
+)
+def q_regexp_extract_all(spark, sf):
+    docs = T(spark, sf, "documents")
+    return (
+        docs.select(F.explode(F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0)).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "w").limit(15)
+    )
+
+
+@register(
+    "r_bitmap_flags",
+    """
+WITH m AS (SELECT user_id % 8 AS bucket,
+                  CASE event_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2
+                                  WHEN 'error' THEN 4 ELSE 8 END AS mask
+           FROM events)
+SELECT bucket, CAST(bit_or(mask) AS BIGINT) AS flags_any,
+       CAST(bit_and(mask) AS BIGINT) AS flags_all,
+       CAST(count(*) AS BIGINT) AS n
+FROM m GROUP BY bucket
+""",
+    doc="Bitwise aggregate rollup (bit_or/bit_and flag sets) — the compact "
+        "feature-flag/permission-mask reduction",
+)
+def q_bitmap_flags(spark, sf):
+    ev = T(spark, sf, "events")
+    mask = (
+        F.when(F.col("event_type") == "purchase", 1)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "error", 4)
+        .otherwise(8)
+    )
+    return (
+        ev.select(F.pmod("user_id", F.lit(8)).alias("bucket"), mask.alias("mask"))
+        .groupBy("bucket")
+        .agg(F.bit_or("mask").cast("long").alias("flags_any"),
+             F.bit_and("mask").cast("long").alias("flags_all"),
+             F.count("*").alias("n"))
+    )
+
+
+@register(
+    "r_asof_nearest",
+    """
+SELECT p.event_id AS p_id, s.event_id AS s_id, s.adiff AS diff_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p,
+LATERAL (SELECT e.event_id, abs(epoch_us(e.ts) - epoch_us(p.ts)) AS adiff,
+                CASE WHEN e.ts <= p.ts THEN 0 ELSE 1 END AS fwd
+         FROM events e
+         WHERE e.user_id = p.user_id AND e.event_type = 'signup'
+         ORDER BY adiff, fwd, e.event_id LIMIT 1) s
+""",
+    doc="R10 completion: NEAREST-neighbor as-of (either direction, backward "
+        "preferred on ties, event_id tiebreak) — key-bounded join + per-left "
+        "rank window, no range blowup; oracle is DuckDB's LATERAL top-1",
+)
+def q_asof_nearest(spark, sf):
+    ev = T(spark, sf, "events")
+    # events.ts is TIMESTAMP_NTZ; the session is pinned UTC, so the cast
+    # to TIMESTAMP is the identity instant duckdb's epoch_us sees
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("p_id"),
+        us("ts").alias("p_us"), F.col("ts").alias("p_ts"))
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("s_id"),
+        us("ts").alias("s_us"), F.col("ts").alias("s_ts"))
+    j = p.join(s, "u").select(
+        "p_id", "s_id",
+        F.abs(F.col("s_us") - F.col("p_us")).alias("adiff"),
+        F.when(F.col("s_ts") <= F.col("p_ts"), 0).otherwise(1).alias("fwd"),
+    )
+    w = Window.partitionBy("p_id").orderBy("adiff", "fwd", "s_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_id", "s_id", F.col("adiff").alias("diff_us"))
+    )
+
+
+@register(
+    "r_null_impute_group_mean",
+    """
+WITH v AS (SELECT event_id, event_type,
+                  CASE WHEN event_id % 7 = 0 THEN NULL
+                       ELSE CAST(round(value*100,0) AS BIGINT) END AS vc
+           FROM events),
+m AS (SELECT event_id, vc,
+             CAST(sum(vc) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+             CAST(count(vc) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM v)
+SELECT event_id,
+       round(CAST(coalesce(vc, CAST(round(CAST(s AS DOUBLE)/n, 0) AS BIGINT)) AS DOUBLE)/100, 6) AS value_filled
+FROM m
+""",
+    doc="Null imputation with the group mean (integer-cent mean, rounded to "
+        "a cent, so the fill value is bit-identical across engines); the "
+        "deterministic event_id%7 mask synthesizes the nulls",
+)
+def q_null_impute(spark, sf):
+    ev = T(spark, sf, "events")
+    vc = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(cents("value"))
+    w = Window.partitionBy("event_type")
+    filled = F.coalesce(
+        F.col("vc"),
+        F.round(F.sum("vc").over(w).cast("double") / F.count("vc").over(w), 0).cast("long"),
+    )
+    return (
+        ev.select("event_id", "event_type", vc.alias("vc"))
+        .select("event_id", F.round(filled.cast("double") / 100, 6).alias("value_filled"))
+    )
+
+
+@register(
+    "r_pareto_cut",
+    """
+WITH pr AS (SELECT l_partkey,
+                   CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS rev
+            FROM lineitem GROUP BY 1),
+r AS (SELECT rev,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(rev) OVER () AS BIGINT) AS tot,
+             row_number() OVER (ORDER BY rev DESC, l_partkey) AS rn
+      FROM pr)
+SELECT CAST(min(CASE WHEN cum*5 >= tot*4 THEN rn END) AS BIGINT) AS n_parts_80,
+       CAST(count(*) AS BIGINT) AS total_parts
+FROM r
+""",
+    doc="Pareto 80/20 cut: how many top parts carry 80% of revenue — "
+        "running-share window over the aggregate (report-scale single "
+        "partition AFTER the groupBy collapse, like r_percent_of_total)",
+)
+def q_pareto_cut(spark, sf):
+    li = T(spark, sf, "lineitem")
+    pr = li.groupBy("l_partkey").agg(F.sum(cents("l_extendedprice")).alias("rev"))
+    wcum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    r = pr.select(
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(wall).alias("tot"),
+        F.row_number().over(Window.orderBy(F.col("rev").desc(), "l_partkey")).alias("rn"),
+    )
+    return r.agg(
+        F.min(F.when(F.col("cum") * 5 >= F.col("tot") * 4, F.col("rn"))).cast("long").alias("n_parts_80"),
+        F.count("*").alias("total_parts"),
+    )
+
+
+@register(
+    "r_yoy_growth",
+    """
+WITH y AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS revc
+           FROM orders GROUP BY 1)
+SELECT yr, CAST(revc AS DOUBLE)/100 AS revenue,
+       round(CAST(revc AS DOUBLE) / lag(revc) OVER (ORDER BY yr) - 1, 6) AS yoy
+FROM y
+""",
+    doc="Year-over-year growth: integerized yearly revenue + lag ratio "
+        "(NULL first year) — the period-over-period report shape",
+)
+def q_yoy_growth(spark, sf):
+    o = T(spark, sf, "orders")
+    y = o.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
+        F.sum(cents("o_totalprice")).alias("revc"))
+    w = Window.orderBy("yr")
+    return y.select(
+        "yr",
+        (F.col("revc").cast("double") / 100).alias("revenue"),
+        F.round(F.col("revc").cast("double") / F.lag("revc").over(w) - 1, 6).alias("yoy"),
+    )
+
+
+@register(
+    "r_interp_linear",
+    """
+WITH v AS (SELECT user_id, event_id,
+                  CASE WHEN event_id % 5 = 0 THEN NULL
+                       ELSE CAST(round(value*100,0) AS BIGINT) END AS vc
+           FROM events),
+w AS (SELECT user_id, event_id, vc,
+             last_value(vc IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN vc IS NOT NULL THEN event_id END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid,
+             first_value(vc IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN vc IS NOT NULL THEN event_id END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nid
+      FROM v)
+SELECT event_id,
+       round(CASE WHEN vc IS NOT NULL THEN CAST(vc AS DOUBLE)
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                       pv + CAST((nv - pv) * (event_id - pid) AS DOUBLE) / (nid - pid)
+             END / 100, 6) AS value_interp
+FROM w
+""",
+    doc="Linear interpolation of missing samples between bracketing "
+        "non-nulls (gap-fill's second half: r_gap_fill_forward carries, "
+        "this blends); integer numerators keep the division bit-identical",
+)
+def q_interp_linear(spark, sf):
+    ev = T(spark, sf, "events")
+    vc = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(cents("value"))
+    v = ev.select("user_id", "event_id", vc.alias("vc"))
+    back = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    fwd = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing)
+    nn_id = F.when(F.col("vc").isNotNull(), F.col("event_id"))
+    interp = (
+        F.col("pv")
+        + ((F.col("nv") - F.col("pv")) * (F.col("event_id") - F.col("pid"))).cast("double")
+        / (F.col("nid") - F.col("pid"))
+    )
+    return (
+        v.withColumn("pv", F.last("vc", ignorenulls=True).over(back))
+        .withColumn("pid", F.last(nn_id, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("vc", ignorenulls=True).over(fwd))
+        .withColumn("nid", F.first(nn_id, ignorenulls=True).over(fwd))
+        .select(
+            "event_id",
+            F.round(
+                F.when(F.col("vc").isNotNull(), F.col("vc").cast("double"))
+                .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+                / 100, 6,
+            ).alias("value_interp"),
+        )
+    )
+
+
+@register(
+    "r_rolling_zscore",
+    """
+WITH v AS (SELECT user_id, event_id, ts, CAST(round(value*100,0) AS BIGINT) AS vc
+           FROM events),
+w AS (SELECT user_id, event_id, vc,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(vc) OVER win AS BIGINT) AS s1,
+             CAST(sum(vc*vc) OVER win AS BIGINT) AS s2
+      FROM v
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT event_id,
+       CASE WHEN n*s2 - s1*s1 > 0
+            THEN round((vc*n - s1) / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)), 6)
+       END AS zscore
+FROM w
+""",
+    doc="Rolling z-score anomaly signal over a 7-row trailing window; "
+        "population variance via INTEGER moment sums (n*s2-s1^2), so both "
+        "engines hit the same doubles at the single sqrt/divide",
+)
+def q_rolling_zscore(spark, sf):
+    ev = T(spark, sf, "events")
+    v = ev.select("user_id", "event_id", "ts", cents("value").alias("vc"))
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    var_n = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        v.withColumn("n", F.count("*").over(win))
+        .withColumn("s1", F.sum("vc").over(win))
+        .withColumn("s2", F.sum(F.col("vc") * F.col("vc")).over(win))
+        .select(
+            "event_id",
+            F.when(
+                var_n > 0,
+                F.round((F.col("vc") * F.col("n") - F.col("s1")) / F.sqrt(var_n.cast("double")), 6),
+            ).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "r_triangle_count",
+    """
+WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a
+           JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT (SELECT CAST(count(*) AS BIGINT)
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM e
+""",
+    doc="Triangle count on the co-purchase graph (parts sharing an order): "
+        "ordered u<v<w edge orientation makes each triangle count once and "
+        "keeps both joins equi-key (shuffle on node id, no enumeration "
+        "blowup) — the graph-metric companion to connected components",
+)
+def q_triangle_count(spark, sf):
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return tri.crossJoin(e.agg(F.count("*").alias("n_edges")))
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
