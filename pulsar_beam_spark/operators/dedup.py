@@ -107,6 +107,32 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float, id_col: str = "doc_id
     )
 
 
+def containment_pairs(docs: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """All doc pairs (a < b) with shingle-set CONTAINMENT
+    |A∩B| / min(|A|,|B|) >= threshold — the asymmetric near-dup measure:
+    a short doc fully embedded in a long one scores ~1.0 here but low
+    Jaccard (the union is dominated by the long doc), so containment
+    catches subset/quote duplication that Jaccard misses.  Same
+    output-bound shared-shingle join plan as ``exact_jaccard_pairs``.
+    """
+    sets = doc_shingle_sets(docs, id_col, text_col, n)
+    sizes = sets.groupBy("id").agg(F.count("*").alias("set_size"))
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn("containment", F.col("inter") / F.least("size_a", "size_b"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) universal-hash parameters (no RNG dependency —
     derived from a fixed multiplicative sequence so resume/replay is stable)."""

@@ -4866,6 +4866,277 @@ def q_triangle_count(spark, sf):
     return tri.crossJoin(e.agg(F.count("*").alias("n_edges")))
 
 
+# == round-4 wave 2: LLM-pipeline / embedding / layout depth =============
+
+@register(
+    "t_bigram_top",
+    """
+WITH toks AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+              FROM documents),
+bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(t)-1, 0)),
+                                    i -> t[i] || ' ' || t[i+1])) AS bigram
+       FROM toks)
+SELECT bigram, CAST(count(*) AS BIGINT) AS freq
+FROM bg GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 15
+""",
+    doc="R32 depth: corpus top word-bigrams (windowed token pairing via "
+        "index transform — no self-join, one explode+groupBy)",
+)
+def q_bigram_top(spark, sf):
+    from .functions.texthash import tokens
+
+    docs = T(spark, sf, "documents")
+    t = tokens("text")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram").agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "bigram").limit(15)
+    )
+
+
+@register(
+    "t_sentence_stats",
+    """
+WITH s AS (SELECT doc_id,
+                  list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                             x -> trim(x)), x -> x != '') AS sents
+           FROM documents)
+SELECT doc_id, CAST(len(sents) AS INTEGER) AS n_sentences,
+       CAST(coalesce(list_sum(list_transform(sents,
+              x -> len(list_filter(regexp_split_to_array(x, '\\s+'), w -> w != '')))), 0) AS BIGINT) AS n_words,
+       round(CAST(coalesce(list_sum(list_transform(sents,
+              x -> len(list_filter(regexp_split_to_array(x, '\\s+'), w -> w != '')))), 0) AS DOUBLE)
+             / nullif(len(sents), 0), 6) AS avg_words_per_sentence
+FROM s
+""",
+    doc="Sentence segmentation stats (regex split, trim, empty-drop): "
+        "sentence count / word count / mean length per doc — zero-shuffle "
+        "row-local higher-order functions",
+)
+def q_sentence_stats(spark, sf):
+    docs = T(spark, sf, "documents")
+    sents = F.filter(
+        F.transform(F.split("text", "[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    wc = lambda x: F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))  # noqa: E731
+    n_words = F.aggregate(F.col("sents"), F.lit(0).cast("long"), lambda acc, x: acc + wc(x))
+    return (
+        docs.select("doc_id", sents.alias("sents"))
+        .select(
+            "doc_id",
+            F.size("sents").alias("n_sentences"),
+            n_words.alias("n_words"),
+            F.round(n_words.cast("double") / F.nullif(F.size("sents"), F.lit(0)), 6)
+            .alias("avg_words_per_sentence"),
+        )
+    )
+
+
+def _centroid_assign_oracle(n_centroids: int = 4, dim: int = 64, seed: int = 123) -> str:
+    import numpy as np
+
+    cent = np.random.default_rng(seed).standard_normal((n_centroids, dim))
+    dots = ", ".join(_ann_audit_dot_sql("embedding::DOUBLE[]", c) for c in cent)
+    return f"""
+WITH a AS (SELECT vec_id, list_indexof([{dots}],
+                  list_aggregate([{dots}], 'max')) AS cell
+           FROM embeddings)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM a GROUP BY cell
+"""
+
+
+@register(
+    "e_centroid_assign",
+    _centroid_assign_oracle(),
+    doc="Distributed k-means E-step: nearest-centroid assignment against "
+        "literal centroids (the scale shape: centroids are tiny plan "
+        "constants, the corpus never shuffles — assignment is a map-only "
+        "codegen'd projection), verified cell-for-cell vs the oracle's "
+        "identical sequential-fold argmax",
+)
+def q_centroid_assign(spark, sf):
+    import numpy as np
+
+    cent = np.random.default_rng(123).standard_normal((4, 64))
+    emb = T(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dots = F.array(*[
+        F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x)
+        for c in cent
+    ])
+    cell = F.array_position(dots, F.array_max(dots)).cast("int")
+    return (
+        emb.select("vec_id", cell.alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register(
+    "e_norm_audit",
+    """
+WITH n AS (SELECT label,
+                  CAST(round(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+                                              (x, y) -> x + y)) * 1e6, 0) AS BIGINT) AS nm
+           FROM embeddings)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(min(nm) AS DOUBLE)/1e6, 6) AS min_norm,
+       round(CAST(max(nm) AS DOUBLE)/1e6, 6) AS max_norm,
+       round(CAST(sum(nm) AS DOUBLE)/count(*)/1e6, 6) AS avg_norm
+FROM n GROUP BY label
+""",
+    doc="Embedding norm audit per label (the vector-quality gate before "
+        "indexing: zero/exploding norms break cosine): micro-integerized "
+        "norms make min/max/avg exact under parallel aggregation",
+)
+def q_norm_audit(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nm = F.round(
+        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)) * 1e6, 0
+    ).cast("long")
+    return (
+        emb.select("label", nm.alias("nm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("nm").cast("double") / 1e6, 6).alias("min_norm"),
+            F.round(F.max("nm").cast("double") / 1e6, 6).alias("max_norm"),
+            F.round(F.sum("nm").cast("double") / F.count("*") / 1e6, 6).alias("avg_norm"),
+        )
+    )
+
+
+@register(
+    "p_dataset_card",
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))) AS BIGINT) AS total_tokens,
+       round(CAST(CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS DOUBLE)/count(*), 6) AS pct_en,
+       round(CAST(sum(n_chars) AS DOUBLE)/count(*), 6) AS avg_chars
+FROM documents GROUP BY source
+""",
+    doc="Dataset-card stats per source: doc/unique-text counts (md5 "
+        "identity), token totals, language mix, size — the one-pass "
+        "corpus manifest a training-data release ships with",
+)
+def q_dataset_card(spark, sf):
+    from .functions.texthash import tokens
+
+    docs = T(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("total_tokens"),
+        F.round(F.count(F.when(F.col("lang") == "en", 1)).cast("double") / F.count("*"), 6).alias("pct_en"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("avg_chars"),
+    )
+
+
+CONTAINMENT_ORACLE = """
+WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(c * 1.0 / least(sa.sz, sb.sz), 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / least(sa.sz, sb.sz) >= 0.6
+"""
+
+
+@register(
+    "d_jaccard_containment",
+    CONTAINMENT_ORACLE,
+    doc="Asymmetric near-dup: shingle containment |A∩B|/min(|A|,|B|) — "
+        "catches short-doc-embedded-in-long (quotes, subsets) that "
+        "symmetric Jaccard under-scores; same output-bound shared-shingle "
+        "join as r30 (operators/dedup.containment_pairs)",
+)
+def q_containment(spark, sf):
+    from .operators.dedup import containment_pairs
+
+    return containment_pairs(T(spark, sf, "documents"), threshold=0.6)
+
+
+@register(
+    "p_token_budget_split",
+    """
+WITH t AS (SELECT doc_id, source,
+                  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+           FROM documents)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                  / 4000) AS BIGINT) AS shard
+FROM t
+""",
+    doc="Token-budget sharding: deterministic greedy split of each "
+        "source's doc stream into ~4000-token training shards via an "
+        "EXCLUSIVE prefix sum (a doc never straddles shards; source "
+        "partitioning keeps the window distributed at scale)",
+)
+def q_token_budget(spark, sf):
+    from .functions.texthash import tokens
+
+    docs = T(spark, sf, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1)
+    return t.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("double") / 4000)
+        .cast("long").alias("shard"),
+    )
+
+
+@register(
+    "l_partition_manifest",
+    """
+SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INTEGER) AS part_month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+       CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1
+""",
+    doc="Partition manifest (l_zorder_layout's companion): per-month "
+        "rowcount + key min/max + checksum — the column-stats index that "
+        "drives file skipping; one map-side-combinable aggregation",
+)
+def q_partition_manifest(spark, sf):
+    o = T(spark, sf, "orders")
+    return (
+        o.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("part_month"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
