@@ -5137,6 +5137,329 @@ def q_partition_manifest(spark, sf):
     )
 
 
+# == round-4 wave 3: segmentation / monitoring / observability ===========
+
+@register(
+    "r_running_distinct",
+    """
+WITH f AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+nd AS (SELECT d, count(*) AS nu FROM f WHERE rn = 1 GROUP BY d),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+SELECT date_diff('day', DATE '1970-01-01', days.d) AS day,
+       CAST(coalesce(nu, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(nu, 0)) OVER (ORDER BY days.d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM days LEFT JOIN nd ON nd.d = days.d
+""",
+    doc="Cumulative distinct users per day WITHOUT a distinct-over-window "
+        "(unsupported everywhere): first-seen flag -> daily new-user count "
+        "-> running sum. The scalable rewrite of COUNT(DISTINCT) OVER",
+)
+def q_running_distinct(spark, sf):
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_seen = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("nu"))
+    )
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(first_seen, "d", "left")
+        .withColumn("nu", F.coalesce("nu", F.lit(0)))
+        .select(
+            F.datediff("d", F.lit("1970-01-01").cast("date")).alias("day"),
+            F.col("nu").alias("new_users"),
+            F.sum("nu").over(cum).alias("cum_users"),
+        )
+    )
+
+
+SHARED_SQL_FILTER_AGG = """
+SELECT l_returnflag,
+       count(*) AS n_all,
+       count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sql_shared_dialect_filter_agg",
+    SHARED_SQL_FILTER_AGG,
+    doc="Shared-dialect FILTER (WHERE) aggregates — the standard-SQL "
+        "conditional-count form, one literal query text on both engines "
+        "(Spark lowers FILTER to aggregate-with-predicate)",
+)
+def q_filter_agg(spark, sf):
+    return run_sql(spark, sf, SHARED_SQL_FILTER_AGG)
+
+
+@register(
+    "r_rfm_segmentation",
+    """
+WITH c AS (SELECT o_custkey,
+                  date_diff('day', max(o_orderdate),
+                            (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+                  count(*) AS frequency,
+                  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS monetary_cents
+           FROM orders GROUP BY o_custkey)
+SELECT o_custkey,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) * 100
+          + ntile(5) OVER (ORDER BY frequency DESC, o_custkey) * 10
+          + ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INTEGER) AS rfm_segment
+FROM c
+""",
+    doc="RFM customer segmentation: recency/frequency/monetary quintiles "
+        "(ntile with custkey tie-breaks -> deterministic) packed into one "
+        "segment code — the classic mart-building composite",
+)
+def q_rfm(spark, sf):
+    o = T(spark, sf, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    c = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("mxd"), F.max("o_orderdate")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(cents("o_totalprice")).alias("monetary_cents"),
+        )
+    )
+    seg = (
+        F.ntile(5).over(Window.orderBy("recency_days", "o_custkey")) * 100
+        + F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")) * 10
+        + F.ntile(5).over(Window.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
+    )
+    return c.select(
+        "o_custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        "frequency", "monetary_cents",
+        seg.cast("int").alias("rfm_segment"),
+    )
+
+
+@register(
+    "r_streak_detection",
+    """
+WITH v AS (SELECT user_id, event_id, ts, CAST(round(value*100,0) AS BIGINT) AS vc FROM events),
+l AS (SELECT user_id, event_id, ts, vc,
+             CASE WHEN vc > lag(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 0 ELSE 1 END AS brk
+      FROM v),
+g AS (SELECT user_id,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      FROM l),
+s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_up_streak
+FROM s GROUP BY user_id
+""",
+    doc="Longest strictly-increasing value streak per user: lag -> break "
+        "flag -> running-sum group id -> max run length (the monotone-run "
+        "variant of gaps-and-islands; no self-join)",
+)
+def q_streak(spark, sf):
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = ev.select("user_id", "event_id", "ts", cents("value").alias("vc"))
+    l = v.withColumn(
+        "brk", F.when(F.col("vc") > F.lag("vc").over(w), 0).otherwise(1))
+    g = l.withColumn("grp", F.sum("brk").over(cum))
+    s = g.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return s.groupBy("user_id").agg(F.max("len").alias("longest_up_streak"))
+
+
+@register(
+    "r_cusum_drift",
+    """
+WITH v AS (SELECT event_id, user_id, ts, event_type,
+                  CAST(round(value*100,0) AS BIGINT) AS vc FROM events),
+m AS (SELECT event_type,
+             CAST(round(CAST(sum(vc) AS DOUBLE)/count(*), 0) AS BIGINT) AS mu
+      FROM v GROUP BY 1)
+SELECT event_id,
+       round(CAST(sum(vc - mu) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100, 6) AS cusum
+FROM v JOIN m USING (event_type)
+""",
+    doc="CUSUM drift signal: running sum of deviations from the (cent-"
+        "rounded) expected value per event type — integer partial sums "
+        "keep the parallel aggregation exact; broadcast mean join",
+)
+def q_cusum(spark, sf):
+    ev = T(spark, sf, "events")
+    v = ev.select("event_id", "user_id", "ts", "event_type", cents("value").alias("vc"))
+    m = v.groupBy("event_type").agg(
+        F.round(F.sum("vc").cast("double") / F.count("*"), 0).cast("long").alias("mu"))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        v.join(F.broadcast(m), "event_type")
+        .select("event_id", "user_id", "ts", (F.col("vc") - F.col("mu")).alias("dev"))
+        .select("event_id", F.round(F.sum("dev").over(cum).cast("double") / 100, 6).alias("cusum"))
+    )
+
+
+@register(
+    "t_char_class_profile",
+    """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_total,
+       CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space,
+       round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+             / nullif(length(text), 0), 6) AS lower_ratio
+FROM documents
+""",
+    doc="Character-class profile (upper/digit/space counts, lowercase "
+        "ratio): the cheap boilerplate/table/code detector feeding quality "
+        "gates — row-local, zero shuffle",
+)
+def q_char_class(spark, sf):
+    docs = T(spark, sf, "documents")
+    cc = lambda pat: F.length(F.regexp_replace("text", pat, ""))  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_total"),
+        cc("[^A-Z]").cast("long").alias("n_upper"),
+        cc("[^0-9]").cast("long").alias("n_digit"),
+        cc("[^ ]").cast("long").alias("n_space"),
+        F.round(cc("[^a-z]").cast("double") / F.nullif(F.length("text"), F.lit(0)), 6)
+        .alias("lower_ratio"),
+    )
+
+
+@register(
+    "p_quality_gate_funnel",
+    """
+WITH d0 AS (SELECT doc_id, text, n_chars,
+                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+            FROM documents),
+d1 AS (SELECT * FROM d0 WHERE n_chars >= 100),
+d2 AS (SELECT * FROM d1 WHERE len(t) >= 20),
+d3 AS (SELECT * FROM d2 WHERE CAST(len(list_distinct(t)) AS DOUBLE)/len(t) > 0.3),
+d4 AS (SELECT * FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+                             ORDER BY doc_id) AS rn FROM d3) WHERE rn = 1)
+SELECT 0 AS stage, 'all' AS gate, (SELECT CAST(count(*) AS BIGINT) FROM d0) AS n_surviving
+UNION ALL SELECT 1, 'min_chars', (SELECT CAST(count(*) AS BIGINT) FROM d1)
+UNION ALL SELECT 2, 'min_tokens', (SELECT CAST(count(*) AS BIGINT) FROM d2)
+UNION ALL SELECT 3, 'uniq_token_ratio', (SELECT CAST(count(*) AS BIGINT) FROM d3)
+UNION ALL SELECT 4, 'exact_dedup', (SELECT CAST(count(*) AS BIGINT) FROM d4)
+""",
+    doc="Curation-funnel observability: per-gate survivor counts for the "
+        "standard quality chain (chars -> tokens -> uniq-ratio -> exact "
+        "dedup) — the accounting report every corpus release needs; gates "
+        "evaluate once per doc, counts union at the end",
+)
+def q_gate_funnel(spark, sf):
+    from .functions.texthash import tokens
+
+    docs = T(spark, sf, "documents")
+    d0 = docs.select("doc_id", "text", "n_chars", tokens("text").alias("t"))
+    d1 = d0.filter(F.col("n_chars") >= 100)
+    d2 = d1.filter(F.size("t") >= 20)
+    d3 = d2.filter(F.size(F.array_distinct("t")).cast("double") / F.size("t") > 0.3)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d4 = d3.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    stages = [(0, "all", d0), (1, "min_chars", d1), (2, "min_tokens", d2),
+              (3, "uniq_token_ratio", d3), (4, "exact_dedup", d4)]
+    outs = [
+        d.agg(F.count("*").alias("n_surviving")).select(
+            F.lit(i).alias("stage"), F.lit(name).alias("gate"), "n_surviving")
+        for i, name, d in stages
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+@register(
+    "d_exact_hash_clusters",
+    """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+g AS (SELECT h, count(*) AS n, min(doc_id) AS canon FROM h GROUP BY h)
+SELECT doc_id, CAST(n AS BIGINT) AS n_copies,
+       CAST(CASE WHEN doc_id = canon THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+FROM h JOIN g USING (h)
+""",
+    doc="Exact full-text dedup clusters via content hash (the zeroth, "
+        "cheapest dedup stage before any MinHash): every doc labeled with "
+        "its copy count and canonical flag — one groupBy + broadcast-able "
+        "group join",
+)
+def q_exact_hash_clusters(spark, sf):
+    docs = T(spark, sf, "documents")
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    g = h.groupBy("h").agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canon"))
+    return h.join(g, "h").select(
+        "doc_id", "n_copies",
+        (F.col("doc_id") == F.col("canon")).cast("int").alias("is_canonical"),
+    )
+
+
+@register(
+    "e_cosine_histogram",
+    """
+WITH p AS (SELECT a.vec_id,
+  list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                             x -> x[1] * x[2]), (x, y) -> x + y)
+  / (sqrt(list_reduce(list_transform(a.embedding::DOUBLE[], x -> x*x), (x, y) -> x + y))
+   * sqrt(list_reduce(list_transform(b.embedding::DOUBLE[], x -> x*x), (x, y) -> x + y))) AS cos
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+SELECT CAST(floor(round(cos, 6) * 10) AS INTEGER) AS bin, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1
+""",
+    doc="Pairwise-cosine distribution histogram over consecutive vector "
+        "pairs (shifted equi-join, not a cross join): the embedding-space "
+        "health check (collapsed space -> mass near 1.0)",
+)
+def q_cosine_histogram(spark, sf):
+    from .functions.vector import cosine_sim
+
+    emb = T(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("aid"), F.col("embedding").alias("av"))
+    b = emb.select((F.col("vec_id") - 1).alias("aid"), F.col("embedding").alias("bv"))
+    return (
+        a.join(b, "aid")
+        .select(F.floor(F.round(cosine_sim(F.col("av"), F.col("bv").cast("array<double>")), 6) * 10)
+                .cast("int").alias("bin"))
+        .groupBy("bin").agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "g_message_size_audit",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(props)) AS BIGINT) AS total_props_bytes,
+       CAST(max(length(props)) AS BIGINT) AS max_props_bytes,
+       round(CAST(sum(length(props)) AS DOUBLE)/count(*), 6) AS avg_props_bytes
+FROM events GROUP BY event_type
+""",
+    doc="G1-side payload accounting: per-message-type volume/size audit "
+        "over the properties envelope — the capacity-planning readout of "
+        "the ingest path",
+)
+def q_message_size_audit(spark, sf):
+    ev = T(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("props")).cast("long").alias("total_props_bytes"),
+        F.max(F.length("props")).cast("long").alias("max_props_bytes"),
+        F.round(F.sum(F.length("props")).cast("double") / F.count("*"), 6).alias("avg_props_bytes"),
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
