@@ -5460,6 +5460,272 @@ def q_message_size_audit(spark, sf):
     )
 
 
+# == round-4 wave 4: analytics depth to fill the 50-entry window =========
+
+@register(
+    "r_quartile_bands",
+    """
+WITH b AS (SELECT c_custkey, CAST(round(c_acctbal*100,0) AS BIGINT) AS bal,
+                  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS band
+           FROM customer)
+SELECT band, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(min(bal) AS DOUBLE)/100, 6) AS min_bal,
+       round(CAST(max(bal) AS DOUBLE)/100, 6) AS max_bal,
+       round(CAST(sum(bal) AS DOUBLE)/count(*)/100, 6) AS avg_bal
+FROM b GROUP BY band
+""",
+    doc="Quartile banding + per-band stats (ntile with key tiebreak, then "
+        "integer-cent aggregates) — the decile-report shape",
+)
+def q_quartile_bands(spark, sf):
+    c = T(spark, sf, "customer")
+    b = c.select(
+        "c_custkey", cents("c_acctbal").alias("bal"),
+        F.ntile(4).over(Window.orderBy("c_acctbal", "c_custkey")).alias("band"),
+    )
+    return b.groupBy("band").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("bal").cast("double") / 100, 6).alias("min_bal"),
+        F.round(F.max("bal").cast("double") / 100, 6).alias("max_bal"),
+        F.round(F.sum("bal").cast("double") / F.count("*") / 100, 6).alias("avg_bal"),
+    )
+
+
+@register(
+    "r_lead_time_buckets",
+    """
+SELECT o_orderpriority,
+       CAST(floor(date_diff('day', o_orderdate, l_shipdate) / 7) AS INTEGER) AS lead_weeks,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+""",
+    doc="Order-to-ship lead-time distribution in week buckets per "
+        "priority: fact-fact equi-join + derived-dimension rollup",
+)
+def q_lead_time(spark, sf):
+    li, o = T(spark, sf, "lineitem"), T(spark, sf, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderpriority",
+            F.floor(F.datediff("l_shipdate", "o_orderdate") / 7).cast("int").alias("lead_weeks"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "r_self_excluding_agg",
+    """
+WITH b AS (SELECT c_custkey, c_nationkey, CAST(round(c_acctbal*100,0) AS BIGINT) AS bal
+           FROM customer)
+SELECT c_custkey,
+       round(CAST(bal AS DOUBLE)/100, 6) AS own_bal,
+       round(CAST(sum(bal) OVER (PARTITION BY c_nationkey) - bal AS DOUBLE)
+             / nullif(count(*) OVER (PARTITION BY c_nationkey) - 1, 0) / 100, 6) AS peer_avg_bal
+FROM b
+""",
+    doc="Self-excluding group aggregate (each row vs the average of its "
+        "PEERS): group-window sum minus own value — no self-join, exact "
+        "integer arithmetic until the final division",
+)
+def q_self_excluding(spark, sf):
+    c = T(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey")
+    b = c.select("c_custkey", "c_nationkey", cents("c_acctbal").alias("bal"))
+    return b.select(
+        "c_custkey",
+        F.round(F.col("bal").cast("double") / 100, 6).alias("own_bal"),
+        F.round(
+            (F.sum("bal").over(w) - F.col("bal")).cast("double")
+            / F.nullif(F.count("*").over(w) - 1, F.lit(0)) / 100, 6,
+        ).alias("peer_avg_bal"),
+    )
+
+
+@register(
+    "t_readability",
+    """
+WITH s AS (SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS w,
+                  CAST(len(list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                                      x -> trim(x)), x -> x != '')) AS BIGINT) AS s,
+                  CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS vg
+           FROM documents)
+SELECT doc_id, w AS n_words, s AS n_sentences, vg AS n_vowel_groups,
+       round(206.835 - 1.015 * (CAST(w AS DOUBLE) / nullif(s, 0))
+                    - 84.6 * (CAST(vg AS DOUBLE) / nullif(w, 0)), 6) AS flesch
+FROM s
+""",
+    doc="Flesch-style readability score (vowel-group syllable proxy): "
+        "integer word/sentence/syllable counts, one shared float formula "
+        "— the fluency prior quality gates layer on token stats",
+)
+def q_readability(spark, sf):
+    from .functions.texthash import tokens
+
+    docs = T(spark, sf, "documents")
+    sents = F.filter(
+        F.transform(F.split("text", "[.!?]+"), lambda x: F.trim(x)), lambda x: x != "")
+    s = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("w"),
+        F.size(sents).cast("long").alias("s"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiou]+"), 0)).cast("long").alias("vg"),
+    )
+    return s.select(
+        "doc_id", F.col("w").alias("n_words"), F.col("s").alias("n_sentences"),
+        F.col("vg").alias("n_vowel_groups"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("w").cast("double") / F.nullif(F.col("s"), F.lit(0)))
+            - 84.6 * (F.col("vg").cast("double") / F.nullif(F.col("w"), F.lit(0))), 6,
+        ).alias("flesch"),
+    )
+
+
+@register(
+    "r_coverage_pct",
+    """
+WITH d AS (SELECT user_id,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+           FROM events)
+SELECT user_id, CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+       CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+       round(CAST(count(DISTINCT day) AS DOUBLE)/(max(day) - min(day) + 1), 6) AS coverage
+FROM d GROUP BY user_id
+""",
+    doc="Activity coverage: distinct active days over the user's own "
+        "observed span — the engagement-density counterpart of "
+        "gaps-and-islands",
+)
+def q_coverage(spark, sf):
+    ev = T(spark, sf, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"))
+    span = F.max("day") - F.min("day") + 1
+    return d.groupBy("user_id").agg(
+        F.countDistinct("day").alias("active_days"),
+        span.cast("long").alias("span_days"),
+        F.round(F.countDistinct("day").cast("double") / span, 6).alias("coverage"),
+    )
+
+
+@register(
+    "r_keyset_pagination",
+    """
+WITH r AS (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+           FROM orders)
+SELECT CAST(floor(rn / 500) AS BIGINT) AS page, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_orderkey) AS BIGINT) AS first_key,
+       CAST(max(o_orderkey) AS BIGINT) AS last_key
+FROM r GROUP BY 1
+""",
+    doc="Keyset-pagination index: page boundaries (first/last key per "
+        "500-row page) precomputed in one pass — what an API layer uses "
+        "instead of OFFSET scans",
+)
+def q_keyset_pagination(spark, sf):
+    o = T(spark, sf, "orders")
+    r = o.select(
+        "o_orderkey",
+        (F.row_number().over(Window.orderBy("o_orderkey")) - 1).alias("rn"))
+    return (
+        r.groupBy(F.floor(F.col("rn") / 500).cast("long").alias("page"))
+        .agg(F.count("*").alias("n_rows"),
+             F.min("o_orderkey").alias("first_key"),
+             F.max("o_orderkey").alias("last_key"))
+    )
+
+
+@register(
+    "r_benford_digits",
+    """
+WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders WHERE o_totalprice >= 1)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) AS DOUBLE)/(SELECT count(*) FROM d), 6) AS pct
+FROM d GROUP BY digit
+""",
+    doc="Benford first-digit distribution of amounts — the fraud/"
+        "synthetic-data smell test; string-extract keeps the digit exact "
+        "(float log10 is deliberately avoided: libm ulp differences)",
+)
+def q_benford(spark, sf):
+    o = T(spark, sf, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int").alias("digit"))
+    tot = d.agg(F.count("*").alias("tot"))
+    return (
+        d.groupBy("digit").agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select("digit", "n", F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("pct"))
+    )
+
+
+@register(
+    "r_min_max_scale",
+    """
+WITH v AS (SELECT event_id, event_type, CAST(round(value*100,0) AS BIGINT) AS vc FROM events)
+SELECT event_id,
+       round(CAST(vc - min(vc) OVER (PARTITION BY event_type) AS DOUBLE)
+             / nullif(max(vc) OVER (PARTITION BY event_type)
+                      - min(vc) OVER (PARTITION BY event_type), 0), 6) AS scaled
+FROM v
+""",
+    doc="Per-group min-max normalization to [0,1] (the feature-scaling "
+        "staple): integer numerator/denominator, one group window",
+)
+def q_min_max_scale(spark, sf):
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("event_type")
+    v = ev.select("event_id", "event_type", cents("value").alias("vc"))
+    return v.select(
+        "event_id",
+        F.round(
+            (F.col("vc") - F.min("vc").over(w)).cast("double")
+            / F.nullif(F.max("vc").over(w) - F.min("vc").over(w), F.lit(0)), 6,
+        ).alias("scaled"),
+    )
+
+
+@register(
+    "t_vocab_coverage",
+    """
+WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS w
+             FROM documents),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+top AS (SELECT c FROM cnt ORDER BY c DESC, w LIMIT 100)
+SELECT CAST((SELECT sum(c) FROM cnt) AS BIGINT) AS total_tokens,
+       CAST((SELECT sum(c) FROM top) AS BIGINT) AS top100_tokens,
+       round(CAST((SELECT sum(c) FROM top) AS DOUBLE)
+             / (SELECT sum(c) FROM cnt), 6) AS coverage
+""",
+    doc="Vocabulary coverage: share of all token occurrences captured by "
+        "the top-100 vocabulary (deterministic count-then-term tie-break) "
+        "— the tokenizer-budget design metric",
+)
+def q_vocab_coverage(spark, sf):
+    from .functions.texthash import exploded_nonnull, tokens
+
+    docs = T(spark, sf, "documents")
+    tok = exploded_nonnull(docs, [], tokens("text"), "w")
+    cnt = tok.groupBy("w").agg(F.count("*").alias("c"))
+    top = cnt.orderBy(F.col("c").desc(), "w").limit(100)
+    return (
+        cnt.agg(F.sum("c").alias("total_tokens"))
+        .crossJoin(top.agg(F.sum("c").alias("top100_tokens")))
+        .select(
+            "total_tokens", "top100_tokens",
+            F.round(F.col("top100_tokens").cast("double") / F.col("total_tokens"), 6)
+            .alias("coverage"),
+        )
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
