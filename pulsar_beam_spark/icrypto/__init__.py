@@ -1,3 +1,4 @@
+from .cipher import AESCipher, RSACipher  # noqa: F401
 from .jwt_rs256 import (  # noqa: F401
     RSAKeyPair,
     auth_verify_jwt,

@@ -1,0 +1,610 @@
+"""HTTP gateway — the reference's route/middleware surface bound to the
+library modules, stdlib-only (http.server).
+
+Route-table parity with src/route/routes.go:24-160 (name, method,
+pattern, handler, auth middleware per route) and mode selection with
+src/route/router.go:38-57 / src/util/main_control.go:8-21.  Handler
+status-code semantics follow src/route/handlers.go:
+
+- ReceiveHandler (:83-139): gzip Content-Encoding, TopicFn/PulsarUrl
+  headers with allowed-cluster check (401), topic from route (422 when
+  absent in both), ?includeHeaders envelope, ?mode=async, 503 on a
+  failed send, 200 on success.
+- PollHandler (:151-185): 422 on bad consumer config, batchSize default
+  10, 204 No Content on empty, JSON batch envelope otherwise.
+- SSEHandler (:188-237): text/event-stream, ack-before-write (at most
+  once), id:/data: frames, NonResumable* auto-subscriptions.
+- Topic CRUD (:239-347): 422/404/403/409 and 201-with-saved-doc.
+- TokenSubjectHandler (:41-68): superrole-only mint, 401 otherwise.
+- /metrics and /status per routes.go:36-58 / handlers.go:71-75.
+
+Middleware parity with src/middleware/middleware.go: AuthVerifyJWT
+(injects the token subject as ``injectedSubs``), AuthHeaderRequired,
+NoAuth, and the global semaphore rate limiter (:70-81, 429 when
+saturated).
+
+The Pulsar broker behind SendToPulsar is the TopicDirStore — parquet
+files in MESSAGE_SCHEMA layout that every Spark operator in the repo
+reads directly (see store.py). This module is deliberately thin: all
+data-plane semantics live in the library (streaming/, model/, icrypto/),
+and the gateway only translates HTTP.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import re
+import threading
+import time
+import uuid
+from collections import Counter
+from dataclasses import dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable
+from urllib.parse import parse_qs, urlparse
+
+from ..icrypto import RSAKeyPair
+from ..icrypto.jwt_rs256 import InvalidToken
+from ..model.topic import (
+    Webhook,
+    build_topic_fn,
+    eval_tenant_prefix,
+    gen_key_from_names,
+)
+from ..streaming.admission import Semaphore, SemaphoreError
+from ..streaming.sse import consumer_params, sse_frame
+from .store import TopicDirStore
+
+# -- modes (src/util/main_control.go:8-21) ------------------------------
+
+RECEIVER = "receiver"
+HTTP_ONLY = "http"
+HYBRID = "hybrid"
+TOKEN_SERVER = "tokenserver"
+HTTP_WITH_NO_REST = "http2"
+REST_ONLY = "rest"  # router.go:55 default branch
+
+
+# -- subject verification (handlers.go:373-421) -------------------------
+
+
+def verify_subject(
+    required_subject: str, token_subjects: str, superroles: tuple[str, ...]
+) -> bool:
+    """VerifySubject: any comma-separated subject that is a superrole,
+    equals the requirement, or whose ExtractEvalTenant prefix equals it."""
+    for sub in token_subjects.split(","):
+        if sub in superroles:
+            return True
+        if required_subject == sub:
+            return True
+        prefix = eval_tenant_prefix(sub)
+        if prefix and required_subject == prefix:
+            return True
+    return False
+
+
+def verify_subject_based_on_topic(
+    topic_fn: str, token_subjects: str, superroles: tuple[str, ...]
+) -> bool:
+    parts = topic_fn.split("/")
+    if len(parts) < 4:
+        return False
+    tenant = parts[2]
+    if len(tenant) < 1:
+        return False
+    return verify_subject(tenant, token_subjects, superroles)
+
+
+def receiver_header(
+    allowed_clusters: list[str], headers
+) -> tuple[str, str, str]:
+    """ReceiverHeader parity (src/util/util.go:60-75): returns
+    (token, topicFN, pulsarURL); raises ValueError ≙ the 401 branch."""
+    token = (headers.get("Authorization") or "").replace("Bearer", "", 1).strip()
+    topic_fn = headers.get("TopicFn") or ""
+    pulsar_url = headers.get("PulsarUrl") or ""
+    if allowed_clusters and allowed_clusters[0] != "":
+        if pulsar_url == "":
+            pulsar_url = allowed_clusters[0]
+        elif pulsar_url not in allowed_clusters:
+            raise ValueError(f"pulsar cluster {pulsar_url} is not allowed")
+    elif pulsar_url == "":
+        raise ValueError("missing configured Pulsar URL")
+    return token, topic_fn, pulsar_url
+
+
+# -- route table (src/route/routes.go) ----------------------------------
+
+
+@dataclass
+class Route:
+    name: str
+    method: str
+    pattern: str  # gorilla-style, {var} segments
+    handler: str  # GatewayApp method name
+    auth: str  # "jwt" | "header" | "none"
+
+    def regex(self) -> re.Pattern:
+        rx = re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", self.pattern)
+        return re.compile("^" + rx + "$")
+
+
+TOKEN_SERVER_ROUTES = [
+    Route("token server", "GET", "/subject/{sub}", "handle_token_subject", "jwt"),
+]
+
+PROMETHEUS_ROUTE = [
+    Route("Prometheus metrics", "GET", "/metrics", "handle_metrics", "none"),
+]
+
+RECEIVER_ROUTES = [
+    Route("status", "GET", "/status", "handle_status", "header"),
+    Route("Receive", "POST", "/v1/firehose", "handle_receive", "none"),
+    Route(
+        "Receive",
+        "POST",
+        "/v2/firehose/{persistent}/{tenant}/{namespace}/{topic}",
+        "handle_receive",
+        "jwt",
+    ),
+    Route(
+        "http-sse",
+        "GET",
+        "/v2/sse/{persistent}/{tenant}/{namespace}/{topic}",
+        "handle_sse",
+        "jwt",
+    ),
+    Route(
+        "poll-messages",
+        "GET",
+        "/v2/poll/{persistent}/{tenant}/{namespace}/{topic}",
+        "handle_poll",
+        "jwt",
+    ),
+]
+
+REST_ROUTES = [
+    Route("Get a topic with key", "GET", "/v2/topic/{topicKey}", "handle_get_topic", "jwt"),
+    Route("Get a topic", "GET", "/v2/topic", "handle_get_topic", "jwt"),
+    Route("Update a topic", "POST", "/v2/topic", "handle_update_topic", "jwt"),
+    Route("Delete a topic with key", "DELETE", "/v2/topic/{topicKey}", "handle_delete_topic", "jwt"),
+    Route("Delete a topic", "DELETE", "/v2/topic", "handle_delete_topic", "jwt"),
+]
+
+
+def effective_routes(mode: str) -> list[Route]:
+    """GetEffectiveRoutes parity (router.go:38-57); the pprof routes are
+    Go-runtime-specific and intentionally omitted."""
+    if mode == HYBRID:
+        routed = RECEIVER_ROUTES + REST_ROUTES
+    elif mode == RECEIVER:
+        routed = list(RECEIVER_ROUTES)
+    elif mode == HTTP_ONLY:
+        routed = RECEIVER_ROUTES + REST_ROUTES + TOKEN_SERVER_ROUTES
+    elif mode == TOKEN_SERVER:
+        routed = list(TOKEN_SERVER_ROUTES)
+    elif mode == HTTP_WITH_NO_REST:
+        routed = RECEIVER_ROUTES + TOKEN_SERVER_ROUTES
+    else:
+        routed = list(REST_ROUTES)
+    return PROMETHEUS_ROUTE + routed
+
+
+# -- the app ------------------------------------------------------------
+
+
+class GatewayApp:
+    """Holds the wiring: config store (any Crud backend), message store,
+    JWT keys, allowed clusters, mode, rate limiter, metrics."""
+
+    def __init__(
+        self,
+        config_store,
+        message_store: TopicDirStore,
+        keys: RSAKeyPair | None = None,
+        superroles: tuple[str, ...] = ("superuser",),
+        allowed_clusters: list[str] | None = None,
+        mode: str = HYBRID,
+        auth_impl: str = "jwt",  # "noauth" ≙ HTTPAuthImpl noauth
+        rate: int = 200,  # middleware.go:14-18
+    ):
+        self.config_store = config_store
+        self.message_store = message_store
+        self.keys = keys
+        self.superroles = superroles
+        self.allowed_clusters = allowed_clusters or []
+        self.mode = mode
+        self.auth_impl = auth_impl
+        self.rate = Semaphore(rate)
+        self.metrics: Counter = Counter()
+        self.routes = effective_routes(mode)
+
+    # -- middleware (middleware.go:24-67) -------------------------------
+
+    def authenticate(self, route: Route, headers) -> tuple[int, str | None]:
+        """Returns (status, injected_subs); status 0 means pass."""
+        if route.auth == "none":
+            return 0, headers.get("injectedSubs")
+        token = (headers.get("Authorization") or "").replace("Bearer", "", 1).strip()
+        if route.auth == "header":
+            return (0, None) if len(token) > 1 else (401, None)
+        # jwt
+        if self.auth_impl == "noauth":
+            return 0, self.superroles[0]
+        try:
+            return 0, self.keys.get_token_subject(token)
+        except (InvalidToken, Exception):
+            return 401, None
+
+    # -- handlers -------------------------------------------------------
+
+    def handle_status(self, req: "Request") -> "Response":
+        return Response(200)
+
+    def handle_metrics(self, req: "Request") -> "Response":
+        lines = ["# TYPE pulsar_beam_requests_total counter"]
+        for (name, code), n in sorted(self.metrics.items()):
+            lines.append(
+                f'pulsar_beam_requests_total{{route="{name}",code="{code}"}} {n}'
+            )
+        return Response(200, "\n".join(lines) + "\n", content_type="text/plain; version=0.0.4")
+
+    def handle_token_subject(self, req: "Request") -> "Response":
+        subject = req.vars.get("sub")
+        if not subject:
+            return Response(422)
+        if (req.injected_subs or "BOGUSROLE") in self.superroles:
+            try:
+                token = self.keys.generate_token(subject)
+            except Exception:
+                return _err_json("failed to generate token", 500)
+            return Response(200, json.dumps({"subject": subject, "token": token}))
+        return _err_json("incorrect subject", 401)
+
+    def handle_receive(self, req: "Request") -> "Response":
+        body = req.body
+        if req.headers.get("Content-Encoding") == "gzip":
+            try:
+                body = gzip.GzipFile(fileobj=io.BytesIO(body)).read()
+            except Exception as e:
+                return _err_json(str(e), 500)
+        try:
+            _token, topic_hdr, _pulsar_url = receiver_header(
+                self.allowed_clusters, req.headers
+            )
+        except ValueError as e:
+            return _err_json(str(e), 401)
+
+        topic_fn = ""
+        if all(k in req.vars for k in ("persistent", "tenant", "namespace", "topic")):
+            try:
+                topic_fn = build_topic_fn(
+                    req.vars["persistent"], req.vars["tenant"],
+                    req.vars["namespace"], req.vars["topic"],
+                )
+            except ValueError as e:
+                if not topic_hdr:
+                    return _err_json(str(e), 422)
+        # header TopicFn overwrites the route topic (handlers.go:129)
+        topic_fn = topic_hdr or topic_fn
+        if not topic_fn:
+            return _err_json("missing topic parts", 422)
+
+        if req.query.get("includeHeaders", ["false"])[0] != "false":
+            # InfoRichMessage envelope (handlers.go:77-80,108-120)
+            body = json.dumps(
+                {"headers": {k: [v] for k, v in req.headers.items()},
+                 "body": body.decode("utf-8", errors="replace")}
+            ).encode()
+
+        pulsar_async = req.query.get("mode", [""])[0] == "async"
+        try:
+            self.message_store.append(topic_fn, body, asynchronous=pulsar_async)
+        except Exception as e:
+            return _err_json(str(e), 503)
+        return Response(200)
+
+    def _consumer_config(self, req: "Request") -> tuple[str, str, str, str]:
+        """ConsumerConfigFromHTTPParts (handlers.go:466-481): raises
+        ValueError ≙ 422."""
+        receiver_header(self.allowed_clusters, req.headers)
+        topic_fn = build_topic_fn(
+            req.vars["persistent"], req.vars["tenant"],
+            req.vars["namespace"], req.vars["topic"],
+        )
+        sub_name, sub_type, init_pos = consumer_params(
+            req.query.get("SubscriptionName", [""])[0],
+            req.query.get("SubscriptionType", ["exclusive"])[0],
+            req.query.get("SubscriptionInitialPosition", ["latest"])[0],
+        )
+        return topic_fn, sub_name, sub_type, init_pos
+
+    def handle_poll(self, req: "Request") -> "Response":
+        try:
+            topic_fn, _sub, _st, _pos = self._consumer_config(req)
+        except (ValueError, KeyError) as e:
+            return _err_json(str(e), 422)
+        size = _query_int(req.query, "batchSize", 10)
+        _query_int(req.query, "perMessageTimeoutMs", 300)  # accepted, bounded read
+        out = self.message_store.poll(topic_fn, size)
+        if out is None:
+            return Response(204)
+        return Response(200, json.dumps(out))
+
+    def handle_sse(self, req: "Request") -> "Response":
+        try:
+            topic_fn, sub_name, _st, _pos = self._consumer_config(req)
+        except (ValueError, KeyError) as e:
+            return _err_json(str(e), 422)
+        return Response(
+            200,
+            stream=_sse_generator(self.message_store, topic_fn),
+            content_type="text/event-stream",
+            headers={
+                "Cache-Control": "no-cache",
+                "Connection": "keep-alive",
+                "Access-Control-Allow-Origin": "*",
+            },
+        )
+
+    # -- topic CRUD -----------------------------------------------------
+
+    def _topic_key(self, req: "Request") -> str:
+        """GetTopicKey (handlers.go:349-371): url var or body names."""
+        if "topicKey" in req.vars:
+            return req.vars["topicKey"]
+        if not req.body:
+            raise ValueError("missing topic key or topic names in body")
+        doc = json.loads(req.body)
+        tfn = doc.get("TopicFullName") or doc.get("topic_full_name") or ""
+        url = doc.get("PulsarUrl") or doc.get("pulsar_url") or ""
+        if not tfn or not url:
+            raise ValueError("missing topic key or topic names in body")
+        return gen_key_from_names(tfn, url)
+
+    def handle_get_topic(self, req: "Request") -> "Response":
+        try:
+            key = self._topic_key(req)
+        except (ValueError, json.JSONDecodeError) as e:
+            return _err_json(str(e), 422)
+        doc = self.config_store.get_by_key(key)
+        if doc is None:
+            return _err_json("topic not found", 404)
+        if not verify_subject_based_on_topic(
+            doc["topic_full_name"], req.injected_subs or "", self.superroles
+        ):
+            return Response(403)
+        return Response(200, json.dumps(doc, default=str))
+
+    def handle_update_topic(self, req: "Request") -> "Response":
+        try:
+            doc = json.loads(req.body)
+        except json.JSONDecodeError as e:
+            return _err_json(str(e), 422)
+        tfn = doc.get("TopicFullName") or doc.get("topic_full_name") or ""
+        url = doc.get("PulsarUrl") or doc.get("pulsar_url") or ""
+        webhooks = [
+            Webhook(
+                url=w.get("URL") or w.get("url") or "",
+                subscription=w.get("Subscription") or w.get("subscription") or "",
+                subscription_type=w.get("SubscriptionType") or w.get("subscription_type") or "",
+                initial_position=w.get("InitialPosition") or w.get("initial_position") or "latest",
+                headers=w.get("Headers") or w.get("headers") or [],
+            )
+            for w in doc.get("Webhooks") or doc.get("webhooks") or []
+        ]
+        try:
+            from ..model.topic import validate_topic_config
+
+            validate_topic_config(tfn, url, webhooks)
+        except ValueError as e:
+            return _err_json(str(e), 422)
+        if not verify_subject_based_on_topic(
+            tfn, req.injected_subs or "", self.superroles
+        ):
+            return Response(403)
+        try:
+            key = self.config_store.update(
+                tfn, url, webhooks,
+                token=doc.get("Token") or doc.get("token") or "",
+                tenant=doc.get("Tenant") or doc.get("tenant") or "",
+                notes=doc.get("Notes") or doc.get("notes"),
+            )
+        except Exception as e:
+            return _err_json(str(e), 409)
+        if len(key) > 1:
+            saved = self.config_store.get_by_key(key)
+            if saved is None:
+                return _err_json("failed to read back", 500)
+            return Response(201, json.dumps(saved, default=str))
+        return _err_json("failed to update", 500)
+
+    def handle_delete_topic(self, req: "Request") -> "Response":
+        try:
+            key = self._topic_key(req)
+        except (ValueError, json.JSONDecodeError) as e:
+            return _err_json(str(e), 422)
+        doc = self.config_store.get_by_key(key)
+        if doc is None:
+            return _err_json("topic not found", 404)
+        if not verify_subject_based_on_topic(
+            doc["topic_full_name"], req.injected_subs or "", self.superroles
+        ):
+            return Response(403)
+        try:
+            self.config_store.delete_by_key(key)
+        except KeyError:
+            return _err_json("topic not found", 404)
+        return Response(200, json.dumps(key))
+
+
+# -- plumbing -----------------------------------------------------------
+
+
+class HeaderMap(dict):
+    """Case-insensitive ``get`` with original-case ``items()`` — Go's
+    http.Header canonicalizes lookups (so the reference's
+    h.Get("TopicFn") matches a wire-cased "Topicfn"); plain-dict clients
+    in unit tests keep working."""
+
+    def __init__(self, items):
+        items = list(items)
+        super().__init__(items)
+        self._lower = {k.lower(): v for k, v in items}
+
+    def get(self, key, default=None):
+        return self._lower.get(key.lower(), default)
+
+
+@dataclass
+class Request:
+    method: str
+    path: str
+    vars: dict
+    query: dict
+    headers: dict
+    body: bytes
+    injected_subs: str | None = None
+
+
+@dataclass
+class Response:
+    status: int
+    body: str | bytes = ""
+    content_type: str = "application/json; charset=UTF-8"
+    headers: dict | None = None
+    stream: Callable | None = None  # generator of str frames (SSE)
+
+
+def _err_json(msg: str, status: int) -> Response:
+    # util.ResponseErrorJSON (util.go:45-57)
+    return Response(status, json.dumps({"error": msg}))
+
+
+def _query_int(query: dict, name: str, default: int) -> int:
+    try:
+        return int(query.get(name, [default])[0])
+    except (TypeError, ValueError):
+        return default
+
+
+def _sse_generator(store: TopicDirStore, topic_fn: str, poll_interval: float = 0.05):
+    """Yield id:/data: frames as messages arrive — ack-before-write ≙
+    at-most-once (handlers.go:225-233): the cursor advances past a file
+    before its frames hit the socket, so a dropped client loses them."""
+
+    def frames():
+        cursor = None
+        idle = 0.0
+        while True:
+            rows, cursor = store.scan(topic_fn, after_file=cursor)
+            for r in rows:
+                yield sse_frame(r["message_id"], r["payload"])
+            if not rows:
+                time.sleep(poll_interval)
+                idle += poll_interval
+                if idle >= 1.0:
+                    # comment frame ≙ keepalive; also surfaces a dead
+                    # client as BrokenPipeError so the thread exits
+                    idle = 0.0
+                    yield ": keepalive\n\n"
+
+    return frames
+
+
+class _Handler(BaseHTTPRequestHandler):
+    app: GatewayApp  # set by make_server
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet; Logger middleware analogue
+        pass
+
+    def _dispatch(self, method: str) -> None:
+        app = self.app
+        parsed = urlparse(self.path)
+        query = parse_qs(parsed.query)
+        length = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(length) if length else b""
+
+        matched_route = None
+        path_match = None
+        for route in app.routes:
+            m = route.regex().match(parsed.path)
+            if m is None:
+                continue
+            path_match = route
+            if route.method == method:
+                matched_route = route
+                route_vars = m.groupdict()
+                break
+        if matched_route is None:
+            self._send(Response(405 if path_match else 404))
+            return
+
+        # LimitRate (middleware.go:70-81)
+        try:
+            app.rate.acquire()
+        except SemaphoreError:
+            self._send(Response(429, "Too many requests\n", content_type="text/plain"))
+            return
+        try:
+            status, injected = app.authenticate(matched_route, self.headers)
+            if status:
+                app.metrics[(matched_route.name, status)] += 1
+                self._send(Response(status, "Unauthorized\n", content_type="text/plain"))
+                return
+            req = Request(
+                method, parsed.path, route_vars, query,
+                HeaderMap(self.headers.items()), body, injected,
+            )
+            resp = getattr(app, matched_route.handler)(req)
+            app.metrics[(matched_route.name, resp.status)] += 1
+            self._send(resp)
+        finally:
+            app.rate.release()
+
+    def _send(self, resp: Response) -> None:
+        if resp.stream is not None:
+            self.send_response(resp.status)
+            self.send_header("Content-Type", resp.content_type)
+            for k, v in (resp.headers or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            try:
+                for frame in resp.stream():  # stream is a 0-arg generator fn
+                    self.wfile.write(frame.encode())
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            return
+        body = resp.body.encode() if isinstance(resp.body, str) else resp.body
+        self.send_response(resp.status)
+        if body:
+            self.send_header("Content-Type", resp.content_type)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (resp.headers or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        if body:
+            self.wfile.write(body)
+
+    def do_GET(self):
+        self._dispatch("GET")
+
+    def do_POST(self):
+        self._dispatch("POST")
+
+    def do_DELETE(self):
+        self._dispatch("DELETE")
+
+
+def make_server(app: GatewayApp, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Bind the app; port 0 picks an ephemeral port (server.server_address
+    has the real one). Caller runs serve_forever in a thread."""
+    handler = type("BoundHandler", (_Handler,), {"app": app})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    httpd.daemon_threads = True
+    return httpd

@@ -1,0 +1,154 @@
+"""Topic-directory message store — the gateway's stand-in for the
+Pulsar broker behind SendToPulsar (reference
+src/pulsardriver/pulsar-producer.go:71-106).
+
+Each topic full-name maps to a directory of single-row-group parquet
+files in MESSAGE_SCHEMA layout — exactly what the Spark paths
+(streaming/ingest.py readStream, streaming/poll.py bounded_poll) consume,
+so a message POSTed through the HTTP gateway is immediately visible to
+every Spark operator in the repo. Appends go through pyarrow (no Spark
+job per HTTP request — the producer hot path must not pay JVM job-launch
+latency); reads for the bounded HTTP poll/SSE protocol layer also use
+pyarrow, while the scale path remains the Structured Streaming reader.
+
+Producer parity:
+- a unique PulsarBeamId property stamped per message
+  (pulsar-producer.go:80-87)
+- event_time = publish_time = produce wall-clock
+  (pulsar-producer.go:89-91)
+- async mode ≙ buffered append flushed on a short timer; sync mode
+  flushes before returning (SendToPulsar's pulsarAsync flag,
+  handlers.go:131-133).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+import uuid
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("message_id", pa.string(), nullable=False),
+        pa.field("topic", pa.string(), nullable=False),
+        pa.field("key", pa.string()),
+        pa.field("payload", pa.binary()),
+        pa.field("event_time", pa.timestamp("us"), nullable=False),
+        pa.field("publish_time", pa.timestamp("us"), nullable=False),
+        pa.field("properties", pa.map_(pa.string(), pa.string())),
+    ]
+)
+
+
+def _topic_dirname(topic_fn: str) -> str:
+    # persistent://tenant/ns/topic -> filesystem-safe single segment
+    return topic_fn.replace("://", "__").replace("/", "__")
+
+
+class TopicDirStore:
+    """Append/scan message files per topic under a root directory."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._lock = threading.Lock()
+        self._seq = 0
+        self._pending: list[dict] = []
+
+    def topic_dir(self, topic_fn: str) -> str:
+        d = os.path.join(self.root, _topic_dirname(topic_fn))
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    # -- produce -------------------------------------------------------
+
+    def append(
+        self,
+        topic_fn: str,
+        payload: bytes,
+        key: str | None = None,
+        properties: dict[str, str] | None = None,
+        asynchronous: bool = False,
+    ) -> str:
+        """Append one message; returns its message_id. ``asynchronous``
+        buffers the row and lets a later append/flush write it —
+        SendToPulsar's async flag (handlers.go:131-133)."""
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        props = {"PulsarBeamId": str(uuid.uuid4())}
+        if properties:
+            props.update(properties)
+        with self._lock:
+            self._seq += 1
+            msg_id = f"{int(now.timestamp() * 1e6)}-{self._seq}"
+            row = {
+                "message_id": msg_id,
+                "topic": topic_fn,
+                "key": key,
+                "payload": payload,
+                "event_time": now,
+                "publish_time": now,
+                "properties": list(props.items()),
+            }
+            self._pending.append(row)
+            if not asynchronous:
+                self._flush_locked()
+        return msg_id
+
+    def flush(self) -> None:
+        with self._lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
+        if not self._pending:
+            return
+        by_topic: dict[str, list[dict]] = {}
+        for row in self._pending:
+            by_topic.setdefault(row["topic"], []).append(row)
+        self._pending = []
+        for topic_fn, rows in by_topic.items():
+            table = pa.Table.from_pylist(rows, schema=_ARROW_SCHEMA)
+            fname = f"part-{time.time_ns():020d}-{self._seq:08d}.parquet"
+            path = os.path.join(self.topic_dir(topic_fn), fname)
+            pq.write_table(table, path + ".tmp")
+            os.replace(path + ".tmp", path)  # atomic: readers never see partials
+
+    # -- consume (protocol layer; Spark readers use topic_dir) ---------
+
+    def scan(self, topic_fn: str, after_file: str | None = None) -> tuple[list[dict], str | None]:
+        """Read messages from files newer than ``after_file`` (exclusive),
+        in filename (≙ produce) order. Returns (rows, last_file_seen)."""
+        d = self.topic_dir(topic_fn)
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        if after_file is not None:
+            files = [f for f in files if f > after_file]
+        rows: list[dict] = []
+        for f in files:
+            rows.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+        return rows, (files[-1] if files else after_file)
+
+    def poll(self, topic_fn: str, batch_size: int = 10) -> dict | None:
+        """Bounded earliest-first poll in the reference's JSON batch
+        envelope (PulsarMessages, src/model/message.go:21-52); None ≙
+        204 No Content. Protocol layer only — bounded_poll
+        (streaming/poll.py) is the Spark-scale equivalent over the same
+        directory."""
+        rows, _ = self.scan(topic_fn)
+        rows.sort(key=lambda r: (r["event_time"], r["message_id"]))
+        batch = [
+            {
+                "message_id": r["message_id"],
+                "topic": r["topic"],
+                "key": r["key"],
+                "payload": (r["payload"] or b"").decode("utf-8", errors="replace"),
+                "event_time": r["event_time"].isoformat(),
+            }
+            for r in rows[:batch_size]
+        ]
+        if not batch:
+            return None
+        return {"limit": batch_size, "size": len(batch), "messages": batch}

@@ -1,0 +1,345 @@
+"""HTTP gateway end-to-end tests — the route/middleware/status-code
+surface of src/route/routes.go + handlers.go + middleware/middleware.go
+exercised over real sockets (stdlib server, stdlib client).
+
+Covers: firehose receive (v1 header-routed + v2 route-topic, gzip,
+includeHeaders envelope, async mode), poll (batch envelope, batchSize,
+204, 422), SSE framing, topic CRUD (201/200/403/404/422), token server
+(superrole-only), status/metrics, rate limiting (429), and the
+Spark-side visibility of gateway-produced messages (the store writes
+MESSAGE_SCHEMA parquet that streaming/poll.py reads).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from pulsar_beam_spark.icrypto import RSAKeyPair
+from pulsar_beam_spark.model.config_store import InMemoryConfigStore
+from pulsar_beam_spark.server import GatewayApp, TopicDirStore, make_server
+
+try:
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    HAVE_CRYPTO = True
+except Exception:  # pragma: no cover
+    HAVE_CRYPTO = False
+
+pytestmark = pytest.mark.skipif(not HAVE_CRYPTO, reason="needs cryptography for test keygen")
+
+PULSAR_URL = "pulsar://localhost:6650"
+TOPIC_FN = "persistent://tenant1/ns1/topic1"
+
+
+@pytest.fixture(scope="module")
+def keypair() -> RSAKeyPair:
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    priv = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption(),
+    ).decode()
+    pub = key.public_key().public_bytes(
+        serialization.Encoding.PEM, serialization.PublicFormat.SubjectPublicKeyInfo
+    ).decode()
+    return RSAKeyPair.from_pem(priv, pub)
+
+
+@pytest.fixture()
+def gateway(tmp_path, keypair):
+    app = GatewayApp(
+        config_store=InMemoryConfigStore(),
+        message_store=TopicDirStore(str(tmp_path / "topics")),
+        keys=keypair,
+        superroles=("superuser",),
+        allowed_clusters=[PULSAR_URL],
+        mode="http",  # receiver + rest + token server
+    )
+    httpd = make_server(app)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield app, base
+    httpd.shutdown()
+
+
+def call(base, path, method="GET", body=None, headers=None, timeout=10):
+    req = urllib.request.Request(base + path, data=body, method=method, headers=headers or {})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def bearer(keypair, subject):
+    return {"Authorization": "Bearer " + keypair.generate_token(subject)}
+
+
+# -- status / auth-header middleware ------------------------------------
+
+
+def test_status_requires_auth_header(gateway):
+    app, base = gateway
+    assert call(base, "/status")[0] == 401
+    assert call(base, "/status", headers={"Authorization": "Bearer anything"})[0] == 200
+
+
+def test_unknown_route_404_wrong_method_405(gateway):
+    _, base = gateway
+    assert call(base, "/nope")[0] == 404
+    assert call(base, "/status", method="DELETE",
+                headers={"Authorization": "Bearer x"})[0] == 405
+
+
+# -- firehose -----------------------------------------------------------
+
+
+def test_v1_firehose_header_routed(gateway, keypair):
+    app, base = gateway
+    code, _ = call(base, "/v1/firehose", "POST", b"hello",
+                   {"TopicFn": TOPIC_FN, "PulsarUrl": PULSAR_URL})
+    assert code == 200
+    out = app.message_store.poll(TOPIC_FN)
+    assert out["size"] == 1 and out["messages"][0]["payload"] == "hello"
+
+
+def test_v1_firehose_disallowed_cluster_401(gateway):
+    _, base = gateway
+    code, _ = call(base, "/v1/firehose", "POST", b"x",
+                   {"TopicFn": TOPIC_FN, "PulsarUrl": "pulsar://evil:6650"})
+    assert code == 401
+
+
+def test_v2_firehose_route_topic_jwt_and_gzip(gateway, keypair):
+    app, base = gateway
+    gz = gzip.compress(b"compressed-payload")
+    headers = {**bearer(keypair, "tenant1"), "Content-Encoding": "gzip"}
+    code, _ = call(base, "/v2/firehose/persistent/tenant1/ns1/topicgz", "POST", gz, headers)
+    assert code == 200
+    out = app.message_store.poll("persistent://tenant1/ns1/topicgz")
+    assert out["messages"][0]["payload"] == "compressed-payload"
+
+
+def test_v2_firehose_requires_jwt(gateway):
+    _, base = gateway
+    assert call(base, "/v2/firehose/persistent/tenant1/ns1/t", "POST", b"x")[0] == 401
+
+
+def test_include_headers_envelope(gateway, keypair):
+    app, base = gateway
+    headers = {**bearer(keypair, "tenant1"), "X-Custom": "abc"}
+    code, _ = call(base, "/v2/firehose/persistent/tenant1/ns1/envel?includeHeaders=true",
+                   "POST", b"body-text", headers)
+    assert code == 200
+    payload = json.loads(
+        app.message_store.poll("persistent://tenant1/ns1/envel")["messages"][0]["payload"]
+    )
+    assert payload["body"] == "body-text"
+    assert payload["headers"]["X-Custom"] == ["abc"]
+
+
+def test_async_mode_buffers_until_flush(gateway, keypair):
+    app, base = gateway
+    code, _ = call(base, "/v2/firehose/persistent/tenant1/ns1/asy?mode=async",
+                   "POST", b"later", bearer(keypair, "tenant1"))
+    assert code == 200
+    assert app.message_store.poll("persistent://tenant1/ns1/asy") is None
+    app.message_store.flush()
+    assert app.message_store.poll("persistent://tenant1/ns1/asy")["size"] == 1
+
+
+def test_bad_persistent_segment_422(gateway, keypair):
+    _, base = gateway
+    code, _ = call(base, "/v2/firehose/bogus/tenant1/ns1/t", "POST", b"x",
+                   bearer(keypair, "tenant1"))
+    assert code == 422
+
+
+# -- poll ---------------------------------------------------------------
+
+
+def test_poll_batch_envelope_and_batch_size(gateway, keypair):
+    app, base = gateway
+    for i in range(5):
+        app.message_store.append(TOPIC_FN, f"m{i}".encode())
+    code, body = call(base, "/v2/poll/persistent/tenant1/ns1/topic1?batchSize=3",
+                      headers=bearer(keypair, "tenant1"))
+    assert code == 200
+    out = json.loads(body)
+    assert out["limit"] == 3 and out["size"] == 3
+    assert [m["payload"] for m in out["messages"]] == ["m0", "m1", "m2"]
+
+
+def test_poll_empty_204(gateway, keypair):
+    _, base = gateway
+    code, body = call(base, "/v2/poll/persistent/tenant1/ns1/empty",
+                      headers=bearer(keypair, "tenant1"))
+    assert code == 204 and body == b""
+
+
+def test_poll_short_subscription_name_422(gateway, keypair):
+    _, base = gateway
+    code, _ = call(base, "/v2/poll/persistent/tenant1/ns1/topic1?SubscriptionName=abc",
+                   headers=bearer(keypair, "tenant1"))
+    assert code == 422
+
+
+# -- SSE ----------------------------------------------------------------
+
+
+def test_sse_frames(gateway, keypair):
+    app, base = gateway
+    topic = "persistent://tenant1/ns1/ssetopic"
+    app.message_store.append(topic, b"first")
+    app.message_store.append(topic, b"second")
+    req = urllib.request.Request(
+        base + "/v2/sse/persistent/tenant1/ns1/ssetopic",
+        headers=bearer(keypair, "tenant1"),
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        text = ""
+        while text.count("\n\n") < 2:
+            text += resp.read(1).decode()
+    frames = [f for f in text.split("\n\n") if f]
+    assert len(frames) == 2
+    assert frames[0].startswith("id: ")
+    assert "data: first" in frames[0] and "data: second" in frames[1]
+
+
+# -- topic CRUD ---------------------------------------------------------
+
+
+def _topic_doc(topic=TOPIC_FN):
+    return json.dumps({
+        "TopicFullName": topic,
+        "PulsarUrl": PULSAR_URL,
+        "Webhooks": [{"URL": "http://hook.example.com/h", "Subscription": "sub-a"}],
+    }).encode()
+
+
+def test_topic_crud_lifecycle(gateway, keypair):
+    app, base = gateway
+    auth = bearer(keypair, "tenant1")
+    code, body = call(base, "/v2/topic", "POST", _topic_doc(), auth)
+    assert code == 201
+    saved = json.loads(body)
+    key = saved["key"]
+    assert saved["topic_full_name"] == TOPIC_FN
+
+    code, body = call(base, f"/v2/topic/{key}", headers=auth)
+    assert code == 200 and json.loads(body)["key"] == key
+
+    # GET by names in body
+    code, body = call(base, "/v2/topic", "GET",
+                      json.dumps({"TopicFullName": TOPIC_FN, "PulsarUrl": PULSAR_URL}).encode(),
+                      auth)
+    assert code == 200
+
+    code, body = call(base, f"/v2/topic/{key}", "DELETE", headers=auth)
+    assert code == 200 and json.loads(body) == key
+    assert call(base, f"/v2/topic/{key}", headers=auth)[0] == 404
+
+
+def test_topic_crud_cross_tenant_403(gateway, keypair):
+    app, base = gateway
+    call(base, "/v2/topic", "POST", _topic_doc(), bearer(keypair, "tenant1"))
+    key_auth = bearer(keypair, "someone-else")
+    code, _ = call(base, "/v2/topic", "GET",
+                   json.dumps({"TopicFullName": TOPIC_FN, "PulsarUrl": PULSAR_URL}).encode(),
+                   key_auth)
+    assert code == 403
+    # dash-prefix tenant subject IS allowed (ExtractEvalTenant)
+    code, _ = call(base, "/v2/topic", "GET",
+                   json.dumps({"TopicFullName": TOPIC_FN, "PulsarUrl": PULSAR_URL}).encode(),
+                   bearer(keypair, "tenant1-client"))
+    assert code == 200
+
+
+def test_topic_update_invalid_422(gateway, keypair):
+    _, base = gateway
+    bad = json.dumps({"TopicFullName": "notatopic", "PulsarUrl": PULSAR_URL}).encode()
+    assert call(base, "/v2/topic", "POST", bad, bearer(keypair, "tenant1"))[0] == 422
+    assert call(base, "/v2/topic", "GET", b"", bearer(keypair, "tenant1"))[0] == 422
+
+
+# -- token server -------------------------------------------------------
+
+
+def test_token_mint_superrole_only(gateway, keypair):
+    _, base = gateway
+    code, body = call(base, "/subject/newuser", headers=bearer(keypair, "superuser"))
+    assert code == 200
+    out = json.loads(body)
+    assert out["subject"] == "newuser"
+    assert keypair.get_token_subject(out["token"]) == "newuser"
+    assert call(base, "/subject/newuser", headers=bearer(keypair, "tenant1"))[0] == 401
+
+
+# -- metrics / rate limit ----------------------------------------------
+
+
+def test_metrics_endpoint(gateway, keypair):
+    _, base = gateway
+    call(base, "/status", headers={"Authorization": "Bearer sometoken"})
+    code, body = call(base, "/metrics")
+    assert code == 200
+    assert b'pulsar_beam_requests_total{route="status",code="200"}' in body
+
+
+def test_rate_limit_429(gateway):
+    app, base = gateway
+    app.rate.acquire()  # saturate
+    try:
+        while True:
+            app.rate.acquire()
+    except Exception:
+        pass
+    try:
+        assert call(base, "/metrics")[0] == 429
+    finally:
+        app.rate.release()
+    assert call(base, "/metrics")[0] == 200
+
+
+# -- mode selection -----------------------------------------------------
+
+
+def test_mode_route_sets():
+    from pulsar_beam_spark.server import effective_routes
+
+    names = lambda mode: {r.pattern for r in effective_routes(mode)}
+    assert "/v1/firehose" in names("hybrid") and "/v2/topic" in names("hybrid")
+    assert "/subject/{sub}" not in names("hybrid")
+    assert "/v2/topic" not in names("receiver")
+    assert "/subject/{sub}" in names("http") and "/subject/{sub}" in names("http2")
+    assert "/v2/topic" not in names("http2")
+    assert names("tokenserver") == {"/metrics", "/subject/{sub}"}
+    assert "/v1/firehose" not in names("rest")
+
+
+# -- Spark-side visibility of gateway-produced messages -----------------
+
+
+def test_gateway_messages_visible_to_spark_poll(gateway, keypair, spark):
+    """A message POSTed over HTTP is readable by the Structured Streaming
+    bounded poll (streaming/poll.py) — same directory, same schema."""
+    from pulsar_beam_spark.streaming.poll import bounded_poll
+
+    app, base = gateway
+    topic = "persistent://tenant1/ns1/sparkvis"
+    code, _ = call(base, "/v1/firehose", "POST", b"from-http",
+                   {"TopicFn": topic, "PulsarUrl": PULSAR_URL})
+    assert code == 200
+    out = bounded_poll(spark, app.message_store.topic_dir(topic), batch_size=5)
+    assert out is not None and out["size"] == 1
+    assert out["messages"][0]["payload"] == "from-http"
