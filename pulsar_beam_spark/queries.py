@@ -5726,6 +5726,351 @@ def q_vocab_coverage(spark, sf):
     )
 
 
+# == round-4 wave 5: hierarchy / allocation / calendar / regression ======
+
+
+@register(
+    "r_reachability",
+    """
+WITH RECURSIVE walk AS (
+  SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth FROM part
+  UNION ALL
+  SELECT node, anc // 10, depth + 1 FROM walk WHERE anc >= 10
+)
+SELECT node, CAST(anc AS BIGINT) AS root, CAST(depth AS INTEGER) AS depth
+FROM walk WHERE anc < 10
+""",
+    doc="Transitive closure over a functional graph (each part's parent is "
+        "partkey//10, a decimal-digit forest): iterative left-join "
+        "root-chase with localCheckpoint lineage truncation, O(depth) "
+        "joins — vs DuckDB WITH RECURSIVE. Pointer-doubling (compose the "
+        "reach relation with itself, O(log depth) rounds) is the drop-in "
+        "upgrade for deep graphs, same loop shape as "
+        "operators/components.py large-star/small-star.",
+)
+def q_reachability(spark, sf):
+    part = T(spark, sf, "part").select(F.col("p_partkey").cast("long").alias("node"))
+    # materialized edge table — the loop below works for ANY functional
+    # graph (child -> parent), the arithmetic only builds the fixture
+    edges = part.filter(F.col("node") >= 10).select(
+        F.col("node").alias("e_child"), F.floor(F.col("node") / 10).alias("e_parent")
+    )
+    cur = part.select("node", F.col("node").alias("anc"), F.lit(0).alias("depth"))
+    while True:
+        stepped = (
+            cur.join(edges, cur.anc == edges.e_child, "left")
+            .select(
+                "node",
+                F.coalesce("e_parent", "anc").alias("anc"),
+                (F.col("depth") + F.col("e_parent").isNotNull().cast("int")).alias("depth"),
+                F.col("e_parent").isNotNull().alias("moved"),
+            )
+            .localCheckpoint(eager=True)  # truncate the per-iteration lineage
+        )
+        cur = stepped.drop("moved")
+        if stepped.filter("moved").isEmpty():
+            break  # no row moved -> every chain reached its root
+    return cur.select("node", F.col("anc").alias("root"), F.col("depth").cast("int").alias("depth"))
+
+
+@register(
+    "r_topk_with_ties",
+    """
+SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(l_quantity AS BIGINT) AS qty
+FROM (SELECT *, rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rk
+      FROM lineitem)
+WHERE rk <= 2
+""",
+    doc="Top-k WITH TIES per group (rank, not row_number): every row tied "
+        "at the k-th value is kept — the SQL:2008 FETCH FIRST WITH TIES "
+        "semantics r19_topk deliberately does not have",
+)
+def q_topk_with_ties(spark, sf):
+    li = T(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return (
+        li.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            "l_returnflag", "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+
+
+@register(
+    "r_largest_remainder",
+    """
+WITH c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS cnt FROM customer GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c),
+a AS (SELECT nk, cnt,
+             CAST(1000 * cnt // tot AS BIGINT) AS base,
+             CAST(1000 * cnt % tot AS BIGINT) AS rem
+      FROM c, t),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, nk) AS rr,
+             (SELECT CAST(1000 - sum(base) AS BIGINT) FROM a) AS leftover
+      FROM a)
+SELECT nk, cnt, base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS seats
+FROM r
+""",
+    doc="Largest-remainder (Hamilton) apportionment: allocate 1000 integer "
+        "seats proportionally to per-nation customer counts — floor share "
+        "+ remainder-ranked top-up, all integer math, deterministic "
+        "nk tie-break. The quota-allocation shape (budget splits, shard "
+        "assignment) with an exactly-sums-to-N guarantee.",
+)
+def q_largest_remainder(spark, sf):
+    c = T(spark, sf, "customer").groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("tot"))
+    a = c.crossJoin(F.broadcast(tot)).select(
+        "nk", "cnt",
+        F.floor(1000 * F.col("cnt") / F.col("tot")).alias("base"),
+        ((1000 * F.col("cnt")) % F.col("tot")).alias("rem"),
+    )
+    leftover = a.agg((F.lit(1000) - F.sum("base")).alias("leftover"))
+    rr = F.row_number().over(Window.orderBy(F.col("rem").desc(), "nk"))
+    return (
+        a.withColumn("rr", rr)
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "nk", "cnt",
+            (F.col("base") + (F.col("rr") <= F.col("leftover")).cast("long")).alias("seats"),
+        )
+    )
+
+
+@register(
+    "r_business_days",
+    """
+WITH d AS (
+  SELECT o_orderpriority,
+         CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS nd,
+         CAST(isodow(o_orderdate) - 1 AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= o_orderdate
+),
+b AS (SELECT o_orderpriority,
+             (nd // 7) * 5
+             + least(greatest(5 - w, 0), nd % 7)
+             + greatest(nd % 7 - (7 - w), 0) AS bd
+      FROM d)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bd) AS BIGINT) AS total_bdays,
+       round(CAST(sum(bd) AS DOUBLE) / count(*), 6) AS avg_bdays
+FROM b GROUP BY 1
+""",
+    doc="Business-day (Mon-Fri) lead time order->ship via closed-form "
+        "calendar arithmetic (no per-day explode): full weeks x5 plus a "
+        "start-weekday remainder correction; weekday convention pinned "
+        "Spark weekday()==isodow()-1 (0=Monday). Filter drops the "
+        "fixture's synthetic ship-before-order rows.",
+)
+def q_business_days(spark, sf):
+    li = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("nd"),
+            F.weekday("o_orderdate").cast("long").alias("w"),
+        )
+    )
+    bd = (
+        (F.col("nd") / 7).cast("long") * 5
+        + F.least(F.greatest(F.lit(5) - F.col("w"), F.lit(0)), F.col("nd") % 7)
+        + F.greatest(F.col("nd") % 7 - (7 - F.col("w")), F.lit(0))
+    )
+    return d.select("o_orderpriority", bd.alias("bd")).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("bd").alias("total_bdays"),
+        F.round(F.sum("bd").cast("double") / F.count("*"), 6).alias("avg_bdays"),
+    )
+
+
+@register(
+    "r_rank_delta",
+    """
+WITH rev AS (
+  SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS revc
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2),
+r AS (SELECT n_name, yr,
+             CAST(row_number() OVER (PARTITION BY yr ORDER BY revc DESC, n_name) AS INTEGER) AS rk
+      FROM rev)
+SELECT a.n_name, a.rk AS rank_1996, b.rk AS rank_1997,
+       CAST(a.rk - b.rk AS INTEGER) AS rank_gain
+FROM r a JOIN r b ON a.n_name = b.n_name AND a.yr = 1996 AND b.yr = 1997
+""",
+    doc="Two-period rank movement (league-table 'movers' report): rank "
+        "nations by integerized revenue in consecutive years, self-join "
+        "on the entity, report the rank delta; deterministic name "
+        "tie-break on equal revenue",
+)
+def q_rank_delta(spark, sf):
+    o = T(spark, sf, "orders")
+    cu = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    rev = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.sum(cents("o_totalprice")).alias("revc"))
+    )
+    rk = rev.select(
+        "n_name", "yr",
+        F.row_number().over(
+            Window.partitionBy("yr").orderBy(F.col("revc").desc(), "n_name")
+        ).cast("int").alias("rk"),
+    )
+    a = rk.filter(F.col("yr") == 1996).select("n_name", F.col("rk").alias("rank_1996"))
+    b = rk.filter(F.col("yr") == 1997).select(F.col("n_name").alias("n2"), F.col("rk").alias("rank_1997"))
+    return (
+        a.join(b, a.n_name == b.n2)
+        .select(
+            "n_name", "rank_1996", "rank_1997",
+            (F.col("rank_1996") - F.col("rank_1997")).cast("int").alias("rank_gain"),
+        )
+    )
+
+
+@register(
+    "r_regr_grouped",
+    """
+WITH d AS (
+  SELECT n_name,
+         CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS x,
+         CAST(round(o_totalprice*100, 0) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey),
+m AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+      FROM d GROUP BY 1)
+SELECT n_name, n,
+       round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+             / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6) AS slope,
+       round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+             / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sx) / n, 4) AS intercept
+FROM m
+""",
+    doc="Grouped ordinary-least-squares (order value in cents vs days "
+        "since epoch, per nation) from EXACT integer moment sums — one "
+        "map-side-combinable aggregate, no regr_* float-order "
+        "nondeterminism; the final slope/intercept arithmetic is "
+        "identical IEEE doubles in both engines",
+)
+def q_regr_grouped(spark, sf):
+    o = T(spark, sf, "orders")
+    cu = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    d = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).cast("long").alias("x"),
+            cents("o_totalprice").alias("y"),
+        )
+    )
+    m = d.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd, sxd, syd = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy")
+    slope = (nd * F.col("sxy") - sxd * syd) / (nd * F.col("sxx") - sxd * F.col("sx"))
+    return m.select(
+        "n_name", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 4).alias("intercept"),
+    )
+
+
+@register(
+    "e_dim_stats",
+    """
+WITH v AS (
+  SELECT d - 1 AS dim, CAST(round(embedding[d]*1000000, 0) AS BIGINT) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)),
+m AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(v*v) AS BIGINT) AS svv
+      FROM v GROUP BY 1)
+SELECT CAST(dim AS INTEGER) AS dim, n,
+       round(CAST(sv AS DOUBLE) / n / 1000000, 6) AS mean,
+       round((CAST(n AS DOUBLE)*svv - CAST(sv AS DOUBLE)*sv)
+             / (CAST(n AS DOUBLE)*n) / 1000000000000, 6) AS variance
+FROM m
+""",
+    doc="Per-dimension embedding statistics (the normalization-stats pass "
+        "a feature-scaling pipeline runs before training): posexplode to "
+        "(dim, value), micro-integerize, exact integer moment sums -> "
+        "mean/population-variance. One narrow shuffle on a 64-key "
+        "dimension column; partial aggregation does the heavy lifting "
+        "executor-side.",
+)
+def q_e_dim_stats(spark, sf):
+    e = T(spark, sf, "embeddings")
+    v = e.select(F.posexplode("embedding").alias("dim", "val")).select(
+        "dim", F.round(F.col("val") * 1000000, 0).cast("long").alias("v"))
+    m = v.groupBy("dim").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"))
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("dim").cast("int").alias("dim"), "n",
+        F.round(F.col("sv").cast("double") / F.col("n") / 1e6, 6).alias("mean"),
+        F.round((nd * F.col("svv") - F.col("sv").cast("double") * F.col("sv"))
+                / (nd * F.col("n")) / 1e12, 6).alias("variance"),
+    )
+
+
+@register(
+    "r_event_trigrams",
+    """
+WITH s AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS cnt
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY cnt DESC, e1, e2, e3
+LIMIT 20
+""",
+    doc="Event-path trigrams (clickstream path analysis): per-user "
+        "time-ordered lead(1)/lead(2) windows build 3-step transition "
+        "sequences; top-20 with full deterministic tie-break. One "
+        "shuffle on user_id, then a 3-column count.",
+)
+def q_event_trigrams(spark, sf):
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
