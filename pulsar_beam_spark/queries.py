@@ -6169,8 +6169,14 @@ def _driver_order() -> list[str]:
         (n for n, s in REGISTRY.items() if s.oracle is None),
         key=lambda n: (n in _HAS_ROWS_ONLY_ROW, list(REGISTRY).index(n)),
     )
-    back = [n for n in REGISTRY if n not in front and n not in no_oracle]
-    return front + no_oracle + back
+    # entries with ZERO driver rows of any kind jump the whole queue:
+    # a first rows-only row beats a 50th hash row when the window is
+    # tighter than (never-green oracles + never-rowed no-oracles)
+    never_rowed = [n for n in no_oracle if n not in _HAS_ROWS_ONLY_ROW]
+    no_oracle = [n for n in no_oracle if n in _HAS_ROWS_ONLY_ROW]
+    back = [n for n in REGISTRY
+            if n not in front and n not in no_oracle and n not in never_rowed]
+    return never_rowed + front + no_oracle + back
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
