@@ -6071,6 +6071,288 @@ def q_event_trigrams(spark, sf):
     )
 
 
+# == round-4 wave 6: profiling / clustering-quality / cross-source ======
+
+
+@register(
+    "r_calendar_profile",
+    """
+SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow, CAST(hour(ts) AS INTEGER) AS hr,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value*1000000,0) AS BIGINT)) AS BIGINT) AS value_micro
+FROM events GROUP BY 1,2
+""",
+    doc="Weekday x hour activity calendar (the ops-dashboard heatmap "
+        "profile): weekday convention pinned Spark weekday()==isodow()-1 "
+        "(0=Monday), event values micro-integerized so the parallel sum "
+        "is exact. One 168-key aggregate, fully map-side combinable.",
+)
+def q_calendar_profile(spark, sf):
+    ev = T(spark, sf, "events")
+    return ev.groupBy(
+        F.weekday("ts").cast("int").alias("dow"), F.hour("ts").cast("int").alias("hr")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("value_micro"),
+    )
+
+
+def _cluster_inertia_oracle(n_centroids: int = 4, dim: int = 64, seed: int = 123) -> str:
+    import numpy as np
+
+    cent = np.random.default_rng(seed).standard_normal((n_centroids, dim))
+    dots = ", ".join(_ann_audit_dot_sql("v", c) for c in cent)
+    ccs = ",".join(repr(float((c * c).sum())) for c in cent)
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT vec_id, [{dots}] AS dots,
+        list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y) AS vv
+      FROM b),
+c AS (SELECT vec_id,
+        list_indexof(dots, list_aggregate(dots, 'max')) AS cell,
+        CAST(round((vv - 2*list_extract(dots, list_indexof(dots, list_aggregate(dots, 'max')))
+              + list_extract([{ccs}], list_indexof(dots, list_aggregate(dots, 'max')))) * 1e6, 0) AS BIGINT) AS d2m
+      FROM a)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(d2m) AS DOUBLE)/1e6, 6) AS inertia,
+       round(CAST(sum(d2m) AS DOUBLE)/count(*)/1e6, 6) AS avg_d2
+FROM c GROUP BY cell
+"""
+
+
+@register(
+    "e_cluster_inertia",
+    _cluster_inertia_oracle(),
+    doc="K-means cluster quality (inertia / mean within-cluster squared "
+        "distance) against the e_centroid_assign literal centroids: "
+        "d2 = |v|2 - 2<v,c> + |c|2 per row via the sequential-fold dot "
+        "kernels (bit-identical to duckdb list_reduce), micro-integerized "
+        "before the parallel sum. The E-step quality gate a clustering "
+        "curation pipeline monitors per iteration.",
+)
+def q_cluster_inertia(spark, sf):
+    import numpy as np
+
+    cent = np.random.default_rng(123).standard_normal((4, 64))
+    emb = T(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dots = F.array(*[
+        F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x)
+        for c in cent
+    ])
+    vv = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    ccs = F.array(*[F.lit(float((c * c).sum())) for c in cent])
+    cell = F.array_position(dots, F.array_max(dots))
+    d2m = F.round(
+        (vv - 2 * F.element_at(dots, cell.cast("int")) + F.element_at(ccs, cell.cast("int"))) * 1e6, 0
+    ).cast("long")
+    return (
+        emb.select(cell.alias("cell"), d2m.alias("d2m"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum("d2m").cast("double") / 1e6, 6).alias("inertia"),
+            F.round(F.sum("d2m").cast("double") / F.count("*") / 1e6, 6).alias("avg_d2"),
+        )
+    )
+
+
+@register(
+    "p_source_overlap_matrix",
+    """
+WITH toks AS (SELECT source, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+  FROM documents),
+sh AS (SELECT DISTINCT source, s
+  FROM (SELECT source, unnest(list_transform(generate_series(1, len(t)-4),
+                               i -> array_to_string(t[i:i+4], ' '))) AS s
+        FROM toks)),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1,2)
+SELECT src_a, src_b, c AS shared_shingles,
+       round(CAST(c AS DOUBLE)/least(sa.sz, sb.sz), 6) AS containment
+FROM inter JOIN sizes sa ON sa.source = src_a JOIN sizes sb ON sb.source = src_b
+WHERE c > 0
+""",
+    doc="Cross-source 5-gram-shingle overlap matrix (which corpora leak "
+        "into which — the source-level contamination audit behind "
+        "p_decontaminate's doc-level probe): distinct source-shingle "
+        "sets, shared-shingle self-join keyed on the shingle (only "
+        "sources sharing a shingle meet; pair space bounded by "
+        "|sources|^2), containment vs the smaller set",
+)
+def q_source_overlap_matrix(spark, sf):
+    from .functions.texthash import exploded_nonnull, shingles, tokens
+
+    docs = T(spark, sf, "documents")
+    sh = exploded_nonnull(
+        docs, ["source"], shingles(tokens("text"), 5), "s"
+    ).select("source", "s").distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", F.col("c").alias("shared_shingles"),
+            F.round(F.col("c").cast("double") / F.least("sza", "szb"), 6).alias("containment"),
+        )
+    )
+
+
+@register(
+    "t_source_novelty",
+    """
+WITH toks AS (SELECT source, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+  FROM documents),
+sh AS (SELECT DISTINCT source, s
+  FROM (SELECT source, unnest(list_transform(generate_series(1, len(t)-4),
+                               i -> array_to_string(t[i:i+4], ' '))) AS s
+        FROM toks)),
+u AS (SELECT s, count(*) AS n_sources FROM sh GROUP BY 1)
+SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(CASE WHEN n_sources = 1 THEN 1 END) AS BIGINT) AS n_unique,
+       round(CAST(count(CASE WHEN n_sources = 1 THEN 1 END) AS DOUBLE)/count(*), 6) AS novelty
+FROM sh JOIN u USING (s) GROUP BY source
+""",
+    doc="Per-source novelty: share of a source's 5-gram shingles found in "
+        "NO other source — the redundancy score that decides whether a "
+        "new corpus adds anything (complements p_source_overlap_matrix). "
+        "Two shingle-keyed aggregations, no pair join at all.",
+)
+def q_source_novelty(spark, sf):
+    from .functions.texthash import exploded_nonnull, shingles, tokens
+
+    docs = T(spark, sf, "documents")
+    sh = exploded_nonnull(
+        docs, ["source"], shingles(tokens("text"), 5), "s"
+    ).select("source", "s").distinct()
+    u = sh.groupBy("s").agg(F.count("*").alias("n_sources"))
+    return (
+        sh.join(u, "s")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("n_sources") == 1, 1)).alias("n_unique"),
+            F.round(
+                F.count(F.when(F.col("n_sources") == 1, 1)).cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "r_status_transitions",
+    """
+WITH s AS (SELECT o_orderstatus AS s1,
+       lead(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS s2
+  FROM orders)
+SELECT s1, s2, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER (PARTITION BY s1) AS DOUBLE), 6) AS p
+FROM s WHERE s2 IS NOT NULL GROUP BY 1,2
+""",
+    doc="Markov transition matrix over per-customer order-status "
+        "sequences (lead window -> count -> row-normalized probability "
+        "from exact integer counts) — the state-machine health report "
+        "(churn modeling, process mining)",
+)
+def q_status_transitions(spark, sf):
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    s = o.select(
+        F.col("o_orderstatus").alias("s1"),
+        F.lead("o_orderstatus").over(w).alias("s2"),
+    ).filter(F.col("s2").isNotNull())
+    cnt = s.groupBy("s1", "s2").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("s1")
+    return cnt.select(
+        "s1", "s2", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6).alias("p"),
+    )
+
+
+@register(
+    "r_gini_by_nation",
+    """
+WITH d AS (SELECT n_name, CAST(round(o_totalprice*100,0) AS BIGINT) AS y, o_orderkey
+  FROM orders JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey),
+r AS (SELECT n_name, y, CAST(row_number() OVER (PARTITION BY n_name ORDER BY y, o_orderkey) AS BIGINT) AS i FROM d),
+m AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(i*y) AS BIGINT) AS siy FROM r GROUP BY 1)
+SELECT n_name, n, round(2.0*siy/(CAST(n AS DOUBLE)*sy) - (CAST(n AS DOUBLE)+1)/n, 6) AS gini FROM m
+""",
+    doc="Gini inequality coefficient of order values per nation via the "
+        "exact rank-weighted formula G = 2*sum(i*y_i)/(n*sum(y)) - (n+1)/n "
+        "on integer cents with deterministic (value, key) ordering — one "
+        "window sort per nation, one aggregate; all-integer moments",
+)
+def q_gini_by_nation(spark, sf):
+    o = T(spark, sf, "orders")
+    cu = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    d = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .select("n_name", cents("o_totalprice").alias("y"), "o_orderkey")
+    )
+    w = Window.partitionBy("n_name").orderBy("y", "o_orderkey")
+    r = d.select("n_name", "y", F.row_number().over(w).cast("long").alias("i"))
+    m = r.groupBy("n_name").agg(
+        F.count("*").alias("n"), F.sum("y").alias("sy"),
+        F.sum(F.col("i") * F.col("y")).alias("siy"))
+    nd = F.col("n").cast("double")
+    return m.select(
+        "n_name", "n",
+        F.round(2.0 * F.col("siy") / (nd * F.col("sy")) - (nd + 1) / F.col("n"), 6).alias("gini"),
+    )
+
+
+@register(
+    "r_order_gap_stats",
+    """
+WITH g AS (SELECT c_nationkey AS nk,
+       CAST(datediff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS BIGINT) AS gap
+  FROM orders JOIN customer ON o_custkey=c_custkey)
+SELECT nk, CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap, CAST(max(gap) AS BIGINT) AS max_gap,
+       round(CAST(sum(gap) AS DOUBLE)/count(gap), 6) AS avg_gap
+FROM g WHERE gap IS NOT NULL GROUP BY nk
+""",
+    doc="Inter-purchase gap statistics (repeat-order cadence per nation): "
+        "per-customer lag over order dates -> integer day gaps -> exact "
+        "min/max/avg. The recency-cadence signal behind replenishment "
+        "and churn models; distinct from order->ship lead time "
+        "(r_lead_time_buckets).",
+)
+def q_order_gap_stats(spark, sf):
+    o = T(spark, sf, "orders")
+    cu = T(spark, sf, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("long").alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return g.groupBy("nk").agg(
+        F.count("gap").alias("n_gaps"),
+        F.min("gap").alias("min_gap"), F.max("gap").alias("max_gap"),
+        F.round(F.sum("gap").cast("double") / F.count("gap"), 6).alias("avg_gap"),
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
