@@ -6353,6 +6353,41 @@ def q_order_gap_stats(spark, sf):
     )
 
 
+@register(
+    "s_rate_limit_sliding",
+    """
+WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+c AS (SELECT key, event_id, ts_s,
+        row_number() OVER (PARTITION BY key ORDER BY ts_s, event_id)
+        - count(*) OVER (PARTITION BY key ORDER BY ts_s
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 86400 PRECEDING) AS in_window
+      FROM e)
+SELECT key, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CASE WHEN in_window <= 3 THEN 1 END) AS BIGINT) AS n_admitted,
+       CAST(count(CASE WHEN in_window > 3 THEN 1 END) AS BIGINT) AS n_shed
+FROM c GROUP BY key
+""",
+    doc="Per-key sliding-log rate limiting (G11's per-tenant quota over "
+        "event time, 3 per trailing day): the closed-form batch algebra "
+        "(cumulative arrival rank minus out-of-window RANGE count — tie "
+        "handling matches the stateful stream exactly) behind the "
+        "transformWithStateInPandas operator in streaming/ratelimit.py, "
+        "whose stream==batch golden pins the equivalence",
+)
+def q_rate_limit_sliding(spark, sf):
+    from .streaming.ratelimit import rate_limit_batch
+
+    ev = T(spark, sf, "events").select(
+        F.col("user_id").alias("key"), "event_id", "ts")
+    dec = rate_limit_batch(ev, window_s=86400, limit=3)
+    return dec.groupBy("key").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("admitted"), 1)).alias("n_admitted"),
+        F.count(F.when(~F.col("admitted"), 1)).alias("n_shed"),
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
