@@ -72,6 +72,11 @@ HEADLINE = [
     "r13_hll_mergeable",
     "r_partial_agg_merge",
     "r_ohlc_bars",
+    # round-4 additions: one per NEW operator family
+    "r_reachability",          # iterative join (transitive closure)
+    "p_source_overlap_matrix", # shingle-keyed self-join, pair-bounded
+    "e_cluster_inertia",       # fold-kernel codegen over vectors
+    "s_rate_limit_sliding",    # double-window admission accounting
 ]
 
 
