@@ -6388,6 +6388,224 @@ def q_rate_limit_sliding(spark, sf):
     )
 
 
+# == round-4 wave 7: growth accounting / conversion / inequality stats ==
+
+
+@register(
+    "r_time_to_convert",
+    """
+WITH f AS (SELECT user_id,
+        min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY 1),
+d AS (SELECT CAST(datediff('second', first_view, first_purchase) AS BIGINT) AS s
+      FROM f WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+               AND first_purchase >= first_view)
+SELECT CAST(count(*) AS BIGINT) AS n_converters,
+       CAST(min(s) AS BIGINT) AS min_s, CAST(max(s) AS BIGINT) AS max_s,
+       round(CAST(sum(s) AS DOUBLE)/count(*), 6) AS avg_s
+FROM d
+""",
+    doc="Conversion latency: first-view -> first-purchase per user "
+        "(conditional min aggregates, one pass), integer-second gaps -> "
+        "exact min/max/avg. The time-to-value funnel metric on top of "
+        "r_funnel_sequence's step counts.",
+)
+def q_time_to_convert(spark, sf):
+    ev = T(spark, sf, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    d = f.filter(
+        F.col("first_view").isNotNull() & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view"))
+        .cast("long").alias("s")
+    )
+    return d.agg(
+        F.count("*").alias("n_converters"),
+        F.min("s").alias("min_s"), F.max("s").alias("max_s"),
+        F.round(F.sum("s").cast("double") / F.count("*"), 6).alias("avg_s"),
+    )
+
+
+@register(
+    "r_seasonality_index",
+    """
+WITH m AS (SELECT CAST(month(o_orderdate) AS INTEGER) AS mon,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS revc
+           FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(revc) AS BIGINT) AS tot, CAST(sum(n) AS BIGINT) AS ntot FROM m)
+SELECT mon, n, round(CAST(revc AS DOUBLE)/100, 2) AS revenue,
+       round((CAST(revc AS DOUBLE)/n) / (CAST(tot AS DOUBLE)/ntot), 6) AS seasonality_index
+FROM m, t
+""",
+    doc="Monthly seasonality index (month's avg order value vs overall "
+        "avg, exact integer sums, broadcast scalar denominator) — the "
+        "demand-planning deflator",
+)
+def q_seasonality_index(spark, sf):
+    o = T(spark, sf, "orders")
+    m = o.groupBy(F.month("o_orderdate").cast("int").alias("mon")).agg(
+        F.count("*").alias("n"), F.sum(cents("o_totalprice")).alias("revc"))
+    t = m.agg(F.sum("revc").alias("tot"), F.sum("n").alias("ntot"))
+    return m.crossJoin(F.broadcast(t)).select(
+        "mon", "n",
+        F.round(F.col("revc").cast("double") / 100, 2).alias("revenue"),
+        F.round((F.col("revc").cast("double") / F.col("n"))
+                / (F.col("tot").cast("double") / F.col("ntot")), 6).alias("seasonality_index"),
+    )
+
+
+@register(
+    "r_new_vs_returning",
+    """
+WITH fs AS (SELECT user_id, min(date_trunc('day', ts)) AS first_d FROM events GROUP BY 1),
+u AS (SELECT DISTINCT date_trunc('day', e.ts) AS d, e.user_id, fs.first_d
+      FROM events e JOIN fs USING (user_id))
+SELECT d, CAST(count(*) AS BIGINT) AS active_users,
+       CAST(count(CASE WHEN first_d = d THEN 1 END) AS BIGINT) AS new_users,
+       CAST(count(CASE WHEN first_d < d THEN 1 END) AS BIGINT) AS returning_users
+FROM u GROUP BY d
+""",
+    doc="Daily growth accounting: first-seen day per user (one min agg, "
+        "broadcast back), then per-day active/new/returning splits — the "
+        "acquisition-vs-retention report every growth dashboard leads "
+        "with",
+)
+def q_new_vs_returning(spark, sf):
+    ev = T(spark, sf, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("first_d"))
+    u = (
+        ev.select(F.date_trunc("day", "ts").alias("d"), "user_id")
+        .distinct()
+        .join(F.broadcast(fs), "user_id")
+    )
+    return u.groupBy("d").agg(
+        F.count("*").alias("active_users"),
+        F.count(F.when(F.col("first_d") == F.col("d"), 1)).alias("new_users"),
+        F.count(F.when(F.col("first_d") < F.col("d"), 1)).alias("returning_users"),
+    )
+
+
+@register(
+    "r_rolling_active_users",
+    """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM du),
+j AS (SELECT days.d AS d, du.user_id
+      FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 1 DAY AND days.d)
+SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS active_2d
+FROM j GROUP BY d
+""",
+    doc="Rolling 2-day distinct active users per day (the DAU/WAU family; "
+        "COUNT DISTINCT cannot ride a window frame, so the rewrite is a "
+        "day-spine range join over the distinct day-user pairs — join "
+        "fan-out bounded by window_days x daily actives, NOT by raw "
+        "events). r_running_distinct covers the cumulative variant.",
+)
+def q_rolling_active_users(spark, sf):
+    ev = T(spark, sf, "events")
+    du = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    j = days.alias("spine").join(
+        du.alias("du"),
+        (F.col("du.d") >= F.col("spine.d") - F.expr("INTERVAL 1 DAY"))
+        & (F.col("du.d") <= F.col("spine.d")),
+    )
+    return j.groupBy(F.col("spine.d").alias("d")).agg(
+        F.countDistinct("du.user_id").alias("active_2d"))
+
+
+@register(
+    "r_lorenz_deciles",
+    """
+WITH c AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS revc
+           FROM orders GROUP BY 1),
+d AS (SELECT revc, ntile(10) OVER (ORDER BY revc, o_custkey) AS decile FROM c)
+SELECT CAST(decile AS INTEGER) AS decile, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(revc) AS BIGINT) AS revc,
+       round(CAST(sum(revc) AS DOUBLE) / (SELECT CAST(sum(revc) AS DOUBLE) FROM c), 6) AS rev_share
+FROM d GROUP BY 1
+""",
+    doc="Lorenz curve by customer decile (revenue share per ntile(10) "
+        "with deterministic tie-break) — the concentration table behind "
+        "r_gini_by_nation's scalar; integer cents end to end",
+)
+def q_lorenz_deciles(spark, sf):
+    o = T(spark, sf, "orders")
+    c = o.groupBy("o_custkey").agg(F.sum(cents("o_totalprice")).alias("revc"))
+    d = c.select(
+        "revc", F.ntile(10).over(Window.orderBy("revc", "o_custkey")).alias("decile"))
+    tot = c.agg(F.sum("revc").cast("double").alias("tot"))
+    return (
+        d.groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(F.count("*").alias("n_customers"), F.sum("revc").alias("revc"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_customers", "revc",
+            F.round(F.col("revc").cast("double") / F.col("tot"), 6).alias("rev_share"),
+        )
+    )
+
+
+@register(
+    "r_anova_dow",
+    """
+WITH d AS (SELECT CAST(isodow(o_orderdate) - 1 AS BIGINT) AS dow,
+                  CAST(round(o_totalprice, 0) AS BIGINT) AS y
+           FROM orders),
+g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(round(CAST(sum(y) AS DOUBLE)*sum(y)/count(*), 0) AS BIGINT) AS term
+      FROM d GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(syy) AS BIGINT) AS tsyy,
+             CAST(sum(term) AS BIGINT) AS sterm FROM g)
+SELECT CAST(k AS INTEGER) AS k_groups, nn AS n_total,
+       round((sterm - CAST(tsy AS DOUBLE)*tsy/nn)/(k-1), 4) AS ms_between,
+       round((CAST(tsyy AS DOUBLE) - sterm)/(nn-k), 4) AS ms_within,
+       round(((sterm - CAST(tsy AS DOUBLE)*tsy/nn)/(k-1))
+             / ((CAST(tsyy AS DOUBLE) - sterm)/(nn-k)), 6) AS f_stat
+FROM t
+""",
+    doc="One-way ANOVA (does weekday move order value?): F statistic from "
+        "integer moment sums in whole dollars; each group's sy^2/n term "
+        "is rounded to BIGINT before the cross-group sum, so the parallel "
+        "total is order-independent — the moment-sum determinism "
+        "discipline applied to inferential statistics",
+)
+def q_anova_dow(spark, sf):
+    o = T(spark, sf, "orders")
+    d = o.select(
+        F.weekday("o_orderdate").cast("long").alias("dow"),
+        F.round(F.col("o_totalprice"), 0).cast("long").alias("y"),
+    )
+    g = d.groupBy("dow").agg(
+        F.count("*").alias("n"), F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).withColumn(
+        "term",
+        F.round(F.col("sy").cast("double") * F.col("sy") / F.col("n"), 0).cast("long"),
+    )
+    t = g.agg(
+        F.count("*").alias("k"), F.sum("n").alias("nn"),
+        F.sum("sy").alias("tsy"), F.sum("syy").alias("tsyy"),
+        F.sum("term").alias("sterm"),
+    )
+    ssb = F.col("sterm") - F.col("tsy").cast("double") * F.col("tsy") / F.col("nn")
+    ssw = F.col("tsyy").cast("double") - F.col("sterm")
+    return t.select(
+        F.col("k").cast("int").alias("k_groups"), F.col("nn").alias("n_total"),
+        F.round(ssb / (F.col("k") - 1), 4).alias("ms_between"),
+        F.round(ssw / (F.col("nn") - F.col("k")), 4).alias("ms_within"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6).alias("f_stat"),
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
