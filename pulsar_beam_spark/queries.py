@@ -6189,15 +6189,32 @@ def q_source_overlap_matrix(spark, sf):
     docs = T(spark, sf, "documents")
     sh = exploded_nonnull(
         docs, ["source"], shingles(tokens("text"), 5), "s"
-    ).select("source", "s").distinct()
-    sizes = sh.groupBy("source").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
-        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
-        .agg(F.count("*").alias("c"))
-    )
+    ).select("source", "s")
+    # posting-list pair expansion instead of a shingle self-join: ONE
+    # shuffle on the shingle builds the sorted distinct source list per
+    # shingle (collect_set dedups, so no separate .distinct() pass);
+    # the (a < b) pairs explode from the array — the same rows the join
+    # would emit, minus the join's second full-relation shuffle. Sizes
+    # come from the same posting lists (a 20-key explode), so the raw
+    # (source, shingle) relation is shuffled exactly once.
+    posting = sh.groupBy("s").agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    posting = posting.persist()
+    sizes = posting.select(F.explode("srcs").alias("source")).groupBy("source").agg(
+        F.count("*").alias("sz"))
+    pairs = posting.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                        lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    inter = pairs.groupBy("src_a", "src_b").agg(F.count("*").alias("c"))
     sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("szb"))
     return (
