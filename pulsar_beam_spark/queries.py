@@ -6623,6 +6623,126 @@ def q_anova_dow(spark, sf):
     )
 
 
+@register(
+    "e_label_margin",
+    """
+WITH vm AS (SELECT vec_id, label,
+        list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000, 0) AS BIGINT)) AS v
+  FROM embeddings),
+cd AS (SELECT label AS clabel, d,
+        CAST(round(CAST(sum(v[d]) AS DOUBLE)/count(*), 0) AS BIGINT) AS c
+       FROM vm CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) GROUP BY 1, 2),
+cl AS (SELECT clabel, list(c ORDER BY d) AS cvec FROM cd GROUP BY 1),
+dots AS (SELECT vm.vec_id, vm.label, cl.clabel,
+          list_reduce(list_transform(list_zip(vm.v, cl.cvec), x -> x[1]*x[2]),
+                      (a, b) -> a + b) AS dot
+         FROM vm CROSS JOIN cl),
+agg AS (SELECT vec_id, label,
+          max(CASE WHEN clabel = label THEN dot END) AS own,
+          max(CASE WHEN clabel != label THEN dot END) AS best_other
+        FROM dots GROUP BY 1, 2)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(CASE WHEN own > best_other THEN 1 END) AS BIGINT) AS n_separated,
+       round(CAST(sum(own - best_other) AS DOUBLE)/count(*)/1e12, 6) AS avg_margin
+FROM agg GROUP BY label
+""",
+    doc="Embedding label-separability audit (the metric-learning QA gate: "
+        "does each vector sit closer to its own label's centroid than to "
+        "any other?): micro-integerized vectors -> exact integer centroid "
+        "means -> exact integer dot products, so own-vs-best-other "
+        "margins are bit-identical under any parallelism. Spark plan: "
+        "centroids are a driver-side 640-value collect (tiny, like the "
+        "IVF quantizer sample) baked back as plan literals — the corpus "
+        "itself never joins or shuffles; map-only fold kernels + one "
+        "10-key aggregate.",
+)
+def q_label_margin(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    vm = emb.select(
+        "vec_id", "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1000000, 0).cast("long"),
+        ).alias("v"),
+    )
+    cd = (
+        vm.select("label", F.posexplode("v").alias("d", "val"))
+        .groupBy("label", "d")
+        .agg(F.round(F.sum("val").cast("double") / F.count("*"), 0).cast("long").alias("c"))
+    )
+    cent = {}
+    for r in cd.collect():  # 10 labels x 64 dims — plan constants
+        cent.setdefault(r["label"], {})[r["d"]] = r["c"]
+    labels = sorted(cent)
+    cvecs = [
+        F.array(*[F.lit(int(cent[lab][d])) for d in sorted(cent[lab])]) for lab in labels
+    ]
+    dots = F.array(*[
+        F.aggregate(
+            F.zip_with(F.col("v"), cv, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+        for cv in cvecs
+    ])
+    idx = F.array_position(F.array(*[F.lit(int(l)) for l in labels]), F.col("label"))
+    own = F.element_at(dots, idx.cast("int"))
+    best_other = F.array_max(
+        F.zip_with(
+            dots,
+            F.sequence(F.lit(1), F.lit(len(labels))),
+            lambda x, i: F.when(i != idx, x),
+        )
+    )
+    return (
+        vm.select("label", own.alias("own"), best_other.alias("best_other"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.count(F.when(F.col("own") > F.col("best_other"), 1)).alias("n_separated"),
+            F.round(
+                F.sum(F.col("own") - F.col("best_other")).cast("double") / F.count("*") / 1e12, 6
+            ).alias("avg_margin"),
+        )
+    )
+
+
+@register(
+    "r_survival_curve",
+    """
+WITH s AS (SELECT o_custkey,
+        CAST(datediff('day', min(o_orderdate), max(o_orderdate)) AS BIGINT) AS span
+  FROM orders GROUP BY 1),
+k AS (SELECT unnest(generate_series(0, 720, 90)) AS kday)
+SELECT CAST(kday AS INTEGER) AS day_k,
+       CAST(count(CASE WHEN span >= kday THEN 1 END) AS BIGINT) AS surviving,
+       CAST(count(*) AS BIGINT) AS total,
+       round(CAST(count(CASE WHEN span >= kday THEN 1 END) AS DOUBLE)/count(*), 6) AS survival_rate
+FROM s CROSS JOIN k GROUP BY kday
+""",
+    doc="Customer survival curve (share still active k days after first "
+        "order, k in 90-day steps; last order ≙ censoring point): "
+        "per-customer first/last span, broadcast 9-point spine cross "
+        "join, exact integer counts — the retention/churn lifetime "
+        "table",
+)
+def q_survival_curve(spark, sf):
+    o = T(spark, sf, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).cast("long").alias("span"))
+    k = spark.range(0, 721, 90).select(F.col("id").cast("int").alias("day_k"))
+    return (
+        s.crossJoin(F.broadcast(k))
+        .groupBy("day_k")
+        .agg(
+            F.count(F.when(F.col("span") >= F.col("day_k"), 1)).alias("surviving"),
+            F.count("*").alias("total"),
+            F.round(
+                F.count(F.when(F.col("span") >= F.col("day_k"), 1)).cast("double")
+                / F.count("*"), 6
+            ).alias("survival_rate"),
+        )
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
