@@ -6185,8 +6185,9 @@ WHERE c > 0
 )
 def q_source_overlap_matrix(spark, sf):
     from .functions.texthash import exploded_nonnull, shingles, tokens
+    from .sources.tables import spread_small_input
 
-    docs = T(spark, sf, "documents")
+    docs = spread_small_input(T(spark, sf, "documents"))
     sh = exploded_nonnull(
         docs, ["source"], shingles(tokens("text"), 5), "s"
     ).select("source", "s")
@@ -6248,8 +6249,9 @@ FROM sh JOIN u USING (s) GROUP BY source
 )
 def q_source_novelty(spark, sf):
     from .functions.texthash import exploded_nonnull, shingles, tokens
+    from .sources.tables import spread_small_input
 
-    docs = T(spark, sf, "documents")
+    docs = spread_small_input(T(spark, sf, "documents"))
     sh = exploded_nonnull(
         docs, ["source"], shingles(tokens("text"), 5), "s"
     ).select("source", "s").distinct()
