@@ -6745,6 +6745,232 @@ def q_survival_curve(spark, sf):
     )
 
 
+# == round-4 wave 8: inventory / leakage / distribution drift ===========
+
+
+@register(
+    "r_backlog_aging",
+    """
+WITH snap AS (SELECT max(o_orderdate) AS sd FROM orders),
+o AS (SELECT o_orderpriority,
+        CAST(datediff('day', o_orderdate, sd) AS BIGINT) AS age,
+        CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+      FROM orders, snap WHERE o_orderstatus = 'O'),
+b AS (SELECT o_orderpriority,
+        CASE WHEN age <= 30 THEN '0-30' WHEN age <= 90 THEN '31-90'
+             WHEN age <= 365 THEN '91-365' ELSE '365+' END AS bucket,
+        cents FROM o)
+SELECT o_orderpriority, bucket, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(cents) AS DOUBLE)/100, 2) AS open_value
+FROM b GROUP BY 1,2
+""",
+    doc="Open-order backlog aging (AR-aging shape): snapshot date is the "
+        "corpus max (broadcast scalar), integer day ages bucketed "
+        "0-30/31-90/91-365/365+, integer-cents value per "
+        "priority x bucket",
+)
+def q_backlog_aging(spark, sf):
+    o = T(spark, sf, "orders")
+    snap = o.agg(F.max("o_orderdate").alias("sd"))
+    age = F.datediff("sd", "o_orderdate").cast("long")
+    bucket = (
+        F.when(age <= 30, "0-30").when(age <= 90, "31-90")
+        .when(age <= 365, "91-365").otherwise("365+")
+    )
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(snap))
+        .select("o_orderpriority", bucket.alias("bucket"), cents("o_totalprice").alias("cents"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias("open_value"),
+        )
+    )
+
+
+@register(
+    "r_abc_xyz",
+    """
+WITH pr AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS revc,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        CAST(sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqq
+      FROM lineitem GROUP BY 1),
+r AS (SELECT *,
+        CAST(sum(revc) OVER (ORDER BY revc DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        CAST(sum(revc) OVER () AS BIGINT) AS tot FROM pr),
+cls AS (SELECT l_partkey, n,
+        CASE WHEN cum*10 <= tot*8 THEN 'A' WHEN cum*100 <= tot*95 THEN 'B' ELSE 'C' END AS abc,
+        CASE WHEN n < 2 THEN 'Z'
+             ELSE CASE
+               WHEN (CAST(n AS DOUBLE)*sqq - CAST(sq AS DOUBLE)*sq)
+                    / (CAST(n AS DOUBLE)*n) <= 0.25 * (CAST(sq AS DOUBLE)/n)*(CAST(sq AS DOUBLE)/n) THEN 'X'
+               WHEN (CAST(n AS DOUBLE)*sqq - CAST(sq AS DOUBLE)*sq)
+                    / (CAST(n AS DOUBLE)*n) <= 1.0 * (CAST(sq AS DOUBLE)/n)*(CAST(sq AS DOUBLE)/n) THEN 'Y'
+               ELSE 'Z' END END AS xyz
+      FROM r)
+SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts FROM cls GROUP BY 1,2
+""",
+    doc="ABC-XYZ inventory classification: cumulative-revenue cut at "
+        "80/95% (integer cross-multiplication, no float thresholds) "
+        "crossed with demand-variability classes from exact quantity "
+        "moments (CV^2 vs 0.25/1.0) — the planner's 9-cell segmentation "
+        "matrix",
+)
+def q_abc_xyz(spark, sf):
+    li = T(spark, sf, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.sum(cents("l_extendedprice")).alias("revc"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+        F.sum(F.col("l_quantity").cast("long") * F.col("l_quantity").cast("long")).alias("sqq"),
+    )
+    wcum = Window.orderBy(F.col("revc").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    r = pr.select(
+        "l_partkey", "n", "sq", "sqq",
+        F.sum("revc").over(wcum).alias("cum"),
+        F.sum("revc").over(Window.partitionBy()).alias("tot"),
+    )
+    nd, sqd = F.col("n").cast("double"), F.col("sq").cast("double")
+    var = (nd * F.col("sqq") - sqd * F.col("sq")) / (nd * F.col("n"))
+    mean2 = (sqd / F.col("n")) * (sqd / F.col("n"))
+    abc = (
+        F.when(F.col("cum") * 10 <= F.col("tot") * 8, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B").otherwise("C")
+    )
+    xyz = F.when(F.col("n") < 2, "Z").otherwise(
+        F.when(var <= 0.25 * mean2, "X").when(var <= 1.0 * mean2, "Y").otherwise("Z"))
+    return r.select(abc.alias("abc"), xyz.alias("xyz")).groupBy("abc", "xyz").agg(
+        F.count("*").alias("n_parts"))
+
+
+_LEAK_BUCKET = stable_bucket_sql("doc_id", 100)
+
+@register(
+    "p_split_leakage",
+    f"""
+WITH toks AS (SELECT doc_id,
+        CASE WHEN {_LEAK_BUCKET} < 80 THEN 'train' ELSE 'eval' END AS split,
+        list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM documents),
+sh AS (SELECT DISTINCT doc_id, split, s
+       FROM (SELECT doc_id, split, unnest(list_transform(generate_series(1, len(t)-11),
+                i -> array_to_string(t[i:i+11], ' '))) AS s FROM toks)),
+g AS (SELECT s, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train FROM sh GROUP BY s),
+ev AS (SELECT DISTINCT doc_id FROM sh WHERE split = 'eval'),
+leak AS (SELECT DISTINCT sh.doc_id FROM sh JOIN g USING (s)
+         WHERE sh.split = 'eval' AND g.has_train = 1)
+SELECT CAST((SELECT count(*) FROM ev) AS BIGINT) AS n_eval_docs,
+       CAST((SELECT count(*) FROM leak) AS BIGINT) AS n_leaking,
+       round(CAST((SELECT count(*) FROM leak) AS DOUBLE)
+             / (SELECT count(*) FROM ev), 6) AS leak_rate
+""",
+    doc="Train/eval contamination audit: share of eval-split documents "
+        "(same stable md5 bucket as p_deterministic_split, 80/20) that "
+        "share a 12-gram shingle with ANY train document — the "
+        "cross-split leakage gate run before an eval set ships. "
+        "Posting-list shape: one shuffle on the shingle.",
+)
+def q_split_leakage(spark, sf):
+    from .functions.texthash import exploded_nonnull, shingles, tokens
+    from .operators.sampling import stable_bucket
+    from .sources.tables import spread_small_input
+
+    docs = spread_small_input(T(spark, sf, "documents")).withColumn(
+        "split",
+        F.when(stable_bucket(F.col("doc_id"), 100) < 80, "train").otherwise("eval"),
+    )
+    sh = exploded_nonnull(
+        docs, ["doc_id", "split"], shingles(tokens("text"), 12), "s"
+    ).select("doc_id", "split", "s").distinct()
+    g = sh.groupBy("s").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("has_train"))
+    ev = sh.filter(F.col("split") == "eval").select("doc_id").distinct()
+    leak = (
+        sh.filter(F.col("split") == "eval")
+        .join(g, "s")
+        .filter(F.col("has_train") == 1)
+        .select("doc_id").distinct()
+    )
+    ne = ev.agg(F.count("*").alias("n_eval_docs"))
+    nl = leak.agg(F.count("*").alias("n_leaking"))
+    return ne.crossJoin(nl).select(
+        "n_eval_docs", "n_leaking",
+        F.round(F.col("n_leaking").cast("double") / F.col("n_eval_docs"), 6).alias("leak_rate"),
+    )
+
+
+_LN2 = 0.6931471805599453
+
+
+@register(
+    "t_js_divergence",
+    f"""
+WITH tok AS (SELECT source, x AS w
+  FROM documents, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS t(x)),
+sc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1,2),
+st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY 1),
+gc AS (SELECT w, CAST(sum(c) AS BIGINT) AS gcw FROM sc GROUP BY 1),
+gt AS (SELECT CAST(sum(gcw) AS BIGINT) AS gn FROM gc),
+terms AS (SELECT sc.source, gc.gcw,
+    CAST(round(((CAST(sc.c AS DOUBLE)/st.n) * ln((CAST(sc.c AS DOUBLE)/st.n) /
+        (0.5*(CAST(sc.c AS DOUBLE)/st.n) + 0.5*(CAST(gc.gcw AS DOUBLE)/gt.gn)))) * 1e9, 0) AS BIGINT) AS pterm,
+    CAST(round(((CAST(gc.gcw AS DOUBLE)/gt.gn) * ln((CAST(gc.gcw AS DOUBLE)/gt.gn) /
+        (0.5*(CAST(sc.c AS DOUBLE)/st.n) + 0.5*(CAST(gc.gcw AS DOUBLE)/gt.gn)))) * 1e9, 0) AS BIGINT) AS qterm
+  FROM sc JOIN st USING (source) JOIN gc USING (w) CROSS JOIN gt),
+agg AS (SELECT source, CAST(sum(pterm) AS BIGINT) AS ps, CAST(sum(qterm) AS BIGINT) AS qs,
+               CAST(sum(gcw) AS BIGINT) AS smass
+        FROM terms GROUP BY 1)
+SELECT source,
+       round((CAST(ps AS DOUBLE) + qs)/2/1e9
+             + {_LN2}/2 * (1 - CAST(smass AS DOUBLE)/(SELECT gn FROM gt)), 6) AS js_divergence
+FROM agg
+""",
+    doc="Jensen-Shannon divergence of each source's unigram distribution "
+        "vs the whole corpus (the mixture-drift monitor for weighted "
+        "source blending): per-term contributions micro-rounded to 1e-9 "
+        "BEFORE the parallel sum (the t_unigram_logprob determinism "
+        "discipline); words absent from a source contribute their exact "
+        "closed-form ln2 * missing-mass — full JS, not the "
+        "overlap-truncated variant",
+)
+def q_js_divergence(spark, sf):
+    from .functions.texthash import exploded_nonnull, tokens
+    from .sources.tables import spread_small_input
+
+    docs = spread_small_input(T(spark, sf, "documents"))
+    tok = exploded_nonnull(docs, ["source"], tokens("text"), "w")
+    sc = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    gc = sc.groupBy("w").agg(F.sum("c").alias("gcw"))
+    gt = gc.agg(F.sum("gcw").alias("gn"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("gcw").cast("double") / F.col("gn")
+    m = 0.5 * p + 0.5 * q
+    terms = (
+        sc.join(F.broadcast(st), "source")
+        .join(gc, "w")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source", "gcw",
+            F.round(p * F.log(p / m) * 1e9, 0).cast("long").alias("pterm"),
+            F.round(q * F.log(q / m) * 1e9, 0).cast("long").alias("qterm"),
+        )
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("pterm").alias("ps"), F.sum("qterm").alias("qs"),
+        F.sum("gcw").alias("smass"))
+    return agg.crossJoin(F.broadcast(gt)).select(
+        "source",
+        F.round(
+            (F.col("ps").cast("double") + F.col("qs")) / 2 / 1e9
+            + _LN2 / 2 * (1 - F.col("smass").cast("double") / F.col("gn")), 6
+        ).alias("js_divergence"),
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
