@@ -5729,6 +5729,40 @@ def q_vocab_coverage(spark, sf):
 # == round-4 wave 5: hierarchy / allocation / calendar / regression ======
 
 
+def _root_chase(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Iterative functional-graph root chase: (node) x (e_child, e_parent)
+    -> (node, root, depth). O(depth) left-joins with localCheckpoint
+    lineage truncation per round; see q_reachability doc for the
+    pointer-doubling upgrade path."""
+    cur = nodes.select("node", F.col("node").alias("anc"), F.lit(0).alias("depth"))
+    while True:
+        stepped = (
+            cur.join(edges, cur.anc == edges.e_child, "left")
+            .select(
+                "node",
+                F.coalesce("e_parent", "anc").alias("anc"),
+                (F.col("depth") + F.col("e_parent").isNotNull().cast("int")).alias("depth"),
+                F.col("e_parent").isNotNull().alias("moved"),
+            )
+            .localCheckpoint(eager=True)  # truncate the per-iteration lineage
+        )
+        cur = stepped.drop("moved")
+        if stepped.filter("moved").isEmpty():
+            break  # no row moved -> every chain reached its root
+    return cur.select("node", F.col("anc").alias("root"), F.col("depth").cast("int").alias("depth"))
+
+
+def _part_forest(spark, sf):
+    """The fixture's functional graph: each part's parent is partkey//10
+    (a decimal-digit forest); the loop consuming it works for ANY
+    (child -> parent) edge table."""
+    part = T(spark, sf, "part").select(F.col("p_partkey").cast("long").alias("node"))
+    edges = part.filter(F.col("node") >= 10).select(
+        F.col("node").alias("e_child"), F.floor(F.col("node") / 10).alias("e_parent")
+    )
+    return part, edges
+
+
 @register(
     "r_reachability",
     """
@@ -5749,28 +5783,8 @@ FROM walk WHERE anc < 10
         "operators/components.py large-star/small-star.",
 )
 def q_reachability(spark, sf):
-    part = T(spark, sf, "part").select(F.col("p_partkey").cast("long").alias("node"))
-    # materialized edge table — the loop below works for ANY functional
-    # graph (child -> parent), the arithmetic only builds the fixture
-    edges = part.filter(F.col("node") >= 10).select(
-        F.col("node").alias("e_child"), F.floor(F.col("node") / 10).alias("e_parent")
-    )
-    cur = part.select("node", F.col("node").alias("anc"), F.lit(0).alias("depth"))
-    while True:
-        stepped = (
-            cur.join(edges, cur.anc == edges.e_child, "left")
-            .select(
-                "node",
-                F.coalesce("e_parent", "anc").alias("anc"),
-                (F.col("depth") + F.col("e_parent").isNotNull().cast("int")).alias("depth"),
-                F.col("e_parent").isNotNull().alias("moved"),
-            )
-            .localCheckpoint(eager=True)  # truncate the per-iteration lineage
-        )
-        cur = stepped.drop("moved")
-        if stepped.filter("moved").isEmpty():
-            break  # no row moved -> every chain reached its root
-    return cur.select("node", F.col("anc").alias("root"), F.col("depth").cast("int").alias("depth"))
+    part, edges = _part_forest(spark, sf)
+    return _root_chase(part, edges)
 
 
 @register(
@@ -6969,6 +6983,152 @@ def q_js_divergence(spark, sf):
             + _LN2 / 2 * (1 - F.col("smass").cast("double") / F.col("gn")), 6
         ).alias("js_divergence"),
     )
+
+
+# == round-4 wave 9: hierarchy rollup / mix-shift / sequence entropy ====
+
+
+@register(
+    "r_hierarchy_rollup",
+    """
+WITH RECURSIVE walk AS (
+  SELECT p_partkey AS node, p_partkey AS anc FROM part
+  UNION ALL
+  SELECT node, anc // 10 FROM walk WHERE anc >= 10
+),
+roots AS (SELECT node, anc AS root FROM walk WHERE anc < 10),
+v AS (SELECT r.root, CAST(round(p.p_retailprice*100,0) AS BIGINT) AS cents
+      FROM roots r JOIN part p ON p.p_partkey = r.node)
+SELECT CAST(root AS BIGINT) AS root, CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(cents) AS DOUBLE)/100, 2) AS subtree_value
+FROM v GROUP BY root
+""",
+    doc="Aggregate along the transitive closure (BOM-style subtree cost "
+        "rollup): the r_reachability root-chase feeds a per-root value "
+        "aggregation — closure once, any number of rollups after; "
+        "integer cents",
+)
+def q_hierarchy_rollup(spark, sf):
+    part_nodes, edges = _part_forest(spark, sf)
+    roots = _root_chase(part_nodes, edges).select("node", "root")
+    p = T(spark, sf, "part").select(
+        F.col("p_partkey").cast("long").alias("node"), cents("p_retailprice").alias("cents"))
+    return (
+        roots.join(p, "node")
+        .groupBy("root")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias("subtree_value"),
+        )
+    )
+
+
+@register(
+    "r_chi_square_mix",
+    """
+WITH c AS (SELECT o_orderpriority AS pri, CAST(year(o_orderdate) AS INTEGER) AS yr,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1,2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+mr  AS (SELECT pri, CAST(sum(n) AS BIGINT) AS rn FROM c GROUP BY 1),
+mc  AS (SELECT yr, CAST(sum(n) AS BIGINT) AS cn FROM c GROUP BY 1),
+term AS (SELECT c.pri, c.yr,
+    CAST(round(power(CAST(c.n AS DOUBLE) - CAST(mr.rn AS DOUBLE)*mc.cn/tot.nn, 2)
+               / (CAST(mr.rn AS DOUBLE)*mc.cn/tot.nn) * 1e9, 0) AS BIGINT) AS t
+  FROM c JOIN mr USING (pri) JOIN mc USING (yr) CROSS JOIN tot)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       round(CAST(sum(t) AS DOUBLE)/1e9, 6) AS chi_square
+FROM term
+""",
+    doc="Chi-square mix-shift test (did the order-priority mix change "
+        "between 1996 and 1997?): contingency counts -> expected cells "
+        "-> per-cell terms micro-rounded to 1e-9 before the parallel sum "
+        "— the distribution-drift alarm for categorical columns, exact "
+        "under any aggregation order",
+)
+def q_chi_square_mix(spark, sf):
+    o = T(spark, sf, "orders")
+    c = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.agg(F.sum("n").alias("nn"))
+    mr = c.groupBy("pri").agg(F.sum("n").alias("rn"))
+    mc = c.groupBy("yr").agg(F.sum("n").alias("cn"))
+    exp = F.col("rn").cast("double") * F.col("cn") / F.col("nn")
+    term = (
+        c.join(F.broadcast(mr), "pri")
+        .join(F.broadcast(mc), "yr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.pow(F.col("n").cast("double") - exp, 2) / exp * 1e9, 0)
+            .cast("long").alias("t")
+        )
+    )
+    return term.agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.sum("t").cast("double") / 1e9, 6).alias("chi_square"),
+    )
+
+
+@register(
+    "t_bigram_entropy",
+    """
+WITH toks AS (SELECT source, doc_id,
+        list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t FROM documents),
+bg AS (SELECT source, t[i] AS w1, t[i+1] AS w2
+       FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)),
+cnt AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1,2,3),
+w1t AS (SELECT source, w1, CAST(sum(c) AS BIGINT) AS cw1 FROM cnt GROUP BY 1,2),
+st  AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+term AS (SELECT cnt.source,
+    CAST(round((CAST(cnt.c AS DOUBLE)/st.n) * ln(CAST(cnt.c AS DOUBLE)/w1t.cw1) * 1e9, 0) AS BIGINT) AS t
+  FROM cnt JOIN w1t USING (source, w1) JOIN st USING (source))
+SELECT source, round(-CAST(sum(t) AS DOUBLE)/1e9, 6) AS bigram_entropy_nats
+FROM term GROUP BY source
+""",
+    doc="Conditional bigram entropy H(w2|w1) per source (lexical "
+        "predictability — low entropy flags templated/boilerplate "
+        "corpora before training): transition counts -> per-term "
+        "p(w1,w2)*ln p(w2|w1) micro-rounded before the parallel sum "
+        "(the t_unigram_logprob/t_js_divergence determinism discipline)",
+)
+def q_bigram_entropy(spark, sf):
+    from .functions.texthash import tokens
+    from .sources.tables import spread_small_input
+
+    docs = spread_small_input(T(spark, sf, "documents"))
+    t = tokens("text")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select("source", F.explode(bigrams).alias("b")).select(
+        "source", "b.w1", "b.w2")
+    cnt = bg.groupBy("source", "w1", "w2").agg(F.count("*").alias("c"))
+    w1t = cnt.groupBy("source", "w1").agg(F.sum("c").alias("cw1"))
+    st = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    term = (
+        cnt.join(w1t, ["source", "w1"])
+        .join(F.broadcast(st), "source")
+        .select(
+            "source",
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("c").cast("double") / F.col("cw1")) * 1e9, 0
+            ).cast("long").alias("t"),
+        )
+    )
+    return term.groupBy("source").agg(
+        F.round(-F.sum("t").cast("double") / 1e9, 6).alias("bigram_entropy_nats"))
 
 
 # == exports consumed by __spark_entry__.py ==============================
