@@ -7131,6 +7131,97 @@ def q_bigram_entropy(spark, sf):
         F.round(-F.sum("t").cast("double") / 1e9, 6).alias("bigram_entropy_nats"))
 
 
+@register(
+    "r_segment_migration",
+    """
+WITH s AS (SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+                  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS spend
+           FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1,2),
+q AS (SELECT o_custkey, yr,
+             CAST(ntile(5) OVER (PARTITION BY yr ORDER BY spend, o_custkey) AS INTEGER) AS seg
+      FROM s)
+SELECT a.seg AS seg_1996, b.seg AS seg_1997, CAST(count(*) AS BIGINT) AS n_customers
+FROM q a JOIN q b ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+GROUP BY 1,2
+""",
+    doc="Customer segment-migration matrix: spend quintile in 1996 vs "
+        "1997 (deterministic ntile tie-break), self-joined on the "
+        "customer — the CRM upgrade/downgrade flow report on top of "
+        "r_rfm_segmentation's static quintiles",
+)
+def q_segment_migration(spark, sf):
+    o = T(spark, sf, "orders")
+    s = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy("o_custkey", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.sum(cents("o_totalprice")).alias("spend"))
+    )
+    q = s.select(
+        "o_custkey", "yr",
+        F.ntile(5).over(Window.partitionBy("yr").orderBy("spend", "o_custkey"))
+        .cast("int").alias("seg"),
+    )
+    a = q.filter(F.col("yr") == 1996).select("o_custkey", F.col("seg").alias("seg_1996"))
+    b = q.filter(F.col("yr") == 1997).select(
+        F.col("o_custkey").alias("ck2"), F.col("seg").alias("seg_1997"))
+    return (
+        a.join(b, a.o_custkey == b.ck2)
+        .groupBy("seg_1996", "seg_1997")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "r_rolling_median",
+    """
+WITH d AS (SELECT date_trunc('day', ts) AS day,
+                  CAST(sum(CAST(round(value*1000000,0) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1),
+days AS (SELECT day FROM d),
+j AS (SELECT days.day AS day, d.v
+      FROM days JOIN d ON d.day BETWEEN days.day - INTERVAL 6 DAY AND days.day),
+r AS (SELECT day, v,
+             row_number() OVER (PARTITION BY day ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY day) AS n
+      FROM j)
+SELECT day,
+       round(CAST(sum(CASE WHEN rn IN ((n+1)//2, (n+2)//2) THEN v END) AS DOUBLE)
+             / count(CASE WHEN rn IN ((n+1)//2, (n+2)//2) THEN 1 END) / 1e6, 6) AS rolling_median_7d
+FROM r GROUP BY day
+""",
+    doc="Rolling 7-day MEDIAN of the daily value total (no window frame "
+        "supports median — the rewrite is a day-spine range join then a "
+        "middle-rank pick, even windows averaging the two middle values; "
+        "fan-out bounded by window_days x days, not events). The robust "
+        "smoothing counterpart of r_ewma_smoothing; daily totals are "
+        "micro-integerized so rank selection is exact.",
+)
+def q_rolling_median(spark, sf):
+    ev = T(spark, sf, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("v"))
+    days = d.select("day")
+    j = days.alias("spine").join(
+        d.alias("d"),
+        (F.col("d.day") >= F.col("spine.day") - F.expr("INTERVAL 6 DAY"))
+        & (F.col("d.day") <= F.col("spine.day")),
+    ).select(F.col("spine.day").alias("day"), F.col("d.v").alias("v"))
+    w = Window.partitionBy("day").orderBy("v")
+    r = j.select(
+        "day", "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("day")).alias("n"),
+    )
+    is_mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    return r.groupBy("day").agg(
+        F.round(
+            F.sum(F.when(is_mid, F.col("v"))).cast("double")
+            / F.count(F.when(is_mid, 1)) / 1e6, 6
+        ).alias("rolling_median_7d")
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
