@@ -7222,6 +7222,105 @@ def q_rolling_median(spark, sf):
     )
 
 
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS, S: int = _PR_SCALE, damp: float = 0.85) -> str:
+    """Chained-CTE PageRank with every per-node rank micro-integerized
+    (units of 1/S) after each iteration — exact integer sums, identical
+    half-away-from-zero rounding on both engines, so the iterative float
+    algorithm gets a hash-exact oracle."""
+    sql = """
+WITH nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1),
+outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(round(CAST(%(S)d AS DOUBLE)/n, 0) AS BIGINT) AS r FROM nodes, nc)
+""" % {"S": S}
+    prev = "r0"
+    for i in range(1, iters + 1):
+        cur = f"r{i}"
+        sql += f""",
+dang{i} AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS d
+            FROM {prev} LEFT JOIN outdeg ON {prev}.node = outdeg.src
+            WHERE outdeg.src IS NULL),
+contrib{i} AS (SELECT e.dst AS node,
+        CAST(sum(CAST(round(CAST(p.r AS DOUBLE)/o.od, 0) AS BIGINT)) AS BIGINT) AS s
+    FROM edges e JOIN {prev} p ON e.src = p.node JOIN outdeg o ON e.src = o.src
+    GROUP BY 1),
+{cur} AS (SELECT n.node,
+        CAST(round(0.15*%(S)d/nc.n + %(damp)r*(coalesce(c.s, 0)
+             + round(CAST(d.d AS DOUBLE)/nc.n, 0)), 0) AS BIGINT) AS r
+    FROM nodes n CROSS JOIN nc CROSS JOIN dang{i} d
+    LEFT JOIN contrib{i} c ON n.node = c.node)
+""" % {"S": S, "damp": damp}
+        prev = cur
+    sql += f"""
+SELECT node, round(CAST(r AS DOUBLE)/{S}, 9) AS pagerank
+FROM {prev} ORDER BY r DESC, node LIMIT 20
+"""
+    return sql
+
+
+@register(
+    "r_pagerank_iter3",
+    _pagerank_oracle(),
+    doc="Iterative PageRank (3 iterations, damping 0.85, dangling-mass "
+        "redistribution) over the item-transition graph (consecutive "
+        "lineitems within an order). Ranks are micro-integerized (1e-12 "
+        "units) after EVERY iteration so the parallel contribution sums "
+        "are exact integers — an iterative float algorithm with a "
+        "hash-exact oracle. Spark plan: per iteration one edge-keyed "
+        "join + one dst aggregation; dangling mass stays in-plan as a "
+        "broadcast scalar (no driver collect). At 100x scale the edge "
+        "join keys on src and AQE handles hub skew; rank state would "
+        "localCheckpoint every few iterations like components.py.",
+)
+def q_pagerank(spark, sf):
+    import math
+
+    S, damp = _PR_SCALE, 0.85
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    n = nodes.count()  # one tiny count job; n is a plan constant below
+    r0 = int(math.floor(S / n + 0.5))  # half-away round, = both engines
+    r = nodes.withColumn("r", F.lit(r0).cast("long"))
+    edges_od = edges.join(outdeg, "src")
+    for _ in range(_PR_ITERS):
+        dang = r.join(outdeg, r.node == outdeg.src, "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("d"))
+        contrib = (
+            edges_od.join(r, edges_od.src == r.node)
+            .groupBy("dst")
+            .agg(F.sum(F.round(F.col("r").cast("double") / F.col("od"), 0)
+                       .cast("long")).alias("s"))
+        )
+        r = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.round(
+                    F.lit(0.15 * S / n)
+                    + damp * (F.coalesce(F.col("s"), F.lit(0))
+                              + F.round(F.col("d").cast("double") / n, 0)), 0
+                ).cast("long").alias("r"),
+            )
+        )
+    return r.orderBy(F.col("r").desc(), "node").limit(20).select(
+        "node", F.round(F.col("r").cast("double") / S, 9).alias("pagerank"))
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
