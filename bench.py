@@ -77,6 +77,7 @@ HEADLINE = [
     "p_source_overlap_matrix", # shingle-keyed self-join, pair-bounded
     "e_cluster_inertia",       # fold-kernel codegen over vectors
     "s_rate_limit_sliding",    # double-window admission accounting
+    "r_pagerank_iter3",        # iterative graph algorithm (3 joined rounds)
 ]
 
 
