@@ -7292,10 +7292,14 @@ def q_pagerank(spark, sf):
         & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
     ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    # loop-invariant relations: materialize once instead of re-deriving
+    # the scan+self-join in every iteration's lineage (3x plan blowup)
+    nodes = nodes.localCheckpoint(eager=True)
+    outdeg = outdeg.localCheckpoint(eager=True)
+    edges_od = edges.join(outdeg, "src").localCheckpoint(eager=True)
     n = nodes.count()  # one tiny count job; n is a plan constant below
     r0 = int(math.floor(S / n + 0.5))  # half-away round, = both engines
     r = nodes.withColumn("r", F.lit(r0).cast("long"))
-    edges_od = edges.join(outdeg, "src")
     for _ in range(_PR_ITERS):
         dang = r.join(outdeg, r.node == outdeg.src, "left_anti").agg(
             F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("d"))
@@ -7316,6 +7320,9 @@ def q_pagerank(spark, sf):
                               + F.round(F.col("d").cast("double") / n, 0)), 0
                 ).cast("long").alias("r"),
             )
+            # rank state is node-sized; truncating per round keeps every
+            # iteration's plan flat (components.py discipline)
+            .localCheckpoint(eager=True)
         )
     return r.orderBy(F.col("r").desc(), "node").limit(20).select(
         "node", F.round(F.col("r").cast("double") / S, 9).alias("pagerank"))
