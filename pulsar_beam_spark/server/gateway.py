@@ -359,9 +359,11 @@ class GatewayApp:
         if not req.body:
             raise ValueError("missing topic key or topic names in body")
         doc = json.loads(req.body)
+        if not isinstance(doc, dict):
+            raise ValueError("topic key body must be a JSON object")
         tfn = doc.get("TopicFullName") or doc.get("topic_full_name") or ""
         url = doc.get("PulsarUrl") or doc.get("pulsar_url") or ""
-        if not tfn or not url:
+        if not isinstance(tfn, str) or not isinstance(url, str) or not tfn or not url:
             raise ValueError("missing topic key or topic names in body")
         return gen_key_from_names(tfn, url)
 
@@ -384,8 +386,12 @@ class GatewayApp:
             doc = json.loads(req.body)
         except json.JSONDecodeError as e:
             return _err_json(str(e), 422)
+        if not isinstance(doc, dict):
+            return _err_json("topic config must be a JSON object", 422)
         tfn = doc.get("TopicFullName") or doc.get("topic_full_name") or ""
         url = doc.get("PulsarUrl") or doc.get("pulsar_url") or ""
+        if not isinstance(tfn, str) or not isinstance(url, str):
+            return _err_json("topic names must be strings", 422)
         webhooks = [
             Webhook(
                 url=w.get("URL") or w.get("url") or "",
@@ -560,7 +566,10 @@ class _Handler(BaseHTTPRequestHandler):
                 method, parsed.path, route_vars, query,
                 HeaderMap(self.headers.items()), body, injected,
             )
-            resp = getattr(app, matched_route.handler)(req)
+            try:
+                resp = getattr(app, matched_route.handler)(req)
+            except Exception as e:  # recoverHandler parity (handlers.go:142-148)
+                resp = _err_json(f"internal error: {type(e).__name__}", 500)
             app.metrics[(matched_route.name, resp.status)] += 1
             self._send(resp)
         finally:
