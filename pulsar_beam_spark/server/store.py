@@ -53,12 +53,30 @@ def _topic_dirname(topic_fn: str) -> str:
 class TopicDirStore:
     """Append/scan message files per topic under a root directory."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, flush_interval_s: float | None = 0.5):
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._lock = threading.Lock()
         self._seq = 0
         self._pending: list[dict] = []
+        # async appends flush on this timer (SendAsync's client-internal
+        # flush in the reference); None disables — then only the next
+        # sync append or an explicit flush() drains the buffer
+        self._flush_interval_s = flush_interval_s
+        self._timer: threading.Timer | None = None
+
+    def _arm_timer_locked(self) -> None:
+        if self._flush_interval_s is None or self._timer is not None:
+            return
+        t = threading.Timer(self._flush_interval_s, self._timer_flush)
+        t.daemon = True
+        self._timer = t
+        t.start()
+
+    def _timer_flush(self) -> None:
+        with self._lock:
+            self._timer = None
+            self._flush_locked()
 
     def topic_dir(self, topic_fn: str) -> str:
         d = os.path.join(self.root, _topic_dirname(topic_fn))
@@ -95,7 +113,9 @@ class TopicDirStore:
                 "properties": list(props.items()),
             }
             self._pending.append(row)
-            if not asynchronous:
+            if asynchronous:
+                self._arm_timer_locked()
+            else:
                 self._flush_locked()
         return msg_id
 

@@ -124,3 +124,18 @@ def test_get_topic_with_empty_body_422(gw):
     _, base, _ = gw
     assert call(base, "/v2/topic", "GET", b"")[0] == 422
     assert call(base, "/v2/topic", "DELETE", b"")[0] == 422
+
+
+def test_async_append_flushes_on_timer(tmp_path):
+    import time
+
+    store = TopicDirStore(str(tmp_path / "t"), flush_interval_s=0.1)
+    store.append("persistent://t/ns/timer", b"later", asynchronous=True)
+    assert store.poll("persistent://t/ns/timer") is None  # still buffered
+    deadline = time.time() + 3
+    while time.time() < deadline:
+        out = store.poll("persistent://t/ns/timer")
+        if out is not None:
+            break
+        time.sleep(0.05)
+    assert out is not None and out["size"] == 1  # timer drained the buffer
