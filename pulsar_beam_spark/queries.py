@@ -7328,6 +7328,34 @@ def q_pagerank(spark, sf):
         "node", F.round(F.col("r").cast("double") / S, 9).alias("pagerank"))
 
 
+@register(
+    "r_degree_distribution",
+    """
+WITH edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1)
+SELECT d AS out_degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY d
+""",
+    doc="Out-degree distribution of the item-transition graph (the "
+        "power-law sanity check run before any graph algorithm — "
+        "r_pagerank_iter3's hub-skew advisory comes from exactly this "
+        "histogram): two narrow aggregations, no joins beyond the edge "
+        "build",
+)
+def q_degree_distribution(spark, sf):
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+    ).select(F.col("a.l_partkey").alias("src"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    return deg.groupBy(F.col("d").alias("out_degree")).agg(F.count("*").alias("n_nodes"))
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
