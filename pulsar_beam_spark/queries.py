@@ -7356,6 +7356,68 @@ def q_degree_distribution(spark, sf):
     return deg.groupBy(F.col("d").alias("out_degree")).agg(F.count("*").alias("n_nodes"))
 
 
+SHARED_SQL_GROUP_BY_ALL = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ALL
+"""
+
+
+@register(
+    "sql_shared_dialect_group_by_all",
+    SHARED_SQL_GROUP_BY_ALL,
+    doc="SQL entry point: GROUP BY ALL — the modern grouping shorthand, "
+        "the LITERAL SAME string through Catalyst and DuckDB",
+)
+def q_sql_group_by_all(spark, sf):
+    return run_sql(spark, sf, SHARED_SQL_GROUP_BY_ALL)
+
+
+SHARED_SQL_LATERAL = """
+SELECT n.n_name, top.ck AS top_customer, top.bal_cents
+FROM nation n, LATERAL (
+    SELECT c_custkey AS ck, CAST(round(c_acctbal*100,0) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_nationkey = n.n_nationkey
+    ORDER BY bal_cents DESC, c_custkey LIMIT 1
+) AS top
+"""
+
+
+@register(
+    "sql_shared_dialect_lateral",
+    SHARED_SQL_LATERAL,
+    doc="SQL entry point: correlated LATERAL subquery with per-row "
+        "ORDER/LIMIT (top-1-per-group as the optimizer sees it — Spark "
+        "plans a lateral join, DuckDB a dependent join), identical text "
+        "on both engines, deterministic tie-break",
+)
+def q_sql_lateral(spark, sf):
+    return run_sql(spark, sf, SHARED_SQL_LATERAL)
+
+
+@register(
+    "r_variant_shred",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+    doc="Semi-structured shredding via the Spark 4 VARIANT type: "
+        "parse_json(props) -> variant_get('$.k') typed extraction, "
+        "aggregated per event type — the open-schema ingestion path "
+        "(oracle: DuckDB JSON '->>')",
+)
+def q_variant_shred(spark, sf):
+    ev = T(spark, sf, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
