@@ -7418,6 +7418,57 @@ def q_variant_shred(spark, sf):
     )
 
 
+@register(
+    "r_basket_lift",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+nord AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+pairs AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS spair
+          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1,2),
+l AS (SELECT pa, pb, spair,
+        round(CAST(spair AS DOUBLE)*n / (CAST(sa.s AS DOUBLE)*sb.s), 6) AS lift
+      FROM pairs JOIN sup sa ON sa.pk = pa JOIN sup sb ON sb.pk = pb CROSS JOIN nord
+      WHERE spair >= 3)
+SELECT pa, pb, spair, lift FROM l ORDER BY lift DESC, pa, pb LIMIT 20
+""",
+    doc="Association-rule lift on top of r_market_basket's co-occurrence "
+        "counts: P(ab)/(P(a)P(b)) over order baskets, min-support 3, "
+        "top-20 with deterministic tie-break — exact integer supports, "
+        "one double division at the end. Same basket-keyed self-join "
+        "plan as the co-occurrence entry (pair space bounded by "
+        "basket-size^2 per order).",
+)
+def q_basket_lift(spark, sf):
+    li = T(spark, sf, "lineitem")
+    items = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    nord = items.agg(F.countDistinct("ok").alias("n"))
+    sup = items.groupBy("pk").agg(F.count("*").alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count("*").alias("spair"))
+        .filter(F.col("spair") >= 3)
+    )
+    sa = sup.select(F.col("pk").alias("pa"), F.col("s").alias("sa"))
+    sb = sup.select(F.col("pk").alias("pb"), F.col("s").alias("sb"))
+    return (
+        # sup is |parts|-sized: let AQE choose broadcast at small SF;
+        # at 100 TB these become shuffle joins on the (tiny) filtered
+        # pair set — do NOT force broadcast
+        pairs.join(sa, "pa").join(sb, "pb")
+        .crossJoin(F.broadcast(nord))
+        .select(
+            "pa", "pb", "spair",
+            F.round(F.col("spair").cast("double") * F.col("n")
+                    / (F.col("sa").cast("double") * F.col("sb")), 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(20)
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
