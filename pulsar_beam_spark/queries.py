@@ -7469,6 +7469,32 @@ def q_basket_lift(spark, sf):
     )
 
 
+@register(
+    "r21_except_intersect_all",
+    """
+WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE year(o_orderdate) = 1996),
+b AS (SELECT o_orderpriority AS p FROM orders WHERE year(o_orderdate) = 1997),
+ea AS (SELECT p FROM a EXCEPT ALL SELECT p FROM b),
+ia AS (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+SELECT 'except_all' AS op, p, CAST(count(*) AS BIGINT) AS n FROM ea GROUP BY 2
+UNION ALL
+SELECT 'intersect_all' AS op, p, CAST(count(*) AS BIGINT) AS n FROM ia GROUP BY 2
+""",
+    doc="R21 depth: EXCEPT ALL / INTERSECT ALL multiset semantics "
+        "(duplicate-preserving set ops — Spark exceptAll/intersectAll), "
+        "aggregated to per-value multiplicities for a stable compare",
+)
+def q_except_intersect_all(spark, sf):
+    o = T(spark, sf, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_orderpriority").alias("p"))
+    b = o.filter(F.year("o_orderdate") == 1997).select(F.col("o_orderpriority").alias("p"))
+    ea = a.exceptAll(b).groupBy("p").agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "p", "n")
+    ia = a.intersectAll(b).groupBy("p").agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "p", "n")
+    return ea.unionByName(ia)
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
