@@ -5729,27 +5729,7 @@ def q_vocab_coverage(spark, sf):
 # == round-4 wave 5: hierarchy / allocation / calendar / regression ======
 
 
-def _root_chase(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Iterative functional-graph root chase: (node) x (e_child, e_parent)
-    -> (node, root, depth). O(depth) left-joins with localCheckpoint
-    lineage truncation per round; see q_reachability doc for the
-    pointer-doubling upgrade path."""
-    cur = nodes.select("node", F.col("node").alias("anc"), F.lit(0).alias("depth"))
-    while True:
-        stepped = (
-            cur.join(edges, cur.anc == edges.e_child, "left")
-            .select(
-                "node",
-                F.coalesce("e_parent", "anc").alias("anc"),
-                (F.col("depth") + F.col("e_parent").isNotNull().cast("int")).alias("depth"),
-                F.col("e_parent").isNotNull().alias("moved"),
-            )
-            .localCheckpoint(eager=True)  # truncate the per-iteration lineage
-        )
-        cur = stepped.drop("moved")
-        if stepped.filter("moved").isEmpty():
-            break  # no row moved -> every chain reached its root
-    return cur.select("node", F.col("anc").alias("root"), F.col("depth").cast("int").alias("depth"))
+from .operators.graph import root_chase as _root_chase  # O(depth) chase; root_doubling is the O(log d) scale path
 
 
 def _part_forest(spark, sf):
@@ -5777,10 +5757,10 @@ FROM walk WHERE anc < 10
     doc="Transitive closure over a functional graph (each part's parent is "
         "partkey//10, a decimal-digit forest): iterative left-join "
         "root-chase with localCheckpoint lineage truncation, O(depth) "
-        "joins — vs DuckDB WITH RECURSIVE. Pointer-doubling (compose the "
-        "reach relation with itself, O(log depth) rounds) is the drop-in "
-        "upgrade for deep graphs, same loop shape as "
-        "operators/components.py large-star/small-star.",
+        "joins — vs DuckDB WITH RECURSIVE. Pointer-doubling (operators/graph.root_doubling, "
+        "O(log depth) rounds, property-tested logarithmic on a depth-255 "
+        "chain) is the implemented scale path for deep graphs; "
+        "find_roots dispatches on expected depth like dedup_clusters.",
 )
 def q_reachability(spark, sf):
     part, edges = _part_forest(spark, sf)
