@@ -128,8 +128,10 @@ class Route:
     auth: str  # "jwt" | "header" | "none"
 
     def regex(self) -> re.Pattern:
-        rx = re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", self.pattern)
-        return re.compile("^" + rx + "$")
+        if not hasattr(self, "_rx"):
+            rx = re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", self.pattern)
+            self._rx = re.compile("^" + rx + "$")
+        return self._rx
 
 
 TOKEN_SERVER_ROUTES = [
