@@ -7475,6 +7475,43 @@ def q_except_intersect_all(spark, sf):
     return ea.unionByName(ia)
 
 
+_DIFF_BASE = "/root/testdata/sf0.001"
+
+
+@register(
+    "l_dataset_diff",
+    f"""
+WITH v1 AS (SELECT doc_id, md5(text) AS h FROM read_parquet('{_DIFF_BASE}/documents.parquet')),
+v2 AS (SELECT doc_id, md5(text) AS h FROM documents),
+j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, v1.h AS h1, v2.h AS h2
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+SELECT CAST(count(CASE WHEN h1 IS NULL THEN 1 END) AS BIGINT) AS n_added,
+       CAST(count(CASE WHEN h2 IS NULL THEN 1 END) AS BIGINT) AS n_removed,
+       CAST(count(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 != h2 THEN 1 END) AS BIGINT) AS n_changed,
+       CAST(count(CASE WHEN h1 = h2 THEN 1 END) AS BIGINT) AS n_unchanged
+FROM j
+""",
+    doc="Dataset-version diff audit (the CDC / release-notes shape: what "
+        "changed between corpus v1 and v2): full-outer join on the key, "
+        "md5 content compare, added/removed/changed/unchanged counts. "
+        "v1 is pinned to the sf0.001 fixture so the entry exercises a "
+        "REAL cross-version diff at every driver scale. At lake scale "
+        "both sides bucket on the key and the join is shuffle-free.",
+)
+def q_dataset_diff(spark, sf):
+    v1 = load_table(spark, _DIFF_BASE, "documents").select(
+        "doc_id", F.md5("text").alias("h1"))
+    v2 = T(spark, sf, "documents").select("doc_id", F.md5("text").alias("h2"))
+    j = v1.join(v2, "doc_id", "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("h1").isNull(), 1)).alias("n_added"),
+        F.count(F.when(F.col("h2").isNull(), 1)).alias("n_removed"),
+        F.count(F.when(F.col("h1").isNotNull() & F.col("h2").isNotNull()
+                       & (F.col("h1") != F.col("h2")), 1)).alias("n_changed"),
+        F.count(F.when(F.col("h1") == F.col("h2"), 1)).alias("n_unchanged"),
+    )
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
