@@ -7512,6 +7512,50 @@ def q_dataset_diff(spark, sf):
     )
 
 
+@register(
+    "r_autocorr_daily",
+    """
+WITH d AS (SELECT date_trunc('day', ts) AS day,
+                  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1),
+p AS (SELECT v AS x, lead(v) OVER (ORDER BY day) AS y FROM d),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+      FROM p WHERE y IS NOT NULL)
+SELECT n,
+       round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+             / sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                    * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6) AS autocorr_lag1
+FROM m
+""",
+    doc="Lag-1 autocorrelation of the daily value series (the time-series "
+        "diagnostics scalar behind seasonality/trend alarms): Pearson r "
+        "on (x_t, x_{t+1}) pairs from exact integer moments in cents "
+        "(cent not micro scaling keeps x*x inside BIGINT at sf0.1+)",
+)
+def q_autocorr_daily(spark, sf):
+    ev = T(spark, sf, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
+    w = Window.orderBy("day")
+    p = d.select(F.col("v").alias("x"), F.lead("v").over(w).alias("y")).filter(
+        F.col("y").isNotNull())
+    m = p.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select("n", F.round(num / den, 6).alias("autocorr_lag1"))
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
