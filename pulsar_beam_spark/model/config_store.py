@@ -352,4 +352,18 @@ class FileConfigStore(_CrudByNamesMixin):
         return list(self._iter_docs())
 
 
+def snapshot_df(spark: SparkSession, store) -> DataFrame:
+    """Build the TOPIC_CONFIG_SCHEMA snapshot DataFrame from ANY Crud
+    backend's ``load()`` — so the reconciler (streaming/reconciler.py)
+    can run off the in-memory or file-backed stores (the gateway's
+    default) exactly as it does off ConfigStore.snapshot()."""
+    rows = []
+    for doc in store.load():
+        doc = dict(doc)
+        doc["webhooks"] = [tuple(w.values()) if isinstance(w, dict) else tuple(w)
+                           for w in doc.get("webhooks") or []]
+        rows.append(doc)
+    return spark.createDataFrame(rows, TOPIC_CONFIG_SCHEMA)
+
+
 _ = asdict  # (dataclass helper retained for API users)

@@ -108,3 +108,82 @@ def test_reply_loop_through_live_gateway(spark, tmp_path):
         assert all(dict(r["properties"]).get("PulsarBeamId") for r in rows)
     finally:
         httpd.shutdown()
+
+
+def test_http_config_driven_delivery_lifecycle(spark, tmp_path):
+    """The reference's PRODUCTION control plane over real HTTP: a webhook
+    config registered via POST /v2/topic makes the reconciler start a
+    delivery query whose webhook target re-produces onto topic B through
+    the gateway; DELETE /v2/topic stops it on the next tick."""
+    from pyspark.sql import functions as SF
+
+    from pulsar_beam_spark.model.config_store import snapshot_df
+    from pulsar_beam_spark.model.message import MESSAGE_SCHEMA
+    from pulsar_beam_spark.streaming.delivery import WebhookSink, deliver_stream
+    from pulsar_beam_spark.streaming.reconciler import Reconciler
+
+    app = GatewayApp(
+        config_store=InMemoryConfigStore(),
+        message_store=TopicDirStore(str(tmp_path / "topics")),
+        keys=None,
+        allowed_clusters=[PULSAR_URL],
+        mode="hybrid",
+        auth_impl="noauth",
+    )
+    httpd = make_server(app)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        # 1. control plane: register topic A with a webhook whose target
+        #    is the gateway's own firehose, re-addressed to topic B
+        cfg = json.dumps({
+            "TopicFullName": TOPIC_A,
+            "PulsarUrl": PULSAR_URL,
+            "Webhooks": [{
+                "URL": base + "/v1/firehose",
+                "Subscription": "lifecycle-sub",
+                "InitialPosition": "earliest",
+                "Headers": [f"TopicFn: {TOPIC_B}", f"PulsarUrl: {PULSAR_URL}"],
+            }],
+        }).encode()
+        req = urllib.request.Request(base + "/v2/topic", data=cfg, method="POST")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            assert resp.status == 201
+            key = json.loads(resp.read())["key"]
+
+        # 2. data plane: three messages into topic A over HTTP
+        for i in range(3):
+            r = urllib.request.Request(
+                base + "/v1/firehose", data=f'{{"i": {i}}}'.encode(), method="POST",
+                headers={"TopicFn": TOPIC_A, "PulsarUrl": PULSAR_URL})
+            assert urllib.request.urlopen(r, timeout=10).status == 200
+
+        # 3. reconciler tick: desired (HTTP-registered config) vs running
+        def start_fn(row, ckpt):
+            stream = (
+                spark.readStream.schema(MESSAGE_SCHEMA)
+                .parquet(app.message_store.topic_dir(row["topic_full_name"]))
+                .filter(SF.col("topic") == row["topic_full_name"])
+            )
+            sink = WebhookSink(row["url"], headers=row["headers"] or [])
+            return deliver_stream(stream, sink, ckpt, query_name="lifecycle-delivery")
+
+        rec = Reconciler(spark, str(tmp_path / "ckpts"), start_fn)
+        started, _ = rec.reconcile(snapshot_df(spark, app.config_store))
+        assert len(started) == 1
+        rec.running[started[0]].processAllAvailable()
+
+        # 4. the deliveries re-produced onto topic B; read them back over HTTP
+        req = urllib.request.Request(base + "/v2/poll/persistent/tenant1/ns1/egress")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            out = json.loads(resp.read())
+        assert out["size"] == 3
+        assert sorted(json.loads(m["payload"])["i"] for m in out["messages"]) == [0, 1, 2]
+
+        # 5. DELETE the config -> next tick stops the query
+        req = urllib.request.Request(base + f"/v2/topic/{key}", method="DELETE")
+        assert urllib.request.urlopen(req, timeout=10).status == 200
+        _, stopped = rec.reconcile(snapshot_df(spark, app.config_store))
+        assert len(stopped) == 1 and not rec.running
+    finally:
+        httpd.shutdown()
