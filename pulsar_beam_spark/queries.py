@@ -7634,7 +7634,29 @@ _ROUND3_VERIFIED = frozenset({
     "r_interval_union_days", "r_percent_of_total", "r_ohlc_bars",
 })
 
-_DRIVER_VERIFIED = _ROUND1_VERIFIED | _ROUND2_VERIFIED | _ROUND3_VERIFIED
+# Round-4 driver-green rows (CORRECTNESS_r04.json, hash_match=true; 48/48
+# oracle-bearing entries in the window were green, zero reds).
+_ROUND4_VERIFIED = frozenset({
+    "s_ann_recall_audit", "r_gaps_islands", "r_mode_per_group",
+    "r_weighted_median", "r_string_agg", "r_regexp_extract_all",
+    "r_bitmap_flags", "r_asof_nearest", "r_null_impute_group_mean",
+    "r_pareto_cut", "r_yoy_growth", "r_interp_linear", "r_rolling_zscore",
+    "r_triangle_count", "t_bigram_top", "t_sentence_stats",
+    "e_centroid_assign", "e_norm_audit", "p_dataset_card",
+    "d_jaccard_containment", "p_token_budget_split", "l_partition_manifest",
+    "r_running_distinct", "sql_shared_dialect_filter_agg",
+    "r_rfm_segmentation", "r_streak_detection", "r_cusum_drift",
+    "t_char_class_profile", "p_quality_gate_funnel", "d_exact_hash_clusters",
+    "e_cosine_histogram", "g_message_size_audit", "r_quartile_bands",
+    "r_lead_time_buckets", "r_self_excluding_agg", "t_readability",
+    "r_coverage_pct", "r_keyset_pagination", "r_benford_digits",
+    "r_min_max_scale", "t_vocab_coverage", "r_reachability",
+    "r_topk_with_ties", "r_largest_remainder", "r_business_days",
+    "r_rank_delta", "r_regr_grouped", "e_dim_stats",
+})
+
+_DRIVER_VERIFIED = (_ROUND1_VERIFIED | _ROUND2_VERIFIED | _ROUND3_VERIFIED
+                    | _ROUND4_VERIFIED)
 
 
 def _driver_order() -> list[str]:
@@ -7649,6 +7671,8 @@ def _driver_order() -> list[str]:
         "d_simhash_near_dup", "s_ann_lsh_topk",
         # round-3 rows-only rows (CORRECTNESS_r03.json, err=no_oracle)
         "m_media_features", "s_ann_ivf_topk", "r13_approx_percentile",
+        # round-4 rows-only rows (CORRECTNESS_r04.json, err=no_oracle)
+        "m_resize_media", "r13_hll_mergeable",
     })
     no_oracle = sorted(
         (n for n, s in REGISTRY.items() if s.oracle is None),
