@@ -17,6 +17,12 @@ topic used as a table* (src/db/pulsardb.go). Here:
   reference's Mongo backend (src/db/mongo.go:92-258 — a keyed document
   collection with InsertOne/FindOne/$set-upsert/DeleteOne), completing
   the reference's three-backend plurality behind one Crud API.
+- ``DbApiConfigStore`` — the same keyed-document model on a real server
+  database through any PEP 249 driver (sqlite3 bundled, Postgres/MySQL
+  by injection) — the *network-database* analogue of Mongo.
+- ``RemoteConfigStore`` (model/remote_store.py) — a TCP client to a
+  ``ConfigStoreServer`` wrapping any of these backends, mirroring the
+  reference's client/server split (app -> mongod over the wire).
 
 All backends also expose the reference's full Crud surface
 (src/db/interface.go:15-25): ``create`` (dup-create fails, the
@@ -350,6 +356,109 @@ class FileConfigStore(_CrudByNamesMixin):
 
     def load(self) -> list[dict]:
         return list(self._iter_docs())
+
+
+class DbApiConfigStore(_CrudByNamesMixin):
+    """Server-database Crud backend over any PEP 249 (DB-API 2.0) driver —
+    the functional analogue of the reference's Mongo backend
+    (src/db/mongo.go:98-258: a network database holding one document per
+    key, unique-key insert, $set upsert, DeleteOne).  Documents are stored
+    as one JSON row per key in a ``topic_config`` table, so the backend
+    works unchanged against sqlite3 (bundled; used in tests), Postgres
+    (psycopg), MySQL, or anything else DB-API-shaped — the driver is
+    injected, never imported here.
+
+    Same semantics as the other backends: upsert replaces, delete removes
+    the row (no tombstone), and the monotonic version sequence resumes
+    from ``max(version)`` on reopen (ConfigStore._max_version analogue,
+    here computed by the database itself).  Writes run in a transaction;
+    the per-store lock serializes writers within this process, and the
+    table's PRIMARY KEY enforces one-doc-per-key across processes.
+    """
+
+    def __init__(self, conn, paramstyle: str = "qmark", table: str = "topic_config"):
+        import threading
+
+        if not table.replace("_", "").isalnum():
+            raise ValueError(f"malformed table name: {table!r}")
+        self._conn = conn
+        self._table = table
+        self._ph = "?" if paramstyle == "qmark" else "%s"
+        self._lock = threading.Lock()
+        cur = conn.cursor()
+        cur.execute(
+            f"CREATE TABLE IF NOT EXISTS {table} ("
+            "key VARCHAR PRIMARY KEY, version BIGINT NOT NULL, doc TEXT NOT NULL)"
+        )
+        conn.commit()
+
+    @classmethod
+    def sqlite(cls, path: str) -> "DbApiConfigStore":
+        """Convenience constructor over the bundled sqlite3 driver.
+        ``check_same_thread=False`` + the store lock lets the gateway's
+        worker threads share the connection (sqlite3 default refuses)."""
+        import sqlite3
+
+        return cls(sqlite3.connect(path, check_same_thread=False))
+
+    def _next_version(self, cur) -> int:
+        cur.execute(f"SELECT coalesce(max(version), 0) FROM {self._table}")
+        return int(cur.fetchone()[0]) + 1
+
+    def update(
+        self,
+        topic_full_name: str,
+        pulsar_url: str,
+        webhooks: list[Webhook] | None = None,
+        token: str = "",
+        tenant: str = "",
+        notes: str | None = None,
+        topic_status: int = int(TopicStatus.ACTIVATED),
+    ) -> str:
+        import json
+
+        webhooks = webhooks or []
+        key = validate_topic_config(topic_full_name, pulsar_url, webhooks)
+        with self._lock:
+            cur = self._conn.cursor()
+            doc = _config_doc(key, topic_full_name, pulsar_url, webhooks, token,
+                              tenant, notes, topic_status, _now(),
+                              self._next_version(cur))
+            payload = json.dumps(FileConfigStore._to_json(doc))
+            ph = self._ph
+            # portable upsert: DELETE + INSERT in one transaction (Mongo's
+            # $set-upsert; avoids dialect-specific ON CONFLICT syntax)
+            cur.execute(f"DELETE FROM {self._table} WHERE key = {ph}", (key,))
+            cur.execute(
+                f"INSERT INTO {self._table} (key, version, doc) VALUES ({ph}, {ph}, {ph})",
+                (key, doc["version"], payload),
+            )
+            self._conn.commit()
+        return key
+
+    def get_by_key(self, key: str) -> dict | None:
+        import json
+
+        cur = self._conn.cursor()
+        cur.execute(f"SELECT doc FROM {self._table} WHERE key = {self._ph}", (key,))
+        row = cur.fetchone()
+        return FileConfigStore._from_json(json.loads(row[0])) if row else None
+
+    def delete_by_key(self, key: str) -> None:
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(f"DELETE FROM {self._table} WHERE key = {self._ph}", (key,))
+            n = cur.rowcount
+            self._conn.commit()
+        if n == 0:
+            raise KeyError(key)
+
+    def load(self) -> list[dict]:
+        import json
+
+        cur = self._conn.cursor()
+        cur.execute(f"SELECT doc FROM {self._table} ORDER BY key")
+        return [FileConfigStore._from_json(json.loads(r[0])) for r in cur.fetchall()]
 
 
 def snapshot_df(spark: SparkSession, store) -> DataFrame:

@@ -115,15 +115,26 @@ def test_validate_topic_config_returns_key():
         validate_topic_config("persistent://a/b/c", "http://not-pulsar", [])
 
 
-@pytest.fixture(params=["parquet", "memory", "file"])
+@pytest.fixture(params=["parquet", "memory", "file", "dbapi", "remote"])
 def config_store(request, spark, tmp_path):
     from pulsar_beam_spark.model.config_store import (
-        ConfigStore, FileConfigStore, InMemoryConfigStore)
+        ConfigStore, DbApiConfigStore, FileConfigStore, InMemoryConfigStore)
 
     if request.param == "parquet":
         return ConfigStore(spark, str(tmp_path / "cfg"))
     if request.param == "file":
         return FileConfigStore(str(tmp_path / "docs"))
+    if request.param == "dbapi":
+        return DbApiConfigStore.sqlite(str(tmp_path / "cfg.db"))
+    if request.param == "remote":
+        from pulsar_beam_spark.model.remote_store import (
+            ConfigStoreServer, RemoteConfigStore)
+
+        srv = ConfigStoreServer(InMemoryConfigStore()).start_background()
+        client = RemoteConfigStore(*srv.address)
+        request.addfinalizer(client.close)
+        request.addfinalizer(srv.shutdown)
+        return client
     return InMemoryConfigStore()
 
 
@@ -195,6 +206,71 @@ def test_file_config_store_reopen_resumes_version(tmp_path):
     s2.update("persistent://t/ns/a", "pulsar://c:6650", [], notes="third")
     doc = s2.get_by_key(k)
     assert doc["notes"] == "third" and doc["version"] == 3
+
+
+def test_dbapi_store_reopen_resumes_version(tmp_path):
+    """Server-DB persistence: a second connection to the same database
+    sees prior documents and resumes the version sequence — the Mongo
+    restart contract, here enforced by the database's max(version)."""
+    from pulsar_beam_spark.model.config_store import DbApiConfigStore
+
+    p = str(tmp_path / "cfg.db")
+    s1 = DbApiConfigStore.sqlite(p)
+    k = s1.update("persistent://t/ns/a", "pulsar://c:6650", [], notes="first")
+    s1.update("persistent://t/ns/b", "pulsar://c:6650", [], notes="second")
+
+    s2 = DbApiConfigStore.sqlite(p)
+    assert len(s2.load()) == 2
+    s2.update("persistent://t/ns/a", "pulsar://c:6650", [], notes="third")
+    doc = s2.get_by_key(k)
+    assert doc["notes"] == "third" and doc["version"] == 3
+
+
+def test_remote_store_concurrent_create_one_winner(tmp_path):
+    """Two clients racing create() on one key: exactly one wins — the
+    dup-key check runs under the server's lock (the reference relies on
+    Mongo's unique-index insert for this, src/db/mongo.go:150-160)."""
+    import threading
+
+    from pulsar_beam_spark.model.config_store import (
+        DbApiConfigStore, DocAlreadyExisted)
+    from pulsar_beam_spark.model.remote_store import (
+        ConfigStoreServer, RemoteConfigStore)
+
+    srv = ConfigStoreServer(
+        DbApiConfigStore.sqlite(str(tmp_path / "cfg.db"))).start_background()
+    try:
+        outcomes = []
+
+        def racer():
+            c = RemoteConfigStore(*srv.address)
+            try:
+                c.create("persistent://t/ns/race", "pulsar://c:6650", [])
+                outcomes.append("won")
+            except DocAlreadyExisted:
+                outcomes.append("dup")
+            finally:
+                c.close()
+
+        threads = [threading.Thread(target=racer) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sorted(outcomes) == ["dup", "dup", "dup", "won"]
+
+        # webhook round-trip fidelity over the wire
+        c = RemoteConfigStore(*srv.address)
+        c.update("persistent://t/ns/race", "pulsar://c:6650",
+                 [Webhook("http://hook.example.com/cb", "mysub03",
+                          subscription_type="shared", headers=["X-A: 1"])])
+        doc = c.get_by_topic("persistent://t/ns/race", "pulsar://c:6650")
+        assert doc["webhooks"][0][0] == "http://hook.example.com/cb"
+        assert doc["webhooks"][0][1] == ["X-A: 1"]
+        assert doc["webhooks"][0][3] == "shared"
+        c.close()
+    finally:
+        srv.shutdown()
 
 
 def test_tenant_predicate_truth_table(spark):
