@@ -612,10 +612,83 @@ class _Handler(BaseHTTPRequestHandler):
         self._dispatch("DELETE")
 
 
-def make_server(app: GatewayApp, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+class CertReloader:
+    """Hot-reloading TLS server context — the analogue of the reference's
+    cert loader (src/util/cert-loader.go:63-125: a file watcher reloads
+    the X509 pair and every new handshake picks up the fresh cert via
+    tls.Config.GetCertificate).
+
+    Here the per-handshake hook is ``ssl``'s SNI callback: it stats the
+    cert/key files and, when either mtime moved, loads a replacement
+    context and swaps it onto the in-flight handshake — so certs rotate
+    with zero downtime and no listener restart.  ``reload()`` is the
+    explicit form for a SIGHUP handler (clients that connect by bare IP
+    send no SNI, so the signal path covers them too).  Like the
+    reference (`only update X509 key pair when both cert and key files
+    are updated` — cert-loader.go:84-101), a half-written rotation is
+    harmless: load_cert_chain fails on a mismatched pair and the
+    previous context stays active.
+    """
+
+    def __init__(self, certfile: str, keyfile: str):
+        import os
+
+        self.certfile, self.keyfile = certfile, keyfile
+        self._os = os
+        self._mtimes: tuple[int, int] | None = None
+        self._ctx = self._load()
+
+    def _stat(self) -> tuple[int, int]:
+        return (self._os.stat(self.certfile).st_mtime_ns,
+                self._os.stat(self.keyfile).st_mtime_ns)
+
+    def _load(self):
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.minimum_version = ssl.TLSVersion.TLSv1_2  # MinVersion parity
+        ctx.load_cert_chain(self.certfile, self.keyfile)
+        ctx.sni_callback = self._sni
+        self._mtimes = self._stat()
+        return ctx
+
+    def reload(self) -> None:
+        self._ctx = self._load()
+
+    def maybe_reload(self) -> bool:
+        try:
+            if self._stat() != self._mtimes:
+                self._ctx = self._load()
+                return True
+        except OSError:
+            pass  # mid-rotation; next handshake retries
+        return False
+
+    def _sni(self, sslobj, server_name, ctx) -> None:
+        self.maybe_reload()
+        sslobj.context = self._ctx
+
+    @property
+    def context(self):
+        return self._ctx
+
+
+def make_server(app: GatewayApp, host: str = "127.0.0.1", port: int = 0,
+                certfile: str | None = None, keyfile: str | None = None) -> ThreadingHTTPServer:
     """Bind the app; port 0 picks an ephemeral port (server.server_address
-    has the real one). Caller runs serve_forever in a thread."""
+    has the real one). Caller runs serve_forever in a thread.
+
+    With ``certfile``/``keyfile`` the listener serves HTTPS through a
+    ``CertReloader`` (exposed as ``httpd.cert_reloader`` for the SIGHUP
+    hook); without them it serves plain HTTP — the exact switch the
+    reference's ListenAndServeTLS makes (src/util/cert-loader.go:63-68).
+    """
     handler = type("BoundHandler", (_Handler,), {"app": app})
     httpd = ThreadingHTTPServer((host, port), handler)
     httpd.daemon_threads = True
+    httpd.cert_reloader = None
+    if certfile and keyfile:
+        reloader = CertReloader(certfile, keyfile)
+        httpd.socket = reloader.context.wrap_socket(httpd.socket, server_side=True)
+        httpd.cert_reloader = reloader
     return httpd
