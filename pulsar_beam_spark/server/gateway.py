@@ -142,6 +142,19 @@ PROMETHEUS_ROUTE = [
     Route("Prometheus metrics", "GET", "/metrics", "handle_metrics", "none"),
 ]
 
+# Runtime-introspection routes, bound in EVERY mode like the reference's
+# PprofRoute (routes.go:45-82, prepended in GetEffectiveRoutes
+# router.go:38-41).  Go's pprof profiles don't exist in CPython, so the
+# endpoints carry the Python-runtime equivalents: a route dump, the
+# process cmdline (pprof.Cmdline parity), and a full thread stack dump
+# (the goroutine-profile analogue).
+DEBUG_ROUTES = [
+    Route("Debug Index", "GET", "/debug/pprof/", "handle_debug_index", "none"),
+    Route("Debug Cmdline", "GET", "/debug/pprof/cmdline", "handle_debug_cmdline", "none"),
+    Route("Debug Threads", "GET", "/debug/pprof/threads", "handle_debug_threads", "none"),
+    Route("Debug Routes", "GET", "/debug/routes", "handle_debug_routes", "none"),
+]
+
 RECEIVER_ROUTES = [
     Route("status", "GET", "/status", "handle_status", "header"),
     Route("Receive", "POST", "/v1/firehose", "handle_receive", "none"),
@@ -178,8 +191,8 @@ REST_ROUTES = [
 
 
 def effective_routes(mode: str) -> list[Route]:
-    """GetEffectiveRoutes parity (router.go:38-57); the pprof routes are
-    Go-runtime-specific and intentionally omitted."""
+    """GetEffectiveRoutes parity (router.go:38-57), including the
+    debug/introspection routes every mode gets (router.go:39-41)."""
     if mode == HYBRID:
         routed = RECEIVER_ROUTES + REST_ROUTES
     elif mode == RECEIVER:
@@ -192,7 +205,7 @@ def effective_routes(mode: str) -> list[Route]:
         routed = RECEIVER_ROUTES + TOKEN_SERVER_ROUTES
     else:
         routed = list(REST_ROUTES)
-    return PROMETHEUS_ROUTE + routed
+    return DEBUG_ROUTES + PROMETHEUS_ROUTE + routed
 
 
 # -- the app ------------------------------------------------------------
@@ -253,6 +266,46 @@ class GatewayApp:
                 f'pulsar_beam_requests_total{{route="{name}",code="{code}"}} {n}'
             )
         return Response(200, "\n".join(lines) + "\n", content_type="text/plain; version=0.0.4")
+
+    def handle_debug_index(self, req: "Request") -> "Response":
+        body = (
+            "/debug/pprof/\n"
+            "profiles available on this Python runtime:\n"
+            "  cmdline  - process command line (/debug/pprof/cmdline)\n"
+            "  threads  - stack dump of all live threads (/debug/pprof/threads)\n"
+            "  routes   - bound route table (/debug/routes)\n"
+        )
+        return Response(200, body, content_type="text/plain; charset=utf-8")
+
+    def handle_debug_cmdline(self, req: "Request") -> "Response":
+        import sys
+
+        # pprof.Cmdline returns argv NUL-separated; text/plain mirrors it
+        return Response(200, "\x00".join(sys.argv),
+                        content_type="text/plain; charset=utf-8")
+
+    def handle_debug_threads(self, req: "Request") -> "Response":
+        """Goroutine-profile analogue: name + current stack of every live
+        thread (sys._current_frames, the same source faulthandler uses)."""
+        import sys
+        import traceback
+
+        frames = sys._current_frames()
+        by_id = {t.ident: t for t in threading.enumerate()}
+        chunks = []
+        for ident, frame in sorted(frames.items()):
+            t = by_id.get(ident)
+            name = t.name if t else "?"
+            daemon = " daemon" if t is not None and t.daemon else ""
+            chunks.append(f"thread {ident} [{name}]{daemon}:\n"
+                          + "".join(traceback.format_stack(frame)))
+        return Response(200, "\n".join(chunks),
+                        content_type="text/plain; charset=utf-8")
+
+    def handle_debug_routes(self, req: "Request") -> "Response":
+        return Response(200, json.dumps([
+            {"name": r.name, "method": r.method, "pattern": r.pattern,
+             "auth": r.auth} for r in self.routes]))
 
     def handle_token_subject(self, req: "Request") -> "Response":
         subject = req.vars.get("sub")

@@ -296,6 +296,29 @@ def test_metrics_endpoint(gateway, keypair):
     assert b'pulsar_beam_requests_total{route="status",code="200"}' in body
 
 
+def test_debug_endpoints(gateway):
+    """routes.go:45-82 parity: every mode binds the debug routes with
+    NoAuth; the thread dump is the goroutine-profile analogue."""
+    app, base = gateway
+    code, body = call(base, "/debug/routes")
+    assert code == 200
+    routes = json.loads(body)
+    assert {"name": "Prometheus metrics", "method": "GET",
+            "pattern": "/metrics", "auth": "none"} in routes
+    assert len(routes) == len(app.routes)
+
+    code, body = call(base, "/debug/pprof/cmdline")
+    assert code == 200 and b"\x00" in body or b"pytest" in body or body
+
+    code, body = call(base, "/debug/pprof/threads")
+    assert code == 200
+    # the serving thread itself must appear, stack and all
+    assert b"thread " in body and b"handle_debug_threads" in body
+
+    code, body = call(base, "/debug/pprof/")
+    assert code == 200 and b"threads" in body
+
+
 def test_rate_limit_429(gateway):
     app, base = gateway
     app.rate.acquire()  # saturate
@@ -323,7 +346,9 @@ def test_mode_route_sets():
     assert "/v2/topic" not in names("receiver")
     assert "/subject/{sub}" in names("http") and "/subject/{sub}" in names("http2")
     assert "/v2/topic" not in names("http2")
-    assert names("tokenserver") == {"/metrics", "/subject/{sub}"}
+    assert names("tokenserver") == {
+        "/debug/pprof/", "/debug/pprof/cmdline", "/debug/pprof/threads",
+        "/debug/routes", "/metrics", "/subject/{sub}"}
     assert "/v1/firehose" not in names("rest")
 
 
@@ -360,6 +385,8 @@ def test_cli_build_app(tmp_path):
     ])
     assert args.mode == "receiver"
     assert {r.pattern for r in app.routes} == {
+        "/debug/pprof/", "/debug/pprof/cmdline", "/debug/pprof/threads",
+        "/debug/routes",
         "/metrics", "/status", "/v1/firehose",
         "/v2/firehose/{persistent}/{tenant}/{namespace}/{topic}",
         "/v2/sse/{persistent}/{tenant}/{namespace}/{topic}",
