@@ -145,6 +145,35 @@ def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     return params
 
 
+# The engine-portable hash family: xxhash64 is Spark-private, so the
+# cross-engine-checkable MinHash variant derives everything from md5
+# (bit-identical in Spark, DuckDB, Python — the same portability argument
+# as operators/sampling.py's stable bucketing).  The hash space is the
+# Mersenne prime 2^31-1 so (a*h + b) stays < 2^62: EXACT in 64-bit
+# integers in every engine — no wraparound semantics to reproduce.
+_P31 = 2_147_483_647  # 2^31 - 1
+_HEX15 = 15  # md5 prefix length: 60 bits, safely inside BIGINT
+
+
+def _hash_params31(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """(a, b) pairs in [1, 2^31-1) — same LCG recurrence as
+    ``_hash_params`` reduced to the portable 31-bit space."""
+    params = []
+    a, b = seed * 2 + 1, seed + 7
+    for _ in range(num_hashes):
+        a = (a * 1103515245 + 12345) % _P31
+        b = (b * 69069 + 1) % _P31
+        params.append((a or 1, b))
+    return params
+
+
+def _portable_hash31(col) -> "F.Column":
+    """md5-prefix hash of a string column into [0, 2^31-1) — identical in
+    DuckDB as ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 2147483647``."""
+    hex_prefix = F.substring(F.md5(col.cast("binary")), 1, _HEX15)
+    return F.pmod(F.conv(hex_prefix, 16, 10).cast("long"), F.lit(_P31))
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -152,6 +181,7 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature as ``array<bigint>`` of length num_hashes.
 
@@ -171,38 +201,55 @@ def minhash_signatures(
         doc_shingle_arrays(spread_small_input(docs), id_col, text_col, n),
         ["id"], F.col("shset"), "shingle",
     )
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    if portable:
+        # cross-engine-checkable variant: md5-based base hash and 31-bit
+        # parameters keep every product exact in 64-bit — a DuckDB oracle
+        # recomputes these signatures bit-for-bit (queries.py
+        # d_minhash_lsh_near_dup)
+        h = _portable_hash31(F.col("shingle"))
+        params = _hash_params31(num_hashes, seed)
+        modulus = _P31
+    else:
+        h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+        params = _hash_params(num_hashes, seed)
+        modulus = _MERSENNE
     hashed = sets.select("id", h.alias("h"))
     mins = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
-        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(modulus))).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
     ]
     agg = hashed.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
-def _band_buckets(signatures: DataFrame, bands: int, sig_len: int) -> DataFrame:
+def _band_buckets(signatures: DataFrame, bands: int, sig_len: int,
+                  portable: bool = False) -> DataFrame:
     """(id, band, bucket) rows: the signature split into ``bands`` bands,
     each band hashed to one bucket value."""
     rows_per_band = sig_len // bands or 1
+
+    def band_hash(b):
+        joined = F.concat_ws(",", F.transform(
+            F.slice("signature", b * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string")))
+        if portable:
+            return _portable_hash31(joined)
+        return F.xxhash64(joined)
+
     return signatures.select(
         "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.transform(
-                        F.slice("signature", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")
-                    ))).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), band_hash(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 8, sig_len: int | None = None
+    signatures: DataFrame, bands: int = 8, sig_len: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands, bucket on
     the band hash, emit candidate pairs that collide in >= 1 band.
@@ -215,7 +262,7 @@ def minhash_lsh_candidates(
     if sig_len is None:
         sig_len_row = signatures.select(F.size("signature").alias("s")).head()
         sig_len = sig_len_row["s"] if sig_len_row else 0
-    banded = _band_buckets(signatures, bands, sig_len)
+    banded = _band_buckets(signatures, bands, sig_len, portable=portable)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -238,12 +285,13 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from banding, then
     *exact* Jaccard verification of candidates only (the standard
     candidate-verify pattern; verification cost is |candidates|, not |D|^2)."""
-    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, n)
-    cand = minhash_lsh_candidates(sigs, bands, sig_len=num_hashes)
+    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, n, portable=portable)
+    cand = minhash_lsh_candidates(sigs, bands, sig_len=num_hashes, portable=portable)
     # verification joins the candidate pairs against per-doc shingle
     # ARRAYS (computed once per doc per side): intersection is
     # array_intersect inside the row — no explode, no groupBy.

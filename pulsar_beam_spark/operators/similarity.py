@@ -216,10 +216,15 @@ def hyperplane_lsh_topk(
     """
     dim = len(query_vec)
     planes = _hyperplanes(dim, bits, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
+    # query signature via the SAME sequential IEEE fold the engine-side
+    # signature uses (F.aggregate; DuckDB's list_reduce in the oracle) —
+    # a BLAS dot can round differently near zero and flip a bucket bit
     qsig = 0
     for i, plane in enumerate(planes):
-        if float(qv @ plane) > 0:
+        d = 0.0
+        for x, y in zip(query_vec, plane):
+            d += float(x) * float(y)
+        if d > 0:
             qsig |= 1 << i
     sig = _signature_expr(vec_col, planes)
     bucketed = emb.withColumn("__bucket", sig)

@@ -973,14 +973,64 @@ def q_r30(spark, sf):
     return exact_jaccard_pairs(T(spark, sf, "documents"), threshold=0.5)
 
 
+def _minhash_lsh_oracle(threshold: float = 0.5, num_hashes: int = 32,
+                        bands: int = 16, seed: int = 42) -> str:
+    """DuckDB recomputes the ENTIRE MinHash+LSH pipeline — signatures,
+    banding, candidate join, exact-Jaccard verify — from the same (a, b)
+    literals (VERDICT r04 item 7, the s_ann_recall_audit strategy).  The
+    portable md5/31-bit hash family (operators/dedup.py:_portable_hash31)
+    keeps every product exact in 64-bit integers, so both engines derive
+    identical signatures and identical candidate sets, making the
+    approximation itself hash-checkable."""
+    from .operators.dedup import _P31, _hash_params31
+
+    params = _hash_params31(num_hashes, seed)
+    rpb = num_hashes // bands
+    mins = ",\n       ".join(
+        f"min(({a}*h+{b})%{_P31}) AS h{i}" for i, (a, b) in enumerate(params))
+    band_branches = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, concat_ws(',', "
+        + ", ".join(f"h{j * rpb + r}" for r in range(rpb))
+        + ") AS vals FROM sig" for j in range(bands))
+    return f"""
+WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM toks)),
+hh AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {_P31} AS h FROM sh),
+sig AS (SELECT doc_id,
+       {mins}
+  FROM hh GROUP BY doc_id),
+bb AS (SELECT doc_id, band,
+              CAST('0x' || substr(md5(vals), 1, 15) AS BIGINT) % {_P31} AS bucket
+       FROM ({band_branches})),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS c
+          FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                      JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {threshold}
+"""
+
+
 @register(
     "d_minhash_lsh_near_dup",
-    None,  # approximate candidates -> exact verify; recall checked in pytest vs r30
-    doc="R30 scale path: MinHash(32)+LSH(16 bands) candidates, exact-Jaccard verified",
+    _minhash_lsh_oracle(),
+    doc="R30 scale path: MinHash(32)+LSH(16 bands) candidates, exact-Jaccard "
+        "verified — portable md5/31-bit hash family makes the full pipeline "
+        "hash-checkable against a DuckDB recomputation",
 )
 def q_minhash(spark, sf):
     return minhash_near_dup_pairs(
-        T(spark, sf, "documents"), threshold=0.5, num_hashes=32, bands=16
+        T(spark, sf, "documents"), threshold=0.5, num_hashes=32, bands=16,
+        portable=True,
     )
 
 
@@ -1042,10 +1092,47 @@ def q_r31(spark, sf):
     return brute_force_topk(emb, [float(x) for x in qrow["embedding"]], k=10)
 
 
+def _ann_audit_dot_sql(vexpr: str, consts) -> str:
+    lits = ",".join(repr(float(c)) for c in consts)
+    return (f"list_reduce(list_transform(list_zip({vexpr}, [{lits}]::DOUBLE[]), "
+            "x -> x[1]*x[2]), (x, y) -> x + y)")
+
+
+def _ann_lsh_topk_oracle(bits: int = 8, seed: int = 42, dim: int = 64,
+                         hamming: int = 2, k: int = 10) -> str:
+    """DuckDB recomputes the SAME approximation (VERDICT r04 item 7: the
+    s_ann_recall_audit strategy applied to the top-k entry itself): the
+    seeded hyperplane constants are inlined as literals in both plans,
+    dot products are sequential IEEE folds in both engines, so the probe
+    set and the rounded cosine ranking match bit-for-bit."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    sig_terms = " + ".join(
+        f"(CASE WHEN {_ann_audit_dot_sql('v', p)} > 0 THEN CAST({1 << i} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    )
+    cos = ("list_reduce(list_transform(list_zip(s.v, q.qv), x -> x[1]*x[2]), (x, y) -> x + y)"
+           " / (sqrt(list_reduce(list_transform(s.v, x -> x * x), (x, y) -> x + y))"
+           " * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y)))")
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {sig_terms} AS sig
+  FROM embeddings),
+q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 0)
+SELECT s.vec_id, round({cos}, 6) AS cosine
+FROM sigs s, q
+WHERE bit_count(xor(s.sig, q.qsig)) <= {hamming}
+ORDER BY round({cos}, 6) DESC, s.vec_id LIMIT {k}
+"""
+
+
 @register(
     "s_ann_lsh_topk",
-    None,  # approximate — recall vs r31 checked in pytest
-    doc="R31 scale path: random-hyperplane LSH bucketed ANN top-k (multiprobe hamming<=1)",
+    _ann_lsh_topk_oracle(),
+    doc="R31 scale path: random-hyperplane LSH bucketed ANN top-k (multiprobe "
+        "hamming<=2) — hash-checkable via inlined seeded plane literals in both engines",
 )
 def q_ann(spark, sf):
     emb = T(spark, sf, "embeddings")
@@ -2451,12 +2538,6 @@ def q_r13ap(spark, sf):
 # (c) recall@k as an INTEGER hit count.  Dot products are sequential IEEE
 # double folds in both engines (F.aggregate vs list_reduce), so bucket
 # signatures and rank orders match bit-for-bit and the integers hash-match.
-
-def _ann_audit_dot_sql(vexpr: str, consts) -> str:
-    lits = ",".join(repr(float(c)) for c in consts)
-    return (f"list_reduce(list_transform(list_zip({vexpr}, [{lits}]::DOUBLE[]), "
-            "x -> x[1]*x[2]), (x, y) -> x + y)")
-
 
 def _ann_recall_audit_oracle(bits: int = 8, seed: int = 42, dim: int = 64,
                              hamming: int = 2, k: int = 10) -> str:
