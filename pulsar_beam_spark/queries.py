@@ -7660,9 +7660,12 @@ _ROUND1_VERIFIED = frozenset({
     "r21_except", "r22_string_fns", "r23_date_fns", "r24_math_fns",
     "r25_array_fns", "r25_higher_order_fns", "r25_nested_array_fns",
     "r26_map_fns", "r27_json_fns", "r28_conditional",
+    # d_minhash_lsh_near_dup and s_ann_lsh_topk had rows-only r01 rows;
+    # they gained full DuckDB oracles in round 5 (portable hash family /
+    # inlined plane literals) and re-enter the window for a HASH row.
     "r29_dedup_exact_latest", "r30_ngram_jaccard_pairs",
-    "d_minhash_lsh_near_dup", "d_simhash_near_dup",
-    "r31_cosine_topk", "s_ann_lsh_topk", "r32_top_terms", "t_language_id",
+    "d_simhash_near_dup",
+    "r31_cosine_topk", "r32_top_terms", "t_language_id",
     "t_quality_scores", "t_token_stats", "t_tfidf", "t_fingerprint",
     "r33_python_udf",
 })
