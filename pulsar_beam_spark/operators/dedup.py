@@ -317,16 +317,28 @@ def minhash_near_dup_pairs(
     return verified
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 63) -> DataFrame:
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              bits: int = 63, portable: bool = False) -> DataFrame:
     """Per-doc SimHash: sum +/-1 per bit of each token's xxhash64, sign ->
     bit. 63 bits (bit 63 would overflow the signed accumulator). One
-    explode + one groupBy with ``bits`` partial-agg sums."""
+    explode + one groupBy with ``bits`` partial-agg sums.
+
+    ``portable=True`` swaps the token hash for the md5-prefix hash
+    (bit-identical in DuckDB/Python) whose 15 hex chars carry 60 usable
+    bits — callers should pass ``bits<=60``; the cross-engine oracle in
+    queries.py recomputes the signatures exactly."""
     from ..sources.tables import spread_small_input
 
     tok = exploded_nonnull(
         spread_small_input(docs), [F.col(id_col).alias("id")], tokens(text_col), "tok"
     )
-    h = tok.select("id", F.xxhash64("tok").alias("h"))
+    if portable:
+        token_hash = F.conv(
+            F.substring(F.md5(F.col("tok").cast("binary")), 1, _HEX15), 16, 10
+        ).cast("long")  # [0, 2^60): every bit b < 60 well-defined
+    else:
+        token_hash = F.xxhash64("tok")
+    h = tok.select("id", token_hash.alias("h"))
     sums = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
         for b in range(bits)
@@ -342,13 +354,16 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", b
     return sim
 
 
-def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 8, prefix_bits: int = 12) -> DataFrame:
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 8,
+                           prefix_bits: int = 12,
+                           portable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, bucketed by the top
     ``prefix_bits`` bits so the pairwise check never goes quadratic in |D|
     (docs differing in the prefix are assumed non-dups — the standard
     multi-probe tradeoff)."""
-    sims = simhash64(docs)
-    bucketed = sims.withColumn("bucket", F.shiftright(F.col("simhash"), 63 - prefix_bits))
+    bits = 60 if portable else 63
+    sims = simhash64(docs, bits=bits, portable=portable)
+    bucketed = sims.withColumn("bucket", F.shiftright(F.col("simhash"), bits - prefix_bits))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (

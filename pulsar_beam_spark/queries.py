@@ -1034,13 +1034,41 @@ def q_minhash(spark, sf):
     )
 
 
+def _simhash_oracle(bits: int = 60, max_hamming: int = 8,
+                    prefix_bits: int = 12) -> str:
+    """DuckDB recomputes the full SimHash pipeline from the portable
+    md5-prefix token hash: 60 per-bit +/-1 sums -> sign bits -> prefix
+    bucket -> hamming join.  Same strategy as _minhash_lsh_oracle."""
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits))
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS tok FROM documents),
+hh AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+sums AS (SELECT doc_id,
+       {sums}
+  FROM hh GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig} AS simhash FROM sums),
+bk AS (SELECT doc_id, simhash, simhash >> {bits - prefix_bits} AS bucket FROM sig)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 @register(
     "d_simhash_near_dup",
-    None,  # hash-function-dependent; golden-checked in pytest
-    doc="SimHash-63bit near-dup pairs within hamming<=8, prefix-bucketed",
+    _simhash_oracle(),
+    doc="SimHash near-dup pairs within hamming<=8, prefix-bucketed — portable "
+        "md5 token hash makes the signatures hash-checkable vs a DuckDB recomputation",
 )
 def q_simhash(spark, sf):
-    return simhash_near_dup_pairs(T(spark, sf, "documents"), max_hamming=8, prefix_bits=12)
+    return simhash_near_dup_pairs(T(spark, sf, "documents"), max_hamming=8,
+                                  prefix_bits=12, portable=True)
 
 
 EMBED_NEARDUP_ORACLE = """
@@ -7660,11 +7688,11 @@ _ROUND1_VERIFIED = frozenset({
     "r21_except", "r22_string_fns", "r23_date_fns", "r24_math_fns",
     "r25_array_fns", "r25_higher_order_fns", "r25_nested_array_fns",
     "r26_map_fns", "r27_json_fns", "r28_conditional",
-    # d_minhash_lsh_near_dup and s_ann_lsh_topk had rows-only r01 rows;
-    # they gained full DuckDB oracles in round 5 (portable hash family /
-    # inlined plane literals) and re-enter the window for a HASH row.
+    # d_minhash_lsh_near_dup, d_simhash_near_dup and s_ann_lsh_topk had
+    # rows-only r01 rows; they gained full DuckDB oracles in round 5
+    # (portable hash family / inlined plane literals) and re-enter the
+    # window for a HASH row.
     "r29_dedup_exact_latest", "r30_ngram_jaccard_pairs",
-    "d_simhash_near_dup",
     "r31_cosine_topk", "r32_top_terms", "t_language_id",
     "t_quality_scores", "t_token_stats", "t_tfidf", "t_fingerprint",
     "r33_python_udf",
