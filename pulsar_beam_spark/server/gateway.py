@@ -153,6 +153,9 @@ DEBUG_ROUTES = [
     Route("Debug Cmdline", "GET", "/debug/pprof/cmdline", "handle_debug_cmdline", "none"),
     Route("Debug Threads", "GET", "/debug/pprof/threads", "handle_debug_threads", "none"),
     Route("Debug Routes", "GET", "/debug/routes", "handle_debug_routes", "none"),
+    # API docs (reference src/docs/api.go: the swagger contract ships
+    # with every build; here it is generated from the bound route table)
+    Route("OpenAPI spec", "GET", "/v2/docs/openapi.json", "handle_openapi", "none"),
 ]
 
 RECEIVER_ROUTES = [
@@ -301,6 +304,11 @@ class GatewayApp:
                           + "".join(traceback.format_stack(frame)))
         return Response(200, "\n".join(chunks),
                         content_type="text/plain; charset=utf-8")
+
+    def handle_openapi(self, req: "Request") -> "Response":
+        from .openapi import build_spec
+
+        return Response(200, json.dumps(build_spec(self)))
 
     def handle_debug_routes(self, req: "Request") -> "Response":
         return Response(200, json.dumps([

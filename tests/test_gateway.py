@@ -319,6 +319,33 @@ def test_debug_endpoints(gateway):
     assert code == 200 and b"threads" in body
 
 
+def test_openapi_spec(gateway):
+    """src/docs/api.go parity: the served OpenAPI document covers every
+    bound route, and the documented operations carry the reference's
+    response-code maps (firehose 503, poll 204, update 201/409)."""
+    app, base = gateway
+    code, body = call(base, "/v2/docs/openapi.json")
+    assert code == 200
+    spec = json.loads(body)
+    assert spec["openapi"].startswith("3.0")
+    # every bound route appears with its method
+    for r in app.routes:
+        assert r.method.lower() in spec["paths"][r.pattern], r.pattern
+    fh = spec["paths"]["/v2/firehose/{persistent}/{tenant}/{namespace}/{topic}"]["post"]
+    assert set(fh["responses"]) == {"200", "401", "422", "500", "503"}  # api.go:15-32
+    assert {p["name"] for p in fh["parameters"] if p["in"] == "path"} == {
+        "persistent", "tenant", "namespace", "topic"}
+    poll = spec["paths"]["/v2/poll/{persistent}/{tenant}/{namespace}/{topic}"]["get"]
+    assert "204" in poll["responses"]  # api.go:108
+    assert "batchSize" in {p["name"] for p in poll["parameters"]}
+    upd = spec["paths"]["/v2/topic"]["post"]
+    assert {"201", "409"} <= set(upd["responses"])  # api.go:149-151
+    # jwt-guarded routes declare bearer security; schemas resolve
+    assert upd["security"] == [{"bearerJwt": []}]
+    assert "TopicConfig" in spec["components"]["schemas"]
+    assert "errorResponse" in spec["components"]["schemas"]
+
+
 def test_rate_limit_429(gateway):
     app, base = gateway
     app.rate.acquire()  # saturate
@@ -348,7 +375,7 @@ def test_mode_route_sets():
     assert "/v2/topic" not in names("http2")
     assert names("tokenserver") == {
         "/debug/pprof/", "/debug/pprof/cmdline", "/debug/pprof/threads",
-        "/debug/routes", "/metrics", "/subject/{sub}"}
+        "/debug/routes", "/v2/docs/openapi.json", "/metrics", "/subject/{sub}"}
     assert "/v1/firehose" not in names("rest")
 
 
@@ -386,7 +413,7 @@ def test_cli_build_app(tmp_path):
     assert args.mode == "receiver"
     assert {r.pattern for r in app.routes} == {
         "/debug/pprof/", "/debug/pprof/cmdline", "/debug/pprof/threads",
-        "/debug/routes",
+        "/debug/routes", "/v2/docs/openapi.json",
         "/metrics", "/status", "/v1/firehose",
         "/v2/firehose/{persistent}/{tenant}/{namespace}/{topic}",
         "/v2/sse/{persistent}/{tenant}/{namespace}/{topic}",
