@@ -347,11 +347,15 @@ class FileConfigStore(_CrudByNamesMixin):
                 return self._from_json(json.load(f))
         except FileNotFoundError:
             return None
+        except ValueError:  # malformed (non-SHA-1) key cannot exist
+            return None
 
     def delete_by_key(self, key: str) -> None:
         try:
             os.remove(self._doc_path(key))
         except FileNotFoundError:
+            raise KeyError(key) from None
+        except ValueError:  # malformed key: nothing stored under it
             raise KeyError(key) from None
 
     def load(self) -> list[dict]:

@@ -447,7 +447,9 @@ class GatewayApp:
     def handle_update_topic(self, req: "Request") -> "Response":
         try:
             doc = json.loads(req.body)
-        except json.JSONDecodeError as e:
+        except (json.JSONDecodeError, UnicodeDecodeError) as e:
+            # non-UTF-8 bodies raise UnicodeDecodeError, not JSONDecodeError —
+            # both are the client's 422, never a 500
             return _err_json(str(e), 422)
         if not isinstance(doc, dict):
             return _err_json("topic config must be a JSON object", 422)
@@ -455,6 +457,10 @@ class GatewayApp:
         url = doc.get("PulsarUrl") or doc.get("pulsar_url") or ""
         if not isinstance(tfn, str) or not isinstance(url, str):
             return _err_json("topic names must be strings", 422)
+        raw_hooks = doc.get("Webhooks") or doc.get("webhooks") or []
+        if not isinstance(raw_hooks, list) or any(
+                not isinstance(w, dict) for w in raw_hooks):
+            return _err_json("webhooks must be a list of objects", 422)
         webhooks = [
             Webhook(
                 url=w.get("URL") or w.get("url") or "",
@@ -463,7 +469,7 @@ class GatewayApp:
                 initial_position=w.get("InitialPosition") or w.get("initial_position") or "latest",
                 headers=w.get("Headers") or w.get("headers") or [],
             )
-            for w in doc.get("Webhooks") or doc.get("webhooks") or []
+            for w in raw_hooks
         ]
         try:
             from ..model.topic import validate_topic_config

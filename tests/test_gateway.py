@@ -364,6 +364,43 @@ def test_rate_limit_429(gateway):
 # -- mode selection -----------------------------------------------------
 
 
+def test_malformed_inputs_never_crash_the_server(gateway, keypair):
+    """Robustness sweep: corrupt gzip, invalid JSON bodies, binary junk,
+    traversal-looking path segments, and oversized headers must all come
+    back as clean HTTP status codes — and the server must still answer a
+    well-formed request afterwards (no thread wedge, no socket leak
+    turning into a hang)."""
+    app, base = gateway
+    hdr = bearer(keypair, "tenant1-client")
+
+    # corrupt gzip with Content-Encoding set (handlers.go:90-96 path)
+    code, _ = call(base, "/v1/firehose", "POST", b"\x1f\x8b\x08NOTGZIP",
+                   {**hdr, "TopicFn": TOPIC_FN, "PulsarUrl": PULSAR_URL,
+                    "Content-Encoding": "gzip"})
+    assert 400 <= code < 600
+    # invalid JSON to topic CRUD
+    for body in (b"{", b"[1,2", b"\xff\xfe\x00", b"null", b'"str"'):
+        code, _ = call(base, "/v2/topic", "POST", body, bearer(keypair, "superuser"))
+        assert 400 <= code < 500, body
+    # traversal-looking topic key must not read outside the store
+    code, _ = call(base, "/v2/topic/..%2F..%2Fetc%2Fpasswd",
+                   headers=bearer(keypair, "superuser"))
+    assert code in (404, 422)
+    # binary junk straight at the JWT middleware
+    code, _ = call(base, "/v2/poll/persistent/tenant1/ns1/topic1",
+                   headers={"Authorization": "Bearer \x00\x01\x02"})
+    assert code == 401
+    # oversized (64 KiB) header value
+    code, _ = call(base, "/v1/firehose", "POST", b"x",
+                   {**hdr, "TopicFn": TOPIC_FN, "PulsarUrl": PULSAR_URL,
+                    "X-Junk": "a" * 65536})
+    assert 200 <= code < 600
+    # server still healthy: a well-formed produce succeeds
+    code, _ = call(base, "/v1/firehose", "POST", b"still-alive",
+                   {**hdr, "TopicFn": TOPIC_FN, "PulsarUrl": PULSAR_URL})
+    assert code == 200
+
+
 def test_mode_route_sets():
     from pulsar_beam_spark.server import effective_routes
 

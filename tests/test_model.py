@@ -208,6 +208,18 @@ def test_file_config_store_reopen_resumes_version(tmp_path):
     assert doc["notes"] == "third" and doc["version"] == 3
 
 
+def test_file_store_malformed_key_is_absent_not_error(tmp_path):
+    """A traversal-looking key can never exist: get -> None, delete ->
+    KeyError — the gateway maps both to 404, never a 500 (and never a
+    filesystem access outside the store dir)."""
+    from pulsar_beam_spark.model.config_store import FileConfigStore
+
+    s = FileConfigStore(str(tmp_path / "docs"))
+    assert s.get_by_key("../../etc/passwd") is None
+    with pytest.raises(KeyError):
+        s.delete_by_key("../../etc/passwd")
+
+
 def test_dbapi_store_reopen_resumes_version(tmp_path):
     """Server-DB persistence: a second connection to the same database
     sees prior documents and resumes the version sequence — the Mongo
