@@ -144,3 +144,29 @@ def weighted_mix_sql(
         f"WHEN '{s}' THEN {int(w * n_buckets)}" for s, w in sorted(weights.items())
     )
     return f"({bucket}) < (CASE {source_col} {cases} ELSE 0 END)"
+
+
+def rank_calibrate(
+    df: DataFrame, score_col: str, group_col: str, id_col: str
+) -> DataFrame:
+    """Cross-group score calibration: add ``group_pctl`` (percent_rank of
+    ``score_col`` WITHIN ``group_col``) and ``global_pctl`` (over the
+    whole frame), tie-broken by ``id_col`` so both are deterministic.
+
+    The curation use: heterogeneous sources have incomparable raw
+    quality-score distributions, so a single global threshold over- or
+    under-prunes per source; thresholding on the within-source quantile
+    prunes each source at the same rate. percent_rank is the exact
+    rational (rank-1)/(n-1) in every engine — no distribution fitting,
+    no approximation, hash-reproducible.
+
+    Scale: two window sorts (one per partitioning). The global window is
+    the expensive one at 100 TB — a single total-order sort; if only
+    bucketed quantiles are needed at that scale, swap it for ntile() or
+    an approx-percentile join and keep the per-group window as-is.
+    """
+    wg = Window.partitionBy(group_col).orderBy(F.col(score_col), F.col(id_col))
+    wa = Window.orderBy(F.col(score_col), F.col(id_col))
+    return df.withColumn(
+        "group_pctl", F.round(F.percent_rank().over(wg), 6)
+    ).withColumn("global_pctl", F.round(F.percent_rank().over(wa), 6))

@@ -44,6 +44,7 @@ from .operators.vectors import quantize_vectors, range_search
 from .operators.packing import chunk_documents, sequence_pack
 from .operators.sampling import (
     deterministic_split,
+    rank_calibrate,
     shard_shuffle,
     stable_bucket_sql,
     stratified_sample,
@@ -2365,6 +2366,86 @@ def q_packing(spark, sf):
         .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("pack_tokens"))
         .orderBy("shard", "pack_id")
     )
+
+
+@register(
+    "p_packing_efficiency",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             greatest(1, CAST(floor(n_chars/4) AS BIGINT)) AS toks,
+             {stable_bucket_sql("doc_id", 8)} AS shard,
+             {stable_bucket_sql("doc_id", 1 << 60)} AS ord
+      FROM documents),
+    p AS (
+      SELECT shard, doc_id, toks,
+             sum(toks) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                             ROWS UNBOUNDED PRECEDING) - toks AS start_offset
+      FROM t)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(ceil(CAST(sum(toks) AS DOUBLE) / 2048) AS BIGINT) AS n_packs,
+           CAST(ceil(CAST(sum(toks) AS DOUBLE) / 2048) * 2048 - sum(toks) AS BIGINT)
+             AS tail_waste_tokens,
+           CAST(sum(CASE WHEN floor(start_offset/2048.0)
+                          <> floor((start_offset + toks - 1)/2048.0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+           round(sum(CASE WHEN floor(start_offset/2048.0)
+                           <> floor((start_offset + toks - 1)/2048.0)
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS split_pct
+    FROM p GROUP BY shard ORDER BY shard
+    """,
+    doc="Pipeline audit over p_sequence_packing's layout: per shard, the "
+        "numbers a training run actually budgets — pack count, tail padding "
+        "waste (concat-and-chunk wastes ONLY the final partial window per "
+        "shard), and how many documents straddle a context boundary "
+        "(attention fragmentation / truncation exposure). Same single "
+        "shard-partitioned window as the packing itself + one aggregate; "
+        "all-integer metrics so the audit is hash-exact.",
+)
+def q_packing_efficiency(spark, sf):
+    ctx = 2048
+    d = T(spark, sf, "documents").withColumn(
+        "toks", F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4).cast("long"))
+    )
+    packed = sequence_pack(d, "doc_id", "toks", context_len=ctx, n_shards=8)
+    end_pack = F.floor((F.col("start_offset") + F.col("toks") - 1) / ctx)
+    split = F.when(F.col("pack_id") != end_pack, 1).otherwise(0)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.ceil(F.sum("toks").cast("double") / ctx).alias("n_packs"),
+            (F.ceil(F.sum("toks").cast("double") / ctx) * ctx - F.sum("toks"))
+            .cast("long").alias("tail_waste_tokens"),
+            F.sum(split).alias("n_split_docs"),
+            F.round(F.sum(split) / F.count("*"), 6).alias("split_pct"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "p_rank_calibrate",
+    """
+    SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id), 6) AS group_pctl,
+           round(percent_rank() OVER (ORDER BY n_chars, doc_id), 6) AS global_pctl
+    FROM documents
+    """,
+    doc="Pipeline: cross-source score calibration (operators/sampling."
+        "rank_calibrate) — within-source AND global percent_rank of the "
+        "quality proxy, so a curation threshold can prune every source at "
+        "the same rate instead of letting one source's score distribution "
+        "dominate a global cut. Exact rational ranks, hash-reproducible; "
+        "the score column is a seam (any quality metric plugs in).",
+)
+def q_rank_calibrate(spark, sf):
+    d = T(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return rank_calibrate(d, "n_chars", "source", "doc_id")
 
 
 # == null-ordering semantics =============================================
@@ -5090,6 +5171,69 @@ def q_centroid_assign(spark, sf):
         emb.select("vec_id", cell.alias("cell"))
         .groupBy("cell")
         .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def _silhouette_oracle(n_centroids: int = 4, dim: int = 64, seed: int = 123) -> str:
+    import numpy as np
+
+    cent = np.random.default_rng(seed).standard_normal((n_centroids, dim))
+
+    def dist_sql(c) -> str:
+        lits = ",".join(repr(float(x)) for x in c)
+        return ("sqrt(list_reduce(list_transform(list_zip(embedding::DOUBLE[], "
+                f"[{lits}]::DOUBLE[]), x -> (x[1]-x[2])*(x[1]-x[2])), (x, y) -> x + y))")
+
+    dists = ", ".join(dist_sql(c) for c in cent)
+    return f"""
+WITH d AS (SELECT vec_id, [{dists}] AS ds FROM embeddings),
+s AS (SELECT vec_id,
+             list_indexof(ds, list_aggregate(ds, 'min')) AS cell,
+             list_sort(ds)[1] AS a, list_sort(ds)[2] AS b
+      FROM d),
+m AS (SELECT cell,
+             CAST(round((b - a) / greatest(a, b) * 1e6, 0) AS BIGINT) AS sm
+      FROM s)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(sm) AS DOUBLE) / count(*) / 1e6, 6) AS avg_silhouette
+FROM m GROUP BY cell
+"""
+
+
+@register(
+    "e_silhouette_by_cell",
+    _silhouette_oracle(),
+    doc="Clustering-quality audit: simplified silhouette (b-a)/max(a,b) per "
+        "vector against the e_centroid_assign literal centroids (a = nearest, "
+        "b = second-nearest Euclidean distance), micro-integerized and averaged "
+        "per cell. Scale shape: centroids are plan constants, the metric is a "
+        "map-only codegen'd projection + ONE aggregate shuffle — the corpus "
+        "never joins anything. Hash-exact across engines: sequential IEEE "
+        "folds, correctly-rounded sqrt, identical double sort.",
+)
+def q_silhouette(spark, sf):
+    import numpy as np
+
+    cent = np.random.default_rng(123).standard_normal((4, 64))
+    emb = T(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dists = F.array(*[
+        F.sqrt(F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+        for c in cent
+    ])
+    sorted_d = F.array_sort(dists)
+    a, b = sorted_d[0], sorted_d[1]
+    sm = F.round((b - a) / F.greatest(a, b) * 1e6, 0).cast("long")
+    cell = F.array_position(dists, F.array_min(dists)).cast("int")
+    return (
+        emb.select(cell.alias("cell"), sm.alias("sm"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"),
+             F.round(F.sum("sm").cast("double") / F.count("*") / 1e6, 6)
+             .alias("avg_silhouette"))
     )
 
 
