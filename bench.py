@@ -79,6 +79,10 @@ HEADLINE = [
     "e_cluster_inertia",       # fold-kernel codegen over vectors
     "s_rate_limit_sliding",    # double-window admission accounting
     "r_pagerank_iter3",        # iterative graph algorithm (3 joined rounds)
+    # round-5 additions
+    "e_silhouette_by_cell",    # map-only distance kernels + one aggregate
+    "p_packing_efficiency",    # shard-window cumulative sums + audit agg
+    "p_rank_calibrate",        # per-group + global percent_rank windows
 ]
 
 
