@@ -119,6 +119,10 @@ def build_app(argv=None) -> tuple[GatewayApp, argparse.Namespace]:
     if cfg["PulsarBrokerURL"]:
         clusters = [cfg["PulsarBrokerURL"]] + clusters
 
+    def access_log(method: str, uri: str, name: str, seconds: float) -> None:
+        # Logger middleware format parity (src/route/logger.go:17-23)
+        print(f"{method}\t{uri}\t{name}\t{seconds * 1000:.2f}ms", file=sys.stderr)
+
     app = GatewayApp(
         config_store=_make_store(cfg["PbDbType"], cfg["DbConnectionStr"],
                                  args.config_dir),
@@ -129,6 +133,7 @@ def build_app(argv=None) -> tuple[GatewayApp, argparse.Namespace]:
         mode=args.mode,
         auth_impl="noauth" if noauth else "jwt",
         rate=args.rate,
+        access_log=access_log,
     )
     return app, args
 

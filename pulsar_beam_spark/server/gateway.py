@@ -228,6 +228,7 @@ class GatewayApp:
         mode: str = HYBRID,
         auth_impl: str = "jwt",  # "noauth" ≙ HTTPAuthImpl noauth
         rate: int = 200,  # middleware.go:14-18
+        access_log: Callable[[str, str, str, float], None] | None = None,
     ):
         self.config_store = config_store
         self.message_store = message_store
@@ -236,6 +237,10 @@ class GatewayApp:
         self.allowed_clusters = allowed_clusters or []
         self.mode = mode
         self.auth_impl = auth_impl
+        # Logger middleware hook (src/route/logger.go): called with
+        # (method, uri, route_name, seconds) after every dispatched
+        # request; None (the default) keeps tests/embedded use quiet.
+        self.access_log = access_log
         self.rate = Semaphore(rate)
         self.metrics: Counter = Counter()
         self.routes = effective_routes(mode)
@@ -625,6 +630,7 @@ class _Handler(BaseHTTPRequestHandler):
         except SemaphoreError:
             self._send(Response(429, "Too many requests\n", content_type="text/plain"))
             return
+        t0 = time.perf_counter()
         try:
             status, injected = app.authenticate(matched_route, self.headers)
             if status:
@@ -643,6 +649,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(resp)
         finally:
             app.rate.release()
+            if app.access_log is not None:
+                # Logger middleware parity (src/route/logger.go:10-24:
+                # method, URI, route name, duration)
+                app.access_log(method, self.path, matched_route.name,
+                               time.perf_counter() - t0)
 
     def _send(self, resp: Response) -> None:
         if resp.stream is not None:

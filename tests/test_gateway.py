@@ -319,6 +319,38 @@ def test_debug_endpoints(gateway):
     assert code == 200 and b"threads" in body
 
 
+def test_access_log_hook(tmp_path):
+    """Logger middleware parity (src/route/logger.go:10-24): every
+    dispatched request reports (method, uri, route name, duration)."""
+    import threading
+
+    from pulsar_beam_spark.model.config_store import InMemoryConfigStore
+    from pulsar_beam_spark.server import GatewayApp, TopicDirStore, make_server
+
+    lines = []
+    app = GatewayApp(
+        config_store=InMemoryConfigStore(),
+        message_store=TopicDirStore(str(tmp_path / "t")),
+        keys=None, superroles=("superuser",), allowed_clusters=[PULSAR_URL],
+        mode="hybrid", auth_impl="noauth",
+        access_log=lambda *rec: lines.append(rec),
+    )
+    httpd = make_server(app)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        call(base, "/v1/firehose", "POST", b"x",
+             {"TopicFn": TOPIC_FN, "PulsarUrl": PULSAR_URL})
+        call(base, "/metrics")
+    finally:
+        httpd.shutdown()
+    assert [(m, u, n) for m, u, n, _ in lines] == [
+        ("POST", "/v1/firehose", "Receive"),
+        ("GET", "/metrics", "Prometheus metrics"),
+    ]
+    assert all(d >= 0 for *_, d in lines)
+
+
 def test_openapi_spec(gateway):
     """src/docs/api.go parity: the served OpenAPI document covers every
     bound route, and the documented operations carry the reference's
