@@ -160,13 +160,57 @@ def rank_calibrate(
     rational (rank-1)/(n-1) in every engine — no distribution fitting,
     no approximation, hash-reproducible.
 
-    Scale: two window sorts (one per partitioning). The global window is
-    the expensive one at 100 TB — a single total-order sort; if only
-    bucketed quantiles are needed at that scale, swap it for ntile() or
-    an approx-percentile join and keep the per-group window as-is.
+    Scale: the per-group rank is one partitioned window; the global rank
+    goes through :func:`global_percent_rank` — range-partition + offset
+    composition — instead of an unpartitioned window, so no single task
+    ever sees the whole corpus.  Both are exact; results are identical
+    to the two-window form.
     """
     wg = Window.partitionBy(group_col).orderBy(F.col(score_col), F.col(id_col))
-    wa = Window.orderBy(F.col(score_col), F.col(id_col))
-    return df.withColumn(
-        "group_pctl", F.round(F.percent_rank().over(wg), 6)
-    ).withColumn("global_pctl", F.round(F.percent_rank().over(wa), 6))
+    grouped = df.withColumn("group_pctl", F.round(F.percent_rank().over(wg), 6))
+    return global_percent_rank(grouped, score_col, id_col)
+
+
+def global_percent_rank(
+    df: DataFrame, score_col: str, id_col: str, out_col: str = "global_pctl",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global percent_rank WITHOUT a single-partition window.
+
+    ``Window.orderBy`` with no partitioning funnels every row through one
+    task (Spark itself warns); this is the standard distributed recipe
+    instead: range-partition by (score, id), count rows per partition
+    (one tiny job, #partitions values), and compose each row's global
+    rank as partition_offset + intra-partition row_number.  Results are
+    bit-identical to the window form — (rank-1)/(n-1) on the same total
+    order — so oracles and downstream thresholds are unchanged, but the
+    sort is parallel and the plan scales to any corpus size.
+
+    The per-partition count collect is bounded by the partition count,
+    never the data (the same bounded-collect shape as the IVF centroid
+    train step).
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    n_partitions = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # materialize the range-partition id as a COLUMN immediately:
+    # spark_partition_id() is evaluated wherever the expression runs, so
+    # referencing it after the window's own hash shuffle would read the
+    # post-shuffle id, not the range id the offsets were computed for
+    ranged = df.repartitionByRange(
+        n_partitions, F.col(score_col), F.col(id_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    counts = ranged.groupBy("__pid").count().orderBy("__pid").collect()
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["__pid"]] = acc
+        acc += row["count"]
+    total = acc
+    off_map = F.create_map(
+        *[x for p, o in sorted(offsets.items()) for x in (F.lit(p), F.lit(o))])
+    w = Window.partitionBy("__pid").orderBy(F.col(score_col), F.col(id_col))
+    rank = off_map[F.col("__pid")] + F.row_number().over(w)
+    denom = max(total - 1, 1)
+    return ranged.withColumn(
+        out_col, F.round((rank - F.lit(1)).cast("double") / denom, 6)
+    ).drop("__pid")
