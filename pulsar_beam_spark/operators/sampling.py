@@ -192,25 +192,54 @@ def global_percent_rank(
     """
     from pyspark.sql import functions as F  # local alias for clarity
 
+    ranged, rank, total = _global_rank(df, [F.col(score_col), F.col(id_col)],
+                                       n_partitions)
+    denom = max(total - 1, 1)
+    return ranged.withColumn(
+        out_col, F.round((rank - F.lit(1)).cast("double") / denom, 6)
+    ).drop("__pid")
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list, out_col: str = "rn",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row_number over ``order_cols`` via the same
+    range-partition + offset recipe — the scalable replacement for
+    ``row_number().over(Window.orderBy(...))``, whose empty partitioning
+    funnels the whole input through one task."""
+    ranged, rank, _ = _global_rank(df, order_cols, n_partitions)
+    return ranged.withColumn(out_col, rank.cast("long")).drop("__pid")
+
+
+def _global_rank(df: DataFrame, order_cols: list, n_partitions: int | None):
+    """Shared kernel: returns (ranged_df_with___pid, rank_column, total).
+
+    Range-partition on the order columns, count rows per partition (one
+    tiny job — bounded by the partition count, never the data), and
+    compose each row's global rank as partition_offset + intra-partition
+    row_number.  The partition id is materialized as a COLUMN
+    immediately after the range exchange: spark_partition_id() is
+    evaluated wherever the expression physically runs, so referencing it
+    after the window's own hash shuffle would read the post-shuffle id,
+    not the range id the offsets were computed for.
+    """
     n_partitions = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # materialize the range-partition id as a COLUMN immediately:
-    # spark_partition_id() is evaluated wherever the expression runs, so
-    # referencing it after the window's own hash shuffle would read the
-    # post-shuffle id, not the range id the offsets were computed for
-    ranged = df.repartitionByRange(
-        n_partitions, F.col(score_col), F.col(id_col)
-    ).withColumn("__pid", F.spark_partition_id())
+    # localCheckpoint PINS the partition layout: the counts job and the
+    # ranking job would otherwise each re-execute the range exchange,
+    # and AQE may coalesce its partitions differently per job — the
+    # offsets would then describe a layout the ranking job doesn't have
+    # (observed as duplicated/skipped ranks).  The checkpoint holds only
+    # the projected order columns, not whole rows of the corpus.
+    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()).localCheckpoint(eager=True)
     counts = ranged.groupBy("__pid").count().orderBy("__pid").collect()
     offsets, acc = {}, 0
     for row in counts:
         offsets[row["__pid"]] = acc
         acc += row["count"]
-    total = acc
     off_map = F.create_map(
         *[x for p, o in sorted(offsets.items()) for x in (F.lit(p), F.lit(o))])
-    w = Window.partitionBy("__pid").orderBy(F.col(score_col), F.col(id_col))
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
     rank = off_map[F.col("__pid")] + F.row_number().over(w)
-    denom = max(total - 1, 1)
-    return ranged.withColumn(
-        out_col, F.round((rank - F.lit(1)).cast("double") / denom, 6)
-    ).drop("__pid")
+    return ranged, rank, acc
