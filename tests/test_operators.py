@@ -807,3 +807,37 @@ def test_asof_join_matches_bruteforce_both_directions(spark):
                 cands = [(rts, rid) for (rk, rid, rts) in right if rk == k and rts >= lts]
                 want = min(cands)[1] if cands else None
             assert got[(k, lid)] == want, (direction, k, lid, lts, got[(k, lid)], want)
+
+
+def test_global_rank_dense_and_stable_across_jobs(spark):
+    """Regression for the AQE re-coalescing hazard (operators/sampling.
+    _global_rank): the counts job and the ranking job each execute the
+    range exchange; without the layout pin, AQE can coalesce them
+    differently and the composed ranks duplicate/skip (observed as a
+    missing pagination page at sf0.1).  Contract: ranks are a dense
+    1..N permutation, reproducibly, on a many-partition input."""
+    from pyspark.sql import functions as F
+
+    from pulsar_beam_spark.operators.sampling import (
+        global_percent_rank, global_row_number)
+
+    n = 50_000
+    df = (spark.range(n).toDF("id")
+          .withColumn("score", (F.col("id") * 2654435761 % 1000003))
+          .repartition(32))
+    for _ in range(2):  # twice: the failure mode was run-to-run drift
+        rn = global_row_number(df, [F.col("score"), F.col("id")])
+        got = [r["rn"] for r in rn.select("rn").collect()]
+        assert sorted(got) == list(range(1, n + 1))
+    # percent_rank endpoints and denominator
+    pc = global_percent_rank(df, "score", "id")
+    lo, hi = pc.agg(F.min("global_pctl"), F.max("global_pctl")).head()
+    assert lo == 0.0 and hi == 1.0
+    # matches the (serial-window) definition on a sample of rows
+    import math
+    rows = pc.select("score", "id", "global_pctl").collect()
+    serial = {(r["score"], r["id"]): i for i, r in enumerate(
+        sorted(rows, key=lambda r: (r["score"], r["id"])))}
+    for r in rows[:200]:
+        want = round(serial[(r["score"], r["id"])] / (n - 1), 6)
+        assert math.isclose(r["global_pctl"], want, abs_tol=1e-9)
