@@ -147,6 +147,16 @@ def _kmeans_centroids(
     return cent
 
 
+def _seq_dot(a, b) -> float:
+    """Sequential left-fold dot product — bit-matches ``F.aggregate`` on
+    the executors and ``list_reduce`` in the DuckDB oracle (a BLAS dot can
+    round differently near a probe-ranking tie and flip the probe set)."""
+    d = 0.0
+    for x, y in zip(a, b):
+        d += float(x) * float(y)
+    return d
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -157,6 +167,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_hint: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse-quantize the corpus into ``n_centroids``
     inverted lists, scan only the ``nprobe`` lists nearest the query, then
@@ -166,11 +177,21 @@ def ivf_topk(
     ``array_position(dots, array_max(dots))`` — so at scale the cell id can
     be precomputed once and used as a partition column; the probe is then
     partition pruning, not a scan.
+
+    ``centroids`` overrides the trained coarse quantizer with caller-fixed
+    literal centroids. That makes the whole approximation deterministic
+    plan constants, so a DuckDB oracle can recompute assignment + probe +
+    top-k exactly (the e_centroid_assign strategy; VERDICT r05 item 1c).
     """
-    cent = _kmeans_centroids(emb, id_col, vec_col, n_centroids, seed, n_hint=n_hint)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qv = qv / max(np.linalg.norm(qv), 1e-12)
-    probe_ids = [int(i) for i in np.argsort(-(cent @ qv))[:nprobe]]
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        cent = _kmeans_centroids(emb, id_col, vec_col, n_centroids, seed, n_hint=n_hint)
+    # rank cells by dot(c_i, q) with a sequential fold (oracle-matchable);
+    # q's norm is a shared positive factor, so no normalization needed
+    probe_ids = sorted(
+        range(len(cent)), key=lambda i: (-_seq_dot(cent[i], query_vec), i)
+    )[:nprobe]
 
     v = F.col(vec_col).cast("array<double>")
     # argmax_c (v.c / ||v||) == argmax_c (v.c): the norm is a shared

