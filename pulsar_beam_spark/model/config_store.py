@@ -465,6 +465,77 @@ class DbApiConfigStore(_CrudByNamesMixin):
         return [FileConfigStore._from_json(json.loads(r[0])) for r in cur.fetchall()]
 
 
+class MongoConfigStore(_CrudByNamesMixin):
+    """Mongo-backed Crud backend — the reference's primary production
+    store (src/db/mongo.go:98-258): one document per key in a collection
+    with a unique index on ``key`` (mongo.go:110-117), ``ReplaceOne``
+    upsert (mongo.go:176-194), ``DeleteOne`` that errors on a missing key
+    (mongo.go:215-227), ``Find({})`` load (mongo.go:139-154).
+
+    ``pymongo`` is NOT in this container, so the import is guarded the
+    same way icrypto.cipher guards ``cryptography``; the class carries
+    the full contract and is exercised by the same 6-way CRUD lifecycle
+    test (tests/test_model.py), skip-gated until a driver + server exist:
+
+        pip install pymongo && docker run -p 27017:27017 mongo:7 \\
+            && PBS_MONGO_URI=mongodb://localhost:27017 pytest tests/test_model.py
+
+    A pre-built ``client`` (e.g. mongomock) can be injected for tests.
+    """
+
+    def __init__(self, client=None, uri: str = "mongodb://localhost:27017",
+                 database: str = "beam", collection: str = "topics"):
+        if client is None:
+            try:
+                from pymongo import MongoClient
+            except ImportError as e:  # pragma: no cover - env-gated
+                raise ImportError(
+                    "MongoConfigStore needs pymongo (pip install pymongo); "
+                    "use DbApiConfigStore/FileConfigStore for driverless setups"
+                ) from e
+            client = MongoClient(uri)
+        self._col = client[database][collection]
+        self._col.create_index("key", unique=True)
+
+    def _next_version(self) -> int:
+        doc = self._col.find_one(sort=[("version", -1)], projection={"version": 1})
+        return int(doc["version"]) + 1 if doc else 1
+
+    def update(
+        self,
+        topic_full_name: str,
+        pulsar_url: str,
+        webhooks: list[Webhook] | None = None,
+        token: str = "",
+        tenant: str = "",
+        notes: str | None = None,
+        topic_status: int = int(TopicStatus.ACTIVATED),
+    ) -> str:
+        webhooks = webhooks or []
+        key = validate_topic_config(topic_full_name, pulsar_url, webhooks)
+        doc = _config_doc(key, topic_full_name, pulsar_url, webhooks, token,
+                          tenant, notes, topic_status, _now(),
+                          self._next_version())
+        self._col.replace_one(
+            {"key": key}, FileConfigStore._to_json(doc), upsert=True
+        )
+        return key
+
+    def get_by_key(self, key: str) -> dict | None:
+        got = self._col.find_one({"key": key}, projection={"_id": 0})
+        return FileConfigStore._from_json(got) if got else None
+
+    def delete_by_key(self, key: str) -> None:
+        if self._col.delete_one({"key": key}).deleted_count == 0:
+            raise KeyError(key)
+
+    def load(self) -> list[dict]:
+        return [
+            FileConfigStore._from_json(d)
+            for d in self._col.find({}, projection={"_id": 0}, sort=[("key", 1)])
+        ]
+
+
 def snapshot_df(spark: SparkSession, store) -> DataFrame:
     """Build the TOPIC_CONFIG_SCHEMA snapshot DataFrame from ANY Crud
     backend's ``load()`` — so the reconciler (streaming/reconciler.py)

@@ -83,4 +83,10 @@ def explain_summary(df: DataFrame) -> dict:
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "codegen_spans": simple.count("*("),
         "pushed_filters": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
+        # A (local)Checkpoint severs lineage: everything upstream of it —
+        # range exchanges, windows, whole scans — is INVISIBLE to this
+        # audit (the plan reads from `Scan ExistingRDD`). Flag it so a
+        # 0-shuffle row over a checkpoint boundary can't masquerade as a
+        # free plan (VERDICT r05 item 4).
+        "truncated_lineage": "ExistingRDD" in simple,
     }

@@ -8088,8 +8088,12 @@ _ROUND4_VERIFIED = frozenset({
 # listed under round 1).
 _ROUND5_VERIFIED = frozenset({
     "d_minhash_lsh_near_dup", "d_simhash_near_dup", "s_ann_lsh_topk",
-    "p_packing_efficiency", "p_rank_calibrate", "e_silhouette_by_cell",
-    "r_keyset_pagination", "r_event_trigrams", "r_calendar_profile",
+    "p_packing_efficiency", "e_silhouette_by_cell",
+    # p_rank_calibrate and r_keyset_pagination were r05-green but their
+    # shared kernel changed in round 6 (narrow checkpoint + rank rejoin in
+    # operators/sampling._global_rank) — re-fronted for fresh driver
+    # hashes against the new plan.
+    "r_event_trigrams", "r_calendar_profile",
     "e_cluster_inertia", "p_source_overlap_matrix", "t_source_novelty",
     "r_status_transitions", "r_gini_by_nation", "r_order_gap_stats",
     "s_rate_limit_sliding", "r_time_to_convert", "r_seasonality_index",

@@ -115,11 +115,27 @@ def test_validate_topic_config_returns_key():
         validate_topic_config("persistent://a/b/c", "http://not-pulsar", [])
 
 
-@pytest.fixture(params=["parquet", "memory", "file", "dbapi", "remote"])
+@pytest.fixture(params=["parquet", "memory", "file", "dbapi", "remote", "mongo"])
 def config_store(request, spark, tmp_path):
     from pulsar_beam_spark.model.config_store import (
         ConfigStore, DbApiConfigStore, FileConfigStore, InMemoryConfigStore)
 
+    if request.param == "mongo":
+        import os
+
+        uri = os.environ.get("PBS_MONGO_URI")
+        if not uri:
+            pytest.skip(
+                "MongoConfigStore needs a live server + driver: pip install "
+                "pymongo, run mongod (docker run -p 27017:27017 mongo:7), then "
+                "PBS_MONGO_URI=mongodb://localhost:27017 pytest tests/test_model.py"
+            )
+        pytest.importorskip("pymongo")
+        from pulsar_beam_spark.model.config_store import MongoConfigStore
+
+        store = MongoConfigStore(uri=uri, database="beam_test")
+        store._col.delete_many({})
+        return store
     if request.param == "parquet":
         return ConfigStore(spark, str(tmp_path / "cfg"))
     if request.param == "file":
