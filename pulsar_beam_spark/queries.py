@@ -2332,6 +2332,153 @@ def q_q22(spark, sf):
     )
 
 
+# == TPC-H q11/q20 over a DERIVED partsupp ===============================
+#
+# The fixture set has no partsupp table (SURVEY §9 declared q11/q20
+# unportable; VERDICT r05 item 5 closes the gap): partsupp is derived
+# DETERMINISTICALLY IN-QUERY from part x supplier with the TPC-H
+# suppkey-spreading formula, on BOTH engines — 4 suppliers per part,
+# availqty/cost as integer functions of (partkey, suppkey) so every
+# value is portable arithmetic, no fixture file needed.  The stride
+# can alias suppliers for some partkey ranges (e.g. stride ≡ 0 mod
+# ns/gcd), so the pair set is DISTINCTed; attributes depend only on the
+# pair, making duplicate rows identical and the DISTINCT clean.
+
+_PARTSUPP_SQL = """
+WITH ns AS (SELECT count(*) AS n FROM supplier),
+ps0 AS (
+  SELECT DISTINCT p_partkey AS ps_partkey,
+         (p_partkey + i * ((n // 4) + (p_partkey // n))) % n AS ps_suppkey
+  FROM part, ns, (VALUES (0),(1),(2),(3)) AS gen(i)
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         CAST((ps_partkey * 7 + ps_suppkey * 13) % 9999 + 1 AS BIGINT) AS ps_availqty,
+         CAST((ps_partkey * 31 + ps_suppkey * 17) % 100000 + 100 AS BIGINT) AS ps_cost_cents
+  FROM ps0
+)
+"""
+
+
+def derived_partsupp(spark, sf: str) -> DataFrame:
+    """Spark half of _PARTSUPP_SQL.  Scale shape: the supplier count and
+    the 4-row generator are broadcast scalars, so the derivation is a
+    map-only projection over part (codegen'd) plus one small DISTINCT
+    shuffle of 4x|part| narrow rows — partsupp never materializes wide."""
+    part = T(spark, sf, "part").select("p_partkey")
+    ns = T(spark, sf, "supplier").agg(F.count("*").alias("n"))
+    gen = spark.range(4).select(F.col("id").alias("i"))
+    stride = F.floor(F.col("n") / 4).cast("long") + F.floor(
+        F.col("p_partkey") / F.col("n")
+    ).cast("long")
+    ps0 = (
+        part.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(gen))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.pmod(F.col("p_partkey") + F.col("i") * stride, F.col("n"))
+            .cast("long").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return ps0.select(
+        "ps_partkey", "ps_suppkey",
+        (F.pmod(F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13, F.lit(9999)) + 1)
+        .cast("long").alias("ps_availqty"),
+        (F.pmod(F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17, F.lit(100000)) + 100)
+        .cast("long").alias("ps_cost_cents"),
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    _PARTSUPP_SQL + """
+, nat AS (
+  SELECT ps_partkey, CAST(sum(ps_cost_cents * ps_availqty) AS BIGINT) AS v_cents
+  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_15' GROUP BY ps_partkey),
+tot AS (SELECT CAST(sum(v_cents) AS BIGINT) AS t, count(*) AS c FROM nat)
+SELECT ps_partkey, CAST(v_cents AS DOUBLE) / 100 AS value
+FROM nat, tot WHERE v_cents * c > t * 2
+ORDER BY value DESC, ps_partkey
+""",
+    doc="TPC-H Q11 shape (important stock): per-part stock value for one "
+        "nation's suppliers vs a scalar total — the HAVING-vs-global-"
+        "aggregate pattern.  Adapted scale-free: TPC-H's 0.0001/SF "
+        "fraction becomes 'value > 2x the mean' (v*count > total*2, "
+        "integer cross-multiply, no float threshold).  All money math in "
+        "integer cents; the nation dim broadcasts; the total is a 1-row "
+        "broadcast scalar join, so the partsupp side shuffles once.",
+)
+def q_q11(spark, sf):
+    ps = derived_partsupp(spark, sf)
+    s, n = T(spark, sf, "supplier"), T(spark, sf, "nation")
+    nat = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .filter(F.col("n_name") == "NATION_15")
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v_cents"))
+    )
+    tot = nat.agg(F.sum("v_cents").alias("t"), F.count("*").alias("c"))
+    return (
+        nat.join(F.broadcast(tot))
+        .filter(F.col("v_cents") * F.col("c") > F.col("t") * 2)
+        .select("ps_partkey", (F.col("v_cents").cast("double") / 100).alias("value"))
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@register(
+    "tpch_q20_promo_suppliers",
+    _PARTSUPP_SQL + """
+, qty AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
+  GROUP BY 1, 2)
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+FROM partsupp ps
+JOIN qty ON ps.ps_partkey = qty.l_partkey AND ps.ps_suppkey = qty.l_suppkey
+JOIN part p ON ps.ps_partkey = p.p_partkey
+JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE 'red%' AND 2 * ps.ps_availqty > qty.q
+ORDER BY s.s_name
+""",
+    doc="TPC-H Q20 shape (promo suppliers): suppliers whose stock of "
+        "'red%' parts exceeds half the quantity they shipped in 2000 — "
+        "the correlated-IN chain (part filter -> partsupp -> per-pair "
+        "lineitem sum) decorrelated to joins.  Adapted: the final result "
+        "keeps each supplier's nation instead of filtering to one nation "
+        "(the sf0.001 fixture has ~1 supplier per nation, which would "
+        "leave an empty, assertion-free result).  Quantities compare as "
+        "integers (2*availqty > sum(qty)); lineitem aggregates before "
+        "joining, so the one big shuffle is the qty groupBy.",
+)
+def q_q20(spark, sf):
+    ps = derived_partsupp(spark, sf)
+    li = T(spark, sf, "lineitem")
+    p, s, n = T(spark, sf, "part"), T(spark, sf, "supplier"), T(spark, sf, "nation")
+    qty = (
+        li.filter((F.col("l_shipdate") >= "2000-01-01") & (F.col("l_shipdate") < "2001-01-01"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    red = p.filter(F.col("p_name").like("red%")).select("p_partkey")
+    return (
+        ps.join(qty, (ps.ps_partkey == qty.l_partkey) & (ps.ps_suppkey == qty.l_suppkey))
+        .join(red, ps.ps_partkey == red.p_partkey)
+        .filter(2 * F.col("ps_availqty") > F.col("q"))
+        .select("ps_suppkey").distinct()
+        .join(s, F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 # == deterministic sampling / dataset splits =============================
 
 _SPLIT_BUCKET = stable_bucket_sql("doc_id", 100)

@@ -37,9 +37,19 @@ def table_rowcount(sf_dir: str, name: str) -> int:
     driver-side samples (e.g. the IVF coarse-quantizer stride) without
     paying a full count() pass over the table: at 100 TB a count() is a
     real job; the footers already know the answer."""
+    import os
+
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        # Spark-written table directory (e.g. the sf1 probe fixture, or
+        # any real partitioned layout): sum the part-file footers —
+        # still metadata-only, no data pages read.
+        import pyarrow.dataset as ds
+
+        return ds.dataset(path, format="parquet").count_rows()
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

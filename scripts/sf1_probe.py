@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""sf1 scaling probe (VERDICT r05 item 7).
+
+The sf0.1 determinism sweep proved CORRECTNESS holds at 10x the oracle
+scale; this probes whether the TIME curves do.  It synthesizes an sf1
+fixture (10x sf0.1) by deterministic weak-scaling replication, runs the
+heaviest headline entries once at sf0.1 and once at sf1 in the same
+session, and prints a markdown table of per-entry scaling ratios and
+exponents (t ~ n^k -> k = log10(t_sf1/t_sf0.1) after subtracting
+nothing — fixed per-job overhead makes the printed k a *ceiling* on the
+asymptotic exponent for fast entries).
+
+Replication design (weak scaling, not duplication):
+- keyed tables get replica offsets of 1e9 * r on every key column, with
+  the SAME offset applied to each foreign key, so intra-replica joins
+  stay referentially intact and replicas are disjoint;
+- nation/region stay fixed (geography does not scale in TPC-H either);
+- document tokens are prefixed "r<r>" for replicas r>0, so shingle/
+  minhash near-dup structure repeats per replica instead of creating
+  cross-replica duplicate cliques (which would grow pair output ~45x
+  and measure the fixture, not the operator);
+- embeddings are rotated by r positions per replica — norm-preserving,
+  deterministic, and far from the original in cosine, so ANN/near-dup
+  candidate densities scale ~linearly.
+
+Usage:
+    python scripts/sf1_probe.py [--rebuild] [--out /tmp/pbs-sf1]
+The generated fixture is cached in --out; ~1.7 GB.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+OFF = 1_000_000_000
+
+# heaviest BENCH_r05 entries (stream/skew stress excluded: their n is
+# bench-controlled, not sf-controlled)
+PROBE = [
+    "pipeline_curation_clustered",
+    "r_pagerank_iter3",
+    "d_incremental_near_dup",
+    "pipeline_corpus_curation",
+    "d_embedding_near_dup",
+    "d_minhash_lsh_near_dup",
+    "r30_ngram_jaccard_pairs",
+    "s_ann_ivf_topk",
+    "flagship_revenue_by_nation",
+    "tpch_q7_volume_shipping",
+]
+
+# key columns to offset per table (same offset per replica keeps FKs
+# referentially intact within a replica)
+KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build(spark, out: str) -> None:
+    from pulsar_beam_spark.sources.tables import TABLES, load_table
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        df = load_table(spark, SRC, name)
+        if name in ("region", "nation"):
+            df.write.mode("overwrite").parquet(dst)
+            continue
+        reps = []
+        dim = None
+        if name == "embeddings":
+            dim = len(df.select("embedding").head()["embedding"])
+        for r in range(REPLICAS):
+            rep = df
+            for k in KEYS[name]:
+                rep = rep.withColumn(k, F.col(k) + F.lit(r * OFF))
+            if name == "documents" and r > 0:
+                # disjoint token space per replica: prefix every token
+                rep = rep.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda t: F.concat(F.lit(f"r{r}"), t),
+                        ),
+                        " ",
+                    ),
+                ).withColumn("n_chars", F.length("text").cast("long"))
+            if name == "embeddings" and r > 0:
+                # rotate by r: norm-preserving deterministic perturbation
+                rep = rep.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice(F.col("embedding"), r + 1, dim - r),
+                        F.slice(F.col("embedding"), 1, r),
+                    ),
+                )
+            reps.append(rep)
+        full = reps[0]
+        for rep in reps[1:]:
+            full = full.unionByName(rep)
+        full.write.mode("overwrite").parquet(dst)
+        print(f"built {name}", file=sys.stderr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/pbs-sf1")
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+
+    from pulsar_beam_spark.queries import REGISTRY
+    from pulsar_beam_spark.session import get_spark
+
+    spark = get_spark("sf1-probe")
+    if args.rebuild:
+        import shutil
+
+        shutil.rmtree(args.out, ignore_errors=True)
+    build(spark, args.out)
+
+    # warm python worker pool (see bench.py)
+    def _noop(it):
+        import pandas as _pd  # noqa: F401
+        yield from it
+
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_noop, "id long").write.format("noop").mode("overwrite").save()
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    import math
+
+    print("| entry | sf0.1 s | sf1 s | ratio | exponent |")
+    print("|---|---|---|---|---|")
+    for name in PROBE:
+        run(name, SRC)  # warm (footers, codegen)
+        t01 = run(name, SRC)
+        t1 = run(name, args.out)
+        ratio = t1 / t01
+        k = math.log10(max(ratio, 1e-9))
+        print(f"| {name} | {t01:.2f} | {t1:.2f} | {ratio:.2f}x | {k:.2f} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
