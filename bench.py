@@ -83,6 +83,9 @@ HEADLINE = [
     "e_silhouette_by_cell",    # map-only distance kernels + one aggregate
     "p_packing_efficiency",    # shard-window cumulative sums + audit agg
     "p_rank_calibrate",        # per-group + global percent_rank windows
+    # round-6 additions
+    "tpch_q11_important_stock",  # derived partsupp + scalar-total HAVING
+    "tpch_q20_promo_suppliers",  # derived partsupp + decorrelated IN chain
 ]
 
 

@@ -8265,6 +8265,9 @@ def _driver_order() -> list[str]:
     # check, but that check is still a recorded row — spend leftover
     # window slots on them rather than on re-verifying green entries.
     # Those that have NEVER had a driver row (any kind) lead.
+    # (As of round 6 every entry carries an oracle, so both no-oracle
+    # buckets are empty; the machinery stays for any future entry whose
+    # semantics genuinely cannot be SQL-expressed.)
     _HAS_ROWS_ONLY_ROW = frozenset({
         "r13_approx_count_distinct", "d_minhash_lsh_near_dup",
         "d_simhash_near_dup", "s_ann_lsh_topk",
