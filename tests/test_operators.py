@@ -847,3 +847,26 @@ def test_global_rank_dense_and_stable_across_jobs(spark):
     for r in rows[:200]:
         want = round(serial[(r["score"], r["id"])] / (n - 1), 6)
         assert math.isclose(r["global_pctl"], want, abs_tol=1e-9)
+
+
+def test_derived_partsupp_contract(spark):
+    """tpch_q11/q20's in-query partsupp: (partkey, suppkey) pairs are
+    unique, every part has 1-4 suppliers, suppkeys stay in-range, and the
+    attribute formulas match the oracle CTE's integer arithmetic."""
+    from pulsar_beam_spark.queries import derived_partsupp
+    from .conftest import SF_SMOKE
+
+    ps = derived_partsupp(spark, SF_SMOKE).collect()
+    n_supp = load_table(spark, SF_SMOKE, "supplier").count()
+    n_part = load_table(spark, SF_SMOKE, "part").count()
+    pairs = {(r["ps_partkey"], r["ps_suppkey"]) for r in ps}
+    assert len(pairs) == len(ps)  # PK uniqueness (stride aliasing DISTINCTed)
+    per_part = {}
+    for pk, sk in pairs:
+        per_part.setdefault(pk, set()).add(sk)
+        assert 0 <= sk < n_supp
+    assert len(per_part) == n_part
+    assert all(1 <= len(v) <= 4 for v in per_part.values())
+    for r in ps[:50]:
+        assert r["ps_availqty"] == (r["ps_partkey"] * 7 + r["ps_suppkey"] * 13) % 9999 + 1
+        assert r["ps_cost_cents"] == (r["ps_partkey"] * 31 + r["ps_suppkey"] * 17) % 100000 + 100

@@ -227,6 +227,13 @@ def test_delivery_stream_end_to_end_with_reply(spark, msg_dir, tmp_path):
     assert len(replies) == len(t.calls)
     assert all(r["topic"] == "persistent://t/ns/reply" for r in replies)
     assert bytes(replies[0]["payload"]) == b"reply-body"
+    # executor-side in-plan stamping (round 6): unique reply-prefixed ids,
+    # produce-time timestamps, and the PulsarUrl property survive the
+    # no-driver-round-trip append
+    assert all(r["message_id"].startswith("reply-") for r in replies)
+    assert len({r["message_id"] for r in replies}) == len(replies)
+    assert all(r["event_time"] is not None and r["publish_time"] is not None for r in replies)
+    assert all("PulsarUrl" in dict(r["properties"]) for r in replies)
 
 
 def test_delivery_redelivers_after_failure(spark, msg_dir, tmp_path):
