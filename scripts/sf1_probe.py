@@ -94,6 +94,15 @@ def build(spark, out: str) -> None:
             rep = df
             for k in KEYS[name]:
                 rep = rep.withColumn(k, F.col(k) + F.lit(r * OFF))
+            if name == "part" and r > 0:
+                # salt the entity-resolution block key (brand) and the
+                # name: replicated parts are otherwise IDENTICAL entities,
+                # so blocked fuzzy matching legitimately finds all
+                # cross-replica pairs and in-block pair counts grow
+                # quadratically — a fixture artifact, not operator scaling
+                rep = rep.withColumn(
+                    "p_brand", F.concat(F.lit(f"r{r}-"), F.col("p_brand"))
+                ).withColumn("p_name", F.concat(F.lit(f"r{r} "), F.col("p_name")))
             if name == "documents" and r > 0:
                 # disjoint token space per replica: prefix every token
                 rep = rep.withColumn(
