@@ -211,6 +211,11 @@ def unigram_logprob(
         spread_small_input(docs), [F.col(id_col).alias("id")], tokens(text_col), "term"
     )
     vocab = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    # NOTE(round 6): deriving total from vocab (sum of freqs) measured
+    # SLOWER — without caching, Spark re-executes the vocab aggregation
+    # (tokenize + term shuffle) for the scalar, while this map-side count
+    # is one tokenize pass with no exchange.  Plans don't share subtrees;
+    # "reuse the aggregate" is only a win when the aggregate is cached.
     total = toks.agg(F.count("*").alias("total"))
     lp = vocab.crossJoin(F.broadcast(total)).select(
         "term",

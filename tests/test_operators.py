@@ -870,3 +870,24 @@ def test_derived_partsupp_contract(spark):
     for r in ps[:50]:
         assert r["ps_availqty"] == (r["ps_partkey"] * 7 + r["ps_suppkey"] * 13) % 9999 + 1
         assert r["ps_cost_cents"] == (r["ps_partkey"] * 31 + r["ps_suppkey"] * 17) % 100000 + 100
+
+
+def test_global_rank_null_order_values_and_width(spark):
+    """Round-6 kernel contract: (a) rows with NULL order values keep their
+    rank through the rejoin (the join is null-safe — a plain equi-join
+    would silently DROP them); (b) the output carries all caller columns
+    exactly once (no __oc/__rc/__grank leakage)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_beam_spark.operators.sampling import global_row_number
+
+    rows = [(1, None, "a"), (2, 5.0, "b"), (3, None, "c"), (4, 1.0, "d"), (5, 3.0, "e")]
+    df = spark.createDataFrame(rows, "id long, score double, payload string").repartition(4)
+    out = global_row_number(df, [F.col("score"), F.col("id")])
+    got = {r["id"]: (r["rn"], r["payload"]) for r in out.collect()}
+    assert len(got) == 5  # nothing dropped
+    assert sorted(r[0] for r in got.values()) == [1, 2, 3, 4, 5]  # dense
+    # NULLS FIRST (Spark asc default), tie-break id: (1,None)(3,None)(4,1)(5,3)(2,5)
+    assert [id_ for id_, _ in sorted(got.items(), key=lambda kv: kv[1][0])] == [1, 3, 4, 5, 2]
+    assert got[1][1] == "a" and got[2][1] == "b"  # payload survives the rejoin
+    assert set(out.columns) == {"id", "score", "payload", "rn"}
