@@ -332,3 +332,61 @@ def test_minhash_generator_not_duplicated(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = simple_plan(minhash_signatures(docs))
     assert plan.count("concat_ws") == 1, plan[:3000]
+
+
+# Every BroadcastNestedLoopJoin allowed in the registry, with its count.
+# ALL of these are the benign scalar-broadcast pattern — a crossJoin
+# against a broadcast side that is 1-4 rows BY CONSTRUCTION (a global
+# aggregate, a literal generator, or a count scalar): the stream side
+# never shuffles and the "nested loop" is over a handful of rows.  A
+# BNLJ with an unbounded side (the real scale-killer: a typo'd join
+# condition Catalyst can't plan as equi-join) is NOT on this list and
+# fails the audit below.
+_BNLJ_ALLOWED = {
+    "r09_cross_join": 1,              # the cross-join operator itself (bounded dims)
+    "t_tfidf": 1,                     # n_docs scalar
+    "r_scalar_subquery": 1,           # global sum/count scalar
+    "tpch_q22_dormant_customers": 1,  # avg-balance scalar
+    "tpch_q11_important_stock": 5,    # supplier-count + 4-row generator (x2 partsupp) + total scalar
+    "tpch_q20_promo_suppliers": 2,    # supplier-count + 4-row generator
+    "s_ann_recall_audit": 1,          # 1-row query-signature side
+    "r_gap_fill_forward": 1,          # date-bounds scalar
+    "t_unigram_logprob": 1,           # corpus-total scalar
+    "e_grouped_topk": 1,              # global threshold scalar
+    "pipeline_rag_index": 1,          # n_docs scalar (tf-idf stage)
+    "r_data_quality_audit": 4,        # per-rule count scalars
+    "t_keyword_extraction": 1,        # corpus-total scalar
+    "r_triangle_count": 1,            # edge-count scalar
+    "r_rfm_segmentation": 1,          # quantile-boundaries scalar row
+    "r_benford_digits": 1,            # total-count scalar
+    "t_vocab_coverage": 1,            # vocab-size scalar
+    "r_largest_remainder": 3,         # total + remainder-rank scalars
+    "r_seasonality_index": 1,         # grand-mean scalar
+    "r_rolling_active_users": 1,      # day-spine range join (both sides calendar-bounded daily aggregates)
+    "r_lorenz_deciles": 1,            # population-total scalar
+    "r_survival_curve": 1,            # cohort-size scalar
+    "r_backlog_aging": 1,             # as-of-date scalar
+    "p_split_leakage": 1,             # split-sizes scalar row
+    "t_js_divergence": 2,             # two distribution-total scalars
+    "r_chi_square_mix": 1,            # expected-counts scalar row
+    "r_rolling_median": 1,            # day-spine range join (both sides calendar-bounded daily aggregates)
+    "r_basket_lift": 1,               # basket-count scalar
+}
+
+
+def test_registry_wide_no_unbounded_nested_loop_joins(spark):
+    """Full-registry plan audit: no entry may contain a CartesianProduct,
+    and BroadcastNestedLoopJoin counts must match the scalar-broadcast
+    allowlist above exactly — a new BNLJ anywhere (usually a join
+    condition Catalyst couldn't plan as an equi-join) fails here with
+    the entry name instead of surfacing as a 100-TB hang."""
+    from pulsar_beam_spark.plans.explain import simple_plan
+
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        plan = simple_plan(spec.spark(spark, SF_SMOKE))
+        cart = plan.count("CartesianProduct")
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        if cart or bnlj != _BNLJ_ALLOWED.get(name, 0):
+            offenders[name] = (cart, bnlj, _BNLJ_ALLOWED.get(name, 0))
+    assert not offenders, f"cartesian/unexpected-BNLJ entries: {offenders}"
