@@ -212,8 +212,55 @@ def global_row_number(
     return ranked.withColumn(out_col, rank.cast("long")).drop("__grank")
 
 
-def _global_rank(df: DataFrame, order_cols: list, n_partitions: int | None):
-    """Shared kernel: returns (df_with___grank, rank_column, total).
+def global_ntile(
+    df: DataFrame, order_cols: list, k: int, out_col: str = "tile",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(k)`` over a global order without a single-task window.
+
+    Reproduces SQL ntile bucket sizing bit-for-bit: with n rows, the
+    first ``n % k`` tiles hold ``ceil(n/k)`` rows, the rest ``floor``.
+    n and k are plan literals once the kernel's bounded counts job has
+    run, so the tile is a pure projection over the distributed rank."""
+    ranked, rank, total = _global_rank(df, order_cols, n_partitions)
+    q, r = divmod(total, k) if total else (0, 0)
+    big = r * (q + 1)
+    tile = F.when(
+        rank <= F.lit(big), F.ceil(rank / F.lit(q + 1))
+    ).otherwise(F.lit(r) + F.ceil((rank - F.lit(big)) / F.lit(max(q, 1))))
+    return ranked.withColumn(out_col, tile.cast("int")).drop("__grank")
+
+
+def global_running_sum(
+    df: DataFrame, order_cols: list, value_col: str,
+    out_col: str = "running_sum", rn_col: str | None = None,
+    total_col: str | None = None, n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running total of ``value_col`` over a global order — the
+    scalable replacement for ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``, whose empty partitioning funnels the whole input
+    through one task.  Same range-partition + offset recipe as the rank
+    kernel: per-partition prefix sums compose with partition-sum offsets
+    from the bounded stats job.  ``rn_col`` optionally emits the global
+    row_number from the same pass; ``total_col`` stamps the grand total
+    as a plan literal (replacing the equally-single-task
+    ``sum(v) OVER ()``)."""
+    ranked, rank, total, total_sum = _global_rank(
+        df, order_cols, n_partitions, value_col=value_col)
+    out = ranked.withColumnRenamed("__gsum", out_col)
+    if rn_col:
+        out = out.withColumn(rn_col, rank.cast("long"))
+    out = out.drop("__grank")
+    if total_col:
+        out = out.withColumn(total_col, F.lit(total_sum).cast("long"))
+    return out
+
+
+def _global_rank(df: DataFrame, order_cols: list, n_partitions: int | None,
+                 value_col: str | None = None):
+    """Shared kernel: returns (df_with___grank, rank_column, total) —
+    plus the value-sum grand total (4-tuple, with a ``__gsum`` running
+    column attached) when ``value_col`` is given.
 
     ``order_cols`` MUST define a TOTAL order (callers tie-break with a
     unique id) — both for deterministic ranks and because the rank is
@@ -241,26 +288,44 @@ def _global_rank(df: DataFrame, order_cols: list, n_partitions: int | None):
     oc_names = [f"__oc{i}" for i in range(n_oc)]
     keyed = df.select("*", *[c.alias(n) for c, n in zip(order_cols, oc_names)])
     oc = [F.col(n) for n in oc_names]
-    # localCheckpoint PINS the partition layout: the counts job and the
+    narrow_cols = list(oc_names)
+    if value_col is not None:
+        keyed = keyed.withColumn("__val", F.col(value_col))
+        narrow_cols.append("__val")
+    # localCheckpoint PINS the partition layout: the stats job and the
     # ranking job would otherwise each re-execute the range exchange,
     # and AQE may coalesce its partitions differently per job — the
     # offsets would then describe a layout the ranking job doesn't have
     # (observed as duplicated/skipped ranks).  Only the order-column
-    # projection is checkpointed.
-    ranged = keyed.select(*oc_names).repartitionByRange(n_partitions, *oc).withColumn(
+    # (+ value) projection is checkpointed.
+    ranged = keyed.select(*narrow_cols).repartitionByRange(n_partitions, *oc).withColumn(
         "__pid", F.spark_partition_id()).localCheckpoint(eager=True)
-    counts = ranged.groupBy("__pid").count().orderBy("__pid").collect()
+    aggs = [F.count("*").alias("c")]
+    if value_col is not None:
+        aggs.append(F.sum("__val").alias("s"))
+    stats = ranged.groupBy("__pid").agg(*aggs).orderBy("__pid").collect()
     offsets, acc = {}, 0
-    for row in counts:
+    sum_offsets, sacc = {}, 0
+    for row in stats:
         offsets[row["__pid"]] = acc
-        acc += row["count"]
+        acc += row["c"]
+        if value_col is not None:
+            sum_offsets[row["__pid"]] = sacc
+            sacc += row["s"] or 0
     off_map = F.create_map(
         *[x for p, o in sorted(offsets.items()) for x in (F.lit(p), F.lit(o))])
     w = Window.partitionBy("__pid").orderBy(*oc)
-    ranks = ranged.select(
+    rank_cols = [
         *[F.col(n).alias(f"__rc{i}") for i, n in enumerate(oc_names)],
         (off_map[F.col("__pid")] + F.row_number().over(w)).alias("__grank"),
-    )
+    ]
+    if value_col is not None:
+        sum_map = F.create_map(
+            *[x for p, o in sorted(sum_offsets.items()) for x in (F.lit(p), F.lit(o))])
+        prefix = F.sum("__val").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        rank_cols.append((sum_map[F.col("__pid")] + prefix).alias("__gsum"))
+    ranks = ranged.select(*rank_cols)
     # null-safe equi-join on the total order key (still a hash/SMJ key,
     # so rows with NULL order values keep their rank)
     cond = None
@@ -271,5 +336,8 @@ def _global_rank(df: DataFrame, order_cols: list, n_partitions: int | None):
         keyed.join(ranks, cond, "inner")
         .drop(*[f"__rc{i}" for i in range(n_oc)])
         .drop(*oc_names)
+        .drop("__val")
     )
+    if value_col is not None:
+        return joined, F.col("__grank"), acc, sacc
     return joined, F.col("__grank"), acc

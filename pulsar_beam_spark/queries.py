@@ -5182,20 +5182,24 @@ SELECT CAST(min(CASE WHEN cum*5 >= tot*4 THEN rn END) AS BIGINT) AS n_parts_80,
        CAST(count(*) AS BIGINT) AS total_parts
 FROM r
 """,
-    doc="Pareto 80/20 cut: how many top parts carry 80% of revenue — "
-        "running-share window over the aggregate (report-scale single "
-        "partition AFTER the groupBy collapse, like r_percent_of_total)",
+    doc="Pareto 80/20 cut: how many top parts carry 80% of revenue. "
+        "Round 6: the running-share/rank/total windows moved from a "
+        "single-task unpartitioned window to the DISTRIBUTED "
+        "global_running_sum kernel (range-partition + prefix-sum offset "
+        "composition; the grand total becomes a plan literal from the "
+        "kernel's bounded stats job) — the part dimension scales with "
+        "the corpus, so the old plan funneled it through one task.",
 )
 def q_pareto_cut(spark, sf):
+    from .operators.sampling import global_running_sum
+
     li = T(spark, sf, "lineitem")
     pr = li.groupBy("l_partkey").agg(F.sum(cents("l_extendedprice")).alias("rev"))
-    wcum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
-    r = pr.select(
-        F.sum("rev").over(wcum).alias("cum"),
-        F.sum("rev").over(wall).alias("tot"),
-        F.row_number().over(Window.orderBy(F.col("rev").desc(), "l_partkey")).alias("rn"),
+    # order rev DESC via negation: the kernel range-partitions on plain
+    # ascending columns, and -rev asc == rev desc for non-null longs
+    r = global_running_sum(
+        pr, [(-F.col("rev")), F.col("l_partkey")], "rev",
+        out_col="cum", rn_col="rn", total_col="tot",
     )
     return r.agg(
         F.min(F.when(F.col("cum") * 5 >= F.col("tot") * 4, F.col("rn"))).cast("long").alias("n_parts_80"),
@@ -5795,11 +5799,15 @@ def q_rfm(spark, sf):
             F.sum(cents("o_totalprice")).alias("monetary_cents"),
         )
     )
-    seg = (
-        F.ntile(5).over(Window.orderBy("recency_days", "o_custkey")) * 100
-        + F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")) * 10
-        + F.ntile(5).over(Window.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
-    )
+    from .operators.sampling import global_ntile
+
+    # round 6: three distributed quintile passes replace three
+    # single-task ntile windows (the customer dimension scales with the
+    # corpus); DESC orders expressed as negated ascending columns
+    c = global_ntile(c, [F.col("recency_days"), F.col("o_custkey")], 5, out_col="_r")
+    c = global_ntile(c, [(-F.col("frequency")), F.col("o_custkey")], 5, out_col="_f")
+    c = global_ntile(c, [(-F.col("monetary_cents")), F.col("o_custkey")], 5, out_col="_m")
+    seg = F.col("_r") * 100 + F.col("_f") * 10 + F.col("_m")
     return c.select(
         "o_custkey",
         F.col("recency_days").cast("long").alias("recency_days"),
@@ -6041,11 +6049,14 @@ FROM b GROUP BY band
         "integer-cent aggregates) — the decile-report shape",
 )
 def q_quartile_bands(spark, sf):
+    from .operators.sampling import global_ntile
+
     c = T(spark, sf, "customer")
-    b = c.select(
-        "c_custkey", cents("c_acctbal").alias("bal"),
-        F.ntile(4).over(Window.orderBy("c_acctbal", "c_custkey")).alias("band"),
-    )
+    # round 6: distributed quartile assignment (see q_lorenz_deciles)
+    b = global_ntile(
+        c.select("c_custkey", "c_acctbal", cents("c_acctbal").alias("bal")),
+        [F.col("c_acctbal"), F.col("c_custkey")], 4, out_col="band",
+    ).select("bal", "band")
     return b.groupBy("band").agg(
         F.count("*").alias("n"),
         F.round(F.min("bal").cast("double") / 100, 6).alias("min_bal"),
@@ -7115,10 +7126,16 @@ FROM d GROUP BY 1
         "r_gini_by_nation's scalar; integer cents end to end",
 )
 def q_lorenz_deciles(spark, sf):
+    from .operators.sampling import global_ntile
+
     o = T(spark, sf, "orders")
     c = o.groupBy("o_custkey").agg(F.sum(cents("o_totalprice")).alias("revc"))
-    d = c.select(
-        "revc", F.ntile(10).over(Window.orderBy("revc", "o_custkey")).alias("decile"))
+    # round 6: decile assignment via the distributed global_ntile kernel
+    # (the customer dimension scales with the corpus; a bare
+    # ntile() OVER (ORDER BY) is a single-task window)
+    d = global_ntile(
+        c, [F.col("revc"), F.col("o_custkey")], 10, out_col="decile"
+    ).select("revc", "decile")
     tot = c.agg(F.sum("revc").cast("double").alias("tot"))
     return (
         d.groupBy(F.col("decile").cast("int").alias("decile"))
@@ -7386,13 +7403,15 @@ def q_abc_xyz(spark, sf):
         F.sum(F.col("l_quantity").cast("long")).alias("sq"),
         F.sum(F.col("l_quantity").cast("long") * F.col("l_quantity").cast("long")).alias("sqq"),
     )
-    wcum = Window.orderBy(F.col("revc").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    r = pr.select(
-        "l_partkey", "n", "sq", "sqq",
-        F.sum("revc").over(wcum).alias("cum"),
-        F.sum("revc").over(Window.partitionBy()).alias("tot"),
-    )
+    from .operators.sampling import global_running_sum
+
+    # round 6: distributed running share (the part dimension scales with
+    # the corpus; see q_pareto_cut) — cum/tot via the range-partitioned
+    # prefix-sum kernel, rev DESC expressed as -revc asc
+    r = global_running_sum(
+        pr, [(-F.col("revc")), F.col("l_partkey")], "revc",
+        out_col="cum", total_col="tot",
+    ).select("l_partkey", "n", "sq", "sqq", "cum", "tot")
     nd, sqd = F.col("n").cast("double"), F.col("sq").cast("double")
     var = (nd * F.col("sqq") - sqd * F.col("sq")) / (nd * F.col("n"))
     mean2 = (sqd / F.col("n")) * (sqd / F.col("n"))
@@ -8211,14 +8230,17 @@ _ROUND4_VERIFIED = frozenset({
     "s_ann_recall_audit", "r_gaps_islands", "r_mode_per_group",
     "r_weighted_median", "r_string_agg", "r_regexp_extract_all",
     "r_bitmap_flags", "r_asof_nearest", "r_null_impute_group_mean",
-    "r_pareto_cut", "r_yoy_growth", "r_interp_linear", "r_rolling_zscore",
+    "r_yoy_growth", "r_interp_linear", "r_rolling_zscore",
     "r_triangle_count", "t_bigram_top", "t_sentence_stats",
     "e_centroid_assign", "e_norm_audit", "p_dataset_card",
     "d_jaccard_containment", "p_token_budget_split", "l_partition_manifest",
     "r_running_distinct", "sql_shared_dialect_filter_agg",
-    "r_rfm_segmentation", "r_streak_detection", "r_cusum_drift",
+    # r_rfm_segmentation, r_pareto_cut and r_quartile_bands were r04-green
+    # but moved to the distributed global_ntile/global_running_sum kernels
+    # in round 6 — re-fronted for fresh driver hashes against the new plans.
+    "r_streak_detection", "r_cusum_drift",
     "t_char_class_profile", "p_quality_gate_funnel", "d_exact_hash_clusters",
-    "e_cosine_histogram", "g_message_size_audit", "r_quartile_bands",
+    "e_cosine_histogram", "g_message_size_audit",
     "r_lead_time_buckets", "r_self_excluding_agg", "t_readability",
     # r_keyset_pagination was r04-green but its implementation changed in
     # round 5 (distributed global row_number) — re-fronted for a fresh
@@ -8244,9 +8266,11 @@ _ROUND5_VERIFIED = frozenset({
     "e_cluster_inertia", "p_source_overlap_matrix", "t_source_novelty",
     "r_status_transitions", "r_gini_by_nation", "r_order_gap_stats",
     "s_rate_limit_sliding", "r_time_to_convert", "r_seasonality_index",
-    "r_new_vs_returning", "r_rolling_active_users", "r_lorenz_deciles",
+    "r_new_vs_returning", "r_rolling_active_users",
     "r_anova_dow", "e_label_margin", "r_survival_curve", "r_backlog_aging",
-    "r_abc_xyz", "p_split_leakage", "t_js_divergence", "r_hierarchy_rollup",
+    # r_abc_xyz and r_lorenz_deciles r05-green -> round-6 distributed
+    # ranking kernels; re-fronted.
+    "p_split_leakage", "t_js_divergence", "r_hierarchy_rollup",
     "r_chi_square_mix", "t_bigram_entropy", "r_segment_migration",
     "r_rolling_median", "r_pagerank_iter3", "r_degree_distribution",
     "sql_shared_dialect_group_by_all", "sql_shared_dialect_lateral",

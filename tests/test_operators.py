@@ -891,3 +891,47 @@ def test_global_rank_null_order_values_and_width(spark):
     assert [id_ for id_, _ in sorted(got.items(), key=lambda kv: kv[1][0])] == [1, 3, 4, 5, 2]
     assert got[1][1] == "a" and got[2][1] == "b"  # payload survives the rejoin
     assert set(out.columns) == {"id", "score", "payload", "rn"}
+
+
+def test_global_ntile_and_running_sum_match_serial_windows(spark):
+    """Round-6 kernels: global_ntile must equal ntile(k) OVER (ORDER BY)
+    bit-for-bit (including the front-loaded remainder buckets), and
+    global_running_sum must equal sum() OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING) plus the grand total — without the single-task window."""
+    from pyspark.sql import Window
+    from pulsar_beam_spark.operators.sampling import global_ntile, global_running_sum
+
+    n = 10_007  # prime: every k below leaves a remainder
+    df = (spark.range(n).toDF("id")
+          .withColumn("v", (F.col("id") * 2654435761 % 997).cast("long"))
+          .repartition(16))
+    serial = {  # single-task reference (fine at test scale)
+        r["id"]: (r["t3"], r["t10"], r["rs"])
+        for r in df.select(
+            "id",
+            F.ntile(3).over(Window.orderBy("v", "id")).alias("t3"),
+            F.ntile(10).over(Window.orderBy("v", "id")).alias("t10"),
+            F.sum("v").over(
+                Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("rs"),
+        ).collect()
+    }
+    t3 = {r["id"]: r["tile"] for r in global_ntile(df, [F.col("v"), F.col("id")], 3).collect()}
+    t10 = {r["id"]: r["tile"] for r in global_ntile(df, [F.col("v"), F.col("id")], 10).collect()}
+    rs = global_running_sum(df, [F.col("v"), F.col("id")], "v",
+                            out_col="rsum", rn_col="rn", total_col="tot")
+    got = {r["id"]: (r["rsum"], r["rn"], r["tot"]) for r in rs.collect()}
+    total = sum(v[2] for v in [serial[max(serial)]]) or serial[max(serial)][2]
+    for id_, (et3, et10, ers) in serial.items():
+        assert t3[id_] == et3, (id_, t3[id_], et3)
+        assert t10[id_] == et10, (id_, t10[id_], et10)
+        assert got[id_][0] == ers, (id_, got[id_][0], ers)
+    grand = max(v[0] for v in got.values())
+    assert all(v[2] == grand for v in got.values())  # total_col == true total
+    assert sorted(v[1] for v in got.values()) == list(range(1, n + 1))
+    # k > n degenerate: each row its own tile, equal to its row number
+    small = spark.createDataFrame([(1, 5), (2, 3), (3, 9)], "id long, v long")
+    st = {r["id"]: r["tile"] for r in global_ntile(small, [F.col("v"), F.col("id")], 10).collect()}
+    ser = {r["id"]: r["t"] for r in small.select(
+        "id", F.ntile(10).over(Window.orderBy("v", "id")).alias("t")).collect()}
+    assert st == ser

@@ -390,3 +390,50 @@ def test_registry_wide_no_unbounded_nested_loop_joins(spark):
         if cart or bnlj != _BNLJ_ALLOWED.get(name, 0):
             offenders[name] = (cart, bnlj, _BNLJ_ALLOWED.get(name, 0))
     assert not offenders, f"cartesian/unexpected-BNLJ entries: {offenders}"
+
+
+# Ordered-but-unpartitioned window nodes funnel their whole input
+# through ONE task (Spark's own WindowExec warning).  After the round-6
+# migration of every table-scaling case to the distributed kernels
+# (sampling.global_row_number / global_percent_rank / global_ntile /
+# global_running_sum), the only global windows left run over inputs
+# bounded BY CONSTRUCTION — post-LIMIT rows or calendar/dimension-sized
+# aggregates that do not grow with the corpus:
+_GLOBAL_WINDOW_ALLOWED = {
+    "r18_sort_with_position": 1,  # over a LIMIT 500 result
+    "r_autocorr_daily": 1,        # over the daily aggregate (calendar-bounded)
+    "r_yoy_growth": 1,            # over per-year revenue (a handful of rows)
+    "r_running_distinct": 1,      # over the distinct-days spine (calendar-bounded)
+    "r_largest_remainder": 1,     # over per-nation seat shares (25 rows)
+    "r_percent_of_total": 1,      # sum() OVER () over per-mktsegment totals (5 rows)
+}
+
+
+def _global_window_count(plan: str) -> int:
+    n = 0
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        groups = line.count("], [")
+        if groups == 0:
+            n += 1  # unordered AND unpartitioned: sum(x) OVER ()
+        elif groups == 1:
+            tail = line.rsplit("], [", 1)[1]
+            if " ASC" in tail or " DESC" in tail:
+                n += 1  # ordered, unpartitioned (partition-only is fine)
+    return n
+
+
+def test_registry_wide_global_windows_bounded(spark):
+    """Full-registry audit: every unpartitioned window must be on the
+    bounded-input allowlist above.  A new ORDER-BY-without-PARTITION-BY
+    window over a table-scaling input fails here with the entry name
+    instead of becoming the classic single-task bottleneck at 100 TB."""
+    from pulsar_beam_spark.plans.explain import simple_plan
+
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        n = _global_window_count(simple_plan(spec.spark(spark, SF_SMOKE)))
+        if n != _GLOBAL_WINDOW_ALLOWED.get(name, 0):
+            offenders[name] = (n, _GLOBAL_WINDOW_ALLOWED.get(name, 0))
+    assert not offenders, f"unexpected global windows: {offenders}"
