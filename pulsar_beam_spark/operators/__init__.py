@@ -14,6 +14,10 @@ from .dedup import (  # noqa: F401
 from .packing import sequence_pack  # noqa: F401
 from .sampling import (  # noqa: F401
     deterministic_split,
+    global_ntile,
+    global_percent_rank,
+    global_row_number,
+    global_running_sum,
     stable_bucket,
     stratified_sample,
 )
