@@ -935,3 +935,41 @@ def test_global_ntile_and_running_sum_match_serial_windows(spark):
     ser = {r["id"]: r["t"] for r in small.select(
         "id", F.ntile(10).over(Window.orderBy("v", "id")).alias("t")).collect()}
     assert st == ser
+
+
+def test_global_kernels_randomized_vs_serial(spark):
+    """Randomized edge sweep for the distributed ordering kernels: heavy
+    ties in the order value, k in {1, 2, 7, 12}, n from 1 to ~400 (and
+    n < k), always with a unique id tie-break (the kernels' total-order
+    contract).  Each case must bit-match the serial window forms."""
+    import random
+
+    from pyspark.sql import Window
+    from pulsar_beam_spark.operators.sampling import (
+        global_ntile, global_row_number, global_running_sum)
+
+    rng = random.Random(99)
+    for case in range(6):
+        n = rng.choice([1, 3, 11, 57, 201, 400])
+        k = rng.choice([1, 2, 7, 12])
+        rows = [(i, rng.randint(0, 4)) for i in range(n)]  # few distinct values -> ties
+        df = spark.createDataFrame(rows, "id long, v long").repartition(5)
+        order = [F.col("v"), F.col("id")]
+        serial = {
+            r["id"]: (r["t"], r["rs"], r["rn"])
+            for r in df.select(
+                "id",
+                F.ntile(k).over(Window.orderBy("v", "id")).alias("t"),
+                F.sum("v").over(
+                    Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ).alias("rs"),
+                F.row_number().over(Window.orderBy("v", "id")).alias("rn"),
+            ).collect()
+        }
+        tiles = {r["id"]: r["tile"] for r in global_ntile(df, order, k).collect()}
+        sums = {r["id"]: r["rsum"] for r in global_running_sum(df, order, "v", out_col="rsum").collect()}
+        rns = {r["id"]: r["rn"] for r in global_row_number(df, order).collect()}
+        for id_, (et, ers, ern) in serial.items():
+            assert tiles[id_] == et, (case, n, k, id_)
+            assert sums[id_] == ers, (case, n, k, id_)
+            assert rns[id_] == ern, (case, n, k, id_)
