@@ -115,11 +115,71 @@ def test_validate_topic_config_returns_key():
         validate_topic_config("persistent://a/b/c", "http://not-pulsar", [])
 
 
-@pytest.fixture(params=["parquet", "memory", "file", "dbapi", "remote", "mongo"])
+class _FakeMongoCollection:
+    """Minimal in-memory stand-in for the pymongo collection surface
+    MongoConfigStore uses (find_one/replace_one/delete_one/find/
+    create_index), so the REAL store logic runs in-container; the
+    'mongo' fixture param below still exercises a live server when
+    PBS_MONGO_URI is set."""
+
+    def __init__(self):
+        self._docs: dict[str, dict] = {}
+
+    def create_index(self, field, unique=False):
+        return field
+
+    def find_one(self, flt=None, sort=None, projection=None):
+        docs = list(self._docs.values())
+        if flt:
+            docs = [d for d in docs if all(d.get(k) == v for k, v in flt.items())]
+        if sort:
+            field, direction = sort[0]
+            docs.sort(key=lambda d: d.get(field), reverse=direction < 0)
+        return dict(docs[0]) if docs else None
+
+    def replace_one(self, flt, doc, upsert=False):
+        self._docs[flt["key"]] = dict(doc)
+
+    def delete_one(self, flt):
+        class R:
+            deleted_count = 0
+        r = R()
+        if flt["key"] in self._docs:
+            del self._docs[flt["key"]]
+            r.deleted_count = 1
+        return r
+
+    def find(self, flt=None, projection=None, sort=None):
+        docs = [dict(d) for d in self._docs.values()]
+        if sort:
+            field, direction = sort[0]
+            docs.sort(key=lambda d: d.get(field), reverse=direction < 0)
+        return docs
+
+
+class _FakeMongoClient:
+    def __init__(self):
+        self._dbs: dict[str, dict] = {}
+
+    def __getitem__(self, db):
+        cols = self._dbs.setdefault(db, {})
+
+        class _Db:
+            def __getitem__(_self, col):
+                return cols.setdefault(col, _FakeMongoCollection())
+        return _Db()
+
+
+@pytest.fixture(params=["parquet", "memory", "file", "dbapi", "remote",
+                        "mongo-fake", "mongo"])
 def config_store(request, spark, tmp_path):
     from pulsar_beam_spark.model.config_store import (
         ConfigStore, DbApiConfigStore, FileConfigStore, InMemoryConfigStore)
 
+    if request.param == "mongo-fake":
+        from pulsar_beam_spark.model.config_store import MongoConfigStore
+
+        return MongoConfigStore(client=_FakeMongoClient())
     if request.param == "mongo":
         import os
 
