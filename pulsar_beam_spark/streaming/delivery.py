@@ -112,9 +112,21 @@ def deliver_stream(
     checkpoint_dir: str,
     reply_table_dir: str | None = None,
     query_name: str = "webhook-delivery",
+    reply_write_partitions: int | None = None,
 ):
     """Start the delivery query: at-least-once via foreachBatch + retry;
-    failed batches roll back to the checkpoint and redeliver."""
+    failed batches roll back to the checkpoint and redeliver.
+
+    ``reply_write_partitions`` compacts the reply append: delivery still
+    fans out at full map-stage width, then ONLY the reply tuples shuffle
+    down to this many writer tasks — one small parquet file per epoch per
+    writer instead of one per delivery partition (the small-files knob
+    for long-running chains).  None (default) keeps the map-stage layout:
+    zero extra shuffle, best when replies are large (chain mode, where
+    every webhook responds with a body).  Never use coalesce here — it
+    would propagate upstream and collapse the DELIVERY stage itself onto
+    the writer count.
+    """
     def deliver_batches(pdfs):
         # runs ON THE EXECUTOR: each partition posts its rows with one
         # sink instance (≙ one pooled connection per partition, the
@@ -155,6 +167,15 @@ def deliver_stream(
             # executor-side, with a no-op sink
             replies.write.format("noop").mode("overwrite").save()
             return
+        if reply_write_partitions:
+            # repartition (an exchange), NOT coalesce: the shuffle boundary
+            # keeps delivery at full width and moves only the reply tuples
+            replies = replies.repartition(reply_write_partitions)
+        # No isEmpty()/count() guard before the append: any such probe
+        # EXECUTES the delivery plan (posting every row), and the write
+        # would then re-execute it — double delivery. Empty epochs cost
+        # an empty part file; bounded by trigger rate, compacted by
+        # reply_write_partitions.
         out = replies.select(
             F.concat_ws("-", F.lit("reply"), F.lit(str(epoch)), F.expr("uuid()"))
             .alias("message_id"),

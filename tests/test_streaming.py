@@ -764,3 +764,28 @@ def test_stream_stream_left_outer_interval_join_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert any(rid is None for _, _, rid in got)  # outer nulls actually exercised
+
+
+def test_delivery_reply_write_partitions_compacts_files(spark, msg_dir, tmp_path):
+    """reply_write_partitions=1: delivery still fans out, but each epoch
+    appends exactly one reply part file (small-files knob)."""
+    import glob
+
+    t = _Transport(
+        [(200, {"TopicFn": "persistent://t/ns/reply"}, b"pong")] * 1000,
+        spool=tmp_path / "spool-compact",
+    )
+    reply_dir = str(tmp_path / "reply-compact")
+    stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(msg_dir)
+    q = deliver_stream(
+        stream, WebhookSink("http://stub", transport=t),
+        str(tmp_path / "ckpt-compact"),
+        reply_table_dir=reply_dir, reply_write_partitions=1,
+        query_name="compact-delivery",
+    )
+    q.processAllAvailable()
+    q.stop()
+    parts = glob.glob(f"{reply_dir}/part-*.parquet")
+    assert len(parts) == 1, parts  # one epoch -> one writer file
+    replies = spark.read.schema(MESSAGE_SCHEMA).parquet(reply_dir).collect()
+    assert len(replies) == len(t.calls) > 0
