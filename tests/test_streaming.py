@@ -122,6 +122,55 @@ def test_bounded_poll_empty_is_204(spark, tmp_path):
     assert bounded_poll(spark, d, batch_size=5, checkpoint_dir=str(tmp_path / "poll2")) is None
 
 
+def test_bounded_poll_resumable_acks_only_delivered(spark, tmp_path):
+    """VERDICT r06 #1 golden: a durable subscription must NOT lose backlog
+    overflow. The reference acks only the messages it actually delivered
+    (sse-broker.go:48-57), so 30 messages polled 10 at a time come back in
+    three consecutive batches — the stream checkpoint committing the whole
+    backlog on poll 1 (the old bug) made polls 2+ return 204."""
+    d = str(tmp_path / "poll-resume")
+    rows = _messages(30, dup_every=1000)
+    spark.createDataFrame(rows, MESSAGE_SCHEMA).coalesce(1).write.parquet(d)
+    ckpt = str(tmp_path / "poll-resume-ckpt")
+
+    def ids(out):
+        return [m["message_id"] for m in out["messages"]]
+
+    p1 = bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt)
+    assert ids(p1) == [f"m-{i}" for i in range(10)]
+    p2 = bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt)
+    assert ids(p2) == [f"m-{i}" for i in range(10, 20)], "poll 2 must return the overflow"
+    p3 = bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt)
+    assert ids(p3) == [f"m-{i}" for i in range(20, 30)]
+    assert bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt) is None
+
+
+def test_bounded_poll_resumable_interleaved_append(spark, tmp_path):
+    """Messages appended BETWEEN polls are delivered by the next poll,
+    after the remaining backlog, in (event_time, message_id) order — and
+    a short poll (fewer rows available than batch_size) still advances
+    the cursor past everything it delivered."""
+    d = str(tmp_path / "poll-interleave")
+    rows = _messages(12, dup_every=1000)
+    spark.createDataFrame(rows[:8], MESSAGE_SCHEMA).coalesce(1).write.parquet(d)
+    ckpt = str(tmp_path / "poll-interleave-ckpt")
+
+    def ids(out):
+        return [m["message_id"] for m in out["messages"]]
+
+    p1 = bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+    assert ids(p1) == [f"m-{i}" for i in range(5)]
+    # producer appends 4 newer messages while m-5..m-7 are still backlog
+    spark.createDataFrame(rows[8:], MESSAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d)
+    p2 = bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+    assert ids(p2) == [f"m-{i}" for i in range(5, 10)]
+    p3 = bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+    assert ids(p3) == ["m-10", "m-11"]
+    assert p3["size"] == 2
+    assert bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt) is None
+
+
 class _Transport:
     """Scriptable fake webhook endpoint: list of (status, headers, body).
 
