@@ -8144,14 +8144,17 @@ def q_autocorr_daily(spark, sf):
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in
-# insertion order.  The driver verifies the FIRST 50 entries of queries()
-# each round; rounds 1+2 produced green CORRECTNESS rows for the names in
-# _DRIVER_VERIFIED below.  The ordering fronts every oracle-bearing entry
-# that has never had a driver-green row (including anything newly
-# registered this round, which is by construction absent from the set), so
-# each round's 50-entry window burns down the unverified remainder.
-# Entries already green, plus no-oracle entries (which can only ever get a
-# rows-only check), follow behind.
+# insertion order.  Rounds 1-6 burned down the unverified remainder; as of
+# round 6 every one of the 238 registry entries has a hash-green driver row
+# (CORRECTNESS_r01-r06 union, zero reds).  The window policy therefore
+# flipped in round 7 from BURN-DOWN to STALENESS ROTATION (VERDICT r06
+# item 2): never-green entries (new registrations, or entries whose
+# implementation changed after being green — REMOVE those from their round
+# set) still jump the queue, and the remaining slots re-front the entries
+# whose last green row is OLDEST, so no entry's driver verification ages
+# past ~5 rounds while shared helpers keep changing underneath it.
+# _LAST_GREEN is built by applying the round sets in ascending order, so a
+# name listed in several sets (a re-green) takes the latest round.
 _ROUND1_VERIFIED = frozenset({
     "flagship_revenue_by_nation", "r01_scan_project", "r03_filter",
     "r04_inner_join", "r05_broadcast_join", "r06_left_join",
@@ -8278,40 +8281,63 @@ _ROUND5_VERIFIED = frozenset({
     "l_dataset_diff", "r_autocorr_daily",
 })
 
-_DRIVER_VERIFIED = (_ROUND1_VERIFIED | _ROUND2_VERIFIED | _ROUND3_VERIFIED
-                    | _ROUND4_VERIFIED | _ROUND5_VERIFIED)
+# Round-6 driver-green rows (CORRECTNESS_r06.json, hash_match=true; 50/50
+# green, zero reds — the round that closed the burn-down: 15 first-time
+# hashes incl. the former no-oracle sketch/media entries and the five
+# entries migrated to the distributed ranking kernels, plus 35 re-greens
+# of round-1 names).
+_ROUND6_VERIFIED = frozenset({
+    "flagship_revenue_by_nation", "m_media_features", "m_resize_media",
+    "p_rank_calibrate", "r01_scan_project", "r03_filter", "r04_inner_join",
+    "r05_broadcast_join", "r06_full_outer_join", "r06_left_join",
+    "r07_anti_join", "r07_semi_join", "r08_range_join", "r09_cross_join",
+    "r10_asof_join", "r11_stats_aggregates", "r11_tpch_q1_agg",
+    "r12_count_distinct", "r12_distinct", "r13_approx_count_distinct",
+    "r13_approx_percentile", "r13_hll_mergeable", "r14_cube", "r14_rollup",
+    "r15_window_rank", "r16_lag_lead", "r17_window_frames",
+    "r18_sort_with_position", "r19_topk", "r20_union_all", "r21_except",
+    "r21_intersect", "r22_string_fns", "r23_date_fns", "r24_math_fns",
+    "r25_array_fns", "r25_higher_order_fns", "r25_nested_array_fns",
+    "r26_map_fns", "r27_json_fns", "r28_conditional", "r_abc_xyz",
+    "r_keyset_pagination", "r_lorenz_deciles", "r_pareto_cut",
+    "r_quartile_bands", "r_rfm_segmentation", "s_ann_ivf_topk",
+    "tpch_q11_important_stock", "tpch_q20_promo_suppliers",
+})
+
+# name -> most recent round with a hash-green driver row; later sets win.
+_LAST_GREEN: dict[str, int] = {}
+for _rnd, _names in enumerate(
+    (_ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
+     _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED),
+    start=1,
+):
+    for _n in _names:
+        _LAST_GREEN[_n] = _rnd
 
 
 def _driver_order() -> list[str]:
+    """Driver verification order (the CORRECTNESS window is the first 50).
+
+    1. oracle-bearing entries with no green row — new registrations and
+       entries invalidated by an implementation change (their name is
+       removed from the round sets above);
+    2. no-oracle entries that never got even a rows-only row (empty since
+       round 6: every entry carries an oracle — machinery kept for any
+       future genuinely non-SQL-expressible entry);
+    3. everything green, STALEST FIRST (ascending last-green round, then
+       registry insertion order) — the rotation that keeps old hashes
+       from silently drifting as shared helpers change.
+    """
+    reg_idx = {n: i for i, n in enumerate(REGISTRY)}
     front = [n for n, s in REGISTRY.items()
-             if n not in _DRIVER_VERIFIED and s.oracle is not None]
-    # no-oracle entries next: they can only ever get a rows-only driver
-    # check, but that check is still a recorded row — spend leftover
-    # window slots on them rather than on re-verifying green entries.
-    # Those that have NEVER had a driver row (any kind) lead.
-    # (As of round 6 every entry carries an oracle, so both no-oracle
-    # buckets are empty; the machinery stays for any future entry whose
-    # semantics genuinely cannot be SQL-expressed.)
-    _HAS_ROWS_ONLY_ROW = frozenset({
-        "r13_approx_count_distinct", "d_minhash_lsh_near_dup",
-        "d_simhash_near_dup", "s_ann_lsh_topk",
-        # round-3 rows-only rows (CORRECTNESS_r03.json, err=no_oracle)
-        "m_media_features", "s_ann_ivf_topk", "r13_approx_percentile",
-        # round-4 rows-only rows (CORRECTNESS_r04.json, err=no_oracle)
-        "m_resize_media", "r13_hll_mergeable",
-    })
-    no_oracle = sorted(
-        (n for n, s in REGISTRY.items() if s.oracle is None),
-        key=lambda n: (n in _HAS_ROWS_ONLY_ROW, list(REGISTRY).index(n)),
+             if n not in _LAST_GREEN and s.oracle is not None]
+    never_rowed = [n for n, s in REGISTRY.items()
+                   if n not in _LAST_GREEN and s.oracle is None]
+    back = sorted(
+        (n for n in REGISTRY if n in _LAST_GREEN),
+        key=lambda n: (_LAST_GREEN[n], reg_idx[n]),
     )
-    # entries with ZERO driver rows of any kind jump the whole queue:
-    # a first rows-only row beats a 50th hash row when the window is
-    # tighter than (never-green oracles + never-rowed no-oracles)
-    never_rowed = [n for n in no_oracle if n not in _HAS_ROWS_ONLY_ROW]
-    no_oracle = [n for n in no_oracle if n in _HAS_ROWS_ONLY_ROW]
-    back = [n for n in REGISTRY
-            if n not in front and n not in no_oracle and n not in never_rowed]
-    return never_rowed + front + no_oracle + back
+    return never_rowed + front + back
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
