@@ -14,10 +14,27 @@ Reference parity (src/broker/webhook.go:96-241):
   path: the response body is appended to the reply stream's table
   (toPulsar, webhook.go:131-151).
 
-Scale: one StreamingQuery per (topic-config x webhook) pair — the
-reconciler (G9) starts/stops them. Inside foreachBatch, rows post from
-executor partitions via foreachPartition with one pooled HTTP connection
-per partition (≙ the reference's TTL'd producer/client caches, G13).
+Scale — two delivery shapes, picked by the reconciler (G9):
+
+1. **Per-subscription** (``deliver_stream``): one StreamingQuery per
+   (topic-config x webhook) pair, mirroring the reference's
+   one-goroutine-per-consumer shape (webhook.go:259). Best failure
+   isolation (a dead endpoint stalls only its own query/checkpoint) but
+   Spark comfortably sustains dozens of concurrent streaming queries,
+   not the hundreds of webhook configs the config store can hold.
+2. **Multiplexed** (``deliver_multiplexed_stream``): ONE query serves
+   many configs — the message stream joins (broadcast, stream-static)
+   the config snapshot on topic name, and each executor partition routes
+   rows to a per-``sub_key`` sink instance. Per-webhook ack/retry/reply
+   semantics are preserved row-by-row; the trade is failure isolation:
+   one endpoint exhausting its retries fails the shared micro-batch and
+   redelivers ALL configs' rows of that epoch (at-least-once; endpoints
+   must dedup on PulsarMessageId, which the reference also requires).
+   See SCALE.md "Multiplexed delivery".
+
+Inside foreachBatch, rows post from executor partitions with one pooled
+HTTP connection per (partition x webhook) (≙ the reference's TTL'd
+producer/client caches, G13).
 """
 
 from __future__ import annotations
@@ -106,6 +123,43 @@ class WebhookSink:
         return None
 
 
+def _append_replies(
+    replies: DataFrame,
+    epoch: int,
+    reply_table_dir: str | None,
+    reply_write_partitions: int | None,
+) -> None:
+    """Execute the delivery plan exactly once, executor-side, and append
+    any reply tuples to the chain table (stamped in-plan — the reference
+    stamps EventTime at produce, pulsar-producer.go:91). ``replies`` must
+    be the mapInPandas output: ONE action here is the one delivery."""
+    from pyspark.sql import functions as F
+
+    if not reply_table_dir:
+        # no chain table configured: still execute the delivery plan,
+        # executor-side, with a no-op sink
+        replies.write.format("noop").mode("overwrite").save()
+        return
+    if reply_write_partitions:
+        # repartition (an exchange), NOT coalesce: the shuffle boundary
+        # keeps delivery at full width and moves only the reply tuples
+        replies = replies.repartition(reply_write_partitions)
+    out = replies.select(
+        F.concat_ws("-", F.lit("reply"), F.lit(str(epoch)), F.expr("uuid()"))
+        .alias("message_id"),
+        F.col("topic"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("body").alias("payload"),
+        F.current_timestamp().alias("event_time"),
+        F.current_timestamp().alias("publish_time"),
+        F.create_map(F.lit("PulsarUrl"), F.col("pulsar_url")).alias("properties"),
+    )
+    # One executor-side job: deliver + append. A failed POST raises in
+    # the task -> the write job fails -> checkpoint rollback redelivers
+    # (at-least-once).
+    out.write.mode("append").parquet(reply_table_dir)
+
+
 def deliver_stream(
     stream: DataFrame,
     sink: WebhookSink,
@@ -149,47 +203,106 @@ def deliver_stream(
             yield pd.DataFrame(out, columns=["topic", "pulsar_url", "body"])
 
     def handle(df: DataFrame, epoch: int) -> None:
+        # Empty-epoch gate: isEmpty() on the SOURCE batch df is a cheap
+        # limit-1 probe of the already-materialized micro-batch — no side
+        # effects, because the delivery plan (mapInPandas) hasn't been
+        # applied yet. It must NEVER move after mapInPandas: probing the
+        # delivery plan would POST every row, and the write would then
+        # re-execute it — double delivery. With the gate, long-running
+        # trigger-interval streams stop accumulating zero-row reply part
+        # files on idle epochs.
+        if df.isEmpty():
+            return
         # Delivery fans out across executors; the reply bodies NEVER
         # round-trip the driver (VERDICT r05 item 2): the mapInPandas
-        # output is written straight to the reply table, with message id
-        # and produce-time timestamps stamped in-plan (uuid() /
-        # current_timestamp() — the reference stamps EventTime at
-        # produce, pulsar-producer.go:91).  In the reference's chain mode
-        # every webhook replies, so at 100x this is a full micro-batch of
-        # response bodies that would otherwise funnel through one process.
-        from pyspark.sql import functions as F
-
+        # output is written straight to the reply table. In the
+        # reference's chain mode every webhook replies, so at 100x this
+        # is a full micro-batch of response bodies that would otherwise
+        # funnel through one process.
         replies = df.mapInPandas(
             deliver_batches, "topic string, pulsar_url string, body binary"
         )
-        if not reply_table_dir:
-            # no chain table configured: still execute the delivery plan,
-            # executor-side, with a no-op sink
-            replies.write.format("noop").mode("overwrite").save()
+        _append_replies(replies, epoch, reply_table_dir, reply_write_partitions)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def deliver_multiplexed_stream(
+    stream: DataFrame,
+    configs: DataFrame,
+    checkpoint_dir: str,
+    sink_factory=None,
+    reply_table_dir: str | None = None,
+    query_name: str = "webhook-delivery-mux",
+    reply_write_partitions: int | None = None,
+):
+    """One StreamingQuery serving MANY webhook configs (G9 at 100x).
+
+    ``configs`` is a STATIC snapshot frame with at least
+    (sub_key, topic_full_name, url, headers) — the output of
+    ``reconciler.desired_deliveries``. Each micro-batch joins the message
+    stream to the broadcast config snapshot on topic name (stream-static
+    inner join: a message on a topic with no activated webhook is simply
+    not delivered, exactly like the per-subscription mode never starting
+    a query for it), producing one delivery row per (message x config).
+    Executor partitions route each row to a per-``sub_key`` sink built by
+    ``sink_factory(config_dict) -> WebhookSink`` (default: a real HTTP
+    ``WebhookSink(url, headers)``) — one pooled connection per
+    (partition x webhook), the same G13 cache shape as the reference.
+
+    Ack/retry/reply semantics are IDENTICAL per row to ``deliver_stream``
+    (same WebhookSink.push). The trade (documented in SCALE.md) is
+    failure isolation: one endpoint exhausting retries fails the shared
+    micro-batch, and checkpoint rollback redelivers every config's rows
+    of that epoch — at-least-once, never lost, but a poison endpoint
+    head-of-line-blocks its cohort, so the reconciler only multiplexes
+    beyond ``multiplex_threshold`` configs.
+    """
+    from pyspark.sql import functions as F
+
+    if sink_factory is None:
+        def sink_factory(cfg: dict) -> WebhookSink:
+            return WebhookSink(cfg["url"], headers=list(cfg.get("headers") or []))
+
+    route = F.broadcast(
+        configs.select("sub_key", "topic_full_name", "url", "headers")
+    )
+
+    def deliver_batches(pdfs):
+        # runs ON THE EXECUTOR: one sink per sub_key per partition,
+        # created lazily on first row and reused across Arrow batches.
+        import pandas as pd
+
+        sinks: dict[str, WebhookSink] = {}
+        for pdf in pdfs:
+            out = []
+            for rec in pdf.to_dict("records"):
+                sk = rec["sub_key"]
+                sink = sinks.get(sk)
+                if sink is None:
+                    hdrs = rec.get("headers")
+                    sink = sinks[sk] = sink_factory(
+                        {"sub_key": sk, "url": rec["url"],
+                         "headers": list(hdrs) if hdrs is not None else []}
+                    )
+                acked, reply = sink.push(rec)
+                if acked and reply is not None:
+                    out.append(reply)
+            yield pd.DataFrame(out, columns=["topic", "pulsar_url", "body"])
+
+    def handle(df: DataFrame, epoch: int) -> None:
+        if df.isEmpty():  # see deliver_stream.handle: source-side, no side effects
             return
-        if reply_write_partitions:
-            # repartition (an exchange), NOT coalesce: the shuffle boundary
-            # keeps delivery at full width and moves only the reply tuples
-            replies = replies.repartition(reply_write_partitions)
-        # No isEmpty()/count() guard before the append: any such probe
-        # EXECUTES the delivery plan (posting every row), and the write
-        # would then re-execute it — double delivery. Empty epochs cost
-        # an empty part file; bounded by trigger rate, compacted by
-        # reply_write_partitions.
-        out = replies.select(
-            F.concat_ws("-", F.lit("reply"), F.lit(str(epoch)), F.expr("uuid()"))
-            .alias("message_id"),
-            F.col("topic"),
-            F.lit(None).cast("string").alias("key"),
-            F.col("body").alias("payload"),
-            F.current_timestamp().alias("event_time"),
-            F.current_timestamp().alias("publish_time"),
-            F.create_map(F.lit("PulsarUrl"), F.col("pulsar_url")).alias("properties"),
+        routed = df.join(route, df["topic"] == route["topic_full_name"], "inner")
+        replies = routed.mapInPandas(
+            deliver_batches, "topic string, pulsar_url string, body binary"
         )
-        # One executor-side job: deliver + append. A failed POST raises in
-        # the task -> the write job fails -> checkpoint rollback redelivers
-        # (at-least-once, exactly as the collect() path behaved).
-        out.write.mode("append").parquet(reply_table_dir)
+        _append_replies(replies, epoch, reply_table_dir, reply_write_partitions)
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -32,6 +32,8 @@ is the drop-in optimization.
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +41,27 @@ from pyspark.sql import functions as F
 from ..operators.dedup import exact_dedup_latest
 
 _POINTER = "LATEST"
+_VDIR = re.compile(r"^v(\d+)$")
+
+
+def _gc_versions(snapshot_dir: str, current: str, keep: int) -> None:
+    """Retention GC, called strictly AFTER the pointer flip: keep the
+    ``keep`` newest v-dirs (the flipped ``current`` is always among
+    them), delete the rest. Delete-after-flip ordering means a reader
+    that resolved LATEST to the PREVIOUS version before the flip still
+    has its directory (keep >= 2 retains it until the NEXT flip); the
+    documented read contract is that a snapshot read must complete
+    within ``keep - 1`` subsequent epochs."""
+    vdirs = []
+    for name in os.listdir(snapshot_dir):
+        m = _VDIR.match(name)
+        if m and os.path.isdir(os.path.join(snapshot_dir, name)):
+            vdirs.append((int(m.group(1)), name))
+    vdirs.sort(reverse=True)
+    survivors = {name for _, name in vdirs[:keep]} | {current}
+    for _, name in vdirs:
+        if name not in survivors:
+            shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
 
 
 def _latest_version(snapshot_dir: str) -> str | None:
@@ -76,12 +99,24 @@ def snapshot_merge_stream(
     tombstone: Column,
     payload_cols: list[str],
     query_name: str = "snapshot-merge",
+    keep_versions: int = 3,
 ):
     """Start the maintenance query (caller awaits/stops it). State rows:
-    keys + payload + (order_col, tiebreak) recency + __dead flag."""
+    keys + payload + (order_col, tiebreak) recency + __dead flag.
+
+    ``keep_versions`` bounds disk: after each pointer flip, only the
+    newest N v-dirs survive (min 2, so the previously-current version
+    always outlives the flip for in-flight readers; a read must finish
+    within ``keep_versions - 1`` subsequent epochs). Size bound: each
+    epoch rewrites the FULL snapshot, so disk ≈ keep_versions x snapshot
+    size and epoch cost is O(snapshot + delta) — right for config-sized
+    and dimension-sized tables (the G8 use). For a 100 TB fact snapshot
+    use the batch MERGE (operators/merge.merge_upsert) over a bucketed
+    base instead; this sink's rewrite would be the bottleneck."""
     os.makedirs(snapshot_dir, exist_ok=True)
     cols = [*keys, *payload_cols, order_col, tiebreak]
     spark = stream.sparkSession
+    keep = max(2, int(keep_versions))
 
     def handle(batch_df: DataFrame, epoch: int) -> None:
         delta = batch_df.withColumn("__dead", tombstone.cast("int")).select(*cols, "__dead")
@@ -93,6 +128,7 @@ def snapshot_merge_stream(
         vdir = f"v{epoch}"
         merged.write.mode("overwrite").parquet(os.path.join(snapshot_dir, vdir))
         _flip_pointer(snapshot_dir, vdir)
+        _gc_versions(snapshot_dir, vdir, keep)
 
     return (
         stream.writeStream.foreachBatch(handle)
@@ -119,6 +155,7 @@ def sketch_merge_stream(
     value_col: str,
     lg_k: int = 12,
     query_name: str = "sketch-merge",
+    keep_versions: int = 3,
 ):
     """Incremental per-key distinct-count maintenance: each micro-batch is
     sketched (hll_sketch_agg), merged with the stored sketches
@@ -132,10 +169,12 @@ def sketch_merge_stream(
     order-insensitive, so the maintained estimate equals the single-pass
     batch sketch exactly (asserted in tests), regardless of micro-batch
     slicing. Same versioned-parquet + atomic pointer-flip exactly-once
-    scheme as snapshot_merge_stream.
+    scheme and keep-N retention GC as snapshot_merge_stream (state is
+    one fixed-size sketch per key, so keep_versions x that is tiny).
     """
     os.makedirs(snapshot_dir, exist_ok=True)
     spark = stream.sparkSession
+    keep = max(2, int(keep_versions))
 
     def handle(batch_df: DataFrame, epoch: int) -> None:
         delta = batch_df.groupBy(*keys).agg(
@@ -151,6 +190,7 @@ def sketch_merge_stream(
         vdir = f"v{epoch}"
         out.write.mode("overwrite").parquet(os.path.join(snapshot_dir, vdir))
         _flip_pointer(snapshot_dir, vdir)
+        _gc_versions(snapshot_dir, vdir, keep)
 
     return (
         stream.writeStream.foreachBatch(handle)

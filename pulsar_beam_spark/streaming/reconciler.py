@@ -41,16 +41,38 @@ def desired_deliveries(snapshot: DataFrame) -> DataFrame:
     )
 
 
+_MUX_KEY = "__multiplexed__"
+
+
 class Reconciler:
     """start_fn(delivery_row_dict, checkpoint_dir) -> StreamingQuery-like
-    with .stop(); the reconciler owns the running map keyed by sub_key."""
+    with .stop(); the reconciler owns the running map keyed by sub_key.
+
+    When ``start_mux_fn`` is given and the desired config count exceeds
+    ``multiplex_threshold``, the reconciler collapses delivery onto ONE
+    multiplexed query (deliver_multiplexed_stream) instead of one query
+    per subscription: Spark sustains dozens of concurrent StreamingQuery
+    instances, not the hundreds of webhook configs the config store can
+    hold, so per-subscription is kept for small/medium fleets (better
+    failure isolation) and multiplexing engages beyond the threshold.
+    ``start_mux_fn(desired_rows: list[dict], checkpoint_dir) -> query``.
+    The mux query restarts when the desired SET changes (config
+    add/remove) — the checkpoint survives restarts, so the file-source
+    offsets resume; rows of the in-flight epoch may redeliver
+    (at-least-once, same contract as a crash).
+    """
 
     def __init__(self, spark: SparkSession, checkpoint_root: str,
-                 start_fn: Callable[[dict, str], object]):
+                 start_fn: Callable[[dict, str], object],
+                 start_mux_fn: Callable[[list, str], object] | None = None,
+                 multiplex_threshold: int = 32):
         self.spark = spark
         self.checkpoint_root = checkpoint_root
         self.start_fn = start_fn
+        self.start_mux_fn = start_mux_fn
+        self.multiplex_threshold = multiplex_threshold
         self.running: dict[str, object] = {}
+        self.mux_covered: frozenset[str] = frozenset()
 
     def _checkpoint_for(self, sub_key: str) -> str:
         # checkpoint dir per subscription key — resumable across restarts
@@ -59,17 +81,44 @@ class Reconciler:
         os.makedirs(d, exist_ok=True)
         return d
 
+    def _stop(self, key: str) -> None:
+        q = self.running.pop(key)
+        try:
+            q.stop()
+        except Exception:
+            pass
+
     def reconcile(self, snapshot: DataFrame) -> tuple[list[str], list[str]]:
-        """One tick: returns (started_sub_keys, stopped_sub_keys)."""
+        """One tick: returns (started_sub_keys, stopped_sub_keys) — in
+        multiplexed mode these are the sub_keys whose coverage was added/
+        removed by the single query."""
         desired = {r["sub_key"]: r.asDict() for r in desired_deliveries(snapshot).collect()}
+        mux = (self.start_mux_fn is not None
+               and len(desired) > self.multiplex_threshold)
+
+        if mux:
+            want = frozenset(desired)
+            started = [k for k in desired if k not in self.mux_covered]
+            stopped = [k for k in self.mux_covered if k not in desired]
+            # drain any per-subscription queries from a previous tick
+            for k in [k for k in self.running if k != _MUX_KEY]:
+                self._stop(k)
+            if want != self.mux_covered or _MUX_KEY not in self.running:
+                if _MUX_KEY in self.running:
+                    self._stop(_MUX_KEY)
+                self.running[_MUX_KEY] = self.start_mux_fn(
+                    list(desired.values()), self._checkpoint_for(_MUX_KEY)
+                )
+                self.mux_covered = want
+            return started, stopped
+
+        if _MUX_KEY in self.running:  # fleet shrank back: demultiplex
+            self._stop(_MUX_KEY)
+            self.mux_covered = frozenset()
         to_start = [k for k in desired if k not in self.running]
         to_stop = [k for k in self.running if k not in desired]
         for k in to_start:
             self.running[k] = self.start_fn(desired[k], self._checkpoint_for(k))
         for k in to_stop:
-            q = self.running.pop(k)
-            try:
-                q.stop()
-            except Exception:
-                pass
+            self._stop(k)
         return to_start, to_stop
