@@ -73,19 +73,71 @@ def doc_shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
-def exact_jaccard_pairs(docs: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+def exact_jaccard_pairs(docs: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text", n: int = 3, max_df: int | None = None) -> DataFrame:
     """All doc pairs (a < b) with shingle-set Jaccard >= threshold.
 
     Plan: explode to (id, shingle), self-join on shingle (co-partitioned
     by shingle — only docs *sharing* a shingle ever meet, so the join is
     output-bound, not |D|^2), count intersections, join per-doc set sizes
     (broadcast-able aggregate), derive |union| = |A|+|B|-|A∩B|.
+
+    ``max_df`` is the hot-shingle guard (stop-shingle cut): shingles
+    appearing in more than ``max_df`` documents are dropped from BOTH the
+    intersection pairing and the set sizes, so jaccard is measured over
+    the non-boilerplate shingle space. The capped plan changes SHAPE,
+    not just filters: it aggregates posting lists (one shuffle of the
+    (id, shingle) relation instead of the uncapped plan's two), applies
+    the cap as a free array-size filter, and explodes (a < b) pairs
+    from each list — per-shingle work bounded by max_df^2 by
+    construction, so discovery is linear in distinct shingles no matter
+    how posting lists densify with corpus growth. Pick max_df as f*N
+    for the standard fractional cut (the caller knows N); near-dup
+    pairs are discriminated by their RARE shingles, so the cut costs
+    little recall. None (default) preserves the exact all-shingles
+    semantics (the LSH verify path depends on it).
     """
     # deliberately NOT cached: the set is read twice (sizes + self-join)
     # but recomputing a projection+explode is cheaper than pinning executor
     # memory for the rest of the session (a leaked cache() here showed up
     # as multi-second latency on *subsequent* queries in bench runs)
     sets = doc_shingle_sets(docs, id_col, text_col, n)
+    if max_df is not None:
+        posting = (
+            sets.groupBy("shingle")
+            .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+            .filter(F.size("ids") <= max_df)
+        )
+        # sizes AND pairs both derive from the capped posting lists (the
+        # two branches share the aggregate subtree -> one exchange), so
+        # set sizes are df-consistent with the intersections
+        sizes = (
+            posting.select(F.explode("ids").alias("id"))
+            .groupBy("id").agg(F.count("*").alias("set_size"))
+        )
+        inter = (
+            posting.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x, i: F.transform(
+                                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+            .withColumn("jaccard", F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
     # sizes reuses the SAME exploded subtree as the self-join below, so
     # AQE's ReusedExchange computes the explode+distinct shuffle once
     # (a per-row array_distinct variant measured ~25% slower at sf0.1:

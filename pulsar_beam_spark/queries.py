@@ -984,13 +984,42 @@ WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
 """
 
 
+# Hot-shingle-capped variant (VERDICT r06 item 5): shingles in more than
+# MAX_DF docs are dropped from intersections AND set sizes before pairing,
+# bounding per-shingle join fan-out at MAX_DF^2 — the stop-shingle cut
+# that keeps exact pair discovery linear in distinct shingles as posting
+# lists densify with corpus growth. The UNCAPPED JACCARD_ORACLE above
+# stays the composition piece for the curation pipelines (their Spark
+# side is the uncapped LSH verify, which must keep matching it).
+_R30_MAX_DF = 5
+JACCARD_ORACLE_CAPPED = f"""
+WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t FROM documents),
+sh0 AS (SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM toks)),
+dfc AS (SELECT s, count(*) AS df FROM sh0 GROUP BY 1),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfc USING (s) WHERE dfc.df <= {_R30_MAX_DF}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+"""
+
+
 @register(
     "r30_ngram_jaccard_pairs",
-    JACCARD_ORACLE,
-    doc="R30 ground truth: exact 3-gram shingle Jaccard pairs >= 0.5 (output-bound shingle self-join)",
+    JACCARD_ORACLE_CAPPED,
+    doc="R30 ground truth: exact 3-gram shingle Jaccard pairs >= 0.5 over the "
+        f"non-hot shingle space (df <= {_R30_MAX_DF} stop-shingle cut; "
+        "output-bound shingle self-join with bounded per-shingle fan-out)",
 )
 def q_r30(spark, sf):
-    return exact_jaccard_pairs(T(spark, sf, "documents"), threshold=0.5)
+    return exact_jaccard_pairs(T(spark, sf, "documents"), threshold=0.5,
+                               max_df=_R30_MAX_DF)
 
 
 def _minhash_lsh_oracle(threshold: float = 0.5, num_hashes: int = 32,
@@ -3152,7 +3181,9 @@ def q_gap_fill(spark, sf):
 
 def _curation_oracle() -> str:
     quality = REGISTRY["t_quality_scores"].oracle
-    jaccard = REGISTRY["r30_ngram_jaccard_pairs"].oracle
+    jaccard = JACCARD_ORACLE  # the UNCAPPED exact pairs: the pipeline's
+    # LSH verify stage reproduces the all-shingles pair set, not the
+    # r30 entry's hot-shingle-capped variant
     return f"""
     WITH q AS ({quality}),
          d AS ({jaccard}),
@@ -3957,7 +3988,7 @@ def q_incremental_near_dup(spark, sf):
 
 def _curation_clustered_oracle() -> str:
     quality = REGISTRY["t_quality_scores"].oracle
-    jaccard = REGISTRY["r30_ngram_jaccard_pairs"].oracle
+    jaccard = JACCARD_ORACLE  # uncapped, see _curation_oracle
     return f"""
     WITH RECURSIVE q AS ({quality}),
     p AS ({jaccard}),
@@ -6733,12 +6764,15 @@ def q_cluster_inertia(spark, sf):
 @register(
     "p_source_overlap_matrix",
     """
-WITH toks AS (SELECT source, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+WITH toks AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
   FROM documents),
-sh AS (SELECT DISTINCT source, s
-  FROM (SELECT source, unnest(list_transform(generate_series(1, len(t)-4),
-                               i -> array_to_string(t[i:i+4], ' '))) AS s
+shd AS (SELECT DISTINCT doc_id, source,
+               CAST('0x' || substr(md5(s0), 1, 15) AS BIGINT) AS s
+  FROM (SELECT doc_id, source, unnest(list_transform(generate_series(1, len(t)-4),
+                               i -> array_to_string(t[i:i+4], ' '))) AS s0
         FROM toks)),
+dfc AS (SELECT s, count(*) AS df FROM shd GROUP BY 1),
+sh AS (SELECT DISTINCT source, s FROM shd JOIN dfc USING (s) WHERE dfc.df <= 5),
 sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
 inter AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS c
           FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1,2)
@@ -6750,26 +6784,55 @@ WHERE c > 0
     doc="Cross-source 5-gram-shingle overlap matrix (which corpora leak "
         "into which — the source-level contamination audit behind "
         "p_decontaminate's doc-level probe): distinct source-shingle "
-        "sets, shared-shingle self-join keyed on the shingle (only "
-        "sources sharing a shingle meet; pair space bounded by "
-        "|sources|^2), containment vs the smaller set",
+        "sets over the non-hot shingle space (doc-frequency <= 5 "
+        "stop-shingle cut: boilerplate shared by many docs carries no "
+        "leak signal and densifies posting lists as the corpus grows), "
+        "shared-shingle posting-list pairing (only sources sharing a "
+        "shingle meet; pair space bounded by |sources|^2), containment "
+        "vs the smaller set",
 )
 def q_source_overlap_matrix(spark, sf):
     from .functions.texthash import exploded_nonnull, shingles, tokens
     from .sources.tables import spread_small_input
 
     docs = spread_small_input(T(spark, sf, "documents"))
-    sh = exploded_nonnull(
-        docs, ["source"], shingles(tokens("text"), 5), "s"
-    ).select("source", "s")
+    # doc-granular rows so the hot-shingle guard measures DOCUMENT
+    # frequency — dedup happens IN-ROW (array_distinct before the
+    # explode), so the exploded relation has exactly one row per
+    # (doc, shingle) by construction: df is a plain count(*) in the one
+    # posting-list aggregate the pairing already needed (no positional
+    # duplicates on the wire, no count_distinct expand, no extra
+    # dedup shuffle), and the df<=5 stop-shingle cut is a free filter
+    # on the aggregated row (see exact_jaccard_pairs.max_df).
+    # the shuffle key is the PORTABLE 60-bit md5-prefix hash of the
+    # shingle, computed in-row before the explode: ~50-char 5-gram
+    # strings never hit the wire, only longs (BASELINE.md flagged the
+    # shingle-string shuffle payload as this entry's 100-TB cost; the
+    # oracle applies the identical hash, so even a collision would merge
+    # identically in both engines — at 60 bits, odds are negligible)
+    def _h60(c):
+        return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+    shd = exploded_nonnull(
+        docs, ["doc_id", "source"],
+        F.transform(F.array_distinct(shingles(tokens("text"), 5)), _h60), "s",
+    )
     # posting-list pair expansion instead of a shingle self-join: ONE
     # shuffle on the shingle builds the sorted distinct source list per
     # shingle (collect_set dedups, so no separate .distinct() pass);
     # the (a < b) pairs explode from the array — the same rows the join
     # would emit, minus the join's second full-relation shuffle. Sizes
-    # come from the same posting lists (a 20-key explode), so the raw
-    # (source, shingle) relation is shuffled exactly once.
-    posting = sh.groupBy("s").agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    # come from the same posting lists (a 20-key explode), so the
+    # (doc, source, shingle) relation is shuffled exactly once.
+    posting = (
+        shd.groupBy("s")
+        .agg(
+            F.array_sort(F.collect_set("source")).alias("srcs"),
+            F.count("*").alias("__df"),
+        )
+        .filter(F.col("__df") <= 5)
+        .drop("__df")
+    )
     posting = posting.persist()
     sizes = posting.select(F.explode("srcs").alias("source")).groupBy("source").agg(
         F.count("*").alias("sz"))
@@ -8173,7 +8236,9 @@ _ROUND1_VERIFIED = frozenset({
     # rows-only r01 rows; they gained full DuckDB oracles in round 5
     # (portable hash family / inlined plane literals) and re-enter the
     # window for a HASH row.
-    "r29_dedup_exact_latest", "r30_ngram_jaccard_pairs",
+    # r30_ngram_jaccard_pairs was r01-green but gained the hot-shingle
+    # df<=5 cap in round 7 (plan + oracle changed) — re-fronted.
+    "r29_dedup_exact_latest",
     "r31_cosine_topk", "r32_top_terms", "t_language_id",
     "t_quality_scores", "t_token_stats", "t_tfidf", "t_fingerprint",
     "r33_python_udf",
@@ -8266,7 +8331,9 @@ _ROUND5_VERIFIED = frozenset({
     # operators/sampling._global_rank) — re-fronted for fresh driver
     # hashes against the new plan.
     "r_event_trigrams", "r_calendar_profile",
-    "e_cluster_inertia", "p_source_overlap_matrix", "t_source_novelty",
+    # p_source_overlap_matrix was r05-green but gained the hot-shingle
+    # df<=5 cap in round 7 (plan + oracle changed) — re-fronted.
+    "e_cluster_inertia", "t_source_novelty",
     "r_status_transitions", "r_gini_by_nation", "r_order_gap_stats",
     "s_rate_limit_sliding", "r_time_to_convert", "r_seasonality_index",
     "r_new_vs_returning", "r_rolling_active_users",

@@ -132,21 +132,15 @@ def build(spark, out: str) -> None:
         print(f"built {name}", file=sys.stderr)
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/tmp/pbs-sf1")
-    ap.add_argument("--rebuild", action="store_true")
-    args = ap.parse_args()
+def probe(spark, entries: list[str], out: str = "/tmp/pbs-sf1") -> dict[str, dict]:
+    """Build (or reuse) the sf1 fixture and measure each entry once at
+    sf0.1 and once at sf1 (after one warm run). Returns
+    {entry: {"t01": s, "t1": s, "ratio": r, "exponent": k}}."""
+    import math
 
     from pulsar_beam_spark.queries import REGISTRY
-    from pulsar_beam_spark.session import get_spark
 
-    spark = get_spark("sf1-probe")
-    if args.rebuild:
-        import shutil
-
-        shutil.rmtree(args.out, ignore_errors=True)
-    build(spark, args.out)
+    build(spark, out)
 
     # warm python worker pool (see bench.py)
     def _noop(it):
@@ -162,17 +156,47 @@ def main() -> None:
         REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    import math
-
-    print("| entry | sf0.1 s | sf1 s | ratio | exponent |")
-    print("|---|---|---|---|---|")
-    for name in PROBE:
+    results: dict[str, dict] = {}
+    for name in entries:
         run(name, SRC)  # warm (footers, codegen)
         t01 = run(name, SRC)
-        t1 = run(name, args.out)
+        t1 = run(name, out)
         ratio = t1 / t01
-        k = math.log10(max(ratio, 1e-9))
-        print(f"| {name} | {t01:.2f} | {t1:.2f} | {ratio:.2f}x | {k:.2f} |")
+        results[name] = {
+            "t01": t01, "t1": t1, "ratio": ratio,
+            "exponent": math.log10(max(ratio, 1e-9)),
+        }
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/pbs-sf1")
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--entries", default=None,
+                    help="comma-separated registry entry names (default: PROBE list)")
+    ap.add_argument("--json", action="store_true",
+                    help="print one JSON object instead of the markdown table")
+    args = ap.parse_args()
+
+    from pulsar_beam_spark.session import get_spark
+
+    spark = get_spark("sf1-probe")
+    if args.rebuild:
+        import shutil
+
+        shutil.rmtree(args.out, ignore_errors=True)
+    entries = args.entries.split(",") if args.entries else PROBE
+    results = probe(spark, entries, args.out)
+    if args.json:
+        import json
+
+        print(json.dumps({n: round(r["exponent"], 3) for n, r in results.items()}))
+    else:
+        print("| entry | sf0.1 s | sf1 s | ratio | exponent |")
+        print("|---|---|---|---|---|")
+        for name, r in results.items():
+            print(f"| {name} | {r['t01']:.2f} | {r['t1']:.2f} | {r['ratio']:.2f}x | {r['exponent']:.2f} |")
     spark.stop()
 
 

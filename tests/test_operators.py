@@ -161,6 +161,27 @@ def test_exact_jaccard_matches_planted_pairs(spark):
     assert all(r["id_a"] < r["id_b"] for r in pairs)
 
 
+def test_exact_jaccard_max_df_cap(spark):
+    """Hot-shingle guard (VERDICT r06 #5): with a cap larger than any
+    document frequency the posting-list plan reproduces the uncapped
+    self-join plan bit-for-bit; with a tight cap, jaccard is measured
+    over the reduced shingle space (values may move either way) and the
+    planted near-dup pairs — discriminated by their rare shingles —
+    still surface."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    uncapped = {tuple(r) for r in exact_jaccard_pairs(docs, threshold=0.5).collect()}
+    loose = {
+        tuple(r)
+        for r in exact_jaccard_pairs(docs, threshold=0.5, max_df=10**9).collect()
+    }
+    assert loose == uncapped
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in exact_jaccard_pairs(docs, threshold=0.5, max_df=5).collect()
+    }
+    assert capped, "cap must not wipe out the planted near-dup pairs"
+
+
 def test_approx_percentile_tolerance(spark):
     """R13 tolerance contract: approx_percentile's accuracy parameter
     (10000 in the registry query) bounds rank error to 1/accuracy. The

@@ -1,0 +1,128 @@
+"""Env-gated sf1 weak-scaling regression gate (VERDICT r06 item 6).
+
+The sf1 probe (scripts/sf1_probe.py) was a one-shot round note; this
+test pins its exponents so a plan regression to super-linear scaling
+fails CI BY ENTRY NAME instead of going unnoticed until the next manual
+probe. Gated behind PBS_SF1_PROBE=1 because it builds/reads the ~1.7 GB
+weak-scaled fixture and times ~60 entries at two scales (minutes):
+
+    PBS_SF1_PROBE=1 python -m pytest tests/test_scaling_probe.py -q
+
+Ceilings are the BASELINE.md anchor exponents + 0.15 margin (the host
+drift band: identical code measured up to +-0.15 across runs — see
+BASELINE.md round-7 notes). A breach is re-measured twice more and the
+MEDIAN is judged, so a single contended run cannot flap the gate.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+
+import pytest
+
+# anchor exponents: BASELINE.md sf0.1 -> sf1 tables (round 5-7; later
+# re-anchors win). r30/p_source_overlap re-anchored in round 7 after the
+# hot-shingle cap + posting-list/hashed-key plan rework.
+ANCHOR_EXPONENTS = {
+    "d_embedding_near_dup": 0.28,
+    "d_fuzzy_name_pairs": 0.18,
+    "d_incremental_near_dup": 0.42,
+    "d_minhash_lsh_near_dup": 0.44,
+    "e_cluster_inertia": 0.01,
+    "e_grouped_topk": 0.16,
+    "e_mips_topk": 0.07,
+    "e_silhouette_by_cell": 0.06,
+    "e_vector_quantize": 0.09,
+    "flagship_revenue_by_nation": 0.29,
+    "l_zorder_layout": 0.02,
+    "p_decontaminate": 0.41,
+    "p_packing_efficiency": 0.14,
+    "p_rank_calibrate": 0.08,
+    "p_source_overlap_matrix": 0.54,
+    "p_span_dedup": 0.28,
+    "pipeline_corpus_curation": 0.42,
+    "pipeline_curation_clustered": 0.73,
+    "r04_inner_join": 0.11,
+    "r05_broadcast_join": 0.09,
+    "r08_range_join": 0.19,
+    "r10_asof_join": 0.12,
+    "r11_tpch_q1_agg": 0.02,
+    "r12_count_distinct": 0.25,
+    "r13_hll_mergeable": 0.08,
+    "r14_rollup": 0.06,
+    "r15_window_rank": 0.27,
+    "r17_window_frames": 0.07,
+    "r19_topk": 0.03,
+    "r29_dedup_exact_latest": 0.12,
+    "r30_ngram_jaccard_pairs": 0.39,
+    "r31_cosine_topk": 0.05,
+    "r32_top_terms": 0.11,
+    "r34_pandas_grouped_map": 0.30,
+    "r_abc_xyz": 0.10,
+    "r_correlated_subquery_q17": 0.26,
+    "r_ewma_smoothing": 0.03,
+    "r_funnel_sequence": 0.11,
+    "r_lorenz_deciles": 0.25,
+    "r_merge_upsert": 0.05,
+    "r_ohlc_bars": 0.15,
+    "r_pagerank_iter3": 0.58,
+    "r_pareto_cut": 0.18,
+    "r_partial_agg_merge": 0.03,
+    "r_quartile_bands": 0.22,
+    "r_reachability": 0.19,
+    "r_rfm_segmentation": 0.19,
+    "r_skew_salted_agg": 0.05,
+    "r_skew_salted_join": 0.43,
+    "s3_tumbling_window": 0.11,
+    "s5_session_window": 0.19,
+    "s_ann_ivf_topk": 0.20,
+    "s_rate_limit_sliding": 0.14,
+    "t_unigram_logprob": 0.59,
+    "tpch_q10_returned_items": 0.04,
+    "tpch_q11_important_stock": 0.10,
+    "tpch_q18_large_orders": 0.21,
+    "tpch_q20_promo_suppliers": 0.11,
+    "tpch_q3_shipping_priority": 0.24,
+    "tpch_q7_volume_shipping": 0.23,
+}
+MARGIN = 0.15
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("PBS_SF1_PROBE") != "1",
+    reason="minutes-long sf1 weak-scaling probe; set PBS_SF1_PROBE=1 to run",
+)
+
+
+def test_sf1_exponents_within_ceilings(spark):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    import sf1_probe
+
+    # anchors were measured at shuffle=32; the conftest session runs 8 —
+    # runtime-settable, restored after (AQE coalesce dampens the rest)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        entries = list(ANCHOR_EXPONENTS)
+        results = sf1_probe.probe(spark, entries)
+        breaches = {
+            n: r["exponent"] for n, r in results.items()
+            if r["exponent"] > ANCHOR_EXPONENTS[n] + MARGIN
+        }
+        # re-measure breaches twice more; judge the median of 3 so one
+        # contended run cannot flap the gate
+        confirmed = {}
+        for n, first in breaches.items():
+            more = [sf1_probe.probe(spark, [n])[n]["exponent"] for _ in range(2)]
+            med = statistics.median([first, *more])
+            if med > ANCHOR_EXPONENTS[n] + MARGIN:
+                confirmed[n] = round(med, 3)
+        assert not confirmed, (
+            "super-linear regression vs BASELINE.md anchor (+0.15 margin): "
+            f"{confirmed} — re-run the probe, then either fix the plan or "
+            "re-anchor in BASELINE.md with a justification"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
