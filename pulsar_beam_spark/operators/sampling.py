@@ -173,7 +173,7 @@ def rank_calibrate(
 
 def global_percent_rank(
     df: DataFrame, score_col: str, id_col: str, out_col: str = "global_pctl",
-    n_partitions: int | None = None,
+    n_partitions: int | None = None, materialize_input: bool = False,
 ) -> DataFrame:
     """Exact global percent_rank WITHOUT a single-partition window.
 
@@ -193,7 +193,8 @@ def global_percent_rank(
     from pyspark.sql import functions as F  # local alias for clarity
 
     ranked, rank, total = _global_rank(df, [F.col(score_col), F.col(id_col)],
-                                       n_partitions)
+                                       n_partitions,
+                                       materialize_input=materialize_input)
     denom = max(total - 1, 1)
     return ranked.withColumn(
         out_col, F.round((rank - F.lit(1)).cast("double") / denom, 6)
@@ -202,19 +203,20 @@ def global_percent_rank(
 
 def global_row_number(
     df: DataFrame, order_cols: list, out_col: str = "rn",
-    n_partitions: int | None = None,
+    n_partitions: int | None = None, materialize_input: bool = False,
 ) -> DataFrame:
     """Exact 1-based global row_number over ``order_cols`` via the same
     range-partition + offset recipe — the scalable replacement for
     ``row_number().over(Window.orderBy(...))``, whose empty partitioning
     funnels the whole input through one task."""
-    ranked, rank, _ = _global_rank(df, order_cols, n_partitions)
+    ranked, rank, _ = _global_rank(df, order_cols, n_partitions,
+                                   materialize_input=materialize_input)
     return ranked.withColumn(out_col, rank.cast("long")).drop("__grank")
 
 
 def global_ntile(
     df: DataFrame, order_cols: list, k: int, out_col: str = "tile",
-    n_partitions: int | None = None,
+    n_partitions: int | None = None, materialize_input: bool = False,
 ) -> DataFrame:
     """Exact ``ntile(k)`` over a global order without a single-task window.
 
@@ -222,7 +224,8 @@ def global_ntile(
     first ``n % k`` tiles hold ``ceil(n/k)`` rows, the rest ``floor``.
     n and k are plan literals once the kernel's bounded counts job has
     run, so the tile is a pure projection over the distributed rank."""
-    ranked, rank, total = _global_rank(df, order_cols, n_partitions)
+    ranked, rank, total = _global_rank(df, order_cols, n_partitions,
+                                       materialize_input=materialize_input)
     q, r = divmod(total, k) if total else (0, 0)
     big = r * (q + 1)
     tile = F.when(
@@ -235,6 +238,7 @@ def global_running_sum(
     df: DataFrame, order_cols: list, value_col: str,
     out_col: str = "running_sum", rn_col: str | None = None,
     total_col: str | None = None, n_partitions: int | None = None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Exact running total of ``value_col`` over a global order — the
     scalable replacement for ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED
@@ -244,9 +248,17 @@ def global_running_sum(
     from the bounded stats job.  ``rn_col`` optionally emits the global
     row_number from the same pass; ``total_col`` stamps the grand total
     as a plan literal (replacing the equally-single-task
-    ``sum(v) OVER ()``)."""
+    ``sum(v) OVER ()``).
+
+    NULL contract: NULL values in ``value_col`` count as 0. This is a
+    documented DEVIATION from the SQL window form, which skips NULLs
+    but yields NULL for rows whose entire prefix is NULL — from the
+    first non-null onward the two forms are identical. Callers needing
+    the SQL leading-NULL behavior must pre-filter or pre-coalesce
+    explicitly (all registry callers pass non-null aggregates)."""
     ranked, rank, total, total_sum = _global_rank(
-        df, order_cols, n_partitions, value_col=value_col)
+        df, order_cols, n_partitions, value_col=value_col,
+        materialize_input=materialize_input)
     out = ranked.withColumnRenamed("__gsum", out_col)
     if rn_col:
         out = out.withColumn(rn_col, rank.cast("long"))
@@ -256,8 +268,17 @@ def global_running_sum(
     return out
 
 
+# Above this many range partitions the per-partition offsets stop being
+# a create_map plan literal (O(n_partitions) expression bloat in the
+# plan/codegen) and become a broadcast-joined tiny frame on __pid
+# (VERDICT r06 item 7). 4096 map entries is far beyond local use but
+# well under what a 100-TB run with tens of thousands of range
+# partitions would hit.
+_OFFSET_MAP_MAX = 4096
+
+
 def _global_rank(df: DataFrame, order_cols: list, n_partitions: int | None,
-                 value_col: str | None = None):
+                 value_col: str | None = None, materialize_input: bool = False):
     """Shared kernel: returns (df_with___grank, rank_column, total) —
     plus the value-sum grand total (4-tuple, with a ``__gsum`` running
     column attached) when ``value_col`` is given.
@@ -265,6 +286,20 @@ def _global_rank(df: DataFrame, order_cols: list, n_partitions: int | None,
     ``order_cols`` MUST define a TOTAL order (callers tie-break with a
     unique id) — both for deterministic ranks and because the rank is
     re-attached by joining on the order-key combination.
+
+    EXECUTION CONTRACT: the caller's input lineage executes TWICE by
+    default — once inside the checkpointed narrow projection and once as
+    the rejoin's left side. That is the deliberate 100-TB trade (only
+    narrow order columns are ever materialized; full rows take the
+    ordinary spill-aware join path), but it requires the order columns
+    to be DETERMINISTIC across re-execution (stored columns, integer
+    aggregates — not float aggregates whose partial-combine order can
+    vary), or the inner equi-join would silently drop rows. Chained
+    calls compound the re-execution multiplicatively; callers whose
+    input is an already-reduced frame (a per-key aggregate, not the raw
+    corpus) should pass ``materialize_input=True`` to localCheckpoint
+    the full input rows once — upstream then runs exactly once per call
+    and the determinism requirement falls away.
 
     Range-partition the PROJECTED order columns, count rows per partition
     (one tiny job — bounded by the partition count, never the data),
@@ -287,10 +322,17 @@ def _global_rank(df: DataFrame, order_cols: list, n_partitions: int | None,
     n_oc = len(order_cols)
     oc_names = [f"__oc{i}" for i in range(n_oc)]
     keyed = df.select("*", *[c.alias(n) for c, n in zip(order_cols, oc_names)])
+    if materialize_input:
+        # full-row pin: upstream lineage runs once; right for reduced
+        # (aggregate-sized) inputs and for chained kernel calls
+        keyed = keyed.localCheckpoint(eager=False)
     oc = [F.col(n) for n in oc_names]
     narrow_cols = list(oc_names)
     if value_col is not None:
-        keyed = keyed.withColumn("__val", F.col(value_col))
+        # NULL values count as 0 (documented deviation from the SQL
+        # window form: sum() OVER yields NULL until the first non-null,
+        # identical totals from there on — see global_running_sum)
+        keyed = keyed.withColumn("__val", F.coalesce(F.col(value_col), F.lit(0)))
         narrow_cols.append("__val")
     # localCheckpoint PINS the partition layout: the stats job and the
     # ranking job would otherwise each re-execute the range exchange,
@@ -312,20 +354,50 @@ def _global_rank(df: DataFrame, order_cols: list, n_partitions: int | None,
         if value_col is not None:
             sum_offsets[row["__pid"]] = sacc
             sacc += row["s"] or 0
-    off_map = F.create_map(
-        *[x for p, o in sorted(offsets.items()) for x in (F.lit(p), F.lit(o))])
     w = Window.partitionBy("__pid").orderBy(*oc)
-    rank_cols = [
-        *[F.col(n).alias(f"__rc{i}") for i, n in enumerate(oc_names)],
-        (off_map[F.col("__pid")] + F.row_number().over(w)).alias("__grank"),
-    ]
-    if value_col is not None:
-        sum_map = F.create_map(
-            *[x for p, o in sorted(sum_offsets.items()) for x in (F.lit(p), F.lit(o))])
-        prefix = F.sum("__val").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        rank_cols.append((sum_map[F.col("__pid")] + prefix).alias("__gsum"))
-    ranks = ranged.select(*rank_cols)
+    prefix = F.sum("__val").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if len(offsets) <= _OFFSET_MAP_MAX:
+        # small partition counts: offsets inline as a map literal (no
+        # extra join in the plan)
+        off_map = F.create_map(
+            *[x for p, o in sorted(offsets.items()) for x in (F.lit(p), F.lit(o))])
+        rank_cols = [
+            *[F.col(n).alias(f"__rc{i}") for i, n in enumerate(oc_names)],
+            (off_map[F.col("__pid")] + F.row_number().over(w)).alias("__grank"),
+        ]
+        if value_col is not None:
+            sum_map = F.create_map(
+                *[x for p, o in sorted(sum_offsets.items()) for x in (F.lit(p), F.lit(o))])
+            rank_cols.append((sum_map[F.col("__pid")] + prefix).alias("__gsum"))
+        ranks = ranged.select(*rank_cols)
+    else:
+        # tens-of-thousands of range partitions: a create_map literal
+        # bloats the plan/codegen O(n_partitions); broadcast-join the
+        # offsets as a tiny (pid, offset[, sum_offset]) frame instead
+        off_rows = [
+            (int(p), int(offsets[p]),
+             int(sum_offsets[p]) if value_col is not None else 0)
+            for p in sorted(offsets)
+        ]
+        off_df = df.sparkSession.createDataFrame(
+            off_rows, "__pid int, __off long, __soff long")
+        local_cols = [
+            *[F.col(n).alias(f"__rc{i}") for i, n in enumerate(oc_names)],
+            "__pid",
+            F.row_number().over(w).alias("__lrn"),
+        ]
+        if value_col is not None:
+            local_cols.append(prefix.alias("__lsum"))
+        local = ranged.select(*local_cols)
+        joined_off = local.join(F.broadcast(off_df), "__pid")
+        rank_cols = [
+            *[f"__rc{i}" for i in range(n_oc)],
+            (F.col("__off") + F.col("__lrn")).alias("__grank"),
+        ]
+        if value_col is not None:
+            rank_cols.append((F.col("__soff") + F.col("__lsum")).alias("__gsum"))
+        ranks = joined_off.select(*rank_cols)
     # null-safe equi-join on the total order key (still a hash/SMJ key,
     # so rows with NULL order values keep their rank)
     cond = None

@@ -5834,10 +5834,17 @@ def q_rfm(spark, sf):
 
     # round 6: three distributed quintile passes replace three
     # single-task ntile windows (the customer dimension scales with the
-    # corpus); DESC orders expressed as negated ascending columns
-    c = global_ntile(c, [F.col("recency_days"), F.col("o_custkey")], 5, out_col="_r")
-    c = global_ntile(c, [(-F.col("frequency")), F.col("o_custkey")], 5, out_col="_f")
-    c = global_ntile(c, [(-F.col("monetary_cents")), F.col("o_custkey")], 5, out_col="_m")
+    # corpus); DESC orders expressed as negated ascending columns.
+    # materialize_input (round 7): each pass pins its (per-customer
+    # aggregate, i.e. already-reduced) input once — without it the
+    # kernel's rejoin re-executes upstream lineage per pass and chaining
+    # compounds it (~8x re-execution of the orders aggregation)
+    c = global_ntile(c, [F.col("recency_days"), F.col("o_custkey")], 5,
+                     out_col="_r", materialize_input=True)
+    c = global_ntile(c, [(-F.col("frequency")), F.col("o_custkey")], 5,
+                     out_col="_f", materialize_input=True)
+    c = global_ntile(c, [(-F.col("monetary_cents")), F.col("o_custkey")], 5,
+                     out_col="_m", materialize_input=True)
     seg = F.col("_r") * 100 + F.col("_f") * 10 + F.col("_m")
     return c.select(
         "o_custkey",
@@ -8365,9 +8372,13 @@ _ROUND6_VERIFIED = frozenset({
     "r18_sort_with_position", "r19_topk", "r20_union_all", "r21_except",
     "r21_intersect", "r22_string_fns", "r23_date_fns", "r24_math_fns",
     "r25_array_fns", "r25_higher_order_fns", "r25_nested_array_fns",
-    "r26_map_fns", "r27_json_fns", "r28_conditional", "r_abc_xyz",
-    "r_keyset_pagination", "r_lorenz_deciles", "r_pareto_cut",
-    "r_quartile_bands", "r_rfm_segmentation", "s_ann_ivf_topk",
+    "r26_map_fns", "r27_json_fns", "r28_conditional",
+    "r_keyset_pagination", "r_lorenz_deciles",
+    # r_rfm_segmentation (three ntile passes gained materialize_input
+    # pins) and r_pareto_cut/r_abc_xyz (global_running_sum gained the
+    # NULL-coalesce) were r06-green but their plans changed in round 7 —
+    # re-fronted for fresh driver hashes.
+    "r_quartile_bands", "s_ann_ivf_topk",
     "tpch_q11_important_stock", "tpch_q20_promo_suppliers",
 })
 

@@ -958,6 +958,85 @@ def test_global_ntile_and_running_sum_match_serial_windows(spark):
     assert st == ser
 
 
+def test_global_rank_offsets_join_path(spark, monkeypatch):
+    """VERDICT r06 #7: above _OFFSET_MAP_MAX range partitions the
+    per-partition offsets become a broadcast-joined frame instead of an
+    O(n_partitions) create_map plan literal. Force the join path by
+    shrinking the threshold and assert dense-permutation, running-sum,
+    and null-safe behavior are identical to the map path."""
+    from pyspark.sql import functions as F
+
+    from pulsar_beam_spark.operators import sampling
+
+    n = 5_000
+    df = (spark.range(n).toDF("id")
+          .withColumn("v", (F.col("id") * 2654435761 % 997).cast("long"))
+          .repartition(8))
+    order = [F.col("v"), F.col("id")]
+    map_rn = {r["id"]: r["rn"] for r in sampling.global_row_number(df, order).collect()}
+    map_rs = {r["id"]: (r["rsum"], r["tot"]) for r in sampling.global_running_sum(
+        df, order, "v", out_col="rsum", total_col="tot").collect()}
+
+    monkeypatch.setattr(sampling, "_OFFSET_MAP_MAX", 2)  # any real layout exceeds it
+    join_rn = {r["id"]: r["rn"] for r in sampling.global_row_number(df, order).collect()}
+    join_rs = {r["id"]: (r["rsum"], r["tot"]) for r in sampling.global_running_sum(
+        df, order, "v", out_col="rsum", total_col="tot").collect()}
+    assert join_rn == map_rn
+    assert join_rs == map_rs
+    assert sorted(join_rn.values()) == list(range(1, n + 1))
+
+    # null-safe rejoin survives the join path too
+    rows = [(1, None, "a"), (2, 5.0, "b"), (3, None, "c"), (4, 1.0, "d")]
+    ndf = spark.createDataFrame(rows, "id long, score double, payload string").repartition(4)
+    out = {r["id"]: r["rn"] for r in sampling.global_row_number(
+        ndf, [F.col("score"), F.col("id")]).collect()}
+    assert sorted(out.values()) == [1, 2, 3, 4]
+
+
+def test_global_running_sum_null_values_contract(spark):
+    """Documented NULL contract: NULL values count as 0 (deviation from
+    sum() OVER, which yields NULL on an all-NULL prefix); totals from the
+    first non-null onward are identical to the window form."""
+    from pyspark.sql import functions as F
+
+    from pulsar_beam_spark.operators.sampling import global_running_sum
+
+    rows = [(1, None), (2, None), (3, 4), (4, None), (5, 6)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(3)
+    out = {r["id"]: (r["rsum"], r["tot"]) for r in global_running_sum(
+        df, [F.col("id")], "v", out_col="rsum", total_col="tot").collect()}
+    # leading all-NULL prefix -> 0 (the window form would say NULL here)
+    assert out[1][0] == 0 and out[2][0] == 0
+    # from the first non-null on, identical to the window form
+    assert out[3][0] == 4 and out[4][0] == 4 and out[5][0] == 10
+    assert all(t == 10 for _, t in out.values())
+
+
+def test_global_rank_materialize_input_equivalence(spark):
+    """materialize_input=True (the chained-call pin, ADVICE r06) must not
+    change any result — only how often upstream lineage executes."""
+    from pyspark.sql import functions as F
+
+    from pulsar_beam_spark.operators.sampling import global_ntile
+
+    df = (spark.range(2_000).toDF("id")
+          .withColumn("v", (F.col("id") * 48271 % 101).cast("long"))
+          .repartition(8))
+    order = [F.col("v"), F.col("id")]
+    base = {r["id"]: r["tile"] for r in global_ntile(df, order, 5).collect()}
+    pinned = {r["id"]: r["tile"] for r in global_ntile(
+        df, order, 5, materialize_input=True).collect()}
+    assert pinned == base
+    # chained passes (the q_rfm shape) stay correct under the pin
+    c1 = global_ntile(df, order, 5, out_col="t1", materialize_input=True)
+    c2 = global_ntile(c1, [(-F.col("v")), F.col("id")], 5, out_col="t2",
+                      materialize_input=True)
+    got = {r["id"]: (r["t1"], r["t2"]) for r in c2.collect()}
+    assert len(got) == 2_000
+    assert {t for t, _ in got.values()} == {1, 2, 3, 4, 5}
+    assert {t for _, t in got.values()} == {1, 2, 3, 4, 5}
+
+
 def test_global_kernels_randomized_vs_serial(spark):
     """Randomized edge sweep for the distributed ordering kernels: heavy
     ties in the order value, k in {1, 2, 7, 12}, n from 1 to ~400 (and

@@ -357,7 +357,11 @@ _BNLJ_ALLOWED = {
     "r_data_quality_audit": 4,        # per-rule count scalars
     "t_keyword_extraction": 1,        # corpus-total scalar
     "r_triangle_count": 1,            # edge-count scalar
-    "r_rfm_segmentation": 1,          # quantile-boundaries scalar row
+    # r_rfm_segmentation's max-orderdate scalar BNLJ sits UPSTREAM of the
+    # round-7 materialize_input localCheckpoint, so the visible plan no
+    # longer shows it (trunc=yes in PLANS_FULL.md flags the truncation);
+    # the scalar itself is still the bounded-by-construction pattern.
+    "r_rfm_segmentation": 0,
     "r_benford_digits": 1,            # total-count scalar
     "t_vocab_coverage": 1,            # vocab-size scalar
     "r_largest_remainder": 3,         # total + remainder-rank scalars
