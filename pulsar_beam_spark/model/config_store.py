@@ -495,11 +495,33 @@ class MongoConfigStore(_CrudByNamesMixin):
                 ) from e
             client = MongoClient(uri)
         self._col = client[database][collection]
+        self._counters = client[database][collection + "_counters"]
         self._col.create_index("key", unique=True)
+        # seed the atomic version counter at/above any pre-existing max
+        # (migration from the old read-max scheme; $max is safe under
+        # concurrent seeding — the largest seed wins, never a regression)
+        doc = self._col.find_one(sort=[("version", -1)], projection={"version": 1})
+        self._counters.update_one(
+            {"_id": "version"},
+            {"$max": {"seq": int(doc["version"]) if doc else 0}},
+            upsert=True,
+        )
 
     def _next_version(self) -> int:
-        doc = self._col.find_one(sort=[("version", -1)], projection={"version": 1})
-        return int(doc["version"]) + 1 if doc else 1
+        """Server-side atomic sequence (ADVICE r06): the old
+        read-max-then-write let two concurrent clients mint the SAME
+        version, weakening the (updated_at, version) last-write-wins
+        tiebreak on the one backend positioned as the multi-client
+        production store. ``$inc`` inside ``find_one_and_update`` is a
+        single atomic read-modify-write on the counter document — the
+        standard Mongo sequence pattern. ``return_document=True`` ≙
+        ``pymongo.ReturnDocument.AFTER`` (a bool subclass), avoiding a
+        module-scope pymongo import (the dependency is guarded)."""
+        doc = self._counters.find_one_and_update(
+            {"_id": "version"}, {"$inc": {"seq": 1}},
+            upsert=True, return_document=True,
+        )
+        return int(doc["seq"])
 
     def update(
         self,

@@ -151,13 +151,59 @@ class TopicDirStore:
             rows.extend(pq.read_table(os.path.join(d, f)).to_pylist())
         return rows, (files[-1] if files else after_file)
 
+    @staticmethod
+    def _footer_bounds(path: str) -> tuple | None:
+        """(min_event_time, max_event_time) from the parquet footer's
+        row-group statistics — O(metadata), no row reads. None when any
+        row group lacks stats (caller must then read the file)."""
+        md = pq.ParquetFile(path).metadata
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            col = next(
+                (rg.column(j) for j in range(rg.num_columns)
+                 if rg.column(j).path_in_schema == "event_time"), None)
+            st = col.statistics if col is not None else None
+            if st is None or not st.has_min_max:
+                return None
+            mins.append(st.min)
+            maxs.append(st.max)
+        return (min(mins), max(maxs)) if mins else None
+
     def poll(self, topic_fn: str, batch_size: int = 10) -> dict | None:
         """Bounded earliest-first poll in the reference's JSON batch
         envelope (PulsarMessages, src/model/message.go:21-52); None ≙
         204 No Content. Protocol layer only — bounded_poll
         (streaming/poll.py) is the Spark-scale equivalent over the same
-        directory."""
-        rows, _ = self.scan(topic_fn)
+        directory.
+
+        Earliest-k pruning (VERDICT r06 item 8): instead of reading the
+        whole topic directory per HTTP request (O(topic) on a deep
+        backlog), files are visited in footer min(event_time) order and
+        reading stops once ``batch_size`` rows are held AND the next
+        file's min exceeds the current k-th smallest event_time — files
+        that could still carry a tie (min == k-th) are read, so the
+        result is exactly the unpruned sort. Only footers (O(metadata))
+        are touched for the skipped tail."""
+        d = self.topic_dir(topic_fn)
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        metas = []
+        for f in files:
+            b = self._footer_bounds(os.path.join(d, f))
+            # stats-less files sort first (must be read unconditionally)
+            metas.append((b[0] if b else datetime.min, f))
+        metas.sort()
+        rows: list[dict] = []
+        kth = None
+        for min_et, f in metas:
+            if kth is not None and min_et > kth:
+                break
+            rows.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+            if len(rows) >= batch_size:
+                import heapq
+
+                kth = heapq.nsmallest(
+                    batch_size, (r["event_time"] for r in rows))[-1]
         rows.sort(key=lambda r: (r["event_time"], r["message_id"]))
         batch = [
             {

@@ -451,6 +451,48 @@ def test_mode_route_sets():
 # -- Spark-side visibility of gateway-produced messages -----------------
 
 
+def test_poll_footer_pruning_reads_only_head_files(tmp_path, monkeypatch):
+    """VERDICT r06 #8: the protocol-layer poll must not read the whole
+    topic directory per request — files are visited in footer
+    min(event_time) order and reading stops once batch_size rows are held
+    and the next file cannot beat the k-th smallest. Result identical to
+    the unpruned sort; only footers touched for the skipped tail."""
+    import pyarrow.parquet as _pq
+
+    from pulsar_beam_spark.server import store as store_mod
+
+    s = store_mod.TopicDirStore(str(tmp_path / "topics"), flush_interval_s=None)
+    topic = "persistent://t/ns/deep"
+    # 40 files, one message each, strictly increasing event_time
+    ids = [s.append(topic, f"m{i:03d}".encode()) for i in range(40)]
+
+    reads = []
+    real_read = _pq.read_table
+
+    class _CountingPQ:
+        ParquetFile = _pq.ParquetFile
+
+        @staticmethod
+        def read_table(path, *a, **kw):
+            reads.append(path)
+            return real_read(path, *a, **kw)
+
+    monkeypatch.setattr(store_mod, "pq", _CountingPQ)
+    out = s.poll(topic, batch_size=10)
+    assert out["size"] == 10
+    assert [m["payload"] for m in out["messages"]] == [f"m{i:03d}" for i in range(10)]
+    assert [m["message_id"] for m in out["messages"]] == ids[:10]
+    # deep backlog: the 30-file tail was pruned on footer stats alone
+    assert len(reads) <= 12, reads
+
+    # appending an EARLIER-timestamped file cannot happen through append
+    # (produce stamps wall-clock), but equal-timestamp ties must be read:
+    # correctness cross-check vs the unpruned scan
+    rows, _ = s.scan(topic)
+    rows.sort(key=lambda r: (r["event_time"], r["message_id"]))
+    assert [r["message_id"] for r in rows[:10]] == ids[:10]
+
+
 def test_gateway_messages_visible_to_spark_poll(gateway, keypair, spark):
     """A message POSTed over HTTP is readable by the Structured Streaming
     bounded poll (streaming/poll.py) — same directory, same schema."""

@@ -156,6 +156,37 @@ class _FakeMongoCollection:
             docs.sort(key=lambda d: d.get(field), reverse=direction < 0)
         return docs
 
+    # counter-document surface (MongoConfigStore._next_version)
+    @staticmethod
+    def _key_of(flt):
+        return flt.get("key", flt.get("_id"))
+
+    def update_one(self, flt, update, upsert=False):
+        k = self._key_of(flt)
+        doc = self._docs.get(k)
+        if doc is None:
+            if not upsert:
+                return None
+            doc = dict(flt)
+            self._docs[k] = doc
+        for op, fields in update.items():
+            for f, v in fields.items():
+                if op == "$inc":
+                    doc[f] = doc.get(f, 0) + v
+                elif op == "$max":
+                    doc[f] = max(doc.get(f, v), v)
+                elif op == "$set":
+                    doc[f] = v
+                else:
+                    raise NotImplementedError(op)
+        return doc
+
+    def find_one_and_update(self, flt, update, upsert=False, return_document=False):
+        k = self._key_of(flt)
+        before = dict(self._docs[k]) if k in self._docs else None
+        after = self.update_one(flt, update, upsert=upsert)
+        return (dict(after) if after else None) if return_document else before
+
 
 class _FakeMongoClient:
     def __init__(self):
@@ -312,6 +343,29 @@ def test_dbapi_store_reopen_resumes_version(tmp_path):
     s2.update("persistent://t/ns/a", "pulsar://c:6650", [], notes="third")
     doc = s2.get_by_key(k)
     assert doc["notes"] == "third" and doc["version"] == 3
+
+
+def test_mongo_version_counter_atomic_across_clients():
+    """ADVICE r06: versions come from a server-side $inc counter document
+    (find_one_and_update), not client-side max(version)+1 — two store
+    instances sharing one server mint strictly increasing, never-equal
+    versions, and the counter seeds at/above any pre-existing max."""
+    from pulsar_beam_spark.model.config_store import MongoConfigStore
+
+    client = _FakeMongoClient()
+    s1 = MongoConfigStore(client=client)
+    s2 = MongoConfigStore(client=client)
+    for i in range(6):
+        s = s1 if i % 2 == 0 else s2
+        s.update(f"persistent://t/ns/v{i}", "pulsar://c:6650", [])
+    minted = sorted(d["version"] for d in s1.load())
+    assert minted == list(range(1, 7))  # unique, gapless, client-independent
+    # a THIRD client joining later seeds its counter from the stored max
+    # and continues the sequence instead of reusing low versions
+    s3 = MongoConfigStore(client=client)
+    s3.update("persistent://t/ns/late", "pulsar://c:6650", [])
+    vals = sorted(d["version"] for d in s3.load())
+    assert vals == sorted(set(vals)) and vals[-1] == max(minted) + 1
 
 
 def test_remote_store_concurrent_create_one_winner(tmp_path):
