@@ -6840,7 +6840,12 @@ def q_source_overlap_matrix(spark, sf):
         .filter(F.col("__df") <= 5)
         .drop("__df")
     )
-    posting = posting.persist()
+    # NO persist here (round 7): the posting frame is read twice (sizes +
+    # pairs) but both branches sit over the IDENTICAL shuffle exchange,
+    # which ReuseExchange dedups within the one action; a persist() in a
+    # registry entry is never unpersisted, so it leaked pinned blocks
+    # into every subsequent query of the session (observed as nonsense
+    # re-run timings in the sf1 gate and contaminated bench neighbors).
     sizes = posting.select(F.explode("srcs").alias("source")).groupBy("source").agg(
         F.count("*").alias("sz"))
     pairs = posting.select(

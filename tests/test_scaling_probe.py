@@ -39,7 +39,7 @@ ANCHOR_EXPONENTS = {
     "p_decontaminate": 0.41,
     "p_packing_efficiency": 0.14,
     "p_rank_calibrate": 0.08,
-    "p_source_overlap_matrix": 0.54,
+    "p_source_overlap_matrix": 0.50,
     "p_span_dedup": 0.28,
     "pipeline_corpus_curation": 0.42,
     "pipeline_curation_clustered": 0.73,
@@ -55,7 +55,7 @@ ANCHOR_EXPONENTS = {
     "r17_window_frames": 0.07,
     "r19_topk": 0.03,
     "r29_dedup_exact_latest": 0.12,
-    "r30_ngram_jaccard_pairs": 0.39,
+    "r30_ngram_jaccard_pairs": 0.50,
     "r31_cosine_topk": 0.05,
     "r32_top_terms": 0.11,
     "r34_pandas_grouped_map": 0.30,
