@@ -299,6 +299,14 @@ def deliver_multiplexed_stream(
         if df.isEmpty():  # see deliver_stream.handle: source-side, no side effects
             return
         routed = df.join(route, df["topic"] == route["topic_full_name"], "inner")
+        # Second gate on the ROUTED frame: a batch whose messages all miss
+        # the config snapshot (no activated webhook on those topics) would
+        # otherwise still append a zero-row reply part file every epoch —
+        # the same small-files leak the source gate closes. Probing the
+        # join is side-effect-free (limit-1 over a broadcast join; the
+        # delivery mapInPandas is not applied yet).
+        if routed.isEmpty():
+            return
         replies = routed.mapInPandas(
             deliver_batches, "topic string, pulsar_url string, body binary"
         )

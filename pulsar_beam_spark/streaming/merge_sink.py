@@ -18,7 +18,16 @@ win recency contests against stale upserts) and filtered only in
 Exactly-once: each epoch writes ``v{epoch}`` and then atomically flips a
 LATEST pointer file (os.replace). A crash between write and flip leaves
 the pointer on the previous consistent version; foreachBatch re-runs the
-epoch and overwrites the same v-dir — idempotent.
+epoch and overwrites the same v-dir — idempotent. A crash AFTER the flip
+but before the stream checkpoint commits replays an epoch whose v-dir is
+already current — that replay is SKIPPED outright (pointer == v{epoch}
+proves write+flip completed, and a replayed epoch carries the same batch
+data), because re-running it would read the base snapshot from the very
+directory the overwrite is deleting — behavior Spark does not define for
+a path that is simultaneously being read. Corollary: ``snapshot_dir``
+and ``checkpoint_dir`` are a PAIR — reusing a populated snapshot dir
+with a fresh checkpoint restarts epoch numbering against leftover
+higher-numbered v-dirs and is unsupported.
 
 Scale notes: the union+window shuffles base+delta on the key. For a
 100 TB snapshot, store it bucketed by the key (sources/layout.
@@ -119,13 +128,19 @@ def snapshot_merge_stream(
     keep = max(2, int(keep_versions))
 
     def handle(batch_df: DataFrame, epoch: int) -> None:
+        vdir = f"v{epoch}"
+        if _latest_version(snapshot_dir) == vdir:
+            # crash-after-flip replay: write+flip already completed and a
+            # replayed epoch re-delivers the same batch, so re-merging
+            # would only read base from the v-dir the overwrite deletes
+            # (undefined in Spark). Idempotent no-op.
+            return
         delta = batch_df.withColumn("__dead", tombstone.cast("int")).select(*cols, "__dead")
         base = read_snapshot(spark, snapshot_dir, with_tombstones=True)
         merged = exact_dedup_latest(
             delta if base is None else base.select(*cols, "__dead").unionByName(delta),
             keys, order_col, tiebreak,
         )
-        vdir = f"v{epoch}"
         merged.write.mode("overwrite").parquet(os.path.join(snapshot_dir, vdir))
         _flip_pointer(snapshot_dir, vdir)
         _gc_versions(snapshot_dir, vdir, keep)
@@ -177,6 +192,11 @@ def sketch_merge_stream(
     keep = max(2, int(keep_versions))
 
     def handle(batch_df: DataFrame, epoch: int) -> None:
+        vdir = f"v{epoch}"
+        if _latest_version(snapshot_dir) == vdir:
+            # crash-after-flip replay already committed — skip (see
+            # snapshot_merge_stream.handle)
+            return
         delta = batch_df.groupBy(*keys).agg(
             F.hll_sketch_agg(value_col, lg_k).alias("sk")
         )
@@ -187,7 +207,6 @@ def sketch_merge_stream(
         out = merged.withColumn(
             "approx_distinct", F.hll_sketch_estimate("sk").cast("long")
         )
-        vdir = f"v{epoch}"
         out.write.mode("overwrite").parquet(os.path.join(snapshot_dir, vdir))
         _flip_pointer(snapshot_dir, vdir)
         _gc_versions(snapshot_dir, vdir, keep)

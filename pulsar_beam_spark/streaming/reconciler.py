@@ -60,17 +60,36 @@ class Reconciler:
     add/remove) — the checkpoint survives restarts, so the file-source
     offsets resume; rows of the in-flight epoch may redeliver
     (at-least-once, same contract as a crash).
+
+    MODE TRANSITIONS redeliver more than an epoch: per-subscription and
+    multiplexed queries keep SEPARATE checkpoints (per-sub_key vs one
+    shared), so the first flip INTO mux starts its file-source offsets
+    from scratch (the retained topic backlog redelivers to every config
+    once), and a flip back OUT resumes per-sub checkpoints frozen at the
+    flip-in point (the mux period redelivers per config). Both stay
+    inside the at-least-once contract (endpoints dedup on
+    PulsarMessageId — required by the reference's contract too), but a
+    flip is EXPENSIVE, so it must not flap: the mode flips up only above
+    ``multiplex_threshold`` and back down only at/below
+    ``demux_threshold`` (default threshold // 2) — a fleet oscillating
+    around the boundary stays in its current mode inside the
+    [demux_threshold, multiplex_threshold] band.
     """
 
     def __init__(self, spark: SparkSession, checkpoint_root: str,
                  start_fn: Callable[[dict, str], object],
                  start_mux_fn: Callable[[list, str], object] | None = None,
-                 multiplex_threshold: int = 32):
+                 multiplex_threshold: int = 32,
+                 demux_threshold: int | None = None):
         self.spark = spark
         self.checkpoint_root = checkpoint_root
         self.start_fn = start_fn
         self.start_mux_fn = start_mux_fn
         self.multiplex_threshold = multiplex_threshold
+        self.demux_threshold = (
+            multiplex_threshold // 2 if demux_threshold is None
+            else min(demux_threshold, multiplex_threshold)
+        )
         self.running: dict[str, object] = {}
         self.mux_covered: frozenset[str] = frozenset()
 
@@ -93,8 +112,13 @@ class Reconciler:
         multiplexed mode these are the sub_keys whose coverage was added/
         removed by the single query."""
         desired = {r["sub_key"]: r.asDict() for r in desired_deliveries(snapshot).collect()}
+        in_mux = _MUX_KEY in self.running
+        # hysteresis: flip up above multiplex_threshold, back down only
+        # at/below demux_threshold — a transition redelivers (docstring),
+        # so counts oscillating inside the band keep the current mode
         mux = (self.start_mux_fn is not None
-               and len(desired) > self.multiplex_threshold)
+               and (len(desired) > self.multiplex_threshold
+                    or (in_mux and len(desired) > self.demux_threshold)))
 
         if mux:
             want = frozenset(desired)

@@ -502,7 +502,8 @@ def test_reconciler_multiplex_threshold(spark, tmp_path):
         return FakeQuery()
 
     rec = Reconciler(spark, str(tmp_path / "ckpts-thresh"), start_fn,
-                     start_mux_fn=start_mux_fn, multiplex_threshold=3)
+                     start_mux_fn=start_mux_fn, multiplex_threshold=3,
+                     demux_threshold=2)
 
     def set_hooks(n):
         store.update("persistent://t/ns/a", "pulsar://c:6650",
@@ -530,11 +531,63 @@ def test_reconciler_multiplex_threshold(spark, tmp_path):
     assert len(mux_started) == 2 and len(mux_started[1]) == 4
     assert old_mux.stopped and len(t) == 1 and not s
 
-    set_hooks(2)  # shrink under threshold: demultiplex to per-sub queries
+    set_hooks(3)  # inside the [demux, mux] hysteresis band: STAYS mux
+    s, t = rec.reconcile(store.snapshot())
+    assert _MUX_KEY in rec.running and len(rec.running) == 1
+    assert len(mux_started) == 3  # membership changed -> mux restarted, mode kept
+
+    set_hooks(2)  # at demux_threshold: demultiplex to per-sub queries
     mux_q = rec.running[_MUX_KEY]
     s, t = rec.reconcile(store.snapshot())
     assert mux_q.stopped and _MUX_KEY not in rec.running
     assert len(rec.running) == 2 and len(s) == 2
+
+
+def test_reconciler_hysteresis_band_no_flapping(spark, tmp_path):
+    """A fleet oscillating around multiplex_threshold must not flip modes
+    every tick: each mode transition abandons one checkpoint family for
+    the other and redelivers the backlog (reconciler docstring), so the
+    mode only flips up ABOVE multiplex_threshold and down AT/BELOW
+    demux_threshold (default threshold // 2)."""
+    from pulsar_beam_spark.model.config_store import ConfigStore
+    from pulsar_beam_spark.streaming.reconciler import _MUX_KEY, Reconciler
+
+    store = ConfigStore(spark, str(tmp_path / "cfg-hyst"))
+
+    class FakeQuery:
+        def __init__(self):
+            self.stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    rec = Reconciler(spark, str(tmp_path / "ckpts-hyst"),
+                     lambda row, ckpt: FakeQuery(),
+                     start_mux_fn=lambda rows, ckpt: FakeQuery(),
+                     multiplex_threshold=4)  # default demux_threshold = 2
+
+    def set_hooks(n):
+        store.update("persistent://t/ns/a", "pulsar://c:6650",
+                     [Webhook(f"http://h{i}.example.com/cb", f"s{i}") for i in range(n)])
+
+    # per-sub mode holds right up TO the threshold
+    set_hooks(4)
+    rec.reconcile(store.snapshot())
+    assert _MUX_KEY not in rec.running and len(rec.running) == 4
+
+    set_hooks(5)  # above threshold: flip up
+    rec.reconcile(store.snapshot())
+    assert list(rec.running) == [_MUX_KEY]
+
+    # oscillate 5 -> 4 -> 5 -> 3: all inside (demux=2, mux=4] band -> stays mux
+    for n in (4, 5, 3):
+        set_hooks(n)
+        rec.reconcile(store.snapshot())
+        assert list(rec.running) == [_MUX_KEY], f"flapped at n={n}"
+
+    set_hooks(2)  # at demux_threshold: now flip down
+    rec.reconcile(store.snapshot())
+    assert _MUX_KEY not in rec.running and len(rec.running) == 2
 
 
 def test_sse_helpers():
@@ -923,6 +976,114 @@ def test_snapshot_merge_retention_gc_and_concurrent_read(spark, tmp_path):
     assert {r["k"] for r in read_snapshot(spark, snap).collect()} == set(range(7))
     held = {r["k"]: r["v"] for r in reader_df.collect()}
     assert held == {i: f"x{i}" for i in range(6)}  # pre-flip view intact
+
+
+def test_snapshot_merge_crash_after_flip_replay_is_noop(spark, tmp_path):
+    """Crash-recovery hole probed directly: a crash AFTER the pointer
+    flip but BEFORE the stream checkpoint commits makes foreachBatch
+    replay an epoch whose v-dir is already current. Re-merging would read
+    the base snapshot from the very directory the overwrite deletes
+    (Spark leaves read-while-overwrite of one path undefined), so the
+    replay must be a committed-epoch no-op: pointer untouched, v-dir
+    files untouched, content intact. Simulated zero-mock by deleting the
+    final stream-checkpoint commit marker and restarting."""
+    import glob
+    import shutil
+
+    from pulsar_beam_spark.streaming.merge_sink import (
+        read_snapshot,
+        snapshot_merge_stream,
+    )
+
+    schema = "k long, v string, ts long, seq long, dead int"
+    src = str(tmp_path / "replay-log")
+    os.makedirs(src, exist_ok=True)
+
+    def append_file(i):
+        d = str(tmp_path / f"replay-stage-{i}")
+        spark.createDataFrame([(i, f"x{i}", i, i, 0)], schema).coalesce(1).write.parquet(d)
+        for j, f in enumerate(sorted(glob.glob(f"{d}/*.parquet"))):
+            shutil.copy(f, f"{src}/part-{i:03d}-{j}.parquet")
+
+    append_file(0)
+    append_file(1)
+    snap = str(tmp_path / "replay-snap")
+    ckpt = str(tmp_path / "replay-ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = snapshot_merge_stream(
+            stream, snap, ckpt, keys=["k"], order_col="ts", tiebreak="seq",
+            tombstone=F.col("dead") == 1, payload_cols=["v"],
+        )
+        q.awaitTermination(120)
+
+    run_once()  # epochs 0 and 1 committed; pointer at v1
+    with open(os.path.join(snap, "LATEST")) as f:
+        assert f.read().strip() == "v1"
+    files_before = sorted(os.listdir(os.path.join(snap, "v1")))
+
+    # crash window: epoch 1's write+flip completed but its stream commit
+    # didn't — drop the commit marker so restart replays epoch 1
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")  # hadoop checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()
+
+    with open(os.path.join(snap, "LATEST")) as f:
+        assert f.read().strip() == "v1"
+    # replay skipped: same physical files, not a rewrite of equal content
+    assert sorted(os.listdir(os.path.join(snap, "v1"))) == files_before
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, snap).collect()}
+    assert got == {0: "x0", 1: "x1"}
+
+    # and the stream still makes forward progress afterwards
+    append_file(2)
+    run_once()
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, snap).collect()}
+    assert got == {0: "x0", 1: "x1", 2: "x2"}
+
+
+def test_multiplexed_no_matching_config_appends_nothing(spark, tmp_path):
+    """Mux small-files gate: a micro-batch whose messages all miss the
+    config snapshot (no activated webhook on those topics) must not POST
+    anything NOR append an empty reply part file — the routed-frame gate,
+    the join-side analogue of the source-side empty-epoch gate."""
+    from pulsar_beam_spark.model.config_store import ConfigStore
+    from pulsar_beam_spark.streaming.delivery import deliver_multiplexed_stream
+    from pulsar_beam_spark.streaming.reconciler import desired_deliveries
+
+    store = ConfigStore(spark, str(tmp_path / "cfg-miss"))
+    store.update("persistent://other/ns/unrelated", "pulsar://c:6650",
+                 [Webhook("http://h0.example.com/cb", "s0")])
+    configs = desired_deliveries(store.snapshot())
+
+    src = str(tmp_path / "miss-src")
+    spark.createDataFrame(_messages(n=6), MESSAGE_SCHEMA).coalesce(1).write.parquet(src)
+
+    t = _Transport([(200, {"TopicFn": "persistent://t/ns/reply"}, b"pong")],
+                   spool=tmp_path / "spool-miss")
+    reply_dir = str(tmp_path / "reply-miss")
+    q = deliver_multiplexed_stream(
+        spark.readStream.schema(MESSAGE_SCHEMA).parquet(src),
+        configs, str(tmp_path / "ckpt-miss"),
+        sink_factory=lambda cfg: WebhookSink(cfg["url"], transport=t),
+        reply_table_dir=reply_dir,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert not t.calls
+    part_files = (
+        [] if not os.path.exists(reply_dir)
+        else [f for f in os.listdir(reply_dir) if f.endswith(".parquet")]
+    )
+    assert part_files == []
 
 
 def test_delivery_arrow_path_null_fields(spark, tmp_path):
