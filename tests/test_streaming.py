@@ -543,6 +543,93 @@ def test_reconciler_multiplex_threshold(spark, tmp_path):
     assert len(rec.running) == 2 and len(s) == 2
 
 
+def test_mode_transition_redelivery_contract(spark, tmp_path):
+    """End-to-end pin of the documented mode-transition contract with
+    REAL StreamingQueries (reconciler docstring / SCALE.md): per-sub and
+    mux modes keep separate checkpoint families, so (a) flipping INTO
+    mux replays the retained backlog once per config, (b) the mux
+    checkpoint then delivers only new messages, and (c) flipping back
+    OUT resumes per-sub checkpoints frozen at flip-in, redelivering the
+    mux period — at-least-once throughout, nothing ever lost."""
+    from pulsar_beam_spark.model.config_store import ConfigStore
+    from pulsar_beam_spark.streaming.delivery import deliver_multiplexed_stream
+    from pulsar_beam_spark.streaming.reconciler import desired_deliveries
+
+    topic = "persistent://tenant0/ns/flip"
+    src = str(tmp_path / "flip-src")
+    rows = [(f"m-{i}", topic, None, b"x", T0 + timedelta(minutes=i),
+             T0 + timedelta(minutes=i), {"PulsarBeamId": f"u-{i}"})
+            for i in range(6)]
+    spark.createDataFrame(rows, MESSAGE_SCHEMA).coalesce(1).write.parquet(src)
+
+    urls = [f"http://h{i}.example.com/cb" for i in range(5)]
+
+    def per_sub_ckpt(url):
+        return str(tmp_path / f"flip-ckpt-{url.split('/')[2].split('.')[0]}")
+
+    def run_per_sub(url, spool):
+        t = _Transport([(200, {}, b"")], spool=spool)
+        q = deliver_stream(
+            spark.readStream.schema(MESSAGE_SCHEMA).parquet(src)
+            .filter(F.col("topic") == topic),
+            WebhookSink(url, transport=t), per_sub_ckpt(url),
+            query_name=f"flip-{url.split('/')[2]}",
+        )
+        q.processAllAvailable()
+        q.stop()
+        return t
+
+    # phase 1 — per-sub mode, 2 configs: each endpoint sees all 6
+    t1 = run_per_sub(urls[0], tmp_path / "sp1a")
+    t1b = run_per_sub(urls[1], tmp_path / "sp1b")
+    assert len(t1.calls) == 6 and len(t1b.calls) == 6
+
+    # phase 2 — fleet grows to 5, flip INTO mux (fresh shared checkpoint,
+    # exactly what Reconciler._checkpoint_for(_MUX_KEY) yields on first
+    # flip): the retained backlog replays once per config — the 2
+    # original endpoints re-receive all 6 (documented transition cost)
+    store = ConfigStore(spark, str(tmp_path / "flip-cfg"))
+    store.update(topic, "pulsar://c:6650",
+                 [Webhook(u, f"s{i}") for i, u in enumerate(urls)])
+    configs = desired_deliveries(store.snapshot())
+    mux_ckpt = str(tmp_path / "flip-ckpt-mux")
+    sp2 = tmp_path / "sp2"
+
+    def run_mux(spool):
+        t = _Transport([(200, {}, b"")], spool=spool)
+        q = deliver_multiplexed_stream(
+            spark.readStream.schema(MESSAGE_SCHEMA).parquet(src),
+            configs, mux_ckpt,
+            sink_factory=lambda cfg: WebhookSink(cfg["url"], transport=t),
+            query_name="flip-mux",
+        )
+        q.processAllAvailable()
+        q.stop()
+        return t
+
+    t2 = run_mux(sp2)
+    per_url = {}
+    for u, _, h in t2.calls:
+        per_url.setdefault(u, set()).add(h["PulsarBeamId"])
+    assert per_url == {u: {f"u-{i}" for i in range(6)} for u in urls}
+
+    # phase 3 — steady mux: 2 new messages, same checkpoint -> ONLY the
+    # new ones deliver (no repeat of the backlog)
+    rows2 = [(f"m-{i}", topic, None, b"x", T0 + timedelta(minutes=i),
+              T0 + timedelta(minutes=i), {"PulsarBeamId": f"u-{i}"})
+             for i in (6, 7)]
+    spark.createDataFrame(rows2, MESSAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    t3 = run_mux(tmp_path / "sp3")
+    got3 = {(u, h["PulsarBeamId"]) for u, _, h in t3.calls}
+    assert got3 == {(u, f"u-{i}") for u in urls for i in (6, 7)}
+
+    # phase 4 — flip back OUT: original per-sub checkpoints were frozen
+    # at flip-in, so they redeliver exactly the mux period (u-6, u-7)
+    t4 = run_per_sub(urls[0], tmp_path / "sp4")
+    assert {h["PulsarBeamId"] for _, _, h in t4.calls} == {"u-6", "u-7"}
+
+
 def test_reconciler_hysteresis_band_no_flapping(spark, tmp_path):
     """A fleet oscillating around multiplex_threshold must not flip modes
     every tick: each mode transition abandons one checkpoint family for
