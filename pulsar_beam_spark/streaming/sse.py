@@ -59,7 +59,17 @@ def sse_stream(
     query_name: str = "sse",
 ):
     def handle(df: DataFrame, _epoch: int) -> None:
-        for r in df.select("message_id", "payload").collect():
+        # (event_time, message_id) order WITHIN the micro-batch: a plain
+        # collect would emit frames in partition order, interleaving a
+        # multi-partition batch; the sort is batch-bounded (the same
+        # bound as the collect itself) and matches the delivery order of
+        # the reference's single consumer loop (handlers.go:212-231).
+        rows = (
+            df.select("message_id", "payload", "event_time")
+            .orderBy("event_time", "message_id")
+            .collect()
+        )
+        for r in rows:
             try:
                 client(sse_frame(r["message_id"], r["payload"]))
             except Exception:

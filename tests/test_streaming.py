@@ -677,6 +677,69 @@ def test_reconciler_hysteresis_band_no_flapping(spark, tmp_path):
     assert _MUX_KEY not in rec.running and len(rec.running) == 2
 
 
+def test_sse_stream_order_and_at_most_once(spark, tmp_path):
+    """sse_stream goldens (G4): frames emit in (event_time, message_id)
+    order even for a multi-partition micro-batch, and a dying client
+    drops its in-flight frames WITHOUT failing the batch — the
+    reference's ack-before-write at-most-once (handlers.go:227-231):
+    a resumed subscription continues AFTER the dropped frames, never
+    redelivering them."""
+    from pulsar_beam_spark.streaming.sse import sse_stream
+
+    src = str(tmp_path / "sse-src")
+    rows = [(f"m-{i:02d}", "persistent://t/ns/a", None, f"p{i}".encode(),
+             T0 + timedelta(minutes=i), T0 + timedelta(minutes=i),
+             {"PulsarBeamId": f"u-{i}"}) for i in range(12)]
+    # shuffled 8-partition write: a plain partition-order collect would
+    # interleave these
+    spark.createDataFrame(rows[:8], MESSAGE_SCHEMA).repartition(8) \
+        .write.parquet(src)
+    ckpt = str(tmp_path / "sse-ckpt")
+
+    got: list[str] = []
+    q = sse_stream(
+        spark.readStream.schema(MESSAGE_SCHEMA).parquet(src), got.append, ckpt,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert got == [f"id: m-{i:02d}\ndata: p{i}\n\n" for i in range(8)]
+
+    # dying client: accepts 2 frames of the next batch, then the socket
+    # "closes" — the batch must still commit (at-most-once)
+    spark.createDataFrame(rows[8:], MESSAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    flaky: list[str] = []
+
+    def dying_client(frame):
+        if len(flaky) >= 2:
+            raise BrokenPipeError("client went away")
+        flaky.append(frame)
+
+    q = sse_stream(
+        spark.readStream.schema(MESSAGE_SCHEMA).parquet(src), dying_client, ckpt,
+        query_name="sse-dying",
+    )
+    q.processAllAvailable()  # must NOT raise: batch commits
+    q.stop()
+    assert flaky == [f"id: m-{i:02d}\ndata: p{i}\n\n" for i in (8, 9)]
+
+    # the committed batch is gone for this subscription: a reconnected
+    # client sees only messages newer than the dropped ones
+    spark.createDataFrame(
+        [("m-99", "persistent://t/ns/a", None, b"p99",
+          T0 + timedelta(minutes=99), T0 + timedelta(minutes=99),
+          {"PulsarBeamId": "u-99"})], MESSAGE_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    resumed: list[str] = []
+    q = sse_stream(
+        spark.readStream.schema(MESSAGE_SCHEMA).parquet(src), resumed.append,
+        ckpt, query_name="sse-resumed",
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert resumed == ["id: m-99\ndata: p99\n\n"]  # m-10/m-11 lost by design
+
+
 def test_sse_helpers():
     name = gen_subscription_name()
     assert name.startswith("NonResumable") and len(name) >= 24
