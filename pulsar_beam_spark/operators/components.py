@@ -51,6 +51,15 @@ def connected_components(
     ``component`` is the minimum node id in the node's connected
     component. Isolated nodes (absent from ``edges``) are not emitted —
     callers union them back with component = self if needed.
+
+    Min-label propagation reaches the fixpoint in O(diameter) rounds; if
+    ``max_iters`` rounds pass WITHOUT reaching it (a chain-shaped graph
+    whose diameter exceeds the budget), the partial labels are NOT
+    returned — truncated propagation is silently wrong (each node would
+    carry the min of its max_iters-hop neighborhood, splitting long
+    components and letting local minima masquerade as canonical docs).
+    Instead the computation escalates to the O(log n) star contraction,
+    which converges on any shape.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -62,6 +71,7 @@ def connected_components(
         "lbl", F.col("node")
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).head()[0]
+    converged = False
     for _ in range(max_iters):
         msgs = sym.join(
             labels.withColumnRenamed("node", "v"), "v"
@@ -71,8 +81,13 @@ def connected_components(
         ).localCheckpoint()
         cur_sum = labels.agg(F.sum("lbl")).head()[0]
         if cur_sum == prev_sum:  # labels only decrease: equal sum == fixpoint
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # diameter > max_iters: hand the ORIGINAL edges to the star
+        # contraction rather than returning truncated (wrong) labels
+        return connected_components_star(edges, src, dst)
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
 
 
@@ -130,13 +145,24 @@ def connected_components_star(
     """
     cur = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))).localCheckpoint()
     rounds = 0
+    converged = False
     for _ in range(max_iters):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
         rounds += 1
         if nxt.count() == cur.count() and nxt.subtract(cur).isEmpty():
             cur = nxt
+            converged = True
             break
         cur = nxt
+    if not converged:
+        # O(log n) rounds means 40 covers any graph that fits on disk; a
+        # non-fixpoint here is a logic/overflow bug, and truncated star
+        # edges are wrong the same way truncated propagation is — fail
+        # loudly instead of returning them.
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixpoint in "
+            f"{max_iters} rounds; raise max_iters"
+        )
     # converged star edges are (root=lo, member=hi)
     members = cur.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
     roots = cur.select(F.col("lo").alias("component")).distinct().select(

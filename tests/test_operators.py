@@ -629,6 +629,48 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(31)}
 
 
+def test_propagation_escalates_past_round_budget(spark):
+    """Silent-wrongness guard: min-label propagation truncated at
+    max_iters rounds on a diameter-200 path would leave each node with
+    the min of its 50-hop neighborhood — splitting the component into
+    ~150 pieces and (with adversarial id placement) letting a local
+    minimum masquerade as a second canonical doc. On budget exhaustion
+    the kernel must escalate to the star contraction and return the
+    exact labeling."""
+    from pulsar_beam_spark.operators.components import (
+        connected_components, dedup_clusters)
+
+    # path v0-v1-...-v200 with ids placed so that node 1 sits >50 hops
+    # from the global min 0: ids along the path are 1,2,...,100,0,101,...
+    path_ids = list(range(1, 101)) + [0] + list(range(101, 201))
+    edges = spark.createDataFrame(
+        list(zip(path_ids, path_ids[1:])), "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(201)}  # ONE component, min label
+
+    # and the cluster contract holds: exactly one canonical doc
+    rows = dedup_clusters(edges, algorithm="propagation").collect()
+    canon = [r["doc_id"] for r in rows if r["is_canonical"] == 1]
+    assert canon == [0]
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_star_cc_raises_on_round_exhaustion(spark):
+    """The star loop has no silent-truncation mode either: exhausting
+    max_iters without a fixpoint raises instead of returning partially
+    contracted (wrong) edges."""
+    import pytest as _pytest
+
+    from pulsar_beam_spark.operators.components import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components_star(edges, max_iters=1)
+
+
 def test_star_cc_path_graph_olog_rounds(spark):
     """The scale-path property (Kiveris et al. alternating large/small
     star): on an adversarial PATH graph of n nodes (diameter = n-1, the
