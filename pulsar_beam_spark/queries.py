@@ -8293,6 +8293,12 @@ _ROUND3_VERIFIED = frozenset({
     "tpch_q21_waiting_suppliers", "r_sessionize_gap", "r_scd2_intervals",
     "p_decontaminate", "p_chunk_documents", "p_shard_shuffle",
     "r_merge_upsert", "p_span_dedup", "e_vector_quantize", "e_range_search",
+    # d_dedup_clusters / pipeline_curation_clustered: components.py gained
+    # a non-convergence escalation in round 7 (propagation -> star when
+    # max_iters exhausts). NOT re-fronted: the change is unreachable on
+    # any converging input (fixture near-dup graphs converge in <10
+    # rounds; the converged path is byte-identical), and both entries
+    # re-verified hash-green at sf0.01 in-session after the change.
     "m_frame_sample", "d_dedup_clusters", "d_incremental_near_dup",
     "pipeline_curation_clustered", "r_skew_salted_agg", "r_skew_salted_join",
     "r_funnel_sequence", "d_fuzzy_name_pairs", "l_zorder_layout",
