@@ -26,6 +26,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -50,6 +51,12 @@ def asof_join(
     ASOF semantics, cross-checked in tests).
 
     The right timestamp itself is exposed as ``{right_ts}{suffix}``.
+
+    The nearest right ROW is selected atomically (all carried columns
+    come from the same row, NULL fields included). Among multiple right
+    rows sharing one (key, ts) the pick is arbitrary — same as DuckDB /
+    pandas merge_asof; add a tiebreak column to ``right_ts`` upstream if
+    the input can carry such duplicates and determinism matters.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -64,6 +71,17 @@ def asof_join(
         if c != right_ts:
             out_names[c] = c + suffix if c in left_cols else c
 
+    # The carried columns travel as ONE struct so the nearest right ROW
+    # is picked atomically: per-column last(ignorenulls) passes would
+    # each skip their own NULLs independently, stitching the output from
+    # DIFFERENT right rows whenever a value column is NULL (e.g. right
+    # rows (ts=1, v=5), (ts=2, v=NULL) joined from left ts=3 came back
+    # as the chimera (ts_right=2, v=5); DuckDB ASOF returns (2, NULL)).
+    # The struct built by F.struct is non-null for every right row even
+    # when all its fields are NULL, so ignorenulls sees whole rows.
+    r_struct_t = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in carried]
+    )
     l_tag = (
         left.withColumn("__ts", F.col(left_ts))
         .withColumn("__side", F.lit(1))
@@ -72,7 +90,7 @@ def asof_join(
             "__ts",
             "__side",
             *[F.col(c).alias(c) for c in left_cols if c not in on],
-            *[F.lit(None).cast(right.schema[c].dataType).alias("__r_" + c) for c in carried],
+            F.lit(None).cast(r_struct_t).alias("__r"),
         )
     )
     r_tag = (
@@ -83,7 +101,7 @@ def asof_join(
             "__ts",
             "__side",
             *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in on],
-            *[F.col(c).alias("__r_" + c) for c in carried],
+            F.struct(*[F.col(c).alias(c) for c in carried]).alias("__r"),
         )
     )
 
@@ -95,10 +113,7 @@ def asof_join(
             .orderBy(F.col("__ts").asc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        for c in carried:
-            stacked = stacked.withColumn(
-                "__r_" + c, F.last("__r_" + c, ignorenulls=True).over(w)
-            )
+        stacked = stacked.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
     else:
         # left (__side=1) sorts before right on equal ts -> the frame
         # [current, following] still sees an equal-ts right row
@@ -107,12 +122,9 @@ def asof_join(
             .orderBy(F.col("__ts").asc(), F.col("__side").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        for c in carried:
-            stacked = stacked.withColumn(
-                "__r_" + c, F.first("__r_" + c, ignorenulls=True).over(w)
-            )
+        stacked = stacked.withColumn("__r", F.first("__r", ignorenulls=True).over(w))
 
     return stacked.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in left_cols],
-        *[F.col("__r_" + c).alias(out_names[c]) for c in carried],
+        *[F.col("__r").getField(c).alias(out_names[c]) for c in carried],
     )

@@ -8302,7 +8302,8 @@ _ROUND3_VERIFIED = frozenset({
     "m_frame_sample", "d_dedup_clusters", "d_incremental_near_dup",
     "pipeline_curation_clustered", "r_skew_salted_agg", "r_skew_salted_join",
     "r_funnel_sequence", "d_fuzzy_name_pairs", "l_zorder_layout",
-    "t_unigram_logprob", "e_mips_topk", "r10_asof_forward",
+    # r10_asof_forward re-fronted (round 7): asof.py atomic struct carry.
+    "t_unigram_logprob", "e_mips_topk",
     "r_ewma_smoothing", "r_histogram_bins", "e_grouped_topk",
     "r_partial_agg_merge", "r_robust_stats", "r_union_by_name",
     "sql_shared_dialect_not_in", "r_cohort_retention", "r_market_basket",
@@ -8315,7 +8316,8 @@ _ROUND3_VERIFIED = frozenset({
 _ROUND4_VERIFIED = frozenset({
     "s_ann_recall_audit", "r_gaps_islands", "r_mode_per_group",
     "r_weighted_median", "r_string_agg", "r_regexp_extract_all",
-    "r_bitmap_flags", "r_asof_nearest", "r_null_impute_group_mean",
+    # r_asof_nearest re-fronted (round 7): asof.py atomic struct carry.
+    "r_bitmap_flags", "r_null_impute_group_mean",
     "r_yoy_growth", "r_interp_linear", "r_rolling_zscore",
     "r_triangle_count", "t_bigram_top", "t_sentence_stats",
     "e_centroid_assign", "e_norm_audit", "p_dataset_card",
@@ -8376,7 +8378,11 @@ _ROUND6_VERIFIED = frozenset({
     "p_rank_calibrate", "r01_scan_project", "r03_filter", "r04_inner_join",
     "r05_broadcast_join", "r06_full_outer_join", "r06_left_join",
     "r07_anti_join", "r07_semi_join", "r08_range_join", "r09_cross_join",
-    "r10_asof_join", "r11_stats_aggregates", "r11_tpch_q1_agg",
+    # r10_asof_join was r06-green but operators/asof.py switched to the
+    # atomic struct carry in round 7 (NULL-valued right rows no longer
+    # stitch across rows; one window pass instead of per-column passes) —
+    # re-fronted for a fresh hash against the new plan.
+    "r11_stats_aggregates", "r11_tpch_q1_agg",
     "r12_count_distinct", "r12_distinct", "r13_approx_count_distinct",
     "r13_approx_percentile", "r13_hll_mergeable", "r14_cube", "r14_rollup",
     "r15_window_rank", "r16_lag_lead", "r17_window_frames",

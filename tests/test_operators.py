@@ -28,6 +28,40 @@ from pulsar_beam_spark.sources.tables import load_table
 from .conftest import SF_SMOKE
 
 
+def test_asof_join_null_valued_right_row_stays_atomic(spark):
+    """The nearest right ROW must come back whole: with right rows
+    (ts=1, v=5) and (ts=2, v=NULL), a left row at ts=3 matches the ts=2
+    row and its NULL — per-column last(ignorenulls) passes would stitch
+    the chimera (ts_right=2, v=5) from two different rows (DuckDB ASOF
+    returns (2, NULL); cross-checked)."""
+    left = spark.createDataFrame([("k", 3), ("k", 1)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [("k", 1, 5), ("k", 2, None)], "k string, ts bigint, v bigint"
+    )
+    ours = {
+        (r["k"], r["ts"]): (r["ts_right"], r["v"])
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k VARCHAR, ts BIGINT)")
+    con.execute("CREATE TABLE r(k VARCHAR, ts BIGINT, v BIGINT)")
+    con.execute("INSERT INTO l VALUES ('k', 3), ('k', 1)")
+    con.execute("INSERT INTO r VALUES ('k', 1, 5), ('k', 2, NULL)")
+    theirs = {
+        (k, ts): (rts, v)
+        for k, ts, rts, v in con.execute(
+            "SELECT l.k, l.ts, r.ts, r.v FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    }
+    assert ours == theirs == {("k", 3): (2, None), ("k", 1): (1, 5)}
+
+    # forward direction, same atomicity: left ts=0 matches (1, 5)
+    fwd = asof_join(left.filter("ts = 1"), right, ["k"], "ts", "ts", ["v"],
+                    direction="forward").collect()
+    assert [(r["ts_right"], r["v"]) for r in fwd] == [(1, 5)]
+
+
 def test_asof_join_property_vs_duckdb(spark):
     """Random keyed event sets; our union+window rewrite must equal
     duckdb's native ASOF LEFT JOIN row-for-row."""
