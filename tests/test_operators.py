@@ -62,6 +62,49 @@ def test_asof_join_null_valued_right_row_stays_atomic(spark):
     assert [(r["ts_right"], r["v"]) for r in fwd] == [(1, 5)]
 
 
+def test_asof_join_property_nulls_vs_duckdb(spark):
+    """Randomized atomicity regression (the chimera-row bug class):
+    ~1/3 of right VALUE columns NULL, two carried columns — every output
+    row's (ts_right, rid, v2) must come from ONE right row, matched by
+    DuckDB ASOF row-for-row."""
+    rng = random.Random(11)
+    left, right, seen = [], [], set()
+    for i, k in enumerate(rng.choices("abc", k=100)):
+        ts = rng.randint(0, 500)
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            left.append((k, ts, i))
+    seen = set()
+    for i, k in enumerate(rng.choices("abc", k=80)):
+        ts = rng.randint(0, 500)
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right.append((
+                k, ts,
+                None if rng.random() < 0.34 else 1000 + i,
+                None if rng.random() < 0.34 else f"s{i}",
+            ))
+    ldf = spark.createDataFrame(left, "k string, ts bigint, lid bigint")
+    rdf = spark.createDataFrame(right, "k string, ts bigint, rid bigint, v2 string")
+    ours = {
+        (r["k"], r["ts"], r["lid"]): (r["ts_right"], r["rid"], r["v2"])
+        for r in asof_join(ldf, rdf, ["k"], "ts", "ts", ["rid", "v2"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k VARCHAR, ts BIGINT, lid BIGINT)")
+    con.execute("CREATE TABLE r(k VARCHAR, ts BIGINT, rid BIGINT, v2 VARCHAR)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", left)
+    con.executemany("INSERT INTO r VALUES (?,?,?,?)", right)
+    theirs = {
+        (k, ts, lid): (rts, rid, v2)
+        for k, ts, lid, rts, rid, v2 in con.execute(
+            "SELECT l.k, l.ts, l.lid, r.ts, r.rid, r.v2 FROM l "
+            "ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    }
+    assert ours == theirs and len(ours) == len(left)
+
+
 def test_asof_join_property_vs_duckdb(spark):
     """Random keyed event sets; our union+window rewrite must equal
     duckdb's native ASOF LEFT JOIN row-for-row."""
