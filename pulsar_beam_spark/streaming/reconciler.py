@@ -136,7 +136,12 @@ class Reconciler:
                 self.mux_covered = want
             return started, stopped
 
+        dropped_coverage: list[str] = []
         if _MUX_KEY in self.running:  # fleet shrank back: demultiplex
+            # report the sub_keys whose coverage ENDS with the mux query
+            # (config removed entirely); keys still desired re-start
+            # below as per-sub queries and show up in to_start instead
+            dropped_coverage = [k for k in self.mux_covered if k not in desired]
             self._stop(_MUX_KEY)
             self.mux_covered = frozenset()
         to_start = [k for k in desired if k not in self.running]
@@ -145,4 +150,4 @@ class Reconciler:
             self.running[k] = self.start_fn(desired[k], self._checkpoint_for(k))
         for k in to_stop:
             self._stop(k)
-        return to_start, to_stop
+        return to_start, to_stop + dropped_coverage
