@@ -5462,7 +5462,14 @@ def q_sentence_stats(spark, sf):
         lambda x: x != "",
     )
     wc = lambda x: F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))  # noqa: E731
-    n_words = F.aggregate(F.col("sents"), F.lit(0).cast("long"), lambda acc, x: acc + wc(x))
+    # coalesce matches the oracle's coalesce(list_sum(..), 0): a NULL text
+    # yields sents=NULL and the fold returns NULL where the contract (and
+    # DuckDB) says 0 words (n_sentences stays NULL on NULL text in both
+    # engines; found by the round-7 adversarial-corpus differential probe)
+    n_words = F.coalesce(
+        F.aggregate(F.col("sents"), F.lit(0).cast("long"), lambda acc, x: acc + wc(x)),
+        F.lit(0).cast("long"),
+    )
     return (
         docs.select("doc_id", sents.alias("sents"))
         .select(
@@ -8319,7 +8326,9 @@ _ROUND4_VERIFIED = frozenset({
     # r_asof_nearest re-fronted (round 7): asof.py atomic struct carry.
     "r_bitmap_flags", "r_null_impute_group_mean",
     "r_yoy_growth", "r_interp_linear", "r_rolling_zscore",
-    "r_triangle_count", "t_bigram_top", "t_sentence_stats",
+    # t_sentence_stats re-fronted (round 7): n_words now coalesces to 0
+    # on NULL text, matching the oracle (adversarial-corpus probe find).
+    "r_triangle_count", "t_bigram_top",
     "e_centroid_assign", "e_norm_audit", "p_dataset_card",
     "d_jaccard_containment", "p_token_budget_split", "l_partition_manifest",
     "r_running_distinct", "sql_shared_dialect_filter_agg",
