@@ -354,6 +354,14 @@ def _global_rank(df: DataFrame, order_cols: list, n_partitions: int | None,
         if value_col is not None:
             sum_offsets[row["__pid"]] = sacc
             sacc += row["s"] or 0
+    if not offsets:
+        # EMPTY input: zero range partitions produced, and a zero-entry
+        # create_map() is untyped (map()[__pid] fails analysis). Seed one
+        # dummy offset — the frame has no rows, so no value is ever read,
+        # and both the map and broadcast paths keep their exact typing;
+        # every kernel then returns a well-typed EMPTY result.
+        offsets = {0: 0}
+        sum_offsets = {0: 0}
     w = Window.partitionBy("__pid").orderBy(*oc)
     prefix = F.sum("__val").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -1158,6 +1158,18 @@ SELECT vec_id, round(cos, 6) AS cosine FROM s ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+
+def _query_vec(emb, vec_id: int) -> list:
+    """Literal query vector for the ANN entries: the stored embedding of
+    ``vec_id``. On an EMPTY corpus (or missing id) any literal works —
+    every consumer scans the corpus, so the result is empty no matter
+    the query — a placeholder keeps the entries total instead of
+    crashing on ``None["embedding"]`` (empty-input differential probe,
+    round 7)."""
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return [float(x) for x in row["embedding"]] if row else [0.0]
+
+
 @register(
     "r31_cosine_topk",
     COSINE_TOPK_ORACLE,
@@ -1165,8 +1177,7 @@ SELECT vec_id, round(cos, 6) AS cosine FROM s ORDER BY cos DESC, vec_id LIMIT 10
 )
 def q_r31(spark, sf):
     emb = T(spark, sf, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    return brute_force_topk(emb, [float(x) for x in qrow["embedding"]], k=10)
+    return brute_force_topk(emb, _query_vec(emb, 0), k=10)
 
 
 def _ann_audit_dot_sql(vexpr: str, consts) -> str:
@@ -1213,9 +1224,8 @@ ORDER BY round({cos}, 6) DESC, s.vec_id LIMIT {k}
 )
 def q_ann(spark, sf):
     emb = T(spark, sf, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     return hyperplane_lsh_topk(
-        emb, [float(x) for x in qrow["embedding"]], k=10, bits=8, multiprobe_hamming=2
+        emb, _query_vec(emb, 0), k=10, bits=8, multiprobe_hamming=2
     )
 
 
@@ -2889,9 +2899,8 @@ ORDER BY round({cos}, 6) DESC, a.vec_id LIMIT {k}
 )
 def q_ann_ivf(spark, sf):
     emb = T(spark, sf, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     return ivf_topk(
-        emb, [float(x) for x in qrow["embedding"]], k=10, nprobe=4,
+        emb, _query_vec(emb, 0), k=10, nprobe=4,
         centroids=_IVF_CENTROIDS,
     )
 
@@ -2994,8 +3003,7 @@ def q_ann_recall_audit(spark, sf):
 
     bits, seed, hamming, k = 8, 42, 2, 10
     emb = T(spark, sf, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    qvec = [float(x) for x in qrow["embedding"]]
+    qvec = _query_vec(emb, 0)
     planes = _hyperplanes(len(qvec), bits, seed)
     # Driver-side query signature via the SAME sequential IEEE fold the
     # engines use (plain Python loop, not numpy BLAS — summation order is
@@ -3852,8 +3860,7 @@ SELECT vec_id, cosine FROM s WHERE cosine >= 0.3
 )
 def q_range_search(spark, sf):
     emb = T(spark, sf, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    return range_search(emb, [float(x) for x in qrow["embedding"]], threshold=0.3)
+    return range_search(emb, _query_vec(emb, 0), threshold=0.3)
 
 
 FRAME_SAMPLE_ORACLE = """
@@ -4285,8 +4292,7 @@ def q_unigram_lp(spark, sf):
 )
 def q_mips(spark, sf):
     emb = T(spark, sf, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 7).select("embedding").head()
-    return mips_topk(emb, [float(x) for x in qrow["embedding"]], k=10)
+    return mips_topk(emb, _query_vec(emb, 7), k=10)
 
 
 # == fifth wave: temporal/statistical/retrieval composites ===============
@@ -7559,7 +7565,12 @@ def q_split_leakage(spark, sf):
     nl = leak.agg(F.count("*").alias("n_leaking"))
     return ne.crossJoin(nl).select(
         "n_eval_docs", "n_leaking",
-        F.round(F.col("n_leaking").cast("double") / F.col("n_eval_docs"), 6).alias("leak_rate"),
+        # nullif matches DuckDB's x/0 -> NULL (Spark ANSI raises instead);
+        # only reachable when the eval split is empty
+        F.round(
+            F.col("n_leaking").cast("double") / F.nullif(F.col("n_eval_docs"), F.lit(0)),
+            6,
+        ).alias("leak_rate"),
     )
 
 
@@ -7945,6 +7956,11 @@ def q_pagerank(spark, sf):
     outdeg = outdeg.localCheckpoint(eager=True)
     edges_od = edges.join(outdeg, "src").localCheckpoint(eager=True)
     n = nodes.count()  # one tiny count job; n is a plan constant below
+    if n == 0:
+        # empty graph: no nodes to rank (S/n below would divide by zero);
+        # the oracle likewise yields zero rows
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("pagerank"))
     r0 = int(math.floor(S / n + 0.5))  # half-away round, = both engines
     r = nodes.withColumn("r", F.lit(r0).cast("long"))
     for _ in range(_PR_ITERS):
@@ -8369,7 +8385,9 @@ _ROUND5_VERIFIED = frozenset({
     "r_anova_dow", "e_label_margin", "r_survival_curve", "r_backlog_aging",
     # r_abc_xyz and r_lorenz_deciles r05-green -> round-6 distributed
     # ranking kernels; re-fronted.
-    "p_split_leakage", "t_js_divergence", "r_hierarchy_rollup",
+    # p_split_leakage re-fronted (round 7): leak_rate denominator gained
+    # nullif(0) to match DuckDB's x/0 -> NULL on an empty eval split.
+    "t_js_divergence", "r_hierarchy_rollup",
     "r_chi_square_mix", "t_bigram_entropy", "r_segment_migration",
     "r_rolling_median", "r_pagerank_iter3", "r_degree_distribution",
     "sql_shared_dialect_group_by_all", "sql_shared_dialect_lateral",
