@@ -433,6 +433,10 @@ def embedding_near_dup_all_pairs(
     threshold) — the quadratic ground-truth path, analogous to
     exact_jaccard_pairs: use on samples/buckets only, never a full corpus.
     """
+    # NULL vectors cannot be near-duplicates of anything (their cosine is
+    # NULL, which the oracle's >= threshold likewise excludes) — dropped
+    # up front so the pairing never sees them
+    emb = emb.filter(F.col(vec_col).isNotNull())
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
     return (
@@ -488,6 +492,9 @@ def embedding_near_dup_pairs(
     from .similarity import _kmeans_centroids
 
     spark = emb.sparkSession
+    # same NULL-vector contract as the all-pairs path (and the GEMM
+    # assignment would crash on a None row)
+    emb = emb.filter(F.col(vec_col).isNotNull())
     cent = _kmeans_centroids(emb, id_col, vec_col, n_centroids, seed, n_hint=n_hint)
     if cent is None or not len(cent):
         return emb.select(

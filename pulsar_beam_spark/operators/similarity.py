@@ -125,7 +125,9 @@ def _kmeans_centroids(
     n = n_hint if n_hint is not None else emb.count()
     stride = max(1, n // sample_cap)
     rows = (
-        emb.filter((F.col(id_col) % stride) == 0)
+        # NULL vectors carry no geometry: excluded from the training
+        # sample (list(None) crashed here on a null-bearing corpus)
+        emb.filter(((F.col(id_col) % stride) == 0) & F.col(vec_col).isNotNull())
         .select(vec_col)
         .limit(sample_cap)
         .collect()

@@ -1121,7 +1121,7 @@ def q_simhash(spark, sf):
 
 
 EMBED_NEARDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), (x, y) -> x + y)
              / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
@@ -1382,12 +1382,16 @@ def q_r34s(spark, sf):
 )
 def q_r34g(spark, sf):
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
-        c = (pdf["value"] * 100).round().astype("int64")
+        # float kernel, nullable-int out: matches the oracle window form
+        # count(*)*cents - sum(cents), where a NULL value stays NULL,
+        # count(*) includes it and sum skips it. Exact: cents and their
+        # group sums sit far inside float64's 2^53 integer range.
+        c = (pdf["value"] * 100).round()
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
-                "demeaned_scaled": len(c) * c - c.sum(),
+                "demeaned_scaled": (len(c) * c - c.sum()).astype("Int64"),
             }
         )
 
@@ -2717,7 +2721,10 @@ def q_r34a(spark, sf):
 
     @pandas_udf("long")
     def cents_sum(v: pd.Series) -> int:
-        return int((v * 100).round().astype("int64").sum())
+        # SQL sum semantics: NULLs skipped, all-NULL group -> NULL
+        # (astype(int64) raised on a NaN-bearing series)
+        c = (v * 100).round().dropna()
+        return int(c.sum()) if len(c) else None
 
     @pandas_udf("long")
     def n_rows(v: pd.Series) -> int:
@@ -3810,7 +3817,7 @@ def q_span_dedup(spark, sf):
 
 
 QUANTIZE_ORACLE = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE embedding IS NOT NULL)
 SELECT vec_id,
        CAST(len(e) AS INT) AS n_dims,
        sqrt(list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y)) AS norm,
@@ -3832,7 +3839,11 @@ FROM v
         "oracle pins every component",
 )
 def q_vector_quantize(spark, sf):
-    return quantize_vectors(T(spark, sf, "embeddings")).select(
+    # NULL vectors cannot be quantized (codes/norm/scale undefined):
+    # dropped on both sides
+    return quantize_vectors(
+        T(spark, sf, "embeddings").filter(F.col("embedding").isNotNull())
+    ).select(
         "vec_id", "n_dims", "norm", "scale",
         F.concat_ws(",", F.transform("codes", lambda x: x.cast("string"))).alias("codes"),
     )
@@ -7295,7 +7306,7 @@ def q_anova_dow(spark, sf):
     """
 WITH vm AS (SELECT vec_id, label,
         list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000, 0) AS BIGINT)) AS v
-  FROM embeddings),
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
 cd AS (SELECT label AS clabel, d,
         CAST(round(CAST(sum(v[d]) AS DOUBLE)/count(*), 0) AS BIGINT) AS c
        FROM vm CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) GROUP BY 1, 2),
@@ -7324,7 +7335,11 @@ FROM agg GROUP BY label
         "10-key aggregate.",
 )
 def q_label_margin(spark, sf):
-    emb = T(spark, sf, "embeddings")
+    # unlabeled / NULL-embedding vectors carry no separability signal:
+    # dropped on BOTH sides (a NULL label key also crashed the driver-side
+    # sorted(cent) below on a null-bearing corpus)
+    emb = T(spark, sf, "embeddings").filter(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull())
     vm = emb.select(
         "vec_id", "label",
         F.transform(
@@ -8284,7 +8299,10 @@ _ROUND1_VERIFIED = frozenset({
 # count_if returns HUGEINT -> float64 in pandas; now cast to BIGINT in the
 # oracle), so it is intentionally NOT listed and re-enters the window.
 _ROUND2_VERIFIED = frozenset({
-    "d_embedding_near_dup", "r34_pandas_scalar_udf", "r34_pandas_grouped_map",
+    # d_embedding_near_dup / r34_pandas_grouped_map re-fronted (round 7):
+    # NULL-vector filter added to the pairing operator; grouped-map kernel
+    # made null-safe (nullable-Int64 out) per the oracle window form.
+    "r34_pandas_scalar_udf",
     "r35_udtf_posexplode", "g06_topic_tokenize", "g07_sha1_key",
     "g08_changelog_snapshot", "g10_tenant_isolation", "s3_tumbling_window",
     "s4_sliding_window", "s5_session_window", "s6_stateful_dedup",
@@ -8300,7 +8318,8 @@ _ROUND2_VERIFIED = frozenset({
     "tpch_q16_supplier_part_count", "tpch_q19_disjunctive_filter",
     "tpch_q22_dormant_customers", "p_deterministic_split",
     "p_stratified_sample", "p_sequence_packing", "r18_nulls_ordering",
-    "r34_pandas_grouped_agg", "r35_python_udtf", "r23_date_arith",
+    # r34_pandas_grouped_agg re-fronted (round 7): SQL-sum NULL semantics.
+    "r35_python_udtf", "r23_date_arith",
     "r27_from_json_struct", "r27_to_json_roundtrip",
     "sql_shared_dialect_agg", "sql_shared_dialect_window",
     "pipeline_corpus_curation",
@@ -8315,7 +8334,8 @@ _ROUND3_VERIFIED = frozenset({
     "tpch_q13_order_distribution", "tpch_q15_top_supplier",
     "tpch_q21_waiting_suppliers", "r_sessionize_gap", "r_scd2_intervals",
     "p_decontaminate", "p_chunk_documents", "p_shard_shuffle",
-    "r_merge_upsert", "p_span_dedup", "e_vector_quantize", "e_range_search",
+    # e_vector_quantize re-fronted (round 7): NULL vectors dropped both sides.
+    "r_merge_upsert", "p_span_dedup", "e_range_search",
     # d_dedup_clusters / pipeline_curation_clustered: components.py gained
     # a non-convergence escalation in round 7 (propagation -> star when
     # max_iters exhausts). NOT re-fronted: the change is unreachable on
@@ -8382,7 +8402,8 @@ _ROUND5_VERIFIED = frozenset({
     "r_status_transitions", "r_gini_by_nation", "r_order_gap_stats",
     "s_rate_limit_sliding", "r_time_to_convert", "r_seasonality_index",
     "r_new_vs_returning", "r_rolling_active_users",
-    "r_anova_dow", "e_label_margin", "r_survival_curve", "r_backlog_aging",
+    # e_label_margin re-fronted (round 7): NULL label/embedding dropped both sides.
+    "r_anova_dow", "r_survival_curve", "r_backlog_aging",
     # r_abc_xyz and r_lorenz_deciles r05-green -> round-6 distributed
     # ranking kernels; re-fronted.
     # p_split_leakage re-fronted (round 7): leak_rate denominator gained

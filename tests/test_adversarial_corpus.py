@@ -126,3 +126,58 @@ def test_empty_input_rollup_known_engine_divergence(spark, empty_sf_dir):
     EMPTY_REGRESSION."""
     assert REGISTRY["r14_rollup"].spark(spark, empty_sf_dir).count() == 0
     assert len(duck_run(REGISTRY["r14_rollup"].oracle, empty_sf_dir)) == 1
+
+
+# == NULL-bearing-column gate ===========================================
+# 20% NULLs in events.value, embeddings.label and embeddings.embedding —
+# plausible production data (missing measurements, unlabeled or failed
+# embeddings) that the fixtures never carry. The round-7 sweep found four
+# crash classes here, all fixed with contracts mirrored in the oracles:
+# the centroid sampler and embedding near-dup iterated None vectors, a
+# NULL label key crashed the driver-side sorted(), and the pandas-UDF
+# kernels astype(int64)-crashed on NaN. (Fixture-wide nullification of
+# ORDER-BY columns is deliberately NOT gated: those columns are NOT NULL
+# in the modeled domain, and Spark/DuckDB default null ordering differs.)
+
+NULL_REGRESSION = [
+    "d_embedding_near_dup", "e_label_margin", "e_vector_quantize",
+    "r34_pandas_grouped_agg", "r34_pandas_grouped_map", "s_ann_ivf_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def nullish_sf_dir(tmp_path_factory):
+    import numpy as np
+
+    d = str(tmp_path_factory.mktemp("null-cols"))
+    rng = np.random.default_rng(7)
+
+    def nullify(table, cols):
+        t = pq.read_table(os.path.join(SF_SMOKE, f"{table}.parquet"))
+        out = []
+        for i, field in enumerate(t.schema):
+            col = t.column(i)
+            if field.name in cols:
+                mask = rng.random(t.num_rows) < 0.2
+                idx = pa.array(
+                    [None if m else j for j, m in enumerate(mask)], pa.int64()
+                )
+                col = col.combine_chunks().take(idx)
+            out.append(col)
+        pq.write_table(pa.table(out, schema=t.schema), os.path.join(d, f"{table}.parquet"))
+
+    nullify("events", {"value"})
+    nullify("embeddings", {"label", "embedding"})
+    for f in os.listdir(SF_SMOKE):
+        if f.endswith(".parquet") and f not in ("events.parquet", "embeddings.parquet"):
+            shutil.copy(os.path.join(SF_SMOKE, f), os.path.join(d, f))
+    return d
+
+
+@pytest.mark.parametrize("name", NULL_REGRESSION)
+def test_null_columns_parity(spark, nullish_sf_dir, name):
+    spec = REGISTRY[name]
+    sdf = spec.spark(spark, nullish_sf_dir).toPandas()
+    ddf = duck_run(spec.oracle, nullish_sf_dir)
+    errs = compare(sdf, ddf)
+    assert not errs, f"{name} diverges on NULL-bearing columns: " + "; ".join(errs)
