@@ -8447,11 +8447,42 @@ _ROUND6_VERIFIED = frozenset({
     "tpch_q11_important_stock", "tpch_q20_promo_suppliers",
 })
 
+# Round-7 driver-green rows (CORRECTNESS_r07.json, hash_match=true; 50/50
+# green, zero reds — the first pure staleness-rotation window: the 5
+# round-7 re-fronts (hot-shingle cap, ranking-kernel pins) + the entries
+# re-fronted by the round-7 self-probe/fuzz fixes (asof struct carry,
+# NULL-vector contracts, t_sentence_stats) + the stalest r01/r02 greens).
+_ROUND7_VERIFIED = frozenset({
+    "r30_ngram_jaccard_pairs", "d_embedding_near_dup",
+    "r34_pandas_grouped_map", "r34_pandas_grouped_agg", "e_vector_quantize",
+    "r10_asof_forward", "r_asof_nearest", "r_pareto_cut",
+    "t_sentence_stats", "r_rfm_segmentation", "p_source_overlap_matrix",
+    "e_label_margin", "r_abc_xyz", "p_split_leakage", "r10_asof_join",
+    "r29_dedup_exact_latest",
+    "r32_top_terms", "t_language_id",
+    "t_quality_scores", "t_token_stats", "t_tfidf", "t_fingerprint",
+    "r33_python_udf", "r34_pandas_scalar_udf", "r35_udtf_posexplode",
+    "g06_topic_tokenize", "g07_sha1_key", "g08_changelog_snapshot",
+    "g10_tenant_isolation", "s3_tumbling_window", "s4_sliding_window",
+    "s5_session_window", "s6_stateful_dedup", "s7_bounded_poll",
+    "m_binary_columns", "r15_percent_rank", "r16_first_last_value",
+    "r16_nth_value", "r17_range_frame", "r_pivot_conditional",
+    "r13_percentile_exact", "r_scalar_subquery", "r_correlated_subquery_q17",
+    "r_having", "r14_grouping_sets", "tpch_q3_shipping_priority",
+    "tpch_q7_volume_shipping", "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    # r31_cosine_topk was r07-green but its oracle gained the
+    # missing/NULL-query-vector guard in round 8 (q CTE filters
+    # embedding IS NOT NULL; Spark side early-returns an empty typed
+    # frame) — re-fronted for a fresh hash.
+})
+
 # name -> most recent round with a hash-green driver row; later sets win.
 _LAST_GREEN: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
-     _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED),
+     _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
+     _ROUND7_VERIFIED),
     start=1,
 ):
     for _n in _names:
