@@ -301,6 +301,20 @@ def _global_rank(df: DataFrame, order_cols: list, n_partitions: int | None,
     the full input rows once — upstream then runs exactly once per call
     and the determinism requirement falls away.
 
+    PINNED-BLOCK LIFETIME (ADVICE r07): both localCheckpoints here (the
+    optional full-row input pin and the always-on narrow order-column
+    pin) hold executor storage blocks for as long as the RETURNED frame
+    (or any derived frame) stays referenced on the driver — there is no
+    action boundary inside this function at which they could be
+    unpersisted without re-executing the lineage the checkpoint exists
+    to fence. Spark's ContextCleaner frees the blocks once the caller
+    drops its last reference and the driver GCs the plan. A caller
+    running many kernel calls in one long-lived session (the bench loop,
+    a notebook) therefore accumulates pinned blocks proportional to the
+    LIVE result frames, not to the call count; ``materialize_input``
+    bounds each pin at the reduced (aggregate-sized) input, never the
+    raw corpus.
+
     Range-partition the PROJECTED order columns, count rows per partition
     (one tiny job — bounded by the partition count, never the data),
     compose each row's global rank as partition_offset + intra-partition

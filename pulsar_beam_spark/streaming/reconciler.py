@@ -122,8 +122,15 @@ class Reconciler:
 
         if mux:
             want = frozenset(desired)
-            started = [k for k in desired if k not in self.mux_covered]
-            stopped = [k for k in self.mux_covered if k not in desired]
+            # coverage BEFORE this tick is the union of what the mux query
+            # already serves and any per-subscription queries still running
+            # (the first flip INTO mux replaces them, it does not start
+            # coverage for their keys) — so the (started, stopped) report
+            # reflects actual coverage changes, not the mode transition
+            covered_before = self.mux_covered | frozenset(
+                k for k in self.running if k != _MUX_KEY)
+            started = [k for k in desired if k not in covered_before]
+            stopped = [k for k in covered_before if k not in desired]
             # drain any per-subscription queries from a previous tick
             for k in [k for k in self.running if k != _MUX_KEY]:
                 self._stop(k)

@@ -515,11 +515,14 @@ def test_reconciler_multiplex_threshold(spark, tmp_path):
 
     set_hooks(5)  # over threshold: ONE mux query, per-sub queries drained
     per_sub = dict(rec.running)
+    covered_before = set(per_sub)
     s, t = rec.reconcile(store.snapshot())
     assert len(mux_started) == 1 and len(mux_started[0]) == 5
     assert list(rec.running) == [_MUX_KEY]
     assert all(q.stopped for k, q in per_sub.items() if k != _MUX_KEY)
-    assert len(s) == 5 and not t  # 5 newly mux-covered
+    # the 2 keys already running per-sub keep coverage across the flip:
+    # only the 3 genuinely new keys are reported started (ADVICE r07)
+    assert len(s) == 3 and not set(s) & covered_before and not t
 
     # steady state: same desired set -> mux query NOT restarted
     s, t = rec.reconcile(store.snapshot())
@@ -541,6 +544,41 @@ def test_reconciler_multiplex_threshold(spark, tmp_path):
     s, t = rec.reconcile(store.snapshot())
     assert mux_q.stopped and _MUX_KEY not in rec.running
     assert len(rec.running) == 2 and len(s) == 2
+
+
+def test_reconciler_mux_flip_reports_dropped_per_sub_keys(spark, tmp_path):
+    """A per-sub key that stops being desired on the SAME tick that flips
+    into mux mode must be reported stopped (ADVICE r07: it used to vanish
+    from the report — drained by the transition but never surfaced)."""
+    from pulsar_beam_spark.model.config_store import ConfigStore
+    from pulsar_beam_spark.streaming.reconciler import _MUX_KEY, Reconciler
+
+    store = ConfigStore(spark, str(tmp_path / "cfg-flipdrop"))
+
+    class FakeQuery:
+        def stop(self):
+            pass
+
+    rec = Reconciler(spark, str(tmp_path / "ckpts-flipdrop"),
+                     lambda row, ckpt: FakeQuery(),
+                     start_mux_fn=lambda rows, ckpt: FakeQuery(),
+                     multiplex_threshold=3, demux_threshold=2)
+
+    def set_hooks(lo, hi):
+        store.update("persistent://t/ns/a", "pulsar://c:6650",
+                     [Webhook(f"http://h{i}.example.com/cb", f"s{i}")
+                      for i in range(lo, hi)])
+
+    set_hooks(0, 2)  # per-sub mode: h0, h1
+    s, t = rec.reconcile(store.snapshot())
+    assert len(s) == 2 and not t
+    h0_key, = [k for k in rec.running if "h0" in k]
+
+    set_hooks(1, 6)  # flip into mux; h0 dropped, h1 carries over, h2-h5 new
+    s, t = rec.reconcile(store.snapshot())
+    assert list(rec.running) == [_MUX_KEY]
+    assert len(s) == 4 and all("h1" not in k for k in s)
+    assert t == [h0_key]
 
 
 def test_mode_transition_redelivery_contract(spark, tmp_path):
