@@ -1148,7 +1148,8 @@ def q_embed_dup(spark, sf):
 
 
 COSINE_TOPK_ORACLE = """
-WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0 AND embedding IS NOT NULL),
 s AS (SELECT e.vec_id,
              list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], q.qv), x -> x[1] * x[2]), (x, y) -> x + y)
              / (sqrt(list_reduce(list_transform(e.embedding::DOUBLE[], x -> x * x), (x, y) -> x + y))
@@ -1159,15 +1160,30 @@ SELECT vec_id, round(cos, 6) AS cosine FROM s ORDER BY cos DESC, vec_id LIMIT 10
 
 
 
-def _query_vec(emb, vec_id: int) -> list:
+def _query_vec(emb, vec_id: int) -> list | None:
     """Literal query vector for the ANN entries: the stored embedding of
-    ``vec_id``. On an EMPTY corpus (or missing id) any literal works —
-    every consumer scans the corpus, so the result is empty no matter
-    the query — a placeholder keeps the entries total instead of
-    crashing on ``None["embedding"]`` (empty-input differential probe,
-    round 7)."""
+    ``vec_id``, or None when the id is missing or its embedding is NULL
+    (ADVICE r07). A None query must NOT be papered over with a dummy
+    vector on a non-empty corpus: the consumers would rank NULL cosines
+    and still emit k rows via LIMIT while the oracles' ``WHERE vec_id =
+    ...`` CTE goes empty — callers collapse to an empty, correctly-typed
+    frame instead (``_ann_entry``)."""
     row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
-    return [float(x) for x in row["embedding"]] if row else [0.0]
+    if row is None or row["embedding"] is None:
+        return None
+    return [float(x) for x in row["embedding"]]
+
+
+def _ann_entry(emb, vec_id: int, build):
+    """Run ``build(query_vec)`` against the stored embedding of
+    ``vec_id``; when that query vector is missing or NULL, keep the
+    consumer's exact plan schema but collapse it to an empty frame
+    (PruneFilters folds the lit(False) into an empty LocalRelation) —
+    mirroring the oracles' empty query CTE cross-join. The [0.0] dummy
+    only shapes the pruned plan's schema; no row ever flows through it."""
+    qv = _query_vec(emb, vec_id)
+    out = build(qv if qv is not None else [0.0])
+    return out if qv is not None else out.where(F.lit(False))
 
 
 @register(
@@ -1177,7 +1193,7 @@ def _query_vec(emb, vec_id: int) -> list:
 )
 def q_r31(spark, sf):
     emb = T(spark, sf, "embeddings")
-    return brute_force_topk(emb, _query_vec(emb, 0), k=10)
+    return _ann_entry(emb, 0, lambda qv: brute_force_topk(emb, qv, k=10))
 
 
 def _ann_audit_dot_sql(vexpr: str, consts) -> str:
@@ -1208,7 +1224,8 @@ def _ann_lsh_topk_oracle(bits: int = 8, seed: int = 42, dim: int = 64,
 WITH sigs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, {sig_terms} AS sig
   FROM embeddings),
-q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 0)
+q AS (SELECT v AS qv, sig AS qsig FROM sigs
+      WHERE vec_id = 0 AND v IS NOT NULL)
 SELECT s.vec_id, round({cos}, 6) AS cosine
 FROM sigs s, q
 WHERE bit_count(xor(s.sig, q.qsig)) <= {hamming}
@@ -1224,9 +1241,8 @@ ORDER BY round({cos}, 6) DESC, s.vec_id LIMIT {k}
 )
 def q_ann(spark, sf):
     emb = T(spark, sf, "embeddings")
-    return hyperplane_lsh_topk(
-        emb, _query_vec(emb, 0), k=10, bits=8, multiprobe_hamming=2
-    )
+    return _ann_entry(emb, 0, lambda qv: hyperplane_lsh_topk(
+        emb, qv, k=10, bits=8, multiprobe_hamming=2))
 
 
 # == R32 + text analysis =================================================
@@ -2880,7 +2896,8 @@ def _ann_ivf_topk_oracle(nprobe: int = 4, k: int = 10) -> str:
     return f"""
 WITH cents AS (SELECT * FROM (VALUES
     {cent_rows}) AS t(cell, cv)),
-q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = 0 AND embedding IS NOT NULL),
 probe AS (
   SELECT cell FROM cents, q
   ORDER BY list_reduce(list_transform(list_zip(cv, qv), x -> x[1]*x[2]), (x, y) -> x + y) DESC, cell
@@ -2906,10 +2923,8 @@ ORDER BY round({cos}, 6) DESC, a.vec_id LIMIT {k}
 )
 def q_ann_ivf(spark, sf):
     emb = T(spark, sf, "embeddings")
-    return ivf_topk(
-        emb, _query_vec(emb, 0), k=10, nprobe=4,
-        centroids=_IVF_CENTROIDS,
-    )
+    return _ann_entry(emb, 0, lambda qv: ivf_topk(
+        emb, qv, k=10, nprobe=4, centroids=_IVF_CENTROIDS))
 
 
 @register(
@@ -2981,7 +2996,8 @@ def _ann_recall_audit_oracle(bits: int = 8, seed: int = 42, dim: int = 64,
 WITH sigs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, {sig_terms} AS sig
   FROM embeddings),
-q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 0),
+q AS (SELECT v AS qv, sig AS qsig FROM sigs
+      WHERE vec_id = 0 AND v IS NOT NULL),
 probed AS (
   SELECT s.vec_id, s.v FROM sigs s, q
   WHERE bit_count(xor(s.sig, q.qsig)) <= {hamming}),
@@ -3011,6 +3027,15 @@ def q_ann_recall_audit(spark, sf):
     bits, seed, hamming, k = 8, 42, 2, 10
     emb = T(spark, sf, "embeddings")
     qvec = _query_vec(emb, 0)
+    if qvec is None:
+        # missing/NULL query vector: the oracle's FROM-less final SELECT
+        # still yields ONE row — its probed/ann CTEs are empty (empty q
+        # CTE, or NULL qsig filtering every row), so both counts are 0
+        return spark.range(1).select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(0).cast("long").alias("n_probed"),
+            F.lit(0).cast("long").alias("hits"),
+        )
     planes = _hyperplanes(len(qvec), bits, seed)
     # Driver-side query signature via the SAME sequential IEEE fold the
     # engines use (plain Python loop, not numpy BLAS — summation order is
@@ -3850,7 +3875,8 @@ def q_vector_quantize(spark, sf):
 
 
 RANGE_SEARCH_ORACLE = """
-WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0 AND embedding IS NOT NULL),
 s AS (SELECT e.vec_id,
              round(
                list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], q.qv), x -> x[1] * x[2]), (x, y) -> x + y)
@@ -3871,7 +3897,7 @@ SELECT vec_id, cosine FROM s WHERE cosine >= 0.3
 )
 def q_range_search(spark, sf):
     emb = T(spark, sf, "embeddings")
-    return range_search(emb, _query_vec(emb, 0), threshold=0.3)
+    return _ann_entry(emb, 0, lambda qv: range_search(emb, qv, threshold=0.3))
 
 
 FRAME_SAMPLE_ORACLE = """
@@ -4290,7 +4316,8 @@ def q_unigram_lp(spark, sf):
 @register(
     "e_mips_topk",
     """
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 7 AND embedding IS NOT NULL),
     s AS (SELECT e.vec_id,
                  list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], q.qv), x -> x[1] * x[2]),
                              (x, y) -> x + y) AS d
@@ -4303,7 +4330,7 @@ def q_unigram_lp(spark, sf):
 )
 def q_mips(spark, sf):
     emb = T(spark, sf, "embeddings")
-    return mips_topk(emb, _query_vec(emb, 7), k=10)
+    return _ann_entry(emb, 7, lambda qv: mips_topk(emb, qv, k=10))
 
 
 # == fifth wave: temporal/statistical/retrieval composites ===============
@@ -8289,7 +8316,9 @@ _ROUND1_VERIFIED = frozenset({
     # r30_ngram_jaccard_pairs was r01-green but gained the hot-shingle
     # df<=5 cap in round 7 (plan + oracle changed) — re-fronted.
     "r29_dedup_exact_latest",
-    "r31_cosine_topk", "r32_top_terms", "t_language_id",
+    # r31_cosine_topk re-fronted (round 8): oracle q CTE gained the
+    # missing/NULL-query-vector guard (embedding IS NOT NULL).
+    "r32_top_terms", "t_language_id",
     "t_quality_scores", "t_token_stats", "t_tfidf", "t_fingerprint",
     "r33_python_udf",
 })
@@ -8335,7 +8364,10 @@ _ROUND3_VERIFIED = frozenset({
     "tpch_q21_waiting_suppliers", "r_sessionize_gap", "r_scd2_intervals",
     "p_decontaminate", "p_chunk_documents", "p_shard_shuffle",
     # e_vector_quantize re-fronted (round 7): NULL vectors dropped both sides.
-    "r_merge_upsert", "p_span_dedup", "e_range_search",
+    # e_mips_topk and e_range_search re-fronted (round 8): oracle q CTEs
+    # gained the missing/NULL-query-vector guard (embedding IS NOT NULL —
+    # DuckDB's list_reduce ERRORS on the empty list a NULL qv zips to).
+    "r_merge_upsert", "p_span_dedup",
     # d_dedup_clusters / pipeline_curation_clustered: components.py gained
     # a non-convergence escalation in round 7 (propagation -> star when
     # max_iters exhausts). NOT re-fronted: the change is unreachable on
@@ -8346,7 +8378,7 @@ _ROUND3_VERIFIED = frozenset({
     "pipeline_curation_clustered", "r_skew_salted_agg", "r_skew_salted_join",
     "r_funnel_sequence", "d_fuzzy_name_pairs", "l_zorder_layout",
     # r10_asof_forward re-fronted (round 7): asof.py atomic struct carry.
-    "t_unigram_logprob", "e_mips_topk",
+    "t_unigram_logprob",
     "r_ewma_smoothing", "r_histogram_bins", "e_grouped_topk",
     "r_partial_agg_merge", "r_robust_stats", "r_union_by_name",
     "sql_shared_dialect_not_in", "r_cohort_retention", "r_market_basket",
@@ -8357,7 +8389,10 @@ _ROUND3_VERIFIED = frozenset({
 # Round-4 driver-green rows (CORRECTNESS_r04.json, hash_match=true; 48/48
 # oracle-bearing entries in the window were green, zero reds).
 _ROUND4_VERIFIED = frozenset({
-    "s_ann_recall_audit", "r_gaps_islands", "r_mode_per_group",
+    # s_ann_recall_audit re-fronted (round 8): oracle q CTE gained the
+    # missing/NULL-query-vector guard (v IS NOT NULL); Spark side returns
+    # the (k, 0, 0) row on a None query.
+    "r_gaps_islands", "r_mode_per_group",
     "r_weighted_median", "r_string_agg", "r_regexp_extract_all",
     # r_asof_nearest re-fronted (round 7): asof.py atomic struct carry.
     "r_bitmap_flags", "r_null_impute_group_mean",
@@ -8389,7 +8424,9 @@ _ROUND4_VERIFIED = frozenset({
 # flagship_revenue_by_nation and r01_scan_project re-greened too, already
 # listed under round 1).
 _ROUND5_VERIFIED = frozenset({
-    "d_minhash_lsh_near_dup", "d_simhash_near_dup", "s_ann_lsh_topk",
+    # s_ann_lsh_topk re-fronted (round 8): oracle q CTE gained the
+    # missing/NULL-query-vector guard (v IS NOT NULL).
+    "d_minhash_lsh_near_dup", "d_simhash_near_dup",
     "p_packing_efficiency", "e_silhouette_by_cell",
     # p_rank_calibrate and r_keyset_pagination were r05-green but their
     # shared kernel changed in round 6 (narrow checkpoint + rank rejoin in
@@ -8443,7 +8480,9 @@ _ROUND6_VERIFIED = frozenset({
     # pins) and r_pareto_cut/r_abc_xyz (global_running_sum gained the
     # NULL-coalesce) were r06-green but their plans changed in round 7 —
     # re-fronted for fresh driver hashes.
-    "r_quartile_bands", "s_ann_ivf_topk",
+    # s_ann_ivf_topk re-fronted (round 8): oracle q CTE gained the
+    # missing/NULL-query-vector guard (embedding IS NOT NULL).
+    "r_quartile_bands",
     "tpch_q11_important_stock", "tpch_q20_promo_suppliers",
 })
 

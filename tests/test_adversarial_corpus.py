@@ -128,6 +128,60 @@ def test_empty_input_rollup_known_engine_divergence(spark, empty_sf_dir):
     assert len(duck_run(REGISTRY["r14_rollup"].oracle, empty_sf_dir)) == 1
 
 
+# == missing / NULL query-vector gate ===================================
+# The ANN entries anchor on the stored embedding of a fixed vec_id. On a
+# corpus where that id is absent (or its embedding is NULL) the oracles'
+# "WHERE vec_id = ..." CTE goes empty (round 8: NULL-guarded), while a
+# dummy-vector Spark plan would still emit k rows of NULL cosine via
+# LIMIT (ADVICE r07). Pins the contract: missing/NULL query -> empty
+# result (the recall audit's FROM-less oracle -> one (k, 0, 0) row).
+
+ANN_QUERY_ENTRIES = [
+    "r31_cosine_topk", "s_ann_lsh_topk", "s_ann_ivf_topk",
+    "s_ann_recall_audit", "e_range_search", "e_mips_topk",
+]
+
+
+@pytest.fixture(scope="module", params=["missing", "null"])
+def no_query_sf_dir(request, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp(f"q-{request.param}"))
+    t = pq.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    ids = t.column("vec_id").to_pylist()
+    if request.param == "missing":
+        import pyarrow.compute as pc
+
+        keep = pa.array([i not in (0, 7) for i in ids])
+        t = t.filter(keep)
+    else:
+        cols = []
+        for i, field in enumerate(t.schema):
+            col = t.column(i)
+            if field.name == "embedding":
+                idx = pa.array(
+                    [None if v in (0, 7) else j for j, v in enumerate(ids)],
+                    pa.int64(),
+                )
+                col = col.combine_chunks().take(idx)
+            cols.append(col)
+        t = pa.table(cols, schema=t.schema)
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+    for f in os.listdir(SF_SMOKE):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            shutil.copy(os.path.join(SF_SMOKE, f), os.path.join(d, f))
+    return d
+
+
+@pytest.mark.parametrize("name", ANN_QUERY_ENTRIES)
+def test_no_query_vector_parity(spark, no_query_sf_dir, name):
+    spec = REGISTRY[name]
+    sdf = spec.spark(spark, no_query_sf_dir).toPandas()
+    ddf = duck_run(spec.oracle, no_query_sf_dir)
+    errs = compare(sdf, ddf)
+    assert not errs, f"{name} diverges on a missing/NULL query vector: " + "; ".join(errs)
+    if name != "s_ann_recall_audit":
+        assert len(sdf) == 0  # the contract, not just parity
+
+
 # == NULL-bearing-column gate ===========================================
 # 20% NULLs in events.value, embeddings.label and embeddings.embedding —
 # plausible production data (missing measurements, unlabeled or failed
