@@ -21,6 +21,21 @@ filters ``(event_time, message_id) > cursor`` (a plain column predicate,
 so parquet row-group min/max pruning skips already-delivered history),
 and atomically persists the last DELIVERED row as the new cursor — the
 exact analogue of per-message ack.
+
+EVENT-TIME REGRESSIONS (ADVICE r07): the (event_time, message_id) order
+key is only monotone for a live topic whose producers stamp arrival
+wall-clock in one process. A message that lands LATER with an event_time
+at or before the cursor (clock step-back, a second producer process, a
+backfill writer) must not be classified as already-consumed. The cursor
+therefore also records the FILE SET visible at each poll: a file that
+appears after a poll whose parquet-footer min(event_time) does not beat
+the cursor is a regression file, and its rows are delivered through an
+id-set dedup boundary (delivered ids per regression file, bounded by
+that file's row count) instead of the order-key predicate — the
+late-arriving backlog drains in order, nothing redelivers, and the file
+retires from the cursor once all its rows at or before the high-water
+mark are delivered. Matches the reference's per-message ``consumer.Ack``
+(sse-broker.go:48-57), which never relies on a time order at all.
 """
 
 from __future__ import annotations
@@ -30,6 +45,7 @@ import os
 import shutil
 import tempfile
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,24 +54,65 @@ from ..model.message import MESSAGE_SCHEMA
 _CURSOR = "CURSOR"
 
 
-def _read_cursor(checkpoint_dir: str) -> tuple[int, str] | None:
-    """Last delivered (event_time unix-micros, message_id), or None."""
+def _read_cursor(checkpoint_dir: str) -> dict | None:
+    """Cursor state: high-water (event_time_us, message_id) + the file
+    set visible at the last poll + per-regression-file delivered ids.
+    ``seen_files``/``regress`` default for cursors written before the
+    regression fix (the upgrade poll then treats all current files as
+    seen — exactly the old semantics for pre-existing history)."""
     p = os.path.join(checkpoint_dir, _CURSOR)
     if not os.path.exists(p):
         return None
     with open(p) as f:
         d = json.load(f)
-    return int(d["event_time_us"]), str(d["message_id"])
+    return {
+        "event_time_us": int(d["event_time_us"]),
+        "message_id": str(d["message_id"]),
+        "seen_files": d.get("seen_files"),
+        "regress": {k: list(v) for k, v in d.get("regress", {}).items()},
+    }
 
 
-def _write_cursor(checkpoint_dir: str, event_time_us: int, message_id: str) -> None:
+def _write_cursor(checkpoint_dir: str, state: dict) -> None:
     # tmp + os.replace: a crash mid-write leaves the previous cursor
     # intact -> the batch redelivers (at-least-once, same as the
     # reference's unacked-redelivery behavior).
     tmp = os.path.join(checkpoint_dir, _CURSOR + ".tmp")
     with open(tmp, "w") as f:
-        json.dump({"event_time_us": event_time_us, "message_id": message_id}, f)
+        json.dump(state, f)
     os.replace(tmp, os.path.join(checkpoint_dir, _CURSOR))
+
+
+def _footer_min_us(path: str) -> int | None:
+    """min(event_time) in unix-micros from the parquet footer's row-group
+    statistics — O(metadata), no row reads. None when any row group lacks
+    stats (caller must treat the file conservatively)."""
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index("event_time")
+    mins = []
+    for rg in range(md.num_row_groups):
+        stats = md.row_group(rg).column(idx).statistics
+        if stats is None or not stats.has_min_max:
+            return None
+        mins.append(stats.min)
+    if not mins:
+        return None
+    lo = min(mins)
+    # pyarrow surfaces timestamp(us) stats as datetime
+    return int(lo.timestamp() * 1e6) if hasattr(lo, "timestamp") else int(lo)
+
+
+def _file_rows_le(path: str, hwm_us: int, hwm_id: str) -> int:
+    """Rows in one (regression) file at or before the high-water mark —
+    a two-column pyarrow read, bounded by that file's size."""
+    t = pq.read_table(path, columns=["event_time", "message_id"])
+    n = 0
+    for et, mid in zip(t.column("event_time").to_pylist(),
+                       t.column("message_id").to_pylist()):
+        us = int(et.timestamp() * 1e6)
+        if (us, mid) <= (hwm_us, hwm_id):
+            n += 1
+    return n
 
 
 def bounded_poll(
@@ -73,12 +130,12 @@ def bounded_poll(
     subscription-name semantics of G6 (resumable vs NonResumable*): only
     the DELIVERED rows advance the cursor, so overflow beyond
     ``batch_size`` is returned by the next poll, exactly like the
-    reference's per-message ack (sse-broker.go:48-57). The cursor is the
-    (event_time, message_id) total order used for delivery; a message
-    appended later with an event_time at or before the cursor is
-    considered already-consumed history (earliest-position subscriptions
-    deliver in event order, and the order key is monotone for a live
-    topic whose producers stamp arrival time).
+    reference's per-message ack (sse-broker.go:48-57). Messages appended
+    later with an event_time at or before the cursor (clock step-back,
+    cross-process/backfill producers) are still delivered: their files
+    are detected as regressions via the footer min(event_time) of files
+    not seen by a previous poll and drained through a per-file
+    delivered-id set (module docstring).
 
     With ``checkpoint_dir=None`` the poll is stateless always-earliest —
     the reference's auto-named NonResumable subscription, which
@@ -86,20 +143,51 @@ def bounded_poll(
     """
     cursor = _read_cursor(checkpoint_dir) if checkpoint_dir else None
 
+    # list BEFORE the stream snapshot: a file that lands between this
+    # listing and the read may deliver rows this poll, but it is NOT
+    # recorded as seen, so the next poll re-examines it (its delivered
+    # rows are tracked in the regression id-set below — no redelivery,
+    # no loss)
+    visible: list[str] = []
+    if checkpoint_dir:
+        visible = sorted(
+            f for f in os.listdir(source_dir) if f.endswith(".parquet")
+        ) if os.path.isdir(source_dir) else []
+
+    regress: dict[str, list[str]] = {}
+    hwm: tuple[int, str] | None = None
+    if cursor is not None:
+        hwm = (cursor["event_time_us"], cursor["message_id"])
+        regress = cursor["regress"]
+        # pre-fix cursor: no file set recorded — treat everything
+        # currently visible as seen (the old semantics) and track from now
+        seen = set(cursor["seen_files"]) if cursor["seen_files"] is not None else set(visible)
+        for f in visible:
+            if f in seen or f in regress:
+                continue
+            lo = _footer_min_us(os.path.join(source_dir, f))
+            if lo is None or lo <= hwm[0]:
+                # late-arriving history (or statless footer, handled
+                # conservatively): deliver through the id-set boundary
+                regress[f] = []
+
     sink_rows: list[dict] = []
 
     def take_batch(df: DataFrame, _epoch: int) -> None:
         rows = (
-            df.orderBy("event_time", "message_id")
-            .limit(batch_size)
-            .select(
+            # input_file_name() is only defined at scan time — project it
+            # BEFORE the sort, or the post-shuffle evaluation returns ''
+            df.select(
                 "message_id",
                 "topic",
                 "key",
                 F.decode("payload", "UTF-8").alias("payload"),
                 F.date_format("event_time", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("event_time"),
                 F.unix_micros("event_time").alias("_us"),
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_file"),
             )
+            .orderBy("_us", "message_id")
+            .limit(batch_size)
             .collect()
         )
         sink_rows.extend(r.asDict() for r in rows)
@@ -108,15 +196,26 @@ def bounded_poll(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
-    if cursor is not None:
-        c_us, c_id = cursor
+    if hwm is not None:
+        c_us, c_id = hwm
         c_ts = F.timestamp_micros(F.lit(c_us))
         # plain column comparison -> pushed to the parquet scan, so row
         # groups wholly before the cursor are skipped via footer min/max
-        stream = stream.where(
+        cond = (
             (F.col("event_time") > c_ts)
             | ((F.col("event_time") == c_ts) & (F.col("message_id") > F.lit(c_id)))
         )
+        if regress:
+            # regression files bypass the order-key predicate; their
+            # already-delivered rows are excluded by id (globally unique)
+            in_regress = F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ).isin(list(regress))
+            delivered = [i for ids in regress.values() for i in ids]
+            if delivered:
+                in_regress = in_regress & ~F.col("message_id").isin(delivered)
+            cond = cond | in_regress
+        stream = stream.where(cond)
 
     # The stream checkpoint is ALWAYS throwaway: it only fences this one
     # AvailableNow run. Durability lives in the row-granular CURSOR file —
@@ -139,13 +238,40 @@ def bounded_poll(
     # re-sort the union before truncating to the globally earliest batch.
     sink_rows.sort(key=lambda r: (r["_us"], r["message_id"]))
     batch = sink_rows[:batch_size]
+    if checkpoint_dir and (batch or cursor is not None):
+        visible_set = set(visible)
+        for r in batch:
+            f = r["_file"]
+            if f in regress or f not in visible_set:
+                # regression row, or a row from a file that raced the
+                # listing: both drain through the id-set boundary
+                regress.setdefault(f, []).append(r["message_id"])
+        # the high-water mark is MONOTONE: the batch is the globally
+        # earliest undelivered rows, so everything at or below the new
+        # mark in non-regression seen files is delivered by induction;
+        # regression rows below the old mark must not drag it backwards
+        new_hwm = hwm
+        if batch:
+            last = (batch[-1]["_us"], batch[-1]["message_id"])
+            new_hwm = max(hwm, last) if hwm is not None else last
+        # retire regression files whose rows at/below the mark are all
+        # delivered — from then on the order-key predicate covers them
+        for f in list(regress):
+            path = os.path.join(source_dir, f)
+            if os.path.exists(path) and len(set(regress[f])) >= _file_rows_le(
+                path, new_hwm[0], new_hwm[1]
+            ):
+                del regress[f]
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        _write_cursor(checkpoint_dir, {
+            "event_time_us": new_hwm[0], "message_id": new_hwm[1],
+            "seen_files": visible, "regress": regress,
+        })
     if not batch:
         return None
-    if checkpoint_dir:
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        _write_cursor(checkpoint_dir, batch[-1]["_us"], batch[-1]["message_id"])
     for r in batch:
         del r["_us"]
+        del r["_file"]
     return {"limit": batch_size, "size": len(batch), "messages": batch}
 
 

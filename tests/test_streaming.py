@@ -171,6 +171,126 @@ def test_bounded_poll_resumable_interleaved_append(spark, tmp_path):
     assert bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt) is None
 
 
+def _backfill(n, t0=T0, step_s=60, prefix="b"):
+    """Messages stamped BEFORE the live window — a backfill producer or a
+    clock step-back (ADVICE r07: event_time is not monotone across
+    processes)."""
+    return [
+        (
+            f"{prefix}-{i}",
+            "persistent://tenant0/ns/topic0",
+            "0",
+            f'{{"bf": {i}}}'.encode(),
+            t0 + timedelta(seconds=i * step_s),
+            t0 + timedelta(seconds=i * step_s + 1),
+            {"PulsarBeamId": f"bf-uuid-{i}"},
+        )
+        for i in range(n)
+    ]
+
+
+def _poll_ids(out):
+    return [m["message_id"] for m in out["messages"]]
+
+
+def test_bounded_poll_backfill_before_cursor_delivers(spark, tmp_path):
+    """ADVICE r07 golden: a message landing AFTER a poll with an
+    event_time at or before the cursor (backfill producer, clock
+    step-back) must still be delivered — the old watermark-only cursor
+    classified it as already-consumed history and silently dropped it."""
+    d = str(tmp_path / "poll-backfill")
+    live = _messages(20, dup_every=1000)[10:]  # m-10..m-19 at T0+10..19min
+    spark.createDataFrame(live, MESSAGE_SCHEMA).coalesce(1).write.parquet(d)
+    ckpt = str(tmp_path / "poll-backfill-ckpt")
+
+    p1 = bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt)
+    assert _poll_ids(p1) == [f"m-{i}" for i in range(10, 20)]
+
+    # backfill lands AFTER the cursor advanced past its event times
+    spark.createDataFrame(_backfill(5), MESSAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d)
+    p2 = bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt)
+    assert p2 is not None, "backfill before the cursor was lost"
+    assert _poll_ids(p2) == [f"b-{i}" for i in range(5)]
+    # drained exactly once: no redelivery on subsequent polls
+    assert bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt) is None
+    assert bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt) is None
+
+
+def test_bounded_poll_backfill_overflow_drains_in_order(spark, tmp_path):
+    """A backfill larger than batch_size drains across successive polls
+    through the per-file delivered-id boundary, in order, without
+    redelivery — and the regression file retires from the cursor once
+    fully drained (bounded cursor state)."""
+    import json as _json
+
+    d = str(tmp_path / "poll-bf-overflow")
+    live = _messages(20, dup_every=1000)[10:]
+    spark.createDataFrame(live, MESSAGE_SCHEMA).coalesce(1).write.parquet(d)
+    ckpt = str(tmp_path / "poll-bf-overflow-ckpt")
+    bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt)
+
+    spark.createDataFrame(_backfill(12, step_s=10), MESSAGE_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(d)
+    p = bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+    assert _poll_ids(p) == [f"b-{i}" for i in range(5)]
+    p = bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+    assert _poll_ids(p) == [f"b-{i}" for i in range(5, 10)]
+    p = bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+    assert _poll_ids(p) == ["b-10", "b-11"] and p["size"] == 2
+    assert bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt) is None
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        state = _json.load(f)
+    assert state["regress"] == {}, "drained regression file must retire"
+
+
+def test_bounded_poll_backfill_interleaves_with_new(spark, tmp_path):
+    """Backfilled history and freshly-produced messages arriving between
+    the same two polls come back merged in (event_time, message_id)
+    order: the backfill (earlier stamps) first."""
+    d = str(tmp_path / "poll-bf-mixed")
+    rows = _messages(23, dup_every=1000)
+    spark.createDataFrame(rows[10:20], MESSAGE_SCHEMA).coalesce(1).write.parquet(d)
+    ckpt = str(tmp_path / "poll-bf-mixed-ckpt")
+    bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt)
+
+    spark.createDataFrame(_backfill(3), MESSAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d)
+    spark.createDataFrame(rows[20:], MESSAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d)
+    p = bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt)
+    assert _poll_ids(p) == ["b-0", "b-1", "b-2", "m-20", "m-21", "m-22"]
+    assert bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt) is None
+
+
+def test_bounded_poll_pre_fix_cursor_upgrade(spark, tmp_path):
+    """A cursor written before the regression fix (no seen_files) keeps
+    its exact old semantics on the upgrade poll — current files count as
+    seen, the order-key predicate resumes the backlog — and regression
+    detection engages for files landing from then on."""
+    import json as _json
+
+    d = str(tmp_path / "poll-upgrade")
+    live = _messages(20, dup_every=1000)[10:]
+    spark.createDataFrame(live, MESSAGE_SCHEMA).coalesce(1).write.parquet(d)
+    ckpt = str(tmp_path / "poll-upgrade-ckpt")
+    p1 = bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+    assert _poll_ids(p1) == [f"m-{i}" for i in range(10, 15)]
+    # rewrite the cursor in the pre-fix format (hwm only)
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        state = _json.load(f)
+    with open(os.path.join(ckpt, "CURSOR"), "w") as f:
+        _json.dump({"event_time_us": state["event_time_us"],
+                    "message_id": state["message_id"]}, f)
+
+    p2 = bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+    assert _poll_ids(p2) == [f"m-{i}" for i in range(15, 20)]
+    spark.createDataFrame(_backfill(2), MESSAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d)
+    p3 = bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+    assert _poll_ids(p3) == ["b-0", "b-1"]
+
+
 class _Transport:
     """Scriptable fake webhook endpoint: list of (status, headers, body).
 
