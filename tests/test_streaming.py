@@ -263,6 +263,53 @@ def test_bounded_poll_backfill_interleaves_with_new(spark, tmp_path):
     assert bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt) is None
 
 
+def test_bounded_poll_backfill_straddles_cursor(spark, tmp_path):
+    """One late file carrying rows BOTH below and above the high-water
+    mark: the below-mark rows drain via the id-set boundary, the
+    above-mark rows via the order-key predicate, across polls whose
+    batch boundary cuts between the two — then the file retires."""
+    import json as _json
+
+    d = str(tmp_path / "poll-straddle")
+    live = _messages(12, dup_every=1000)[10:]  # m-10, m-11
+    spark.createDataFrame(live, MESSAGE_SCHEMA).coalesce(1).write.parquet(d)
+    ckpt = str(tmp_path / "poll-straddle-ckpt")
+    bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+
+    mixed = _backfill(2) + _messages(22, dup_every=1000)[20:]  # b-0 b-1 m-20 m-21
+    spark.createDataFrame(mixed, MESSAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d)
+    p = bounded_poll(spark, d, batch_size=2, checkpoint_dir=ckpt)
+    assert _poll_ids(p) == ["b-0", "b-1"]
+    p = bounded_poll(spark, d, batch_size=2, checkpoint_dir=ckpt)
+    assert _poll_ids(p) == ["m-20", "m-21"]
+    assert bounded_poll(spark, d, batch_size=2, checkpoint_dir=ckpt) is None
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        assert _json.load(f)["regress"] == {}
+
+
+def test_bounded_poll_backfill_with_max_files_per_trigger(spark, tmp_path):
+    """Regression delivery composes with maxFilesPerTrigger: the backlog
+    splits into several micro-batches, each contributing its earliest
+    rows, and the merged result still drains backfill-first in order."""
+    d = str(tmp_path / "poll-bf-mft")
+    live = _messages(12, dup_every=1000)[10:]
+    spark.createDataFrame(live, MESSAGE_SCHEMA).coalesce(1).write.parquet(d)
+    ckpt = str(tmp_path / "poll-bf-mft-ckpt")
+    bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt,
+                 max_files_per_trigger=1)
+    for chunk in (_backfill(1), _backfill(1, step_s=120, prefix="c"),
+                  _messages(21, dup_every=1000)[20:]):
+        spark.createDataFrame(chunk, MESSAGE_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d)
+    p = bounded_poll(spark, d, batch_size=2, checkpoint_dir=ckpt,
+                     max_files_per_trigger=1)
+    assert _poll_ids(p) == ["b-0", "c-0"]
+    p = bounded_poll(spark, d, batch_size=2, checkpoint_dir=ckpt,
+                     max_files_per_trigger=1)
+    assert _poll_ids(p) == ["m-20"]
+
+
 def test_bounded_poll_pre_fix_cursor_upgrade(spark, tmp_path):
     """A cursor written before the regression fix (no seen_files) keeps
     its exact old semantics on the upgrade poll — current files count as
