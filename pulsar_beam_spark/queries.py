@@ -408,11 +408,15 @@ def q_stats(spark, sf):
     var_q = n * F.col("sqq").cast("double") - F.col("sq").cast("double") * F.col("sq")
     var_d = n * F.col("sdd").cast("double") - F.col("sd").cast("double") * F.col("sd")
     cov = n * F.col("sqd").cast("double") - F.col("sq").cast("double") * F.col("sd")
+    # denominators mirror DuckDB's x/0 -> NULL (ANSI Spark raises
+    # DIVIDE_BY_ZERO instead): a single-row group has zero degrees of
+    # freedom, a constant column has zero variance — both yield NULL
+    # statistics on both engines (single-row/ties fuzz sweep, round 8)
     return s.select(
         "l_returnflag",
         "n",
-        F.round(F.sqrt(var_q / (n * (n - F.lit(1.0)))) / 100, 6).alias("stddev_qty"),
-        F.round(cov / F.sqrt(var_q) / F.sqrt(var_d), 6).alias("corr_qty_disc"),
+        F.round(F.sqrt(var_q / F.nullif(n * (n - F.lit(1.0)), F.lit(0.0))) / 100, 6).alias("stddev_qty"),
+        F.round(cov / F.nullif(F.sqrt(var_q), F.lit(0.0)) / F.nullif(F.sqrt(var_d), F.lit(0.0)), 6).alias("corr_qty_disc"),
     )
 
 
@@ -7320,11 +7324,16 @@ def q_anova_dow(spark, sf):
     )
     ssb = F.col("sterm") - F.col("tsy").cast("double") * F.col("tsy") / F.col("nn")
     ssw = F.col("tsyy").cast("double") - F.col("sterm")
+    # mirror DuckDB's x/0 -> NULL (ANSI Spark raises DIVIDE_BY_ZERO): one
+    # group -> k-1 = 0, constant values -> ssw = 0; the F statistic is
+    # undefined and both engines return NULL (ties fuzz sweep, round 8)
+    ms_b = ssb / F.nullif(F.col("k") - 1, F.lit(0))
+    ms_w = ssw / F.nullif(F.col("nn") - F.col("k"), F.lit(0))
     return t.select(
         F.col("k").cast("int").alias("k_groups"), F.col("nn").alias("n_total"),
-        F.round(ssb / (F.col("k") - 1), 4).alias("ms_between"),
-        F.round(ssw / (F.col("nn") - F.col("k")), 4).alias("ms_within"),
-        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6).alias("f_stat"),
+        F.round(ms_b, 4).alias("ms_between"),
+        F.round(ms_w, 4).alias("ms_within"),
+        F.round(ms_b / F.nullif(ms_w, F.lit(0.0)), 6).alias("f_stat"),
     )
 
 
@@ -8300,7 +8309,9 @@ _ROUND1_VERIFIED = frozenset({
     "r04_inner_join", "r05_broadcast_join", "r06_left_join",
     "r06_full_outer_join", "r07_semi_join", "r07_anti_join",
     "r08_range_join", "r09_cross_join", "r10_asof_join", "r11_tpch_q1_agg",
-    "r11_stats_aggregates", "r12_distinct", "r12_count_distinct",
+    # r11_stats_aggregates re-fronted (round 8): zero-variance/zero-dof
+    # denominators now nullif to mirror DuckDB's x/0 -> NULL.
+    "r12_distinct", "r12_count_distinct",
     # r13_approx_count_distinct had a rows-only r01 row; it gained a
     # verdict-style DuckDB oracle in round 6 and re-enters the window.
     "r14_rollup", "r14_cube",
@@ -8440,7 +8451,9 @@ _ROUND5_VERIFIED = frozenset({
     "s_rate_limit_sliding", "r_time_to_convert", "r_seasonality_index",
     "r_new_vs_returning", "r_rolling_active_users",
     # e_label_margin re-fronted (round 7): NULL label/embedding dropped both sides.
-    "r_anova_dow", "r_survival_curve", "r_backlog_aging",
+    # r_anova_dow re-fronted (round 8): k-1 / nn-k / ms_within
+    # denominators now nullif to mirror DuckDB's x/0 -> NULL.
+    "r_survival_curve", "r_backlog_aging",
     # r_abc_xyz and r_lorenz_deciles r05-green -> round-6 distributed
     # ranking kernels; re-fronted.
     # p_split_leakage re-fronted (round 7): leak_rate denominator gained
@@ -8467,7 +8480,7 @@ _ROUND6_VERIFIED = frozenset({
     # atomic struct carry in round 7 (NULL-valued right rows no longer
     # stitch across rows; one window pass instead of per-column passes) —
     # re-fronted for a fresh hash against the new plan.
-    "r11_stats_aggregates", "r11_tpch_q1_agg",
+    "r11_tpch_q1_agg",
     "r12_count_distinct", "r12_distinct", "r13_approx_count_distinct",
     "r13_approx_percentile", "r13_hll_mergeable", "r14_cube", "r14_rollup",
     "r15_window_rank", "r16_lag_lead", "r17_window_frames",

@@ -128,6 +128,70 @@ def test_empty_input_rollup_known_engine_divergence(spark, empty_sf_dir):
     assert len(duck_run(REGISTRY["r14_rollup"].oracle, empty_sf_dir)) == 1
 
 
+# == single-row / tie-saturated gate ====================================
+# Round-8 fuzz sweeps: every table sliced to ONE row (zero degrees of
+# freedom — also reachable at scale from a filtered-to-one-group input),
+# and value columns saturated with ties (zero variance, the worst case
+# for rank/top-k tie-breaking). The full 238-entry sweeps found exactly
+# two defects, both ANSI DIVIDE_BY_ZERO crashes where the oracle's
+# DuckDB evaluates x/0 -> NULL: r11_stats_aggregates (n*(n-1) and
+# sqrt(var) denominators) and r_anova_dow (k-1, nn-k, ms_within). Zero
+# tie-break mismatches registry-wide. This pins the fixed pair plus a
+# representative rank/top-k set on both fixtures.
+
+DEGENERATE_REGRESSION = [
+    "r11_stats_aggregates", "r_anova_dow",         # the round-8 fixes
+    "r15_window_rank", "r19_topk", "r_topk_with_ties",
+    "r_weighted_median", "r_quartile_bands", "r_gini_by_nation",
+]
+
+
+def _degenerate_dir(tmp_path_factory, mode):
+    import pyarrow.compute as pc  # noqa: F401
+
+    d = str(tmp_path_factory.mktemp(f"degen-{mode}"))
+    reps_by_table = {
+        "events": {"value": 1.0},
+        "orders": {"o_totalprice": 1000.0},
+        "lineitem": {"l_quantity": 10.0, "l_extendedprice": 500.0,
+                     "l_discount": 0.05},
+        "documents": {"text": "the same tie text appears in every document"},
+        "customer": {"c_acctbal": 100.0},
+    }
+    for f in os.listdir(SF_SMOKE):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(SF_SMOKE, f))
+        if mode == "onerow":
+            t = t.slice(0, 1)
+        else:
+            reps = reps_by_table.get(f[:-8], {})
+            cols = []
+            for i, field in enumerate(t.schema):
+                if field.name in reps:
+                    cols.append(pa.array([reps[field.name]] * t.num_rows,
+                                         type=field.type))
+                else:
+                    cols.append(t.column(i))
+            t = pa.table(cols, schema=t.schema)
+        pq.write_table(t, os.path.join(d, f))
+    return d
+
+
+@pytest.fixture(scope="module", params=["onerow", "ties"])
+def degenerate_sf_dir(request, tmp_path_factory):
+    return _degenerate_dir(tmp_path_factory, request.param)
+
+
+@pytest.mark.parametrize("name", DEGENERATE_REGRESSION)
+def test_degenerate_input_parity(spark, degenerate_sf_dir, name):
+    spec = REGISTRY[name]
+    sdf = spec.spark(spark, degenerate_sf_dir).toPandas()
+    ddf = duck_run(spec.oracle, degenerate_sf_dir)
+    errs = compare(sdf, ddf)
+    assert not errs, f"{name} diverges on degenerate input: " + "; ".join(errs)
+
+
 # == missing / NULL query-vector gate ===================================
 # The ANN entries anchor on the stored embedding of a fixed vec_id. On a
 # corpus where that id is absent (or its embedding is NULL) the oracles'
