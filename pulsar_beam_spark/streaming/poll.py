@@ -36,6 +36,16 @@ late-arriving backlog drains in order, nothing redelivers, and the file
 retires from the cursor once all its rows at or before the high-water
 mark are delivered. Matches the reference's per-message ``consumer.Ack``
 (sse-broker.go:48-57), which never relies on a time order at all.
+
+Cursor size: ``seen_files`` is rewritten as the CURRENT directory
+listing each poll (files deleted by topic retention drop out), so the
+cursor is bounded by the live file count — the same O(#files) the file
+listing itself costs — and each new file pays exactly one footer read
+over its lifetime. ``regress`` holds ids only for still-draining
+regression files, bounded by those files' row counts. message_id values
+are assumed unique per (event_time, message_id) pair (the store mints
+``{us}-{seq}``): a byte-identical duplicate of a delivered pair is
+indistinguishable from its original and collapses with it.
 """
 
 from __future__ import annotations
@@ -255,12 +265,17 @@ def bounded_poll(
             last = (batch[-1]["_us"], batch[-1]["message_id"])
             new_hwm = max(hwm, last) if hwm is not None else last
         # retire regression files whose rows at/below the mark are all
-        # delivered — from then on the order-key predicate covers them
+        # delivered — from then on the order-key predicate covers them.
+        # ONLY files entering the persisted seen set may retire: a file
+        # that raced the listing (delivered rows but absent from
+        # ``visible``) must keep its id set until a poll actually lists
+        # it, or the next poll would flag it as a fresh regression with
+        # no delivered ids and REDELIVER everything at/below the mark.
         for f in list(regress):
             path = os.path.join(source_dir, f)
-            if os.path.exists(path) and len(set(regress[f])) >= _file_rows_le(
-                path, new_hwm[0], new_hwm[1]
-            ):
+            if f in visible_set and os.path.exists(path) and len(
+                set(regress[f])
+            ) >= _file_rows_le(path, new_hwm[0], new_hwm[1]):
                 del regress[f]
         os.makedirs(checkpoint_dir, exist_ok=True)
         _write_cursor(checkpoint_dir, {

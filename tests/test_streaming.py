@@ -310,6 +310,53 @@ def test_bounded_poll_backfill_with_max_files_per_trigger(spark, tmp_path):
     assert _poll_ids(p) == ["m-20"]
 
 
+def test_bounded_poll_file_racing_the_listing_never_redelivers(spark, tmp_path, monkeypatch):
+    """A file landing between the directory listing and the stream
+    snapshot delivers rows that poll but is NOT in the persisted seen
+    set. Its id record must survive until a poll actually lists it —
+    retiring it early would re-flag the file as a fresh regression next
+    poll (footer min <= mark, no delivered ids) and redeliver."""
+    import json as _json
+
+    import pulsar_beam_spark.streaming.poll as poll_mod
+
+    d = str(tmp_path / "poll-race")
+    live = _messages(12, dup_every=1000)[10:]  # m-10, m-11
+    spark.createDataFrame(live, MESSAGE_SCHEMA).coalesce(1).write.parquet(d)
+    ckpt = str(tmp_path / "poll-race-ckpt")
+    bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+
+    # n-20 lands "during" poll 2: on disk (the stream reads it) but
+    # hidden from that poll's directory listing
+    racer = _messages(21, dup_every=1000)[20:]
+    spark.createDataFrame(racer, MESSAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d)
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        seen_before = set(_json.load(f)["seen_files"])
+    real_listdir = os.listdir
+
+    def hiding_listdir(path):
+        out = real_listdir(path)
+        if os.path.abspath(path) == os.path.abspath(d):
+            out = [f for f in out if f in seen_before or not f.endswith(".parquet")]
+        return out
+
+    monkeypatch.setattr(poll_mod.os, "listdir", hiding_listdir)
+    p2 = bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+    monkeypatch.undo()
+    assert _poll_ids(p2) == ["m-20"]
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        state = _json.load(f)
+    assert state["regress"], "racing file's delivered ids must be retained"
+
+    # next poll lists the file normally: nothing redelivers, and the
+    # record retires into the seen set
+    assert bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt) is None
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        state = _json.load(f)
+    assert state["regress"] == {}
+
+
 def test_bounded_poll_pre_fix_cursor_upgrade(spark, tmp_path):
     """A cursor written before the regression fix (no seen_files) keeps
     its exact old semantics on the upgrade poll — current files count as
