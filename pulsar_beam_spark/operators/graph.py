@@ -26,10 +26,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def root_chase(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """O(depth) rounds. ``nodes``: (node); ``edges``: (e_child, e_parent)."""
+def root_chase(nodes: DataFrame, edges: DataFrame, max_rounds: int = 1000) -> DataFrame:
+    """O(depth) rounds. ``nodes``: (node); ``edges``: (e_child, e_parent).
+
+    ``edges`` must be a forest (each child one parent, no cycles). A
+    cycle keeps every member moving forever, so the loop RAISES after
+    ``max_rounds`` instead of spinning (round-8 probe; same contract as
+    components.py round 7: never return partial iterative state) —
+    depth-``max_rounds`` forests are the declared domain; use
+    ``root_doubling`` (O(log depth)) for deeper hierarchies."""
     cur = nodes.select("node", F.col("node").alias("anc"), F.lit(0).alias("depth"))
-    while True:
+    for _ in range(max_rounds):
         stepped = (
             cur.join(edges, cur.anc == edges.e_child, "left")
             .select(
@@ -42,8 +49,14 @@ def root_chase(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         )
         cur = stepped.drop("moved")
         if stepped.filter("moved").isEmpty():
-            break
-    return cur.select("node", F.col("anc").alias("root"), F.col("depth").cast("int").alias("depth"))
+            return cur.select(
+                "node", F.col("anc").alias("root"),
+                F.col("depth").cast("int").alias("depth"))
+    raise RuntimeError(
+        f"root_chase did not reach a fixpoint in {max_rounds} rounds: "
+        "the edge set contains a cycle, or the hierarchy is deeper than "
+        "max_rounds (use root_doubling for deep chains)"
+    )
 
 
 def root_doubling(
@@ -88,11 +101,19 @@ def root_doubling(
         )
         cur = stepped.drop("moved")
         if stepped.filter("moved").isEmpty():
-            break
-    out = cur.select("node", F.col("anc").alias("root"), F.col("dist").cast("int").alias("depth"))
-    if return_rounds:
-        return out, rounds
-    return out
+            out = cur.select(
+                "node", F.col("anc").alias("root"),
+                F.col("dist").cast("int").alias("depth"))
+            return (out, rounds) if return_rounds else out
+    # composition doubles reach each round, so max_rounds=64 covers any
+    # acyclic depth representable in 64 bits — non-convergence proves a
+    # cycle; returning the partially-composed state would silently hand
+    # back garbage roots (round-8 probe; components.py round-7 contract)
+    raise RuntimeError(
+        f"root_doubling did not reach a fixpoint in {max_rounds} rounds: "
+        "the edge set contains a cycle (pointer composition reaches any "
+        f"acyclic root within {max_rounds} doublings)"
+    )
 
 
 def find_roots(

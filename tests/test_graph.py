@@ -63,3 +63,16 @@ def test_dispatch_switches_on_expected_depth(spark):
     shallow = {r["node"]: r["root"] for r in find_roots(nodes, edges, 2).collect()}
     deep = {r["node"]: r["root"] for r in find_roots(nodes, edges, 1000).collect()}
     assert shallow == deep == {0: 0, 1: 0, 2: 0}
+
+
+def test_cycle_raises_instead_of_partial_state(spark):
+    """Round-8 probe: a parent cycle previously spun root_chase forever
+    and made root_doubling RETURN partially-composed garbage after its
+    round budget (the components.py round-7 bug class). Both must raise,
+    never hand back wrong roots."""
+    parent_of = {0: 1, 1: 2, 2: 0, 3: 0}  # 3-cycle plus a node hanging off it
+    nodes, edges = _df_nodes_edges(spark, parent_of, [0, 1, 2, 3])
+    with pytest.raises(RuntimeError, match="cycle"):
+        root_chase(nodes, edges, max_rounds=20)
+    with pytest.raises(RuntimeError, match="cycle"):
+        root_doubling(nodes, edges, max_rounds=8)
