@@ -121,6 +121,13 @@ def _parse_bmp24(b: bytes) -> tuple[int, int, bytes]:
     top_down = h < 0
     h = abs(h)
     stride = (w * 3 + 3) & ~3
+    # validate BEFORE allocating: the header's w x h must actually be
+    # backed by payload bytes, or a 62-byte blob declaring 2^30 x 1024
+    # demands a multi-GB bytearray on the executor (round-8 probe;
+    # MemoryError reproduced). The last row may legally omit its final
+    # padding bytes, so require rows 0..h-2 at full stride + w*3.
+    if w < 0 or (h and data_off + max(0, h - 1) * stride + w * 3 > len(b)):
+        raise ValueError("truncated bmp payload")
     out = bytearray(w * h * 3)
     for row in range(h):
         src_row = row if top_down else h - 1 - row

@@ -442,6 +442,36 @@ def test_image_decode_roundtrip():
         decode_image(b"\x89PNG....")
 
 
+def test_malformed_media_blobs_raise_cleanly():
+    """Round-8 probe: adversarial headers must raise ValueError, never
+    hang or allocate. A 62-byte BMP declaring 2^30 x 1024 previously
+    attempted a multi-GB bytearray BEFORE validating the payload
+    (MemoryError on a bounded executor); truncated PPM headers and
+    headerless WAVs are pinned alongside."""
+    import pytest as _pytest
+
+    from pulsar_beam_spark.operators.multimodal import (
+        _parse_bmp24,
+        _parse_ppm_p6,
+        _parse_wav_pcm16,
+    )
+
+    bomb = bytearray(b"BM" + b"\0" * 60)
+    bomb[10:14] = (54).to_bytes(4, "little")
+    bomb[14:18] = (40).to_bytes(4, "little")
+    bomb[18:22] = (2**30).to_bytes(4, "little")
+    bomb[22:26] = (1024).to_bytes(4, "little")
+    bomb[28:30] = (24).to_bytes(2, "little")
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_bmp24(bytes(bomb))
+    for blob in (b"P6", b"P6   ", b"P6 # comment with no newline",
+                 b"P6 5 3 255\n" + b"\0" * 10):
+        with _pytest.raises(ValueError):
+            _parse_ppm_p6(blob)
+    with _pytest.raises(ValueError):
+        _parse_wav_pcm16(b"RIFF\x04\0\0\0WAVE")
+
+
 def test_multimodal_nonfake_decode_end_to_end(spark):
     """fake=False runs the REAL kernel over Spark: decode -> image-stat
     features, and decode -> nearest-neighbor resize -> re-encoded PPM
