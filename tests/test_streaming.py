@@ -357,6 +357,45 @@ def test_bounded_poll_file_racing_the_listing_never_redelivers(spark, tmp_path, 
     assert state["regress"] == {}
 
 
+def test_bounded_poll_statless_backfill_file(spark, tmp_path):
+    """A late file whose parquet footer carries no column statistics
+    cannot be classified by min(event_time); the detector must treat it
+    conservatively as a regression file (deliver via the id-set
+    boundary) rather than trust the order-key predicate — and it still
+    retires after draining."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "poll-nostats")
+    live = _messages(12, dup_every=1000)[10:]
+    spark.createDataFrame(live, MESSAGE_SCHEMA).coalesce(1).write.parquet(d)
+    ckpt = str(tmp_path / "poll-nostats-ckpt")
+    bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+
+    arrow_schema = pa.schema([
+        pa.field("message_id", pa.string(), nullable=False),
+        pa.field("topic", pa.string(), nullable=False),
+        pa.field("key", pa.string()),
+        pa.field("payload", pa.binary()),
+        pa.field("event_time", pa.timestamp("us"), nullable=False),
+        pa.field("publish_time", pa.timestamp("us"), nullable=False),
+        pa.field("properties", pa.map_(pa.string(), pa.string())),
+    ])
+    rows = [{"message_id": "b-0", "topic": "persistent://t/ns/a", "key": None,
+             "payload": b"x", "event_time": T0, "publish_time": T0,
+             "properties": []}]
+    pq.write_table(pa.Table.from_pylist(rows, schema=arrow_schema),
+                   os.path.join(d, "backfill-nostats.parquet"),
+                   write_statistics=False)
+    p = bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+    assert _poll_ids(p) == ["b-0"]
+    assert bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt) is None
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        assert _json.load(f)["regress"] == {}
+
+
 def test_bounded_poll_pre_fix_cursor_upgrade(spark, tmp_path):
     """A cursor written before the regression fix (no seen_files) keeps
     its exact old semantics on the upgrade poll — current files count as
