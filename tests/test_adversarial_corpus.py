@@ -147,8 +147,6 @@ DEGENERATE_REGRESSION = [
 
 
 def _degenerate_dir(tmp_path_factory, mode):
-    import pyarrow.compute as pc  # noqa: F401
-
     d = str(tmp_path_factory.mktemp(f"degen-{mode}"))
     reps_by_table = {
         "events": {"value": 1.0},
@@ -212,8 +210,6 @@ def no_query_sf_dir(request, tmp_path_factory):
     t = pq.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
     ids = t.column("vec_id").to_pylist()
     if request.param == "missing":
-        import pyarrow.compute as pc
-
         keep = pa.array([i not in (0, 7) for i in ids])
         t = t.filter(keep)
     else:
