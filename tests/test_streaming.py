@@ -357,6 +357,42 @@ def test_bounded_poll_file_racing_the_listing_never_redelivers(spark, tmp_path, 
     assert state["regress"] == {}
 
 
+def test_bounded_poll_live_producer_race_no_loss_no_dup(spark, tmp_path):
+    """Zero-mock concurrency stress: a producer thread appends through
+    TopicDirStore WHILE a resumable subscriber polls in a loop. Every
+    interleaving — files landing mid-poll, between the listing and the
+    stream snapshot, after the cursor write — must deliver every message
+    exactly once (the regression machinery absorbs whatever the race
+    produces)."""
+    import threading
+
+    from pulsar_beam_spark.server.store import TopicDirStore
+
+    store = TopicDirStore(str(tmp_path / "race-store"), flush_interval_s=None)
+    topic = "persistent://t/ns/race"
+    d = store.topic_dir(topic)
+    ckpt = str(tmp_path / "race-ckpt")
+    n_msgs = 40
+
+    def produce():
+        for i in range(n_msgs):
+            store.append(topic, f"payload-{i}".encode(), key=str(i))
+
+    t = threading.Thread(target=produce)
+    t.start()
+    got: list[str] = []
+    idle = 0
+    while idle < 3:  # three consecutive empty polls after the producer ends
+        out = bounded_poll(spark, d, batch_size=7, checkpoint_dir=ckpt)
+        if out is None:
+            idle += 1 if not t.is_alive() else 0
+            continue
+        idle = 0
+        got.extend(m["payload"].split("-")[1] for m in out["messages"])
+    t.join()
+    assert sorted(got, key=int) == [str(i) for i in range(n_msgs)]
+
+
 def test_bounded_poll_statless_backfill_file(spark, tmp_path):
     """A late file whose parquet footer carries no column statistics
     cannot be classified by min(event_time); the detector must treat it
