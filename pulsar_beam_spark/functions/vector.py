@@ -35,3 +35,34 @@ def l2_norm(a: Column | str) -> Column:
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
     """cosine = dot(a,b) / (||a||*||b||); inputs assumed non-zero vectors."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+_MAX_DOUBLE = 1.7976931348623157e308
+
+
+def valid_vector(c: Column | str) -> Column:
+    """True iff ``c`` is a VALID embedding: non-NULL, every component
+    non-NULL and finite (no NaN/±Inf), and squared norm > 0 (which also
+    rejects empty vectors and all-subnormal vectors whose x*x underflows
+    to 0 — those crash ANSI cosine with DIVIDE_BY_ZERO just like exact
+    zeros). The uniform domain contract for the whole vector family
+    (similarity / range search / near-dup / quantize): one poisoned
+    vector in a 100 TB corpus must not abort the query (Spark ANSI
+    throws on x/0 where DuckDB yields NULL — an engine asymmetry), and
+    non-finite components make driver-side Python disagree with both
+    engines on comparisons (Python: NaN > 0 is False; Spark SQL and
+    DuckDB: True), so invalid vectors are dropped from every candidate
+    corpus and an invalid QUERY vector yields an empty result.
+
+    Mirrored in every oracle by the same three-clause SQL guard
+    (queries.FINITE_VEC_SQL). ``x*x > 0`` on non-negative terms is
+    order-independent, so the sum-of-squares > 0 condition reduces to
+    an EXISTS — no fold-order coupling between the engines.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    v = c.cast("array<double>")
+    return (
+        c.isNotNull()
+        & F.forall(v, lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) <= F.lit(_MAX_DOUBLE)))
+        & F.exists(v, lambda x: x * x > 0)
+    )

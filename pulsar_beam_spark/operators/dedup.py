@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.texthash import exploded_nonnull, shingles, tokens
-from ..functions.vector import cosine_sim
+from ..functions.vector import cosine_sim, valid_vector
 
 # Mersenne prime 2^31-1: keeps a*h+b < 2^62 (ANSI-overflow-safe in one
 # 64-bit multiply) while giving a decent universal hash family.
@@ -433,10 +433,14 @@ def embedding_near_dup_all_pairs(
     threshold) — the quadratic ground-truth path, analogous to
     exact_jaccard_pairs: use on samples/buckets only, never a full corpus.
     """
-    # NULL vectors cannot be near-duplicates of anything (their cosine is
-    # NULL, which the oracle's >= threshold likewise excludes) — dropped
-    # up front so the pairing never sees them
-    emb = emb.filter(F.col(vec_col).isNotNull())
+    # invalid vectors (NULL / non-finite / zero-norm) cannot be
+    # near-duplicates of anything: NULL cosine is excluded by the
+    # threshold on both engines, but a zero norm ABORTS Spark's ANSI
+    # division and a NaN component passes the >= threshold filter on
+    # both SQL engines (NaN > t is true there) while numpy-side
+    # prefilters disagree — dropped up front (family contract,
+    # functions.vector.valid_vector)
+    emb = emb.filter(valid_vector(vec_col))
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
     return (
@@ -492,9 +496,12 @@ def embedding_near_dup_pairs(
     from .similarity import _kmeans_centroids
 
     spark = emb.sparkSession
-    # same NULL-vector contract as the all-pairs path (and the GEMM
-    # assignment would crash on a None row)
-    emb = emb.filter(F.col(vec_col).isNotNull())
+    # same invalid-vector contract as the all-pairs path: a None row
+    # crashes the GEMM assignment, and a NaN component propagates
+    # NaN -> Arrow NULL through the angle column, so the cell radius
+    # aggregates to NULL and the cell-pair pruning crashes on None
+    # arithmetic (round-8 float-extremes sweep)
+    emb = emb.filter(valid_vector(vec_col))
     cent = _kmeans_centroids(emb, id_col, vec_col, n_centroids, seed, n_hint=n_hint)
     if cent is None or not len(cent):
         return emb.select(

@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_sim
+from ..functions.vector import cosine_sim, valid_vector
 
 
 def brute_force_topk(
@@ -35,7 +35,12 @@ def brute_force_topk(
 
     ORDER BY + LIMIT lowers to TakeOrderedAndProject: each partition keeps
     k rows, the driver merges partition winners — no global sort shuffle.
+
+    Invalid corpus vectors (NULL / non-finite / zero-norm — see
+    functions.vector.valid_vector) are dropped: a single zero-norm row
+    would abort the whole scan with ANSI DIVIDE_BY_ZERO.
     """
+    emb = emb.filter(valid_vector(vec_col))
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     return (
         emb.select(
@@ -66,7 +71,12 @@ def mips_topk(
     max norm) and the query's MIPS order equals cosine order in the
     augmented space, so ivf_topk / hyperplane_lsh_topk serve MIPS with
     no new index machinery.
+
+    Same invalid-vector drop as brute_force_topk (uniform family domain;
+    a zero-norm vector is valid for a raw inner product but carries no
+    signal, and one rule across the family keeps the contract simple).
     """
+    emb = emb.filter(valid_vector(vec_col))
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     dot = F.aggregate(
         F.zip_with(F.col(vec_col).cast("array<double>"), q, lambda x, y: x * y),
@@ -125,9 +135,10 @@ def _kmeans_centroids(
     n = n_hint if n_hint is not None else emb.count()
     stride = max(1, n // sample_cap)
     rows = (
-        # NULL vectors carry no geometry: excluded from the training
-        # sample (list(None) crashed here on a null-bearing corpus)
-        emb.filter(((F.col(id_col) % stride) == 0) & F.col(vec_col).isNotNull())
+        # invalid vectors carry no geometry: excluded from the training
+        # sample (a NULL row crashed list(); a NaN component would poison
+        # every centroid the numpy iterations touch)
+        emb.filter(((F.col(id_col) % stride) == 0) & valid_vector(vec_col))
         .select(vec_col)
         .limit(sample_cap)
         .collect()
@@ -208,7 +219,14 @@ def ivf_topk(
         for c in cent
     ])
     cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    probed = emb.withColumn("__cell", cell).filter(F.col("__cell").isin(probe_ids))
+    # invalid vectors (NULL/non-finite/zero-norm) never enter a cell:
+    # their NaN dots make argmax engine-dependent and their cosine
+    # aborts the ANSI rank stage
+    probed = (
+        emb.filter(valid_vector(vec_col))
+        .withColumn("__cell", cell)
+        .filter(F.col("__cell").isin(probe_ids))
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     return (
         probed.select(
@@ -250,7 +268,10 @@ def hyperplane_lsh_topk(
         if d > 0:
             qsig |= 1 << i
     sig = _signature_expr(vec_col, planes)
-    bucketed = emb.withColumn("__bucket", sig)
+    # same invalid-vector drop as the IVF path: a NaN dot's sign bit is
+    # engine-dependent (Python says NaN > 0 is False; both SQL engines
+    # say True), so invalid vectors never receive a signature
+    bucketed = emb.filter(valid_vector(vec_col)).withColumn("__bucket", sig)
     probed = bucketed.filter(F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qsig))) <= multiprobe_hamming)
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     return (

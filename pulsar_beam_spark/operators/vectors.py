@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_sim, l2_norm
+from ..functions.vector import cosine_sim, l2_norm, valid_vector
 
 
 def _vd(vec_col: Column | str) -> Column:
@@ -64,7 +64,14 @@ def quantize_vectors(
     int8 code array — everything an index build or a storage layer needs.
 
     One narrow projection; the plan has no exchange of any kind.
+
+    Invalid vectors (NULL / non-finite components / zero norm — the
+    uniform family contract, functions.vector.valid_vector) are dropped:
+    a zero-norm vector makes ``x * 127 / max_abs`` an ANSI
+    DIVIDE_BY_ZERO abort on Spark while DuckDB would yield NULL codes,
+    and non-finite codes are unrepresentable in int8 anyway.
     """
+    emb = emb.filter(valid_vector(vec_col))
     return emb.select(
         F.col(id_col).alias("vec_id"),
         F.size(_vd(vec_col)).cast("int").alias("n_dims"),
@@ -92,6 +99,9 @@ def range_search(
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     cos = cosine_sim(_vd(vec_col), q)
+    # invalid-vector drop (family contract): one zero-norm row would
+    # abort the whole 100 TB scan with ANSI DIVIDE_BY_ZERO
+    emb = emb.filter(valid_vector(vec_col))
     return (
         emb.select(
             F.col(id_col).alias("vec_id"),

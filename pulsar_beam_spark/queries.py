@@ -19,6 +19,7 @@ oracle parity (SURVEY.md §5.2):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -1166,16 +1167,40 @@ SELECT vec_id, round(cos, 6) AS cosine FROM s ORDER BY cos DESC, vec_id LIMIT 10
 
 def _query_vec(emb, vec_id: int) -> list | None:
     """Literal query vector for the ANN entries: the stored embedding of
-    ``vec_id``, or None when the id is missing or its embedding is NULL
-    (ADVICE r07). A None query must NOT be papered over with a dummy
-    vector on a non-empty corpus: the consumers would rank NULL cosines
-    and still emit k rows via LIMIT while the oracles' ``WHERE vec_id =
-    ...`` CTE goes empty — callers collapse to an empty, correctly-typed
-    frame instead (``_ann_entry``)."""
+    ``vec_id``, or None when the id is missing or its embedding is
+    INVALID — NULL (ADVICE r07), any component NULL/non-finite, or zero
+    squared norm (round-8 float-extremes sweep: a NaN query's hyperplane
+    sign bits are computed here in PYTHON, where NaN > 0 is False, while
+    both Spark SQL and DuckDB say True — the LSH probe set silently
+    diverged; a zero norm aborts Spark's ANSI cosine). A None query must
+    NOT be papered over with a dummy vector on a non-empty corpus: the
+    consumers would rank NULL cosines and still emit k rows via LIMIT
+    while the oracles' guarded query CTE goes empty — callers collapse
+    to an empty, correctly-typed frame instead (``_ann_entry``). The
+    oracle mirror is FINITE_VEC_SQL."""
     row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
     if row is None or row["embedding"] is None:
         return None
-    return [float(x) for x in row["embedding"]]
+    vals = []
+    for x in row["embedding"]:
+        if x is None or not math.isfinite(x):
+            return None
+        vals.append(float(x))
+    if not any(v * v > 0 for v in vals):
+        return None
+    return vals
+
+
+def _finite_vec_sql(v: str) -> str:
+    """DuckDB mirror of functions.vector.valid_vector for expression
+    ``v`` (a DOUBLE[]): non-NULL, all components non-NULL and finite,
+    squared norm > 0. ``x*x > 0`` over non-negative terms is
+    order-independent, so no fold-order coupling with Spark."""
+    return (
+        f"({v} IS NOT NULL"
+        f" AND len(list_filter({v}, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
+        f" AND len(list_filter({v}, x -> x * x > 0)) > 0)"
+    )
 
 
 def _ann_entry(emb, vec_id: int, build):
