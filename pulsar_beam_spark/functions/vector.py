@@ -54,8 +54,9 @@ def valid_vector(c: Column | str) -> Column:
     DuckDB: True), so invalid vectors are dropped from every candidate
     corpus and an invalid QUERY vector yields an empty result.
 
-    Mirrored in every oracle by the same three-clause SQL guard
-    (queries.FINITE_VEC_SQL). ``x*x > 0`` on non-negative terms is
+    Mirrored in every vector-family oracle by the same three-clause SQL
+    guard (the ``queries._finite_vec_sql`` builder, spliced into each
+    oracle's corpus and query CTEs). ``x*x > 0`` on non-negative terms is
     order-independent, so the sum-of-squares > 0 condition reduces to
     an EXISTS — no fold-order coupling between the engines.
     """

@@ -1125,8 +1125,25 @@ def q_simhash(spark, sf):
                                   prefix_bits=12, portable=True)
 
 
-EMBED_NEARDUP_ORACLE = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+def _finite_vec_sql(v: str) -> str:
+    """DuckDB mirror of functions.vector.valid_vector for expression
+    ``v`` (a DOUBLE[]): non-NULL, all components non-NULL and finite,
+    squared norm > 0. ``x*x > 0`` over non-negative terms is
+    order-independent, so no fold-order coupling with Spark. Spliced
+    into the corpus/query CTE of EVERY vector-family oracle (ADVICE r08:
+    the guard existed but was not wired in, so a NaN corpus vector made
+    DuckDB rank NaN cosines to the top while the implementation dropped
+    the row — the parity contract held only on clean fixtures)."""
+    return (
+        f"({v} IS NOT NULL"
+        f" AND len(list_filter({v}, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
+        f" AND len(list_filter({v}, x -> x * x > 0)) > 0)"
+    )
+
+
+EMBED_NEARDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), (x, y) -> x + y)
              / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
@@ -1152,14 +1169,16 @@ def q_embed_dup(spark, sf):
     )
 
 
-COSINE_TOPK_ORACLE = """
+COSINE_TOPK_ORACLE = f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
-           WHERE vec_id = 0 AND embedding IS NOT NULL),
-s AS (SELECT e.vec_id,
-             list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], q.qv), x -> x[1] * x[2]), (x, y) -> x + y)
-             / (sqrt(list_reduce(list_transform(e.embedding::DOUBLE[], x -> x * x), (x, y) -> x + y))
+           WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+s AS (SELECT c.vec_id,
+             list_reduce(list_transform(list_zip(c.v, q.qv), x -> x[1] * x[2]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y))
                 * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))) AS cos
-      FROM embeddings e, q)
+      FROM c, q)
 SELECT vec_id, round(cos, 6) AS cosine FROM s ORDER BY cos DESC, vec_id LIMIT 10
 """
 
@@ -1177,7 +1196,7 @@ def _query_vec(emb, vec_id: int) -> list | None:
     consumers would rank NULL cosines and still emit k rows via LIMIT
     while the oracles' guarded query CTE goes empty — callers collapse
     to an empty, correctly-typed frame instead (``_ann_entry``). The
-    oracle mirror is FINITE_VEC_SQL."""
+    oracle mirror is ``_finite_vec_sql`` on the q CTE."""
     row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
     if row is None or row["embedding"] is None:
         return None
@@ -1189,18 +1208,6 @@ def _query_vec(emb, vec_id: int) -> list | None:
     if not any(v * v > 0 for v in vals):
         return None
     return vals
-
-
-def _finite_vec_sql(v: str) -> str:
-    """DuckDB mirror of functions.vector.valid_vector for expression
-    ``v`` (a DOUBLE[]): non-NULL, all components non-NULL and finite,
-    squared norm > 0. ``x*x > 0`` over non-negative terms is
-    order-independent, so no fold-order coupling with Spark."""
-    return (
-        f"({v} IS NOT NULL"
-        f" AND len(list_filter({v}, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
-        f" AND len(list_filter({v}, x -> x * x > 0)) > 0)"
-    )
 
 
 def _ann_entry(emb, vec_id: int, build):
@@ -1252,9 +1259,10 @@ def _ann_lsh_topk_oracle(bits: int = 8, seed: int = 42, dim: int = 64,
     return f"""
 WITH sigs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, {sig_terms} AS sig
-  FROM embeddings),
+  FROM embeddings
+  WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
 q AS (SELECT v AS qv, sig AS qsig FROM sigs
-      WHERE vec_id = 0 AND v IS NOT NULL)
+      WHERE vec_id = 0)
 SELECT s.vec_id, round({cos}, 6) AS cosine
 FROM sigs s, q
 WHERE bit_count(xor(s.sig, q.qsig)) <= {hamming}
@@ -2926,12 +2934,13 @@ def _ann_ivf_topk_oracle(nprobe: int = 4, k: int = 10) -> str:
 WITH cents AS (SELECT * FROM (VALUES
     {cent_rows}) AS t(cell, cv)),
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
-      WHERE vec_id = 0 AND embedding IS NOT NULL),
+      WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
 probe AS (
   SELECT cell FROM cents, q
   ORDER BY list_reduce(list_transform(list_zip(cv, qv), x -> x[1]*x[2]), (x, y) -> x + y) DESC, cell
   LIMIT {nprobe}),
-raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
 d AS (SELECT vec_id, v, [{dots}] AS ds FROM raw),
 assigned AS (SELECT vec_id, v,
                     list_indexof(ds, list_aggregate(ds, 'max')) - 1 AS cell
@@ -3024,9 +3033,10 @@ def _ann_recall_audit_oracle(bits: int = 8, seed: int = 42, dim: int = 64,
     return f"""
 WITH sigs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, {sig_terms} AS sig
-  FROM embeddings),
+  FROM embeddings
+  WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
 q AS (SELECT v AS qv, sig AS qsig FROM sigs
-      WHERE vec_id = 0 AND v IS NOT NULL),
+      WHERE vec_id = 0),
 probed AS (
   SELECT s.vec_id, s.v FROM sigs s, q
   WHERE bit_count(xor(s.sig, q.qsig)) <= {hamming}),
@@ -3050,11 +3060,16 @@ SELECT CAST({k} AS BIGINT) AS k,
         "(VERDICT r03 item 2; same golden-constant strategy as g07_sha1_key)",
 )
 def q_ann_recall_audit(spark, sf):
-    from .functions.vector import cosine_sim
+    from .functions.vector import cosine_sim, valid_vector
     from .operators.similarity import _hyperplanes, _signature_expr
 
     bits, seed, hamming, k = 8, 42, 2, 10
-    emb = T(spark, sf, "embeddings")
+    # same corpus contract as the operators the audit grades: invalid
+    # vectors never receive a signature (a zero-norm row would abort the
+    # exact-cosine rank with ANSI DIVIDE_BY_ZERO, and a NaN dot's sign
+    # bit is engine-dependent); mirrored by _finite_vec_sql in the
+    # oracle's sigs CTE
+    emb = T(spark, sf, "embeddings").filter(valid_vector("embedding"))
     qvec = _query_vec(emb, 0)
     if qvec is None:
         # missing/NULL query vector: the oracle's FROM-less final SELECT
@@ -3870,8 +3885,9 @@ def q_span_dedup(spark, sf):
     return duplicate_span_stats(T(spark, sf, "documents"), span=10)
 
 
-QUANTIZE_ORACLE = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE embedding IS NOT NULL)
+QUANTIZE_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           WHERE {_finite_vec_sql('embedding::DOUBLE[]')})
 SELECT vec_id,
        CAST(len(e) AS INT) AS n_dims,
        sqrt(list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y)) AS norm,
@@ -3893,25 +3909,26 @@ FROM v
         "oracle pins every component",
 )
 def q_vector_quantize(spark, sf):
-    # NULL vectors cannot be quantized (codes/norm/scale undefined):
-    # dropped on both sides
-    return quantize_vectors(
-        T(spark, sf, "embeddings").filter(F.col("embedding").isNotNull())
-    ).select(
+    # invalid vectors (NULL / non-finite / zero-norm) cannot be quantized
+    # (codes/norm/scale undefined): quantize_vectors drops them via
+    # valid_vector; the oracle mirrors with _finite_vec_sql
+    return quantize_vectors(T(spark, sf, "embeddings")).select(
         "vec_id", "n_dims", "norm", "scale",
         F.concat_ws(",", F.transform("codes", lambda x: x.cast("string"))).alias("codes"),
     )
 
 
-RANGE_SEARCH_ORACLE = """
+RANGE_SEARCH_ORACLE = f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
-           WHERE vec_id = 0 AND embedding IS NOT NULL),
-s AS (SELECT e.vec_id,
+           WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+s AS (SELECT c.vec_id,
              round(
-               list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], q.qv), x -> x[1] * x[2]), (x, y) -> x + y)
-               / (sqrt(list_reduce(list_transform(e.embedding::DOUBLE[], x -> x * x), (x, y) -> x + y))
+               list_reduce(list_transform(list_zip(c.v, q.qv), x -> x[1] * x[2]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y))
                   * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))), 6) AS cosine
-      FROM embeddings e, q)
+      FROM c, q)
 SELECT vec_id, cosine FROM s WHERE cosine >= 0.3
 """
 
@@ -4344,18 +4361,24 @@ def q_unigram_lp(spark, sf):
 
 @register(
     "e_mips_topk",
-    """
+    f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
-               WHERE vec_id = 7 AND embedding IS NOT NULL),
-    s AS (SELECT e.vec_id,
-                 list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], q.qv), x -> x[1] * x[2]),
+               WHERE vec_id = 7 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+    s AS (SELECT c.vec_id,
+                 list_reduce(list_transform(list_zip(c.v, q.qv), x -> x[1] * x[2]),
                              (x, y) -> x + y) AS d
-          FROM embeddings e, q)
+          FROM c, q)
     SELECT vec_id, round(d, 6) AS dot FROM s ORDER BY d DESC, vec_id LIMIT 10
     """,
     doc="Similarity: exact max-inner-product top-k (unnormalized retrieval "
         "scores) — TakeOrderedAndProject, join-free; norm-augmentation "
-        "reduction documented for index-served MIPS at scale",
+        "reduction documented for index-served MIPS at scale. The corpus "
+        "CTE mirrors mips_topk's uniform invalid-vector drop (incl. "
+        "zero-norm, which is MIPS-definable but excluded by the family "
+        "contract — ADVICE r08 medium: the exclusion must live on BOTH "
+        "sides or a zero vector can enter the oracle's top-k only)",
 )
 def q_mips(spark, sf):
     emb = T(spark, sf, "embeddings")
@@ -4458,12 +4481,15 @@ def q_histogram(spark, sf):
 
 @register(
     "e_grouped_topk",
-    """
-    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id < 5 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
     s AS (SELECT q.qid, e.vec_id,
-                 list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], q.qv), x -> x[1] * x[2]),
+                 list_reduce(list_transform(list_zip(e.v, q.qv), x -> x[1] * x[2]),
                              (x, y) -> x + y) AS d
-          FROM embeddings e, q WHERE e.vec_id != q.qid),
+          FROM e, q WHERE e.vec_id != q.qid),
     r AS (SELECT qid, vec_id, d,
                  row_number() OVER (PARTITION BY qid ORDER BY d DESC, vec_id) AS rn
           FROM s)
@@ -4475,10 +4501,15 @@ def q_histogram(spark, sf):
         "broadcast the query side, one codegen'd dot per (query, "
         "candidate), rank window partitioned by query. At 100 TB the "
         "corpus never shuffles: queries broadcast, per-query rank is a "
-        "partial TakeOrdered under the window. Self-matches excluded.",
+        "partial TakeOrdered under the window. Self-matches excluded. "
+        "Both the query set and the corpus apply the family-wide "
+        "invalid-vector drop (valid_vector / _finite_vec_sql): a NaN dot "
+        "ranks engine-dependently and would poison the per-query window.",
 )
 def q_grouped_topk(spark, sf):
-    emb = T(spark, sf, "embeddings")
+    from .functions.vector import valid_vector
+
+    emb = T(spark, sf, "embeddings").filter(valid_vector("embedding"))
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").cast("array<double>").alias("qv")
     )
@@ -8415,7 +8446,10 @@ _ROUND3_VERIFIED = frozenset({
     "r_funnel_sequence", "d_fuzzy_name_pairs", "l_zorder_layout",
     # r10_asof_forward re-fronted (round 7): asof.py atomic struct carry.
     "t_unigram_logprob",
-    "r_ewma_smoothing", "r_histogram_bins", "e_grouped_topk",
+    # e_grouped_topk re-fronted (round 9): query+corpus sides gained the
+    # family-wide valid_vector drop, mirrored by _finite_vec_sql in the
+    # oracle (ADVICE r08 — a NaN corpus vector ranked engine-dependently).
+    "r_ewma_smoothing", "r_histogram_bins",
     "r_partial_agg_merge", "r_robust_stats", "r_union_by_name",
     "sql_shared_dialect_not_in", "r_cohort_retention", "r_market_basket",
     "pipeline_rag_index", "r_data_quality_audit", "t_keyword_extraction",
@@ -8530,8 +8564,13 @@ _ROUND6_VERIFIED = frozenset({
 # re-fronted by the round-7 self-probe/fuzz fixes (asof struct carry,
 # NULL-vector contracts, t_sentence_stats) + the stalest r01/r02 greens).
 _ROUND7_VERIFIED = frozenset({
-    "r30_ngram_jaccard_pairs", "d_embedding_near_dup",
-    "r34_pandas_grouped_map", "r34_pandas_grouped_agg", "e_vector_quantize",
+    # d_embedding_near_dup and e_vector_quantize re-fronted (round 9):
+    # their oracles' corpus CTEs gained the full _finite_vec_sql guard
+    # (was `embedding IS NOT NULL` only — ADVICE r08: a NaN/Inf/zero-norm
+    # corpus vector diverged the oracle from the valid_vector-filtered
+    # implementation).
+    "r30_ngram_jaccard_pairs",
+    "r34_pandas_grouped_map", "r34_pandas_grouped_agg",
     "r10_asof_forward", "r_asof_nearest", "r_pareto_cut",
     "t_sentence_stats", "r_rfm_segmentation", "p_source_overlap_matrix",
     "e_label_margin", "r_abc_xyz", "p_split_leakage", "r10_asof_join",
@@ -8554,12 +8593,41 @@ _ROUND7_VERIFIED = frozenset({
     # frame) — re-fronted for a fresh hash.
 })
 
+# Round-8 driver-green rows (CORRECTNESS_r08.json, hash_match=true; 50/50
+# green, zero reds — the window that cleared the last weak flag: the r08
+# re-fronts (ANN query guards, zero-dof nullif fixes) plus staleness
+# rotation). The six ANN entries (r31_cosine_topk, s_ann_lsh_topk,
+# s_ann_ivf_topk, s_ann_recall_audit, e_range_search, e_mips_topk) and
+# d_embedding_near_dup were r08-green but are intentionally NOT listed:
+# round 9 spliced the full _finite_vec_sql guard into their oracles'
+# corpus and query CTEs (ADVICE r08) — re-fronted for fresh hashes
+# against the guarded oracle text.
+_ROUND8_VERIFIED = frozenset({
+    "r11_stats_aggregates", "r_anova_dow", "tpch_q4_exists_late_ship",
+    "tpch_q2_correlated_min", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q12_priority_by_year",
+    "tpch_q14_promo_effect", "tpch_q16_supplier_part_count",
+    "tpch_q19_disjunctive_filter", "tpch_q22_dormant_customers",
+    "p_deterministic_split", "p_stratified_sample", "p_sequence_packing",
+    "r18_nulls_ordering", "r35_python_udtf", "r23_date_arith",
+    "r27_from_json_struct", "r27_to_json_roundtrip",
+    "sql_shared_dialect_agg", "sql_shared_dialect_window",
+    "pipeline_corpus_curation", "r11_misc_aggregates", "r_unpivot",
+    "r_gap_fill_forward", "t_repetition_scores", "t_pii_scrub",
+    "p_weighted_mix", "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q13_order_distribution", "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers", "r_sessionize_gap", "r_scd2_intervals",
+    "p_decontaminate", "p_chunk_documents", "p_shard_shuffle",
+    "r_merge_upsert", "p_span_dedup", "m_frame_sample", "d_dedup_clusters",
+    "d_incremental_near_dup", "pipeline_curation_clustered",
+})
+
 # name -> most recent round with a hash-green driver row; later sets win.
 _LAST_GREEN: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
      _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
-     _ROUND7_VERIFIED),
+     _ROUND7_VERIFIED, _ROUND8_VERIFIED),
     start=1,
 ):
     for _n in _names:

@@ -295,3 +295,80 @@ def test_null_columns_parity(spark, nullish_sf_dir, name):
     ddf = duck_run(spec.oracle, nullish_sf_dir)
     errs = compare(sdf, ddf)
     assert not errs, f"{name} diverges on NULL-bearing columns: " + "; ".join(errs)
+
+
+# == poisoned-vector gate (ADVICE r08) ===================================
+# NaN / +Inf / zero-norm / NULL-component vectors in the embeddings
+# corpus, and the same poison applied to the anchored QUERY vectors. The
+# Spark operators drop invalid vectors via functions.vector.valid_vector;
+# until round 9 the oracles guarded only `embedding IS NOT NULL`, so on a
+# corpus with one NaN vector DuckDB ranked its NaN cosine to the top of
+# every ORDER BY DESC (NaN sorts greatest in both engines) and passed
+# `cos >= threshold` while the implementation dropped the row — every
+# vector entry's parity contract was fixture-dependent. Round 9 spliced
+# queries._finite_vec_sql into every vector-family oracle's corpus and
+# query CTEs; this gate pins that the two sides now agree on poison.
+
+VEC_FAMILY = [
+    "r31_cosine_topk", "s_ann_lsh_topk", "s_ann_ivf_topk",
+    "s_ann_recall_audit", "e_range_search", "e_mips_topk",
+    "e_vector_quantize", "e_grouped_topk", "d_embedding_near_dup",
+]
+
+# vec_id -> poison kind; "corpus" mode hits non-query rows only, "query"
+# mode hits the anchored query ids (0: brute/lsh/ivf/range, 7: mips,
+# 3: one of e_grouped_topk's five queries)
+_POISON_CORPUS = {10: "nan", 11: "inf", 12: "zero", 13: "null_comp"}
+_POISON_QUERY = {0: "nan", 7: "zero", 3: "inf"}
+
+
+def _poison_vec(vec, kind):
+    vec = list(vec)
+    if kind == "nan":
+        vec[1] = float("nan")
+    elif kind == "inf":
+        vec[2] = float("inf")
+    elif kind == "zero":
+        vec = [0.0] * len(vec)
+    elif kind == "null_comp":
+        vec[0] = None
+    return vec
+
+
+@pytest.fixture(scope="module", params=["corpus", "query"])
+def poisoned_vec_sf_dir(request, tmp_path_factory):
+    poison = _POISON_CORPUS if request.param == "corpus" else _POISON_QUERY
+    d = str(tmp_path_factory.mktemp(f"poison-{request.param}"))
+    t = pq.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    ids = t.column("vec_id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    out = [
+        _poison_vec(e, poison[i]) if i in poison else e
+        for i, e in zip(ids, embs)
+    ]
+    cols = {
+        "vec_id": t.column("vec_id"),
+        "embedding": pa.array(out, t.schema.field("embedding").type),
+        "label": t.column("label"),
+    }
+    pq.write_table(pa.table(cols), os.path.join(d, "embeddings.parquet"))
+    for f in os.listdir(SF_SMOKE):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            shutil.copy(os.path.join(SF_SMOKE, f), os.path.join(d, f))
+    return d
+
+
+@pytest.mark.parametrize("name", VEC_FAMILY)
+def test_poisoned_vector_parity(spark, poisoned_vec_sf_dir, name):
+    spec = REGISTRY[name]
+    sdf = spec.spark(spark, poisoned_vec_sf_dir).toPandas()
+    ddf = duck_run(spec.oracle, poisoned_vec_sf_dir)
+    errs = compare(sdf, ddf)
+    assert not errs, f"{name} diverges on poisoned vectors: " + "; ".join(errs)
+    # the result must also be non-degenerate where a query vector survives:
+    # corpus-mode poison drops 4 corpus rows but every anchored query is
+    # intact, so the top-k entries still return k rows
+    if "corpus" in poisoned_vec_sf_dir and name in (
+        "r31_cosine_topk", "s_ann_lsh_topk", "s_ann_ivf_topk", "e_mips_topk"
+    ):
+        assert len(sdf) > 0
