@@ -1,0 +1,148 @@
+"""Topic-directory compaction manifest — the contract that lets the
+resumable poll cursor (streaming/poll.py) survive file compaction
+without mass-redelivery.
+
+The round-8 verdict flagged the gap: the poll cursor assumes topic files
+are immutable-once-written and only ever added or deleted by retention.
+A compaction that rewrites delivered rows into a NEW file whose footer
+min(event_time) is at or below a subscription's high-water mark would be
+classified as a regression (backfill) file and its rows redelivered —
+at-least-once permits it, but a routine compaction of a deep topic would
+replay history into every subscriber.
+
+The fix is a manifest: ``_compactions.json`` in the topic directory maps
+each compaction OUTPUT file to the SOURCE files it replaced. A consumer
+that meets an unseen output whose constituent sources it has all already
+witnessed adopts the output silently — no redelivery — because its own
+cursor invariant (everything at or below the high-water mark in seen
+files is delivered) transfers verbatim to the merged file. The leading
+underscore keeps the manifest invisible to both Spark's file source
+(hidden-file convention) and the pollers' ``*.parquet`` listings.
+
+Write protocol (``TopicDirStore.compact``): manifest entry FIRST, then
+the output file (tmp + atomic rename), then source deletion. Every crash
+window is safe:
+
+1. entry written, no output — dangling entry, no file; consumers ignore
+   it; the next compact() garbage-collects it.
+2. output written, sources not yet deleted — consumers see output AND
+   sources: the output is EXCLUDED from reads (sources stay
+   authoritative, no duplicate rows); the next compact() finishes the
+   deletes.
+3. some sources deleted — same as 2.
+4. all sources deleted — compaction complete; adoption applies.
+
+The reference's compacted-topic materialization keeps the latest message
+per key server-side (src/db/pulsardb.go:86-127); this manifest is the
+analogous broker-side bookkeeping for the file-backed stand-in, scoped
+to what the file layout needs: provenance, not key semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+MANIFEST = "_compactions.json"
+
+
+def read_manifest(topic_dir: str) -> dict[str, list[str]]:
+    """output filename -> list of source filenames it replaced."""
+    p = os.path.join(topic_dir, MANIFEST)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        d = json.load(f)
+    return {str(k): [str(s) for s in v] for k, v in d.items()}
+
+
+def write_manifest(topic_dir: str, entries: dict[str, list[str]]) -> None:
+    """tmp + os.replace: readers never see a torn manifest; a crash
+    mid-write leaves the previous manifest intact."""
+    p = os.path.join(topic_dir, MANIFEST)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entries, f)
+    os.replace(tmp, p)
+
+
+def incomplete_outputs(
+    manifest: dict[str, list[str]], listing: set[str]
+) -> set[str]:
+    """Outputs whose compaction has not finished deleting its sources.
+    While any direct source is still listed, the sources remain the
+    authoritative copy and the output must be excluded from reads —
+    otherwise every row the output shares with a surviving source is
+    read twice."""
+    return {
+        out for out, srcs in manifest.items()
+        if out in listing and any(s in listing for s in srcs)
+    }
+
+
+def gc_manifest(
+    manifest: dict[str, list[str]], listing: set[str]
+) -> dict[str, list[str]]:
+    """Drop entries no longer needed for provenance resolution.
+
+    An entry is live while its output file exists, or while its output
+    is a (transitive) source of a live entry — a consumer resolving a
+    re-compacted output O2 must still be able to expand the deleted
+    intermediate O1 into the original files its cursor actually saw.
+    Everything else (crash-window danglers, fully superseded chains) is
+    dropped, keeping the manifest bounded by the live compaction tree.
+    """
+    keep: set[str] = set()
+    frontier = [out for out in manifest if out in listing]
+    while frontier:
+        out = frontier.pop()
+        if out in keep:
+            continue
+        keep.add(out)
+        for s in manifest.get(out, ()):
+            if s in manifest and s not in keep:
+                frontier.append(s)
+    return {out: srcs for out, srcs in manifest.items() if out in keep}
+
+
+def constituents_witnessed(
+    name: str,
+    manifest: dict[str, list[str]],
+    witnessed: set[str],
+    draining: dict[str, list[str]],
+) -> tuple[bool, list[str], list[str]]:
+    """Can a subscription adopt compaction output ``name`` without
+    redelivery?
+
+    Walks the provenance tree: each source is satisfied if the
+    subscription already witnessed it (``witnessed`` = its persisted
+    seen-file set) or is still draining it as a regression file
+    (``draining`` = its regress map, whose delivered-id lists must then
+    migrate onto the output); an unknown source that is itself a
+    recorded compaction output recurses. Returns ``(ok, migrated_ids,
+    drained_sources)`` — on ``ok=False`` (some constituent data was
+    never witnessed) the ids/sources are still returned so the caller's
+    conservative fallback can at least avoid redelivering the rows it
+    KNOWS were delivered.
+    """
+    ids: list[str] = []
+    drained: list[str] = []
+    ok = True
+    seen_nodes: set[str] = set()
+    frontier = list(manifest.get(name, ()))
+    while frontier:
+        s = frontier.pop()
+        if s in seen_nodes:
+            continue
+        seen_nodes.add(s)
+        if s in witnessed:
+            continue
+        if s in draining:
+            ids.extend(draining[s])
+            drained.append(s)
+            continue
+        if s in manifest:
+            frontier.extend(manifest[s])
+            continue
+        ok = False
+    return ok, ids, drained

@@ -32,6 +32,13 @@ from datetime import datetime, timezone
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..model.compaction import (
+    gc_manifest,
+    incomplete_outputs,
+    read_manifest,
+    write_manifest,
+)
+
 _ARROW_SCHEMA = pa.schema(
     [
         pa.field("message_id", pa.string(), nullable=False),
@@ -141,15 +148,50 @@ class TopicDirStore:
 
     def scan(self, topic_fn: str, after_file: str | None = None) -> tuple[list[dict], str | None]:
         """Read messages from files newer than ``after_file`` (exclusive),
-        in filename (≙ produce) order. Returns (rows, last_file_seen)."""
+        in filename (≙ produce) order. Returns (rows, last_file_seen).
+
+        Compaction awareness: outputs whose sources are still on disk are
+        skipped (the sources remain authoritative — crash window 2/3 in
+        model/compaction.py), and a completed compaction output is skipped
+        when ALL its (transitively resolved) constituents sort at or
+        before ``after_file`` — those rows were already scanned under
+        their original filenames; re-reading the merged file would
+        redeliver them into the SSE stream."""
         d = self.topic_dir(topic_fn)
-        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        listing = set(f for f in os.listdir(d) if f.endswith(".parquet"))
+        manifest = read_manifest(d)
+        skip = incomplete_outputs(manifest, listing)
+        if after_file is not None:
+            for out in manifest:
+                if out in listing and out not in skip and out > after_file:
+                    leaves = self._resolve_leaves(manifest, out)
+                    if leaves and all(s <= after_file for s in leaves):
+                        skip.add(out)
+        files = sorted(f for f in listing if f not in skip)
         if after_file is not None:
             files = [f for f in files if f > after_file]
         rows: list[dict] = []
         for f in files:
             rows.extend(pq.read_table(os.path.join(d, f)).to_pylist())
         return rows, (files[-1] if files else after_file)
+
+    @staticmethod
+    def _resolve_leaves(manifest: dict[str, list[str]], out: str) -> list[str]:
+        """Transitively expand a compaction output to the original
+        (non-output) filenames it replaced."""
+        leaves: list[str] = []
+        frontier = list(manifest.get(out, ()))
+        seen: set[str] = set()
+        while frontier:
+            s = frontier.pop()
+            if s in seen:
+                continue
+            seen.add(s)
+            if s in manifest:
+                frontier.extend(manifest[s])
+            else:
+                leaves.append(s)
+        return leaves
 
     @staticmethod
     def _footer_bounds(path: str) -> tuple | None:
@@ -186,7 +228,11 @@ class TopicDirStore:
         result is exactly the unpruned sort. Only footers (O(metadata))
         are touched for the skipped tail."""
         d = self.topic_dir(topic_fn)
-        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        listing = set(f for f in os.listdir(d) if f.endswith(".parquet"))
+        # an unfinished compaction's output would double every row it
+        # shares with a still-present source (crash window 2/3)
+        skip = incomplete_outputs(read_manifest(d), listing)
+        files = sorted(f for f in listing if f not in skip)
         metas = []
         for f in files:
             b = self._footer_bounds(os.path.join(d, f))
@@ -218,3 +264,90 @@ class TopicDirStore:
         if not batch:
             return None
         return {"limit": batch_size, "size": len(batch), "messages": batch}
+
+    # -- compaction -----------------------------------------------------
+
+    @staticmethod
+    def _us(dt) -> int:
+        # pyarrow surfaces timestamp(us) stats as naive datetime; the
+        # store writes naive-UTC timestamps, and every consumer converts
+        # with the same .timestamp() call, so comparisons are consistent
+        return int(dt.timestamp() * 1e6) if hasattr(dt, "timestamp") else int(dt)
+
+    def compact(
+        self,
+        topic_fn: str,
+        watermark_us: int,
+        min_files: int = 2,
+    ) -> dict:
+        """Merge fully-delivered small files into one sorted file.
+
+        Eligibility: a file whose parquet-footer max(event_time) is
+        STRICTLY below ``watermark_us`` and whose footer carries stats
+        (stats-less files are skipped — their bounds are unknowable
+        without a row read). The caller supplies the watermark as the
+        minimum ``poll_low_water_mark`` across every live subscription
+        (streaming/poll.py): below that mark every row is delivered for
+        every cursor, so the merge can never move an undelivered row.
+        With a compliant watermark a resumable poll across the
+        compaction is exactly-once (the cursor adopts the output via the
+        manifest provenance in model/compaction.py); a watermark that
+        violates the contract degrades to at-least-once, never loss.
+
+        Crash-safe ordering (model/compaction.py): repair any prior
+        unfinished compaction, garbage-collect the manifest, append the
+        new entry, write the output via tmp+rename, then delete sources.
+        Idempotent — rerunning after any crash converges.
+
+        At 100 TB this is the file-count bound for `server.store`'s
+        one-file-per-flush firehose layout: each compact() pass folds
+        the delivered prefix into one file, so the directory holds
+        O(undelivered backlog / flush size) files plus one, and the
+        poll's O(#files) listing and footer reads stay flat. The
+        reference's broker compacts per-key server-side
+        (src/db/pulsardb.go:86-127); this is the positional analogue
+        for the file-backed stand-in.
+        """
+        with self._lock:
+            self._flush_locked()
+        d = self.topic_dir(topic_fn)
+        listing = set(f for f in os.listdir(d) if f.endswith(".parquet"))
+        manifest = read_manifest(d)
+
+        # repair: finish deleting sources of completed outputs
+        repaired = 0
+        for out, srcs in manifest.items():
+            if out in listing:
+                for s in srcs:
+                    if s in listing:
+                        os.unlink(os.path.join(d, s))
+                        listing.discard(s)
+                        repaired += 1
+        manifest = gc_manifest(manifest, listing)
+
+        candidates = []
+        for f in sorted(listing):
+            b = self._footer_bounds(os.path.join(d, f))
+            if b is not None and self._us(b[1]) < watermark_us:
+                candidates.append(f)
+        if len(candidates) < min_files:
+            if repaired:
+                write_manifest(d, manifest)
+            return {"merged": 0, "output": None, "repaired": repaired}
+
+        tables = [pq.read_table(os.path.join(d, f)) for f in candidates]
+        merged = pa.concat_tables(tables).sort_by(
+            [("event_time", "ascending"), ("message_id", "ascending")]
+        )
+        out_name = f"part-{time.time_ns():020d}-compact.parquet"
+        out_path = os.path.join(d, out_name)
+        # manifest entry BEFORE the output becomes visible: an output
+        # with no manifest entry and live sources would double-read
+        manifest[out_name] = candidates
+        write_manifest(d, manifest)
+        pq.write_table(merged, out_path + ".tmp")
+        os.replace(out_path + ".tmp", out_path)
+        for f in candidates:
+            os.unlink(os.path.join(d, f))
+        return {"merged": len(candidates), "output": out_name,
+                "rows": merged.num_rows, "repaired": repaired}

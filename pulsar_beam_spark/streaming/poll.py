@@ -37,6 +37,21 @@ retires from the cursor once all its rows at or before the high-water
 mark are delivered. Matches the reference's per-message ``consumer.Ack``
 (sse-broker.go:48-57), which never relies on a time order at all.
 
+COMPACTION (VERDICT r08 item 1): the cursor's file-set machinery assumes
+files are immutable once written; without extra bookkeeping a compaction
+that rewrites delivered rows into a new file whose footer min is at or
+below the high-water mark would classify it as a regression file and
+mass-redeliver history. The contract is the provenance manifest in
+model/compaction.py: ``TopicDirStore.compact`` records output->sources
+before the output becomes visible, and this poll (a) excludes outputs
+whose sources are still on disk (unfinished compaction — the sources
+stay authoritative), and (b) ADOPTS a completed output whose
+constituents were all witnessed by this cursor, with delivered-id sets
+of still-draining constituents migrating onto the output. Exactly-once
+holds when compact() runs with a watermark at or below every
+subscription's ``poll_low_water_mark``; a violated watermark degrades
+to at-least-once (documented in the adoption branch), never loss.
+
 Cursor size: ``seen_files`` is rewritten as the CURRENT directory
 listing each poll (files deleted by topic retention drop out), so the
 cursor is bounded by the live file count — the same O(#files) the file
@@ -59,6 +74,11 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..model.compaction import (
+    constituents_witnessed,
+    incomplete_outputs,
+    read_manifest,
+)
 from ..model.message import MESSAGE_SCHEMA
 
 _CURSOR = "CURSOR"
@@ -157,12 +177,22 @@ def bounded_poll(
     # listing and the read may deliver rows this poll, but it is NOT
     # recorded as seen, so the next poll re-examines it (its delivered
     # rows are tracked in the regression id-set below — no redelivery,
-    # no loss)
-    visible: list[str] = []
-    if checkpoint_dir:
-        visible = sorted(
-            f for f in os.listdir(source_dir) if f.endswith(".parquet")
-        ) if os.path.isdir(source_dir) else []
+    # no loss). The compaction manifest is read AFTER the listing: a
+    # compaction finishing in between leaves either sources-without-entry
+    # (their below-cursor rows deliver nothing anyway) or entry-without-
+    # output-listed (irrelevant until the output is listed next poll) —
+    # never an unexplained output.
+    listing: list[str] = sorted(
+        f for f in os.listdir(source_dir) if f.endswith(".parquet")
+    ) if os.path.isdir(source_dir) else []
+    manifest = read_manifest(source_dir) if os.path.isdir(source_dir) else {}
+    # an unfinished compaction's output shares every row with its still-
+    # present sources (crash windows 2/3, model/compaction.py): exclude
+    # it from this poll entirely — the sources stay authoritative and
+    # the output is NOT recorded as seen, so the poll after the deletes
+    # finish runs the adoption check normally.
+    incomplete = incomplete_outputs(manifest, set(listing))
+    visible = [f for f in listing if f not in incomplete]
 
     regress: dict[str, list[str]] = {}
     hwm: tuple[int, str] | None = None
@@ -174,6 +204,35 @@ def bounded_poll(
         seen = set(cursor["seen_files"]) if cursor["seen_files"] is not None else set(visible)
         for f in visible:
             if f in seen or f in regress:
+                continue
+            if f in manifest:
+                # compaction output: if every constituent source was
+                # already witnessed (seen, or draining with its delivered
+                # ids migrated here), the cursor invariant — everything
+                # at/below the mark in witnessed files is delivered —
+                # transfers to the merged file, so adopt it WITHOUT the
+                # regression redelivery the footer-min check below would
+                # trigger. Draining constituents keep draining through
+                # the migrated id boundary (with a non-compliant
+                # compaction watermark this corner redelivers at most
+                # the co-compacted already-delivered rows: at-least-once,
+                # never loss). Unknown constituents (a file compacted
+                # before this subscription ever listed it) fall through
+                # to the conservative regression path, still carrying
+                # the migrated ids.
+                ok, ids, drained = constituents_witnessed(
+                    f, manifest, seen, regress)
+                for s in drained:
+                    del regress[s]  # source deleted on disk; ids migrate
+                if ok and not ids:
+                    seen.add(f)
+                    continue
+                if ok:
+                    regress[f] = ids
+                    continue
+                lo = _footer_min_us(os.path.join(source_dir, f))
+                if lo is None or lo <= hwm[0]:
+                    regress[f] = ids
                 continue
             lo = _footer_min_us(os.path.join(source_dir, f))
             if lo is None or lo <= hwm[0]:
@@ -205,7 +264,19 @@ def bounded_poll(
     reader = spark.readStream.schema(MESSAGE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # a compliant compact() only deletes files every cursor has fully
+    # consumed, so a source vanishing between the stream's own listing
+    # and its read carries no undelivered rows — skip, don't abort
+    reader = reader.option("ignoreMissingFiles", "true")
     stream = reader.parquet(source_dir)
+    if incomplete:
+        # crash windows 2/3: rows in these outputs still live in their
+        # sources; reading both would duplicate (applies to stateless
+        # polls too, hence outside the cursor branch)
+        stream = stream.where(
+            ~F.element_at(F.split(F.input_file_name(), "/"), -1)
+            .isin(list(incomplete))
+        )
     if hwm is not None:
         c_us, c_id = hwm
         c_ts = F.timestamp_micros(F.lit(c_us))
@@ -273,7 +344,17 @@ def bounded_poll(
         # no delivered ids and REDELIVER everything at/below the mark.
         for f in list(regress):
             path = os.path.join(source_dir, f)
-            if f in visible_set and os.path.exists(path) and len(
+            if not os.path.exists(path):
+                # gone from disk AND from the listing: deleted by
+                # retention (its undelivered rows are gone by explicit
+                # policy) or compacted away before this poll adopted it
+                # (its ids migrated above). A file delivered under the
+                # listing race still exists — keep it until a listing
+                # actually sees it.
+                if f not in visible_set:
+                    del regress[f]
+                continue
+            if f in visible_set and len(
                 set(regress[f])
             ) >= _file_rows_le(path, new_hwm[0], new_hwm[1]):
                 del regress[f]
@@ -288,6 +369,43 @@ def bounded_poll(
         del r["_us"]
         del r["_file"]
     return {"limit": batch_size, "size": len(batch), "messages": batch}
+
+
+def poll_low_water_mark(checkpoint_dir: str, source_dir: str) -> int | None:
+    """The earliest undelivered position of one resumable subscription,
+    in unix-micros — the SAFE COMPACTION WATERMARK for that subscription:
+    every row with event_time strictly below it has been delivered, so
+    ``TopicDirStore.compact(topic, watermark_us=...)`` may merge any file
+    whose footer max(event_time) is strictly below it without moving an
+    undelivered row. An operator compacting a topic with several live
+    subscriptions passes the MINIMUM across their checkpoints.
+
+    With no draining regression files this is the cursor's high-water
+    event time (rows AT that microsecond may still be undelivered via
+    the message_id tie-break, which is why both sides are strict);
+    draining files pull it back to their earliest undelivered row —
+    a bounded two-column read per still-draining file.
+
+    None = no cursor yet (nothing may be compacted for this
+    subscription: it still expects the full history).
+    """
+    cursor = _read_cursor(checkpoint_dir)
+    if cursor is None:
+        return None
+    hwm_us, hwm_id = cursor["event_time_us"], cursor["message_id"]
+    lw = hwm_us
+    for f, ids in cursor["regress"].items():
+        path = os.path.join(source_dir, f)
+        if not os.path.exists(path):
+            continue
+        delivered = set(ids)
+        t = pq.read_table(path, columns=["event_time", "message_id"])
+        for et, mid in zip(t.column("event_time").to_pylist(),
+                           t.column("message_id").to_pylist()):
+            us = int(et.timestamp() * 1e6)
+            if (us, mid) <= (hwm_us, hwm_id) and mid not in delivered:
+                lw = min(lw, us)
+    return lw
 
 
 def poll_json(spark: SparkSession, source_dir: str, batch_size: int = 10) -> str | None:

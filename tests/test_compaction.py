@@ -1,0 +1,371 @@
+"""Compaction × resumable-poll contract goldens (VERDICT r08 item 1).
+
+The poll cursor (streaming/poll.py) tracks a seen-file set and assumed
+files were immutable once written; a compaction rewriting delivered rows
+into a new file with an old footer min would have been classified as a
+regression (backfill) file and redelivered history. These goldens pin
+the manifest contract (model/compaction.py + TopicDirStore.compact):
+
+- a resumable poll across a compaction delivers each message EXACTLY
+  once (the reference's per-message ack semantics, sse-broker.go:48-57,
+  carried across a broker-side rewrite);
+- every compact() crash window (entry-only / output+sources / partial
+  deletes) neither loses nor duplicates;
+- a draining backfill file is never merged under a compliant
+  poll_low_water_mark watermark;
+- sustained firehose: the file count stays bounded across
+  append/poll/compact cycles (the 100 TB ops story for the
+  one-file-per-flush store layout);
+- the protocol-layer scan (SSE) skips outputs it has fully scanned
+  under their original names.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta
+
+import pyarrow.parquet as pq
+import pytest
+
+from pulsar_beam_spark.model.compaction import (
+    MANIFEST,
+    gc_manifest,
+    incomplete_outputs,
+    read_manifest,
+    write_manifest,
+)
+from pulsar_beam_spark.server.store import TopicDirStore
+from pulsar_beam_spark.streaming.poll import bounded_poll, poll_low_water_mark
+
+TOPIC = "persistent://t/ns/compact"
+
+
+def _store(tmp_path, name="store"):
+    return TopicDirStore(str(tmp_path / name), flush_interval_s=None)
+
+
+def _produce(store, n, prefix="m"):
+    ids = []
+    for i in range(n):
+        ids.append(store.append(TOPIC, f"{prefix}-{i}".encode(), key=str(i)))
+    return ids
+
+
+def _ids(out):
+    return [] if out is None else [m["message_id"] for m in out["messages"]]
+
+
+def _drain(spark, d, ckpt, batch_size=10, max_polls=50):
+    got = []
+    for _ in range(max_polls):
+        out = bounded_poll(spark, d, batch_size=batch_size, checkpoint_dir=ckpt)
+        if out is None:
+            return got
+        got.extend(_ids(out))
+    raise AssertionError("poll did not drain")
+
+
+def _parquet_files(d):
+    return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def test_poll_across_compaction_exactly_once(spark, tmp_path):
+    """The headline golden: 25 one-row files, poll 10, compact the
+    delivered prefix, keep polling — every message exactly once and the
+    compacted file is adopted, not redelivered."""
+    store = _store(tmp_path)
+    all_ids = _produce(store, 25)
+    d = store.topic_dir(TOPIC)
+    ckpt = str(tmp_path / "ckpt")
+
+    p1 = _ids(bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt))
+    assert p1 == all_ids[:10]
+
+    lw = poll_low_water_mark(ckpt, d)
+    res = store.compact(TOPIC, watermark_us=lw)
+    assert res["merged"] >= 2, "the delivered prefix must be compactable"
+    assert res["output"] in _parquet_files(d)
+
+    rest = _drain(spark, d, ckpt, batch_size=10)
+    assert p1 + rest == all_ids, "exactly-once across the compaction"
+    # and the adopted output never redelivers afterwards
+    assert bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt) is None
+
+
+def test_compaction_between_every_poll(spark, tmp_path):
+    """Compacting after EACH poll (the steady-state ops loop) still
+    yields exactly-once and a bounded file count."""
+    store = _store(tmp_path)
+    all_ids = _produce(store, 30)
+    d = store.topic_dir(TOPIC)
+    ckpt = str(tmp_path / "ckpt")
+
+    got = []
+    for _ in range(10):
+        out = bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt)
+        if out is None:
+            break
+        got.extend(_ids(out))
+        lw = poll_low_water_mark(ckpt, d)
+        store.compact(TOPIC, watermark_us=lw)
+    assert got == all_ids
+    assert bounded_poll(spark, d, batch_size=5, checkpoint_dir=ckpt) is None
+
+
+def test_recompaction_chain_transitive_adoption(spark, tmp_path):
+    """compact -> produce -> poll -> compact again: the second output's
+    sources include the first output; the cursor resolves provenance
+    transitively and adopts without redelivery."""
+    store = _store(tmp_path)
+    ids1 = _produce(store, 12)
+    d = store.topic_dir(TOPIC)
+    ckpt = str(tmp_path / "ckpt")
+
+    p1 = _ids(bounded_poll(spark, d, batch_size=12, checkpoint_dir=ckpt))
+    assert p1 == ids1
+    store.compact(TOPIC, watermark_us=poll_low_water_mark(ckpt, d))
+
+    ids2 = _produce(store, 6, prefix="n")
+    p2 = _ids(bounded_poll(spark, d, batch_size=12, checkpoint_dir=ckpt))
+    assert p2 == ids2
+    # second compaction merges the first output with the new files
+    res = store.compact(TOPIC, watermark_us=poll_low_water_mark(ckpt, d))
+    assert res["merged"] >= 2
+    manifest = read_manifest(d)
+    assert any(
+        s in manifest or s.endswith("-compact.parquet")
+        for srcs in manifest.values() for s in srcs
+    ), "the chain must reference the prior output"
+    assert bounded_poll(spark, d, batch_size=12, checkpoint_dir=ckpt) is None
+
+
+def test_crash_window_output_and_sources_both_visible(spark, tmp_path):
+    """Crash after the output rename, before source deletion: the output
+    is excluded (sources authoritative) — no duplicates; the next
+    compact() repairs, after which the output is adopted."""
+    store = _store(tmp_path)
+    all_ids = _produce(store, 10)
+    d = store.topic_dir(TOPIC)
+    ckpt = str(tmp_path / "ckpt")
+    p1 = _ids(bounded_poll(spark, d, batch_size=6, checkpoint_dir=ckpt))
+
+    # simulate the crash: run a real compaction, then restore the sources
+    before = set(_parquet_files(d))
+    res = store.compact(TOPIC, watermark_us=poll_low_water_mark(ckpt, d))
+    assert res["merged"] >= 2
+    out = res["output"]
+    # re-create the deleted sources from the merged output's rows
+    t = pq.read_table(os.path.join(d, out))
+    srcs = read_manifest(d)[out]
+    per = t.num_rows // len(srcs)
+    for i, s in enumerate(srcs):
+        lo = i * per
+        hi = t.num_rows if i == len(srcs) - 1 else lo + per
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(d, s))
+    assert set(_parquet_files(d)) == before | {out}
+
+    # a poll in this state must not duplicate: output excluded
+    p2 = _ids(bounded_poll(spark, d, batch_size=20, checkpoint_dir=ckpt))
+    assert p1 + p2 == all_ids
+
+    # repair finishes the deletes; polls stay clean
+    res2 = store.compact(TOPIC, watermark_us=0)
+    assert res2["repaired"] == len(srcs)
+    assert not any(s in _parquet_files(d) for s in srcs)
+    assert bounded_poll(spark, d, batch_size=20, checkpoint_dir=ckpt) is None
+
+
+def test_crash_window_dangling_manifest_entry(spark, tmp_path):
+    """Crash after the manifest write, before the output file exists:
+    consumers ignore the dangling entry; the next compact() GCs it and
+    completes a fresh compaction."""
+    store = _store(tmp_path)
+    all_ids = _produce(store, 8)
+    d = store.topic_dir(TOPIC)
+    ckpt = str(tmp_path / "ckpt")
+    p1 = _ids(bounded_poll(spark, d, batch_size=8, checkpoint_dir=ckpt))
+    assert p1 == all_ids
+
+    files = _parquet_files(d)
+    write_manifest(d, {"part-99999999999999999999-compact.parquet": files[:3]})
+    # poll unaffected by the dangler
+    assert bounded_poll(spark, d, batch_size=8, checkpoint_dir=ckpt) is None
+
+    res = store.compact(TOPIC, watermark_us=poll_low_water_mark(ckpt, d))
+    # the file holding the row AT the high-water microsecond is excluded
+    # by the strict watermark (its message_id tie-break could hide an
+    # undelivered row); everything before it merges
+    assert res["merged"] == len(files) - 1
+    manifest = read_manifest(d)
+    assert "part-99999999999999999999-compact.parquet" not in manifest
+    assert bounded_poll(spark, d, batch_size=8, checkpoint_dir=ckpt) is None
+
+
+def test_draining_backfill_never_compacted_under_compliant_watermark(spark, tmp_path):
+    """A backfill (regression) file still draining pulls the low-water
+    mark back to its earliest undelivered row, so a compliant compact()
+    leaves it alone and the drain finishes exactly-once."""
+    import pyarrow as pa
+
+    from pulsar_beam_spark.model.message import MESSAGE_SCHEMA
+
+    store = _store(tmp_path)
+    live_ids = _produce(store, 10)
+    d = store.topic_dir(TOPIC)
+    ckpt = str(tmp_path / "ckpt")
+    p1 = _ids(bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt))
+    assert p1 == live_ids
+
+    # backfill stamped BEFORE the cursor, written directly (a second
+    # producer process): 6 rows, drained 2 at a time
+    t0 = datetime(2020, 1, 1)
+    rows = [
+        (f"bf-{i}", TOPIC, str(i), b"x", t0 + timedelta(seconds=i),
+         t0 + timedelta(seconds=i), {})
+        for i in range(6)
+    ]
+    spark.createDataFrame(rows, MESSAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d)
+
+    p = _ids(bounded_poll(spark, d, batch_size=2, checkpoint_dir=ckpt))
+    assert p == ["bf-0", "bf-1"]
+
+    # low-water is now the earliest UNDELIVERED backfill row (bf-2):
+    lw = poll_low_water_mark(ckpt, d)
+    assert lw == int(rows[2][4].timestamp() * 1e6)
+    res = store.compact(TOPIC, watermark_us=lw)
+    # nothing strictly below bf-2 except the drained part of the
+    # backfill file itself — whose max exceeds the watermark
+    backfill_files = [f for f in _parquet_files(d) if not f.startswith("part-")]
+    assert all(
+        f not in (read_manifest(d).get(res["output"]) or [])
+        for f in backfill_files
+    )
+    rest = _drain(spark, d, ckpt, batch_size=2)
+    assert rest == [f"bf-{i}" for i in range(2, 6)]
+
+
+def test_multi_subscription_min_watermark(spark, tmp_path):
+    """Two cursors at different positions: compacting at the MIN of
+    their low-water marks keeps both exactly-once."""
+    store = _store(tmp_path)
+    all_ids = _produce(store, 20)
+    d = store.topic_dir(TOPIC)
+    fast, slow = str(tmp_path / "fast"), str(tmp_path / "slow")
+
+    f1 = _ids(bounded_poll(spark, d, batch_size=15, checkpoint_dir=fast))
+    s1 = _ids(bounded_poll(spark, d, batch_size=5, checkpoint_dir=slow))
+    lw = min(poll_low_water_mark(fast, d), poll_low_water_mark(slow, d))
+    res = store.compact(TOPIC, watermark_us=lw)
+    assert res["merged"] >= 2, "the slow cursor's delivered prefix compacts"
+
+    f_rest = _drain(spark, d, fast, batch_size=15)
+    s_rest = _drain(spark, d, slow, batch_size=5)
+    assert f1 + f_rest == all_ids
+    assert s1 + s_rest == all_ids
+
+
+def test_sustained_firehose_file_count_bounded(spark, tmp_path):
+    """The ops loop that motivated the contract: sustained one-row
+    flushes with periodic compaction keep the topic directory at
+    O(undelivered backlog) files instead of O(total messages)."""
+    store = _store(tmp_path)
+    d = store.topic_dir(TOPIC)
+    ckpt = str(tmp_path / "ckpt")
+    got = []
+    expected = []
+    peak = 0
+    for cycle in range(5):
+        expected += _produce(store, 8, prefix=f"c{cycle}")
+        out = bounded_poll(spark, d, batch_size=8, checkpoint_dir=ckpt)
+        got.extend(_ids(out))
+        store.compact(TOPIC, watermark_us=poll_low_water_mark(ckpt, d))
+        peak = max(peak, len(_parquet_files(d)))
+    assert got == expected
+    # 8 undelivered-at-poll-time files + 1 compacted history file is the
+    # steady state; allow the pre-compaction peak within a cycle
+    assert len(_parquet_files(d)) <= 2
+    assert peak <= 10, f"file count must stay bounded, saw {peak}"
+    assert bounded_poll(spark, d, batch_size=8, checkpoint_dir=ckpt) is None
+
+
+def test_stateless_poll_skips_incomplete_output(spark, tmp_path):
+    """A cursorless (NonResumable) poll during crash window 2 must not
+    see duplicated rows."""
+    store = _store(tmp_path)
+    ids = _produce(store, 6)
+    d = store.topic_dir(TOPIC)
+    files = _parquet_files(d)
+    # hand-build an in-progress compaction: output + manifest, sources kept
+    t = pq.read_table(os.path.join(d, files[0]))
+    for f in files[1:3]:
+        t = __import__("pyarrow").concat_tables(
+            [t, pq.read_table(os.path.join(d, f))])
+    out = "part-99999999999999999998-compact.parquet"
+    write_manifest(d, {out: files[:3]})
+    pq.write_table(t, os.path.join(d, out))
+
+    p = bounded_poll(spark, d, batch_size=20, checkpoint_dir=None)
+    assert _ids(p) == ids, "no duplicates from the incomplete output"
+    # protocol-layer poll agrees
+    env = store.poll(TOPIC, batch_size=20)
+    assert [m["message_id"] for m in env["messages"]] == ids
+
+
+def test_scan_skips_fully_scanned_compaction_output(tmp_path):
+    """SSE protocol layer: a consumer positioned past the sources must
+    not re-read their rows from the merged output."""
+    store = _store(tmp_path)
+    ids = _produce(store, 6)
+    d = store.topic_dir(TOPIC)
+
+    rows1, pos = store.scan(TOPIC)
+    assert [r["message_id"] for r in rows1] == ids
+
+    res = store.compact(TOPIC, watermark_us=2**62)
+    assert res["merged"] == 6
+    rows2, pos2 = store.scan(TOPIC, after_file=pos)
+    assert rows2 == [], "compacted history must not replay into SSE"
+
+    more = _produce(store, 2, prefix="n")
+    rows3, _ = store.scan(TOPIC, after_file=pos2)
+    assert [r["message_id"] for r in rows3] == more
+
+
+def test_compact_noop_without_enough_candidates(tmp_path):
+    store = _store(tmp_path)
+    _produce(store, 1)
+    res = store.compact(TOPIC, watermark_us=2**62)
+    assert res["merged"] == 0 and res["output"] is None
+
+
+def test_gc_manifest_keeps_chain_reachable():
+    manifest = {"c2": ["c1", "f3"], "c1": ["f1", "f2"],
+                "dead": ["g1", "g2"]}
+    live = gc_manifest(manifest, {"c2", "f4"})
+    assert set(live) == {"c2", "c1"}, "c1 is provenance for live c2; dead drops"
+
+
+def test_incomplete_outputs_detection():
+    manifest = {"c1": ["f1", "f2"]}
+    assert incomplete_outputs(manifest, {"c1", "f1"}) == {"c1"}
+    assert incomplete_outputs(manifest, {"c1"}) == set()
+    assert incomplete_outputs(manifest, {"f1", "f2"}) == set()
+
+
+def test_manifest_hidden_from_spark_and_listings(spark, tmp_path):
+    """The manifest file must be invisible to every reader of the topic
+    directory (underscore convention)."""
+    store = _store(tmp_path)
+    ids = _produce(store, 4)
+    d = store.topic_dir(TOPIC)
+    store.compact(TOPIC, watermark_us=2**62)
+    assert os.path.exists(os.path.join(d, MANIFEST))
+    # batch read sees only the rows
+    df = spark.read.schema(
+        __import__("pulsar_beam_spark.model.message",
+                   fromlist=["MESSAGE_SCHEMA"]).MESSAGE_SCHEMA
+    ).parquet(d)
+    assert df.count() == len(ids)
