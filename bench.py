@@ -133,6 +133,79 @@ def bench_stream_fanout(spark, n: int = 50_000) -> float:
     return dt
 
 
+def bench_gateway_ingest(n: int = 10_000, clients: int = 32) -> float:
+    """HTTP ingest throughput (G1 — the reference's firehose): ``n``
+    POSTs from ``clients`` keep-alive connections through the full
+    middleware chain (route dispatch, noauth, the 200-permit semaphore
+    admission of middleware.go:17) into the async append path of
+    TopicDirStore (buffered rows, timer flush — SendAsync's shape).
+    Returns wall seconds; the driver records reqs/s alongside.
+
+    This gives the reference's only quantitative claim (200 concurrent
+    requests, middleware.go:14-18) a measured counterpart: the bench
+    asserts every request was admitted (200) — at 32 clients the
+    semaphore never rejects, it only bounds. No Spark involvement: the
+    producer hot path must not pay JVM job launch, so the measurement
+    deliberately excludes it too.
+    """
+    import http.client
+    import shutil
+    import tempfile
+    import threading
+
+    from pulsar_beam_spark.server import GatewayApp, TopicDirStore, make_server
+    from pulsar_beam_spark.model.config_store import InMemoryConfigStore
+
+    d = tempfile.mkdtemp(prefix="pbs-ingest-")
+    store = TopicDirStore(os.path.join(d, "topics"), flush_interval_s=0.2)
+    app = GatewayApp(
+        config_store=InMemoryConfigStore(),
+        message_store=store,
+        allowed_clusters=["pulsar://bench:6650"],
+        mode="hybrid",
+        auth_impl="noauth",
+    )
+    httpd = make_server(app)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    host, port = httpd.server_address[:2]
+
+    per = n // clients
+    payload = b'{"v": 1, "pad": "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}'
+    headers = {
+        "TopicFn": "persistent://bench/ns/firehose",
+        "PulsarUrl": "pulsar://bench:6650",
+        "Content-Type": "application/json",
+    }
+    errs: list[int] = []
+    barrier = threading.Barrier(clients + 1)
+
+    def client():
+        conn = http.client.HTTPConnection(host, port)
+        conn.connect()  # keep-alive: one connection per client, reused
+        barrier.wait()
+        for _ in range(per):
+            conn.request("POST", "/v1/firehose?mode=async", payload, headers)
+            r = conn.getresponse()
+            r.read()
+            if r.status != 200:
+                errs.append(r.status)
+        conn.close()
+
+    threads = [threading.Thread(target=client) for _ in range(clients)]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    store.flush()
+    dt = time.perf_counter() - t0
+    httpd.shutdown()
+    assert not errs, f"ingest bench saw non-200s: {errs[:5]}"
+    shutil.rmtree(d, ignore_errors=True)
+    return dt
+
+
 def bench_skew_stress(spark, n: int = 2_000_000) -> dict[str, float]:
     """Hot-key join stress (VERDICT r03 item 7): 50% of ``n`` rows on one
     key, dim too big to broadcast (threshold forced off). Three variants:
@@ -218,6 +291,9 @@ def main() -> None:
     fanout_n = int(os.environ.get("SPARK_GRAFT_FANOUT_N", "50000"))
     fanout_s = round(bench_stream_fanout(spark, fanout_n), 3)
     timings[f"stream_fanout_{fanout_n}"] = fanout_s
+    ingest_n = int(os.environ.get("SPARK_GRAFT_INGEST_N", "10000"))
+    ingest_s = round(bench_gateway_ingest(ingest_n), 3)
+    timings[f"gateway_ingest_{ingest_n}"] = ingest_s
     skew_n = int(os.environ.get("SPARK_GRAFT_SKEW_N", "2000000"))
     skew = bench_skew_stress(spark, skew_n)
     timings.update(skew)
@@ -235,6 +311,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "fanout_msgs_per_s": round(fanout_n / fanout_s, 1),
+                "ingest_reqs_per_s": round(ingest_n / ingest_s, 1),
                 "skew_speedup_aqe": round(skew["skew_join_naive"] / skew["skew_join_aqe"], 2),
                 "skew_speedup_salted": round(skew["skew_join_naive"] / skew["skew_join_salted"], 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

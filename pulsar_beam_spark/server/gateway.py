@@ -762,7 +762,15 @@ def make_server(app: GatewayApp, host: str = "127.0.0.1", port: int = 0,
     reference's ListenAndServeTLS makes (src/util/cert-loader.go:63-68).
     """
     handler = type("BoundHandler", (_Handler,), {"app": app})
-    httpd = ThreadingHTTPServer((host, port), handler)
+    # listen backlog must cover the admission contract: the reference
+    # admits 200 concurrent requests (middleware.go:14-18), but the
+    # stdlib default backlog of 5 RSTs a burst of fresh connections
+    # before the semaphore ever sees them (found by the gateway-ingest
+    # bench: 32 clients connecting at once got ECONNRESET)
+    server_cls = type(
+        "GatewayServer", (ThreadingHTTPServer,), {"request_queue_size": 256}
+    )
+    httpd = server_cls((host, port), handler)
     httpd.daemon_threads = True
     httpd.cert_reloader = None
     if certfile and keyfile:

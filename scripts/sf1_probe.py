@@ -74,11 +74,15 @@ KEYS = {
 }
 
 
-def build(spark, out: str) -> None:
+def build(spark, out: str, replicas: int = REPLICAS,
+          tables: list[str] | None = None) -> None:
+    """Weak-scale sf0.1 by ``replicas``x into ``out``. ``tables`` limits
+    the build (the sf10 decade only needs the probed entries' inputs —
+    ~17 GB for all tables vs ~5 GB for three)."""
     from pulsar_beam_spark.sources.tables import TABLES, load_table
 
     os.makedirs(out, exist_ok=True)
-    for name in TABLES:
+    for name in (tables or TABLES):
         dst = os.path.join(out, f"{name}.parquet")
         if os.path.exists(os.path.join(dst, "_SUCCESS")):
             continue
@@ -90,7 +94,7 @@ def build(spark, out: str) -> None:
         dim = None
         if name == "embeddings":
             dim = len(df.select("embedding").head()["embedding"])
-        for r in range(REPLICAS):
+        for r in range(replicas):
             rep = df
             for k in KEYS[name]:
                 rep = rep.withColumn(k, F.col(k) + F.lit(r * OFF))
@@ -116,14 +120,25 @@ def build(spark, out: str) -> None:
                     ),
                 ).withColumn("n_chars", F.length("text").cast("long"))
             if name == "embeddings" and r > 0:
-                # rotate by r: norm-preserving deterministic perturbation
+                # rotate by r: norm-preserving deterministic perturbation.
+                # Rotations alone only yield ``dim`` distinct replicas —
+                # beyond that (the sf10 build), replicas r and r+dim
+                # would be IDENTICAL vector sets and every cross pair a
+                # cosine-1.0 near-dup (quadratic fixture artifact), so
+                # replicas past the rotation period also negate (norm-
+                # preserving; cos(v, -v) = -1, maximally far).
+                rot = r % dim
                 rep = rep.withColumn(
                     "embedding",
                     F.concat(
-                        F.slice(F.col("embedding"), r + 1, dim - r),
-                        F.slice(F.col("embedding"), 1, r),
-                    ),
+                        F.slice(F.col("embedding"), rot + 1, dim - rot),
+                        F.slice(F.col("embedding"), 1, rot),
+                    ) if rot else F.col("embedding"),
                 )
+                if r >= dim:
+                    rep = rep.withColumn(
+                        "embedding", F.transform("embedding", lambda x: -x)
+                    )
             reps.append(rep)
         full = reps[0]
         for rep in reps[1:]:
@@ -169,6 +184,70 @@ def probe(spark, entries: list[str], out: str = "/tmp/pbs-sf1") -> dict[str, dic
     return results
 
 
+# the heaviest sf1 exponents (VERDICT r08 item 3), probed one decade
+# further. d_embedding_near_dup was probed in round 9 and ADJUDICATED
+# out of the anchor set: at its entry threshold (0.4) the base
+# embeddings are isotropic (pairwise cos ~ N(0, 1/sqrt(64)), so 0.4 is
+# a 3.2-sigma tail) and the TRUE pair count is ~5e-4 * n^2/2 (measured:
+# 920 pairs at n=2k, 95,212 at n=20k) — the output itself is quadratic
+# and the operator tracks it (exponent 2.18 = output-bound, optimal-ish,
+# not a plan regression); at design thresholds (>=0.6, 18 pairs at
+# n=20k) isotropic data defeats ANY cell/radius pruning (no 64-dim
+# partition has cell radii below 90deg - theta/2), so exact dense
+# near-dup without duplicate-cluster structure is inherently
+# all-pairs — the documented answer at scale is the MinHash/LSH family
+# or ANN top-k, which is what gets anchored here instead.
+SF10_PROBE = [
+    "pipeline_curation_clustered",   # documents
+    "r_pagerank_iter3",              # lineitem
+    "d_minhash_lsh_near_dup",        # documents (the 100 TB near-dup path)
+    "d_incremental_near_dup",        # documents (production steady state)
+]
+SF10_TABLES = ["documents", "embeddings", "lineitem", "region", "nation"]
+
+
+def probe_sf10(spark, entries: list[str] | None = None,
+               sf1_dir: str = "/tmp/pbs-sf1",
+               sf10_dir: str = "/tmp/pbs-sf10") -> dict[str, dict]:
+    """Second weak-scaling decade: sf1 -> sf10 (100 replicas of sf0.1,
+    needed tables only, ~5 GB cached). Returns
+    {entry: {"t1": s, "t10": s, "ratio": r, "exponent": k}} where the
+    exponent is log10(t_sf10/t_sf1) — directly comparable to the sf0.1->
+    sf1 anchors in BASELINE.md / tests/test_scaling_probe.py."""
+    import math
+
+    from pulsar_beam_spark.queries import REGISTRY
+
+    entries = entries or SF10_PROBE
+    build(spark, sf1_dir)
+    build(spark, sf10_dir, replicas=100, tables=SF10_TABLES)
+
+    def _noop(it):
+        import pandas as _pd  # noqa: F401
+        yield from it
+
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_noop, "id long").write.format("noop").mode("overwrite").save()
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    results: dict[str, dict] = {}
+    for name in entries:
+        run(name, sf1_dir)  # warm (footers, codegen)
+        t1 = run(name, sf1_dir)
+        t10 = run(name, sf10_dir)
+        ratio = t10 / t1
+        results[name] = {
+            "t1": t1, "t10": t10, "ratio": ratio,
+            "exponent": math.log10(max(ratio, 1e-9)),
+        }
+    return results
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/pbs-sf1")
@@ -177,6 +256,8 @@ def main() -> None:
                     help="comma-separated registry entry names (default: PROBE list)")
     ap.add_argument("--json", action="store_true",
                     help="print one JSON object instead of the markdown table")
+    ap.add_argument("--sf10", action="store_true",
+                    help="probe the sf1->sf10 decade (SF10_PROBE entries)")
     args = ap.parse_args()
 
     from pulsar_beam_spark.session import get_spark
@@ -186,6 +267,20 @@ def main() -> None:
         import shutil
 
         shutil.rmtree(args.out, ignore_errors=True)
+    if args.sf10:
+        entries = args.entries.split(",") if args.entries else SF10_PROBE
+        results = probe_sf10(spark, entries)
+        if args.json:
+            import json
+
+            print(json.dumps({n: round(r["exponent"], 3) for n, r in results.items()}))
+        else:
+            print("| entry | sf1 s | sf10 s | ratio | exponent |")
+            print("|---|---|---|---|---|")
+            for name, r in results.items():
+                print(f"| {name} | {r['t1']:.2f} | {r['t10']:.2f} | {r['ratio']:.2f}x | {r['exponent']:.2f} |")
+        spark.stop()
+        return
     entries = args.entries.split(",") if args.entries else PROBE
     results = probe(spark, entries, args.out)
     if args.json:

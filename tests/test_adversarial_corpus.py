@@ -372,3 +372,122 @@ def test_poisoned_vector_parity(spark, poisoned_vec_sf_dir, name):
         "r31_cosine_topk", "s_ann_lsh_topk", "s_ann_ivf_topk", "e_mips_topk"
     ):
         assert len(sdf) > 0
+
+
+# == timezone / DST gate (VERDICT r08 item 4) ============================
+# The harness pins spark.sql.session.timeZone=UTC on both engines
+# (SURVEY §5.2); nothing proved the date family survives (a) timestamps
+# straddling DST transitions at all, or (b) a NON-UTC session timezone.
+# This gate runs the events/orders date-family entries on a fixture
+# whose timestamps straddle the America/New_York spring-forward
+# (2024-03-10 07:00 UTC), fall-back (2024-11-03 06:00 UTC) and a
+# local-midnight boundary (05:00 UTC), twice: under the declared UTC
+# domain (must match the oracle exactly) and under
+# session.timeZone=America/New_York, pinning per entry whether the
+# result is timezone-independent (must STILL match the UTC oracle) or
+# legitimately timezone-dependent (documented out-of-domain divergence
+# that must KEEP diverging — a silent flip to "matches" would mean the
+# entry stopped honoring the session timezone).
+
+DST_FAMILY = [
+    # events-based (ts)
+    "s3_tumbling_window", "s4_sliding_window", "s5_session_window",
+    "r_gap_fill_forward", "r_ewma_smoothing", "r_cohort_retention",
+    "r_ohlc_bars", "r_gaps_islands", "r_running_distinct",
+    "r_coverage_pct", "r_calendar_profile", "r_time_to_convert",
+    "r_new_vs_returning", "r_rolling_active_users", "r_rolling_median",
+    "r_autocorr_daily", "r_anova_dow", "r_sessionize_gap",
+    # orders-based (o_orderdate / l_shipdate)
+    "r23_date_fns", "r23_date_arith", "r_business_days",
+]
+
+# entries whose results legitimately change under a non-UTC session
+# timezone, with the mechanism noted. The round-9 classification run
+# found the date family almost entirely timezone-INDEPENDENT: the
+# fixtures' parquet timestamps are written tz-naive
+# (isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ, so
+# year/month/to_date/date_trunc/weekday/hour are all wall-clock math
+# with no session-tz conversion — matching DuckDB's naive TIMESTAMP
+# semantics by construction. The exception:
+# - r_ohlc_bars: its bar boundary round-trips through epoch seconds
+#   (unix_timestamp -> floor to the 30-min grid -> back to a
+#   timestamp); unix_timestamp on an NTZ value interprets the wall
+#   clock IN THE SESSION TIMEZONE, so under America/New_York every bar
+#   label shifts by the UTC offset and rows near a bar edge change
+#   buckets. This is the documented out-of-domain divergence the UTC
+#   pin exists for (SURVEY §5.2); the gate asserts it KEEPS diverging.
+TZ_SENSITIVE: set[str] = {"r_ohlc_bars"}
+
+
+@pytest.fixture(scope="module")
+def dst_sf_dir(tmp_path_factory):
+    from datetime import datetime, timedelta
+
+    d = str(tmp_path_factory.mktemp("dst-corpus"))
+    stamps = []
+    # spring forward in America/New_York: 2024-03-10 02:00 EST -> 03:00
+    # EDT, i.e. 07:00 UTC. Minute steps across the transition.
+    base = datetime(2024, 3, 10, 6, 30)
+    stamps += [base + timedelta(minutes=3 * i) for i in range(20)]
+    # fall back: 2024-11-03 02:00 EDT -> 01:00 EST, i.e. 06:00 UTC; the
+    # 01:00-02:00 local hour happens twice.
+    base = datetime(2024, 11, 3, 5, 30)
+    stamps += [base + timedelta(minutes=3 * i) for i in range(20)]
+    # local-midnight boundary: 05:00 UTC == 00:00 EST on 2024-01-02 —
+    # the UTC date and the NY date differ for 00:00-05:00 UTC rows.
+    base = datetime(2024, 1, 2, 4, 30)
+    stamps += [base + timedelta(minutes=3 * i) for i in range(20)]
+    n = len(stamps)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(stamps, pa.timestamp("us")),
+        "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+        "event_type": pa.array(
+            [("click", "view", "purchase")[i % 3] for i in range(n)]),
+        "value": pa.array([round(10.0 + (i % 13) * 3.25, 2) for i in range(n)]),
+        "props": pa.array([f'{{"k": {i % 5}, "tag": "t{i % 3}"}}' for i in range(n)]),
+    })
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    for f in os.listdir(SF_SMOKE):
+        if f.endswith(".parquet") and f != "events.parquet":
+            shutil.copy(os.path.join(SF_SMOKE, f), os.path.join(d, f))
+    return d
+
+
+@pytest.mark.parametrize("name", DST_FAMILY)
+def test_dst_straddling_parity_under_utc(spark, dst_sf_dir, name):
+    """The declared UTC domain extended to DST-straddling timestamps:
+    parity must hold exactly (both engines are tz-naive-UTC here, so a
+    divergence means an engine-behavior asymmetry, not timezone math)."""
+    spec = REGISTRY[name]
+    sdf = spec.spark(spark, dst_sf_dir).toPandas()
+    ddf = duck_run(spec.oracle, dst_sf_dir)
+    errs = compare(sdf, ddf)
+    assert not errs, f"{name} diverges on DST-straddling timestamps under UTC: " + "; ".join(errs)
+
+
+@pytest.mark.parametrize("name", DST_FAMILY)
+def test_dst_family_under_new_york_session_tz(spark, dst_sf_dir, name):
+    """Pin the session-timezone contract per entry: tz-independent
+    entries must match the UTC oracle even under a New-York session;
+    tz-sensitive entries must keep diverging on this DST fixture."""
+    spec = REGISTRY[name]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        sdf = spec.spark(spark, dst_sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    ddf = duck_run(spec.oracle, dst_sf_dir)
+    errs = compare(sdf, ddf)
+    if name in TZ_SENSITIVE:
+        assert errs, (
+            f"{name} is pinned tz-SENSITIVE but matched the UTC oracle "
+            "under a New-York session — it stopped honoring the session "
+            "timezone (or the fixture no longer exercises the boundary)"
+        )
+    else:
+        assert not errs, (
+            f"{name} is pinned tz-INDEPENDENT but diverged under a "
+            "New-York session: " + "; ".join(errs)
+        )

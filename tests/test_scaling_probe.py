@@ -88,12 +88,53 @@ ANCHOR_EXPONENTS = {
 }
 MARGIN = 0.15
 
-pytestmark = pytest.mark.skipif(
+# sf1 -> sf10 decade anchors (round 9; BASELINE.md "Round-9: sf1 ->
+# sf10"). d_embedding_near_dup is deliberately absent: its sf10 reading
+# is output-bound (quadratic TRUE pair count at the entry threshold on
+# isotropic embeddings) — adjudicated in BASELINE.md, not anchor-worthy.
+SF10_ANCHOR_EXPONENTS = {
+    "pipeline_curation_clustered": 0.66,
+    "r_pagerank_iter3": 0.55,
+    "d_minhash_lsh_near_dup": 0.92,
+    "d_incremental_near_dup": 0.84,
+}
+
+
+def test_sf10_exponents_within_ceilings(spark):
+    if os.environ.get("PBS_SF10_PROBE") != "1":
+        pytest.skip("sf10 decade probe (builds ~1.2 GB fixture, ~15 min); "
+                    "set PBS_SF10_PROBE=1 to run")
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    import sf1_probe
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        results = sf1_probe.probe_sf10(spark, list(SF10_ANCHOR_EXPONENTS))
+        breaches = {
+            n: r["exponent"] for n, r in results.items()
+            if r["exponent"] > SF10_ANCHOR_EXPONENTS[n] + MARGIN
+        }
+        confirmed = {}
+        for n, first in breaches.items():
+            more = [sf1_probe.probe_sf10(spark, [n])[n]["exponent"] for _ in range(2)]
+            med = statistics.median([first, *more])
+            if med > SF10_ANCHOR_EXPONENTS[n] + MARGIN:
+                confirmed[n] = round(med, 3)
+        assert not confirmed, (
+            "sf1->sf10 decade regression vs BASELINE.md anchor (+0.15 "
+            f"margin): {confirmed}"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.mark.skipif(
     os.environ.get("PBS_SF1_PROBE") != "1",
     reason="minutes-long sf1 weak-scaling probe; set PBS_SF1_PROBE=1 to run",
 )
-
-
 def test_sf1_exponents_within_ceilings(spark):
     import sys
 
