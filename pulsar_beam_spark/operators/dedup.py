@@ -459,6 +459,7 @@ def embedding_near_dup_pairs(
     n_centroids: int = 16,
     seed: int = 42,
     n_hint: int | None = None,
+    prune_stats: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine >= threshold) via
     EXACT cell-pair blocking — candidate-verify, never a nested-loop |D|^2.
@@ -488,6 +489,15 @@ def embedding_near_dup_pairs(
     100 TB: grow n_centroids ~ sqrt(n) so cells stay bounded, precompute
     the cell id as a partition column, and raise the threshold to the
     near-dup regime (>=0.9) where pruning is near-total.
+
+    Both halves of that claim are MEASURED, not asserted: the round-9
+    sf10 probe confirmed isotropic data at a bulk-tail threshold is
+    output-bound all-pairs (BASELINE.md "Round-9: sf1 -> sf10",
+    adjudication), and tests/test_operators.py's planted-cluster gate
+    pins that on duplicate-clustered data the cell-pair survival
+    fraction actually prunes (``prune_stats`` out-param: the caller's
+    dict gains n_cells / cell_pairs_survived / cell_pairs_total) while
+    the output stays exactly equal to the all-pairs ground truth.
     """
     import math
 
@@ -502,7 +512,17 @@ def embedding_near_dup_pairs(
     # aggregates to NULL and the cell-pair pruning crashes on None
     # arithmetic (round-8 float-extremes sweep)
     emb = emb.filter(valid_vector(vec_col))
-    cent = _kmeans_centroids(emb, id_col, vec_col, n_centroids, seed, n_hint=n_hint)
+    # sample scales with the requested cell count: training k centroids
+    # from a fixed 256-point sample leaves clusters unrepresented at
+    # k > 64ish, and every vector of an unrepresented cluster lands in
+    # some other cell at a wide angle, blowing that cell's radius and
+    # killing the pruning (found by the round-9 planted-cluster gate:
+    # 32% cell-pair survival at k=256/sample=256 vs ~N/k^2 with the
+    # scaled sample). Unchanged at the default k=16 (max picks 256).
+    cent = _kmeans_centroids(
+        emb, id_col, vec_col, n_centroids, seed,
+        sample_cap=max(256, 4 * n_centroids), n_hint=n_hint,
+    )
     if cent is None or not len(cent):
         return emb.select(
             F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
@@ -560,6 +580,12 @@ def embedding_near_dup_pairs(
         for j in radii
         if math.acos(cos_cc[i, j]) <= radii[i] + radii[j] + theta_t + 1e-6
     ]
+    if prune_stats is not None:
+        prune_stats.update(
+            n_cells=len(radii),
+            cell_pairs_survived=len(cell_pairs),
+            cell_pairs_total=len(radii) * len(radii),
+        )
     pairs_df = spark.createDataFrame(cell_pairs, "ca int, cb int")
 
     # Verify stage: replicate each vector to the cell pairs it belongs to

@@ -133,7 +133,15 @@ def _kmeans_centroids(
     to learn it is the exact anti-pattern at 100 TB.
     """
     n = n_hint if n_hint is not None else emb.count()
-    stride = max(1, n // sample_cap)
+    # CEILING division: a floored stride (e.g. 2000 // 1024 = 1) makes
+    # the id-strided candidate set larger than sample_cap and the
+    # .limit() below then truncates to the table's HEAD — the sample
+    # silently covers only a prefix of the corpus and every cluster
+    # living in the tail goes untrained (round-9 planted-cluster gate:
+    # half the clusters uncovered, cell radii blown to inter-cluster
+    # angles, cell-pair pruning dead at 86% survival). Ceil keeps the
+    # stride spanning the whole id range.
+    stride = max(1, -(-n // sample_cap))
     rows = (
         # invalid vectors carry no geometry: excluded from the training
         # sample (a NULL row crashed list(); a NaN component would poison
@@ -147,8 +155,24 @@ def _kmeans_centroids(
         return np.empty((0, 0))
     pts = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cent = pts[rng.choice(len(pts), size=min(n_centroids, len(pts)), replace=False)]
+    k = min(n_centroids, len(pts))
+    # Farthest-point (maximin) seeding instead of a random draw: every
+    # natural cluster in the sample gets a seed before any cluster gets
+    # two, which is what the MAX-radius cell blocking in
+    # dedup.embedding_near_dup_pairs needs — one uncovered cluster
+    # assigns its vectors to a far cell, blows that cell's radius to
+    # the inter-cluster angle, and that single wide cell pairs with
+    # everything (round-9 planted-cluster gate: random init left 86% of
+    # cell pairs alive where maximin prunes to a few percent).
+    # Deterministic (starts from the first sample point); `seed` still
+    # names the variant for plan-constant reproducibility.
+    _ = np.random.default_rng(seed)
+    cent = np.empty((k, pts.shape[1]))
+    cent[0] = pts[0]
+    maxcos = pts @ cent[0]
+    for j in range(1, k):
+        cent[j] = pts[int(np.argmin(maxcos))]
+        maxcos = np.maximum(maxcos, pts @ cent[j])
     for _ in range(iters):
         # cosine k-means on the unit sphere: assign by max dot, re-mean, renormalize
         assign = np.argmax(pts @ cent.T, axis=1)

@@ -1222,3 +1222,54 @@ def test_global_kernels_randomized_vs_serial(spark):
             assert tiles[id_] == et, (case, n, k, id_)
             assert sums[id_] == ers, (case, n, k, id_)
             assert rns[id_] == ern, (case, n, k, id_)
+
+
+class TestEmbeddingNearDupClustered:
+    """The cell-blocking claim, measured (round 9): on duplicate-
+    CLUSTERED data — the operator's actual use case — the spherical
+    cell-pair pruning must actually prune, and the blocked result must
+    equal the all-pairs ground truth exactly. (The complementary half,
+    isotropic data degrading to output-bound all-pairs, is adjudicated
+    in BASELINE.md "Round-9: sf1 -> sf10".)"""
+
+    def test_planted_clusters_prune_and_match_truth(self, spark):
+        import numpy as np
+
+        from pulsar_beam_spark.operators.dedup import (
+            embedding_near_dup_all_pairs,
+            embedding_near_dup_pairs,
+        )
+
+        rng = np.random.default_rng(42)
+        anchors = rng.standard_normal((200, 64))
+        anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+        rows = []
+        vid = 0
+        for a in anchors:
+            for _ in range(10):
+                v = a + 0.03 * rng.standard_normal(64)
+                rows.append((vid, [float(x) for x in v], int(vid % 3)))
+                vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        ).localCheckpoint()
+
+        stats: dict = {}
+        blocked = embedding_near_dup_pairs(
+            df, threshold=0.9, n_hint=2000, n_centroids=256,
+            prune_stats=stats,
+        )
+        got = {(r["id_a"], r["id_b"], r["cosine"]) for r in blocked.collect()}
+        truth = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in embedding_near_dup_all_pairs(df, threshold=0.9).collect()
+        }
+        assert got == truth, "blocking must be lossless on clustered data"
+        # non-vacuous: the planted within-cluster pairs are found
+        assert len(truth) > 5000, f"fixture degenerate: only {len(truth)} pairs"
+        survived = stats["cell_pairs_survived"] / stats["cell_pairs_total"]
+        assert survived < 0.30, (
+            f"cell pruning did not bite on clustered data: "
+            f"{stats['cell_pairs_survived']}/{stats['cell_pairs_total']} "
+            f"cell pairs survived ({survived:.1%})"
+        )
