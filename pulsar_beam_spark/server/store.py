@@ -308,6 +308,15 @@ class TopicDirStore:
         (src/db/pulsardb.go:86-127); this is the positional analogue
         for the file-backed stand-in.
         """
+        if watermark_us is None:
+            # poll_low_water_mark returns None for a subscription with no
+            # cursor yet (it still expects the full history) — the caller
+            # must skip compaction, not pass the None through
+            raise ValueError(
+                "compact: watermark_us is None — some subscription has no "
+                "cursor yet; skip compaction until every subscription has "
+                "polled (or pass an explicit watermark)"
+            )
         with self._lock:
             self._flush_locked()
         d = self.topic_dir(topic_fn)

@@ -44,6 +44,18 @@ def get_spark(app_name: str = "pulsar-beam-spark", *, shuffle_partitions: int | 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
+        # INT64 micros instead of Spark's legacy INT96 timestamps: INT96
+        # carries NO parquet min/max statistics, which silently disables
+        # (a) row-group pruning for every pushed timestamp predicate —
+        # including the poll cursor's (event_time, message_id) scan
+        # filter over Spark-written topic files — and (b) the footer-min
+        # regression detection and compaction watermarks in
+        # streaming/poll.py, which then fall back to their conservative
+        # stats-less paths (found by the round-9 compaction self-probe:
+        # poll_low_water_mark returned the hold-everything 0 for any
+        # Spark-written backfill file). Micros also round-trip DuckDB
+        # and pyarrow exactly.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -372,19 +372,30 @@ def bounded_poll(
 
 
 def poll_low_water_mark(checkpoint_dir: str, source_dir: str) -> int | None:
-    """The earliest undelivered position of one resumable subscription,
-    in unix-micros — the SAFE COMPACTION WATERMARK for that subscription:
-    every row with event_time strictly below it has been delivered, so
-    ``TopicDirStore.compact(topic, watermark_us=...)`` may merge any file
-    whose footer max(event_time) is strictly below it without moving an
-    undelivered row. An operator compacting a topic with several live
-    subscriptions passes the MINIMUM across their checkpoints.
+    """The SAFE COMPACTION WATERMARK for one resumable subscription, in
+    unix-micros: ``TopicDirStore.compact(topic, watermark_us=...)`` may
+    merge any file whose footer max(event_time) is strictly below it
+    without redelivering or losing a row for this cursor. An operator
+    compacting a topic with several live subscriptions passes the
+    MINIMUM across their checkpoints.
 
-    With no draining regression files this is the cursor's high-water
-    event time (rows AT that microsecond may still be undelivered via
-    the message_id tie-break, which is why both sides are strict);
-    draining files pull it back to their earliest undelivered row —
-    a bounded two-column read per still-draining file.
+    With no regression files in the cursor this is the high-water event
+    time (rows AT that microsecond may still be undelivered via the
+    message_id tie-break, which is why both sides are strict). Any
+    UNRETIRED regression file pulls it back to that file's footer
+    min(event_time) — below the file's DELIVERED rows too, not just its
+    undelivered ones, deliberately: the adoption path tracks a merged
+    regression constituent through its migrated delivered-id set, which
+    cannot name the already-delivered rows of the OTHER (seen) files in
+    the same merge, so compacting a seen file together with a
+    still-draining one would redeliver the seen rows (round-9
+    self-probe: a file delivered under the listing race stays in the
+    regress map until the NEXT poll lists and retires it — compacting
+    in that one-poll window hit the corner despite every row being
+    delivered). Holding the watermark below unretired regression files
+    defers that compaction by one poll and keeps the exactly-once
+    guarantee unconditional under compliant watermarks. Metadata-only:
+    one footer read per still-draining file.
 
     None = no cursor yet (nothing may be compacted for this
     subscription: it still expects the full history).
@@ -392,19 +403,18 @@ def poll_low_water_mark(checkpoint_dir: str, source_dir: str) -> int | None:
     cursor = _read_cursor(checkpoint_dir)
     if cursor is None:
         return None
-    hwm_us, hwm_id = cursor["event_time_us"], cursor["message_id"]
-    lw = hwm_us
-    for f, ids in cursor["regress"].items():
+    lw = cursor["event_time_us"]
+    for f in cursor["regress"]:
         path = os.path.join(source_dir, f)
         if not os.path.exists(path):
             continue
-        delivered = set(ids)
-        t = pq.read_table(path, columns=["event_time", "message_id"])
-        for et, mid in zip(t.column("event_time").to_pylist(),
-                           t.column("message_id").to_pylist()):
-            us = int(et.timestamp() * 1e6)
-            if (us, mid) <= (hwm_us, hwm_id) and mid not in delivered:
-                lw = min(lw, us)
+        lo = _footer_min_us(path)
+        if lo is None:
+            # stats-less footer: its bounds are unknowable — hold the
+            # watermark at zero (nothing below it may compact) rather
+            # than guess
+            return 0
+        lw = min(lw, lo)
     return lw
 
 

@@ -232,9 +232,10 @@ def test_draining_backfill_never_compacted_under_compliant_watermark(spark, tmp_
     p = _ids(bounded_poll(spark, d, batch_size=2, checkpoint_dir=ckpt))
     assert p == ["bf-0", "bf-1"]
 
-    # low-water is now the earliest UNDELIVERED backfill row (bf-2):
+    # low-water holds at the DRAINING file's footer min (below even its
+    # delivered bf-0/bf-1 — see poll_low_water_mark's rationale):
     lw = poll_low_water_mark(ckpt, d)
-    assert lw == int(rows[2][4].timestamp() * 1e6)
+    assert lw == int(rows[0][4].timestamp() * 1e6)
     res = store.compact(TOPIC, watermark_us=lw)
     # nothing strictly below bf-2 except the drained part of the
     # backfill file itself — whose max exceeds the watermark
@@ -369,3 +370,112 @@ def test_manifest_hidden_from_spark_and_listings(spark, tmp_path):
                    fromlist=["MESSAGE_SCHEMA"]).MESSAGE_SCHEMA
     ).parquet(d)
     assert df.count() == len(ids)
+
+
+def test_listing_race_then_compact_holds_watermark(spark, tmp_path, monkeypatch):
+    """Round-9 self-probe corner: a file delivered under the listing
+    race stays in the regress map until the NEXT poll retires it. A
+    compaction inside that one-poll window must be HELD OFF by the
+    low-water mark (which stays below unretired regression files) —
+    compacting the raced file together with seen files would otherwise
+    redeliver the seen files' rows through the migrated id boundary."""
+    import json as _json
+
+    import pulsar_beam_spark.streaming.poll as poll_mod
+
+    store = _store(tmp_path)
+    ids = _produce(store, 6)
+    d = store.topic_dir(TOPIC)
+    ckpt = str(tmp_path / "ckpt")
+    p1 = _ids(bounded_poll(spark, d, batch_size=6, checkpoint_dir=ckpt))
+    assert p1 == ids
+
+    # a 7th message lands "during" the next poll: on disk, hidden from
+    # that poll's listing
+    racer = _produce(store, 1, prefix="late")
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        seen_before = set(_json.load(f)["seen_files"])
+    real_listdir = os.listdir
+
+    def hiding_listdir(path):
+        out = real_listdir(path)
+        if os.path.abspath(path) == os.path.abspath(d):
+            out = [x for x in out if x in seen_before or not x.endswith(".parquet")]
+        return out
+
+    monkeypatch.setattr(poll_mod.os, "listdir", hiding_listdir)
+    p2 = _ids(bounded_poll(spark, d, batch_size=6, checkpoint_dir=ckpt))
+    monkeypatch.undo()
+    assert p2 == racer
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        assert _json.load(f)["regress"], "raced file must be draining"
+
+    # the raced file is fully delivered but UNRETIRED: the watermark
+    # holds below its footer min, so it can never be merged into this
+    # compaction — only the fully-seen files below it may (and that is
+    # safe: their adoption needs no id migration)
+    lw = poll_low_water_mark(ckpt, d)
+    res = store.compact(TOPIC, watermark_us=lw)
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        (raced_file,) = _json.load(f)["regress"].keys()
+    merged_srcs = read_manifest(d).get(res["output"]) or []
+    assert raced_file not in merged_srcs, \
+        "an unretired regression file must never be compacted"
+    assert bounded_poll(spark, d, batch_size=6, checkpoint_dir=ckpt) is None, \
+        "adoption of the seen-only merge must not redeliver anything"
+
+    # the raced record has now been listed + retired; once the cursor
+    # advances past it (one newer message), it compacts like any file
+    newer = _produce(store, 1, prefix="newer")
+    assert _ids(bounded_poll(spark, d, batch_size=6, checkpoint_dir=ckpt)) == newer
+    res = store.compact(TOPIC, watermark_us=poll_low_water_mark(ckpt, d))
+    assert res["merged"] >= 2
+    assert raced_file in read_manifest(d)[res["output"]]
+    assert bounded_poll(spark, d, batch_size=6, checkpoint_dir=ckpt) is None
+
+
+def test_retention_deleted_draining_file_drops_from_cursor(spark, tmp_path):
+    """A regression file deleted by retention while still draining: its
+    undelivered rows are gone by explicit policy, and the next poll must
+    drop its regress entry instead of carrying it forever."""
+    import json as _json
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+
+    from pulsar_beam_spark.model.message import MESSAGE_SCHEMA
+
+    store = _store(tmp_path)
+    live = _produce(store, 4)
+    d = store.topic_dir(TOPIC)
+    ckpt = str(tmp_path / "ckpt")
+    assert _ids(bounded_poll(spark, d, batch_size=4, checkpoint_dir=ckpt)) == live
+
+    # backfill lands, partially drains
+    t0 = datetime(2020, 1, 1)
+    rows = [(f"bf-{i}", TOPIC, str(i), b"x", t0 + timedelta(seconds=i),
+             t0 + timedelta(seconds=i), {}) for i in range(4)]
+    spark.createDataFrame(rows, MESSAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d)
+    p = _ids(bounded_poll(spark, d, batch_size=2, checkpoint_dir=ckpt))
+    assert p == ["bf-0", "bf-1"]
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        state = _json.load(f)
+    (bf_file,) = state["regress"].keys()
+
+    # retention deletes the draining file (plus Spark's _SUCCESS noise)
+    os.unlink(os.path.join(d, bf_file))
+    assert bounded_poll(spark, d, batch_size=2, checkpoint_dir=ckpt) is None
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        assert _json.load(f)["regress"] == {}, \
+            "retention-deleted draining file must drop from the cursor"
+    # and the live tail still polls clean
+    more = _produce(store, 1, prefix="post")
+    assert _ids(bounded_poll(spark, d, batch_size=2, checkpoint_dir=ckpt)) == more
+
+
+def test_compact_rejects_none_watermark(tmp_path):
+    store = _store(tmp_path)
+    _produce(store, 2)
+    with pytest.raises(ValueError, match="watermark_us is None"):
+        store.compact(TOPIC, watermark_us=None)
