@@ -64,7 +64,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # cast to NTZ so the nanos fallback carries the SAME type the
+            # direct micros read infers (tz-naive parquet -> TIMESTAMP_NTZ):
+            # timestamp_micros() alone yields the LTZ type, which would
+            # silently flip the whole date family from wall-clock math to
+            # session-tz math on nanos-written fixtures (round-9 DST gate;
+            # the cast is wall-clock-identical under the UTC session the
+            # harness pins)
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -90,3 +90,35 @@ def test_documents_fixture_is_pure_ascii():
             f"FROM read_parquet('{path}')"
         ).fetchone()
         assert n_total > 0 and n_multibyte == 0, (sf, n_total, n_multibyte)
+
+
+def test_nanos_events_fallback_reads_ntz(spark, tmp_path):
+    """The legacy TIMESTAMP(NANOS) events path must land on the SAME
+    type the direct micros read infers (timestamp_ntz): timestamp_micros
+    alone yields the LTZ type, which would flip the date family from
+    wall-clock math to session-tz math on nanos-written fixtures
+    (round-9 DST gate)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from pulsar_beam_spark.sources.tables import load_table
+
+    d = str(tmp_path / "nanos-sf")
+    os.makedirs(d)
+    stamps = [datetime(2024, 3, 10, 6, 30, i) for i in range(4)]
+    t = pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array(stamps, pa.timestamp("ns")),
+        "user_id": pa.array([1, 2, 1, 2], pa.int64()),
+        "event_type": pa.array(["click"] * 4),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+        "props": pa.array(['{"k": 1}'] * 4),
+    })
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    df = load_table(spark, d, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    got = sorted(r["ts"] for r in df.select("ts").collect())
+    assert got == stamps, "nanos -> micros truncation must keep wall-clock values"
