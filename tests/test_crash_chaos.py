@@ -313,3 +313,24 @@ def test_poll_sigkill_after_cursor_write_acks(spark, tmp_path):
     p = bounded_poll(spark, msgs, batch_size=5, checkpoint_dir=ckpt)
     assert [m["message_id"] for m in p["messages"]] == ["m-10", "m-11"]
     assert bounded_poll(spark, msgs, batch_size=5, checkpoint_dir=ckpt) is None
+
+
+def test_merge_sink_recovers_over_torn_vdir_write(spark, tmp_path):
+    """Crash DURING the epoch's v-dir parquet write (before the pointer
+    flip): the v-dir holds FileOutputCommitter debris — a _temporary
+    dir and an orphaned part file, no _SUCCESS. The restart's replay
+    overwrites the torn directory wholesale and converges; readers
+    never saw it (LATEST was never flipped). Constructed-state golden
+    (the JVM cannot be killed mid-write deterministically); the SIGKILL
+    scenarios above cover the before/after-flip windows."""
+    workdir = _merge_setup(spark, tmp_path)
+    vdir = os.path.join(workdir, "snap", "v0")
+    os.makedirs(os.path.join(vdir, "_temporary", "0"))
+    with open(os.path.join(vdir, "part-00000-torn.snappy.parquet"), "wb") as f:
+        f.write(b"PAR1this-is-not-a-complete-parquet-file")
+    assert not os.path.exists(os.path.join(workdir, "snap", "LATEST"))
+
+    assert _merge_restart_and_read(spark, workdir) == MERGE_EXPECTED
+    assert not os.path.exists(os.path.join(vdir, "_temporary")), \
+        "overwrite must clear the torn write's debris"
+    assert not os.path.exists(os.path.join(vdir, "part-00000-torn.snappy.parquet"))
