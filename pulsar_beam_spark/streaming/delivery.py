@@ -132,7 +132,18 @@ def _append_replies(
     """Execute the delivery plan exactly once, executor-side, and append
     any reply tuples to the chain table (stamped in-plan — the reference
     stamps EventTime at produce, pulsar-producer.go:91). ``replies`` must
-    be the mapInPandas output: ONE action here is the one delivery."""
+    be the mapInPandas output: ONE action here is the one delivery.
+
+    Reply ids are DETERMINISTIC: ``reply-{epoch}-{sha1(src_key|topic)}``
+    where src_key names the (source message x config) that produced the
+    reply. A crash after this append but before the stream checkpoint
+    commits replays the epoch and appends the SAME ids again (round-9
+    self-probe: the previous ``uuid()`` ids made replay duplicates
+    indistinguishable from distinct replies, so no downstream consumer
+    could ever dedup the chain table) — with deterministic ids the
+    chain is exactly-once-able through the repo's own exact-dedup
+    operators, the same contract webhook endpoints get via
+    PulsarMessageId."""
     from pyspark.sql import functions as F
 
     if not reply_table_dir:
@@ -145,8 +156,10 @@ def _append_replies(
         # keeps delivery at full width and moves only the reply tuples
         replies = replies.repartition(reply_write_partitions)
     out = replies.select(
-        F.concat_ws("-", F.lit("reply"), F.lit(str(epoch)), F.expr("uuid()"))
-        .alias("message_id"),
+        F.concat_ws(
+            "-", F.lit("reply"), F.lit(str(epoch)),
+            F.sha1(F.concat_ws("|", F.col("src_key"), F.col("topic"))),
+        ).alias("message_id"),
         F.col("topic"),
         F.lit(None).cast("string").alias("key"),
         F.col("body").alias("payload"),
@@ -199,8 +212,10 @@ def deliver_stream(
             for rec in pdf.to_dict("records"):
                 acked, reply = sink.push(rec)
                 if acked and reply is not None:
-                    out.append(reply)
-            yield pd.DataFrame(out, columns=["topic", "pulsar_url", "body"])
+                    # src_key names the reply's provenance so replays of
+                    # the same epoch mint the SAME reply id (_append_replies)
+                    out.append((*reply, str(rec.get("message_id"))))
+            yield pd.DataFrame(out, columns=["topic", "pulsar_url", "body", "src_key"])
 
     def handle(df: DataFrame, epoch: int) -> None:
         # Empty-epoch gate: isEmpty() on the SOURCE batch df is a cheap
@@ -220,7 +235,7 @@ def deliver_stream(
         # is a full micro-batch of response bodies that would otherwise
         # funnel through one process.
         replies = df.mapInPandas(
-            deliver_batches, "topic string, pulsar_url string, body binary"
+            deliver_batches, "topic string, pulsar_url string, body binary, src_key string"
         )
         _append_replies(replies, epoch, reply_table_dir, reply_write_partitions)
 
@@ -292,8 +307,12 @@ def deliver_multiplexed_stream(
                     )
                 acked, reply = sink.push(rec)
                 if acked and reply is not None:
-                    out.append(reply)
-            yield pd.DataFrame(out, columns=["topic", "pulsar_url", "body"])
+                    # provenance includes the config: the SAME source
+                    # message replied through two configs is two distinct
+                    # replies, but an epoch REPLAY of either mints the
+                    # same id (_append_replies' deterministic reply ids)
+                    out.append((*reply, f"{rec.get('message_id')}|{sk}"))
+            yield pd.DataFrame(out, columns=["topic", "pulsar_url", "body", "src_key"])
 
     def handle(df: DataFrame, epoch: int) -> None:
         if df.isEmpty():  # see deliver_stream.handle: source-side, no side effects
@@ -308,7 +327,7 @@ def deliver_multiplexed_stream(
         if routed.isEmpty():
             return
         replies = routed.mapInPandas(
-            deliver_batches, "topic string, pulsar_url string, body binary"
+            deliver_batches, "topic string, pulsar_url string, body binary, src_key string"
         )
         _append_replies(replies, epoch, reply_table_dir, reply_write_partitions)
 

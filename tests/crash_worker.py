@@ -188,6 +188,40 @@ def mux_mid_batch(workdir: str) -> None:
     q.awaitTermination(180)
 
 
+def reply_after_append(workdir: str) -> None:
+    """Kill AFTER the reply-table append, BEFORE the stream checkpoint
+    commits: the restart replays the epoch and appends the replies
+    AGAIN. With deterministic reply ids the duplicates collide by id
+    (downstream exact-dedup collapses them); the parent asserts that."""
+    from pulsar_beam_spark.model.message import MESSAGE_SCHEMA
+    from pulsar_beam_spark.streaming import delivery
+
+    real_append = delivery._append_replies
+
+    def append_then_die(replies, epoch, reply_table_dir, reply_write_partitions):
+        real_append(replies, epoch, reply_table_dir, reply_write_partitions)
+        _mark(workdir, "KILLPOINT")
+        _die()
+
+    delivery._append_replies = append_then_die
+
+    def transport(url, body, headers):
+        return 200, {"TopicFn": "persistent://t/ns/reply",
+                     "PulsarUrl": "pulsar://c:6650"}, b"pong:" + bytes(body)
+
+    spark = _spark()
+    stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(
+        os.path.join(workdir, "msgs"))
+    q = delivery.deliver_stream(
+        stream,
+        delivery.WebhookSink("http://chaos-stub", transport=transport),
+        os.path.join(workdir, "ckpt"),
+        reply_table_dir=os.path.join(workdir, "reply"),
+        query_name="chaos-reply",
+    )
+    q.awaitTermination(180)
+
+
 def _poll(workdir: str) -> None:
     from pulsar_beam_spark.streaming.poll import bounded_poll
 
@@ -232,6 +266,7 @@ SCENARIOS = {
     "merge_after_flip": merge_after_flip,
     "deliver_mid_batch": deliver_mid_batch,
     "mux_mid_batch": mux_mid_batch,
+    "reply_after_append": reply_after_append,
     "poll_before_cursor": poll_before_cursor,
     "poll_after_cursor": poll_after_cursor,
 }

@@ -334,3 +334,57 @@ def test_merge_sink_recovers_over_torn_vdir_write(spark, tmp_path):
     assert not os.path.exists(os.path.join(vdir, "_temporary")), \
         "overwrite must clear the torn write's debris"
     assert not os.path.exists(os.path.join(vdir, "part-00000-torn.snappy.parquet"))
+
+
+def test_reply_chain_replay_duplicates_collide_by_id(spark, tmp_path):
+    """SIGKILL after the reply-table append, before the stream commit:
+    the replayed epoch appends the same replies AGAIN. Deterministic
+    reply ids (round 9) make the replay duplicates collide by
+    message_id, so a downstream exact-dedup yields exactly one reply
+    per source message — the chain table is exactly-once-able (the old
+    uuid ids made replay duplicates indistinguishable from real ones)."""
+    from pulsar_beam_spark.streaming.delivery import WebhookSink, deliver_stream
+
+    workdir = str(tmp_path / "wd")
+    os.makedirs(workdir)
+    rows = [
+        (f"m-{i:02d}", "persistent://t/ns/a", str(i), f"v{i}".encode(),
+         T0 + timedelta(minutes=i), T0 + timedelta(minutes=i), {})
+        for i in range(8)
+    ]
+    spark.createDataFrame(rows, MESSAGE_SCHEMA).coalesce(1) \
+        .write.parquet(os.path.join(workdir, "msgs"))
+
+    rc = _run_worker("reply_after_append", workdir)
+    _assert_killed(workdir, rc)
+    reply_dir = os.path.join(workdir, "reply")
+    first = spark.read.schema(MESSAGE_SCHEMA).parquet(reply_dir).collect()
+    assert len(first) == 8, "the crashed run appended one reply per message"
+
+    def transport(url, body, headers):
+        return 200, {"TopicFn": "persistent://t/ns/reply",
+                     "PulsarUrl": "pulsar://c:6650"}, b"pong:" + bytes(body)
+
+    stream = spark.readStream.schema(MESSAGE_SCHEMA).parquet(
+        os.path.join(workdir, "msgs"))
+    q = deliver_stream(
+        stream, WebhookSink("http://chaos-stub", transport=transport),
+        os.path.join(workdir, "ckpt"),
+        reply_table_dir=reply_dir, query_name="chaos-reply-restart",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    replies = spark.read.schema(MESSAGE_SCHEMA).parquet(reply_dir).collect()
+    ids = [r["message_id"] for r in replies]
+    assert len(ids) == 16, "replay appends the epoch again (at-least-once)"
+    assert len(set(ids)) == 8, "replay duplicates must collide by id"
+    from collections import Counter
+
+    assert all(c == 2 for c in Counter(ids).values())
+    assert all(i.startswith("reply-0-") for i in ids), "epoch-scoped ids"
+    # payloads of colliding ids are identical -> exact-dedup is safe
+    by_id = {}
+    for r in replies:
+        by_id.setdefault(r["message_id"], set()).add(bytes(r["payload"]))
+    assert all(len(v) == 1 for v in by_id.values())
