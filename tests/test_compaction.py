@@ -479,3 +479,30 @@ def test_compact_rejects_none_watermark(tmp_path):
     _produce(store, 2)
     with pytest.raises(ValueError, match="watermark_us is None"):
         store.compact(TOPIC, watermark_us=None)
+
+
+def test_scan_straddling_compaction_output_at_least_once(tmp_path):
+    """A compaction output whose constituents STRADDLE the scan position
+    (some scanned, some not) is read in full: the unscanned rows must
+    arrive (no loss), and the already-scanned rows redeliver — the
+    documented at-least-once fallback of the filename-positioned SSE
+    protocol layer (exactly-once holds only when the output's
+    constituents are wholly behind the position, the common case when
+    compaction watermarks trail consumers)."""
+    store = _store(tmp_path)
+    ids = _produce(store, 6)
+    d = store.topic_dir(TOPIC)
+
+    # scan only the first half (position after file 3 of 6)
+    files = _parquet_files(d)
+    rows1, pos = store.scan(TOPIC)
+    # rewind the position into the middle: emulate a consumer that had
+    # only scanned the first three files
+    pos = files[2]
+    # compact everything (one-shot watermark far in the future)
+    res = store.compact(TOPIC, watermark_us=2**62)
+    assert res["merged"] == 6
+    rows2, _ = store.scan(TOPIC, after_file=pos)
+    got = [r["message_id"] for r in rows2]
+    assert set(got) >= set(ids[3:]), "unscanned rows must not be lost"
+    assert got == ids, "straddling output reads in full (at-least-once)"
