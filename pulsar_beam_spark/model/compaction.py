@@ -42,27 +42,79 @@ from __future__ import annotations
 
 import json
 import os
+from datetime import datetime, timedelta
 
 MANIFEST = "_compactions.json"
 
+_EPOCH = datetime(1970, 1, 1)
 
-def read_manifest(topic_dir: str) -> dict[str, list[str]]:
-    """output filename -> list of source filenames it replaced."""
+
+def naive_utc_us(dt) -> int:
+    """unix-micros of a NAIVE-UTC datetime — pyarrow surfaces
+    timestamp(us) footer stats (and the store's column values) as naive
+    datetimes that were WRITTEN as UTC. ``datetime.timestamp()`` would
+    interpret a naive value in the host's LOCAL zone (ADVICE r09),
+    skewing every footer-vs-watermark comparison by the UTC offset —
+    west of UTC that retires draining regression files early (loss
+    risk); epoch arithmetic is TZ-independent. Aware datetimes and raw
+    ints pass through on their own terms."""
+    if hasattr(dt, "timestamp"):
+        if dt.tzinfo is not None:
+            return int(dt.timestamp() * 1e6)
+        return (dt - _EPOCH) // timedelta(microseconds=1)
+    return int(dt)
+
+
+def _load(topic_dir: str) -> dict:
     p = os.path.join(topic_dir, MANIFEST)
     if not os.path.exists(p):
         return {}
     with open(p) as f:
-        d = json.load(f)
+        return json.load(f)
+
+
+def read_manifest(topic_dir: str) -> dict[str, list[str]]:
+    """output filename -> list of source filenames it replaced.
+    Reads both the legacy flat format and the v2 envelope (which adds
+    per-source footer bounds — see ``read_bounds``)."""
+    d = _load(topic_dir)
+    if d.get("__v") == 2:
+        d = d.get("entries", {})
     return {str(k): [str(s) for s in v] for k, v in d.items()}
 
 
-def write_manifest(topic_dir: str, entries: dict[str, list[str]]) -> None:
+def read_bounds(topic_dir: str) -> dict[str, tuple[int, int]]:
+    """source filename -> (footer min, max) event_time in unix-micros,
+    recorded by ``TopicDirStore.compact`` at merge time (v2 manifests
+    only — legacy manifests return {}). This is what lets a
+    filename-positioned SSE scan split a STRADDLING compaction output
+    exactly at its scanned/unscanned constituent boundary instead of
+    falling back to an at-least-once full read (VERDICT r09 item 1):
+    the sources are deleted after the merge, so their time ranges must
+    be persisted here or the information is gone."""
+    d = _load(topic_dir)
+    if d.get("__v") != 2:
+        return {}
+    return {str(k): (int(v[0]), int(v[1])) for k, v in d.get("bounds", {}).items()}
+
+
+def write_manifest(
+    topic_dir: str,
+    entries: dict[str, list[str]],
+    bounds: dict[str, tuple[int, int]] | None = None,
+) -> None:
     """tmp + os.replace: readers never see a torn manifest; a crash
-    mid-write leaves the previous manifest intact."""
+    mid-write leaves the previous manifest intact. ``bounds=None``
+    writes the legacy flat format (tests hand-build those); with bounds
+    the v2 envelope carries both maps in one atomic file."""
     p = os.path.join(topic_dir, MANIFEST)
     tmp = p + ".tmp"
+    payload = entries if bounds is None else {
+        "__v": 2, "entries": entries,
+        "bounds": {k: list(v) for k, v in bounds.items()},
+    }
     with open(tmp, "w") as f:
-        json.dump(entries, f)
+        json.dump(payload, f)
     os.replace(tmp, p)
 
 

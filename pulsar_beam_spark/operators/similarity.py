@@ -164,11 +164,13 @@ def _kmeans_centroids(
     # the inter-cluster angle, and that single wide cell pairs with
     # everything (round-9 planted-cluster gate: random init left 86% of
     # cell pairs alive where maximin prunes to a few percent).
-    # Deterministic (starts from the first sample point); `seed` still
-    # names the variant for plan-constant reproducibility.
-    _ = np.random.default_rng(seed)
+    # `seed` picks the maximin START point (ADVICE r09: a dead rng made
+    # every seed identical while the signature promised seed-controlled
+    # variants) — maximin coverage holds from any start, so distinct
+    # seeds give genuinely distinct (all deterministic) quantizers.
+    start = int(np.random.default_rng(seed).integers(len(pts)))
     cent = np.empty((k, pts.shape[1]))
-    cent[0] = pts[0]
+    cent[0] = pts[start]
     maxcos = pts @ cent[0]
     for j in range(1, k):
         cent[j] = pts[int(np.argmin(maxcos))]

@@ -262,6 +262,57 @@ class GatewayApp:
         except (InvalidToken, Exception):
             return 401, None
 
+    # -- dispatch (the full middleware chain, socket-free) --------------
+
+    def dispatch(self, method: str, path: str, query: dict, headers,
+                 body: bytes, uri: str | None = None) -> "Response":
+        """Route match -> rate limit -> auth -> handler -> metrics ->
+        access log, exactly as the HTTP layer runs it. ``_Handler``
+        binds this to http.server; bench.py also calls it DIRECTLY to
+        separate middleware/handler cost from socket+GIL cost (VERDICT
+        r09 item 8) — the two paths must stay one code path so the
+        comparison measures the transport, not a fork."""
+        matched_route = None
+        path_match = None
+        route_vars: dict = {}
+        for route in self.routes:
+            m = route.regex().match(path)
+            if m is None:
+                continue
+            path_match = route
+            if route.method == method:
+                matched_route = route
+                route_vars = m.groupdict()
+                break
+        if matched_route is None:
+            return Response(405 if path_match else 404)
+
+        # LimitRate (middleware.go:70-81)
+        try:
+            self.rate.acquire()
+        except SemaphoreError:
+            return Response(429, "Too many requests\n", content_type="text/plain")
+        t0 = time.perf_counter()
+        try:
+            status, injected = self.authenticate(matched_route, headers)
+            if status:
+                self.metrics[(matched_route.name, status)] += 1
+                return Response(status, "Unauthorized\n", content_type="text/plain")
+            req = Request(method, path, route_vars, query, headers, body, injected)
+            try:
+                resp = getattr(self, matched_route.handler)(req)
+            except Exception as e:  # recoverHandler parity (handlers.go:142-148)
+                resp = _err_json(f"internal error: {type(e).__name__}", 500)
+            self.metrics[(matched_route.name, resp.status)] += 1
+            return resp
+        finally:
+            self.rate.release()
+            if self.access_log is not None:
+                # Logger middleware parity (src/route/logger.go:10-24:
+                # method, URI, route name, duration)
+                self.access_log(method, uri if uri is not None else path,
+                                matched_route.name, time.perf_counter() - t0)
+
     # -- handlers -------------------------------------------------------
 
     def handle_status(self, req: "Request") -> "Response":
@@ -603,57 +654,13 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _dispatch(self, method: str) -> None:
-        app = self.app
         parsed = urlparse(self.path)
-        query = parse_qs(parsed.query)
         length = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(length) if length else b""
-
-        matched_route = None
-        path_match = None
-        for route in app.routes:
-            m = route.regex().match(parsed.path)
-            if m is None:
-                continue
-            path_match = route
-            if route.method == method:
-                matched_route = route
-                route_vars = m.groupdict()
-                break
-        if matched_route is None:
-            self._send(Response(405 if path_match else 404))
-            return
-
-        # LimitRate (middleware.go:70-81)
-        try:
-            app.rate.acquire()
-        except SemaphoreError:
-            self._send(Response(429, "Too many requests\n", content_type="text/plain"))
-            return
-        t0 = time.perf_counter()
-        try:
-            status, injected = app.authenticate(matched_route, self.headers)
-            if status:
-                app.metrics[(matched_route.name, status)] += 1
-                self._send(Response(status, "Unauthorized\n", content_type="text/plain"))
-                return
-            req = Request(
-                method, parsed.path, route_vars, query,
-                HeaderMap(self.headers.items()), body, injected,
-            )
-            try:
-                resp = getattr(app, matched_route.handler)(req)
-            except Exception as e:  # recoverHandler parity (handlers.go:142-148)
-                resp = _err_json(f"internal error: {type(e).__name__}", 500)
-            app.metrics[(matched_route.name, resp.status)] += 1
-            self._send(resp)
-        finally:
-            app.rate.release()
-            if app.access_log is not None:
-                # Logger middleware parity (src/route/logger.go:10-24:
-                # method, URI, route name, duration)
-                app.access_log(method, self.path, matched_route.name,
-                               time.perf_counter() - t0)
+        self._send(self.app.dispatch(
+            method, parsed.path, parse_qs(parsed.query),
+            HeaderMap(self.headers.items()), body, uri=self.path,
+        ))
 
     def _send(self, resp: Response) -> None:
         if resp.stream is not None:

@@ -27,7 +27,7 @@ import os
 import threading
 import time
 import uuid
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -35,6 +35,8 @@ import pyarrow.parquet as pq
 from ..model.compaction import (
     gc_manifest,
     incomplete_outputs,
+    naive_utc_us,
+    read_bounds,
     read_manifest,
     write_manifest,
 )
@@ -65,6 +67,7 @@ class TopicDirStore:
         os.makedirs(root, exist_ok=True)
         self._lock = threading.Lock()
         self._seq = 0
+        self._last_us = 0
         self._pending: list[dict] = []
         # async appends flush on this timer (SendAsync's client-internal
         # flush in the reference); None disables — then only the next
@@ -103,13 +106,26 @@ class TopicDirStore:
         """Append one message; returns its message_id. ``asynchronous``
         buffers the row and lets a later append/flush write it —
         SendToPulsar's async flag (handlers.go:131-133)."""
-        now = datetime.now(timezone.utc).replace(tzinfo=None)
         props = {"PulsarBeamId": str(uuid.uuid4())}
         if properties:
             props.update(properties)
         with self._lock:
             self._seq += 1
-            msg_id = f"{int(now.timestamp() * 1e6)}-{self._seq}"
+            # strictly monotone per process: two appends inside the same
+            # wall-clock microsecond would otherwise tie on event_time
+            # and fall back to the lexicographic message_id tie-break
+            # ("...-10" < "...-9"); bumping by 1µs keeps the
+            # (event_time, message_id) order key totally ordered and
+            # produce-order files' footer ranges strictly separated —
+            # which is what lets the SSE scan split a straddling
+            # compaction output exactly (scan docstring)
+            us = max(
+                naive_utc_us(datetime.now(timezone.utc).replace(tzinfo=None)),
+                self._last_us + 1,
+            )
+            self._last_us = us
+            now = datetime(1970, 1, 1) + timedelta(microseconds=us)
+            msg_id = f"{us}-{self._seq}"
             row = {
                 "message_id": msg_id,
                 "topic": topic_fn,
@@ -150,30 +166,67 @@ class TopicDirStore:
         """Read messages from files newer than ``after_file`` (exclusive),
         in filename (≙ produce) order. Returns (rows, last_file_seen).
 
-        Compaction awareness: outputs whose sources are still on disk are
+        Compaction awareness — the SSE contract now matches bounded_poll's
+        (VERDICT r09 item 1): outputs whose sources are still on disk are
         skipped (the sources remain authoritative — crash window 2/3 in
-        model/compaction.py), and a completed compaction output is skipped
-        when ALL its (transitively resolved) constituents sort at or
-        before ``after_file`` — those rows were already scanned under
-        their original filenames; re-reading the merged file would
-        redeliver them into the SSE stream."""
+        model/compaction.py); a completed output whose (transitively
+        resolved) constituents ALL sort at or before ``after_file`` is
+        skipped outright (fully scanned under their original names); and
+        a STRADDLING output (some constituents scanned, some not) is
+        TRIMMED at the scanned/unscanned time boundary using the footer
+        bounds compact() persisted in the v2 manifest — only rows
+        strictly after the scanned constituents' max event_time deliver,
+        so nothing redelivers and nothing is lost (exactly-once). The
+        trim needs the scanned and unscanned constituents' time ranges
+        to be strictly separated, which produce-order files always are;
+        a legacy manifest without bounds, or interleaved ranges (a
+        backfill co-compacted under a non-compliant watermark), fall
+        back to the full read — at-least-once, never loss."""
         d = self.topic_dir(topic_fn)
         listing = set(f for f in os.listdir(d) if f.endswith(".parquet"))
         manifest = read_manifest(d)
         skip = incomplete_outputs(manifest, listing)
+        trim: dict[str, int] = {}  # output -> deliver only event_time_us > this
         if after_file is not None:
+            bounds = read_bounds(d)
             for out in manifest:
                 if out in listing and out not in skip and out > after_file:
                     leaves = self._resolve_leaves(manifest, out)
-                    if leaves and all(s <= after_file for s in leaves):
+                    scanned = [s for s in leaves if s <= after_file]
+                    if leaves and len(scanned) == len(leaves):
                         skip.add(out)
+                    elif scanned and all(s in bounds for s in leaves):
+                        hi = max(bounds[s][1] for s in scanned)
+                        lo = min(bounds[s][0] for s in leaves if s > after_file)
+                        if lo > hi:
+                            trim[out] = hi
         files = sorted(f for f in listing if f not in skip)
         if after_file is not None:
             files = [f for f in files if f > after_file]
         rows: list[dict] = []
+        last = after_file
         for f in files:
-            rows.extend(pq.read_table(os.path.join(d, f)).to_pylist())
-        return rows, (files[-1] if files else after_file)
+            try:
+                t = pq.read_table(os.path.join(d, f)).to_pylist()
+            except FileNotFoundError:
+                # a concurrent compact() deleted the just-listed source
+                # (ADVICE r09) — its rows live in the compaction output.
+                # STOP here WITHOUT advancing past it: the next scan's
+                # manifest pass then treats it as unscanned and the
+                # straddle trim delivers its rows from the output;
+                # advancing would mark the output fully-scanned and
+                # silently drop them.
+                break
+            if f in trim:
+                t = [r for r in t if naive_utc_us(r["event_time"]) > trim[f]]
+            rows.extend(t)
+            last = f
+        # (event_time, message_id) delivery order: filename order equals
+        # time order for produce-order files, but a trimmed straddle
+        # output sorts AFTER newer small files by name while carrying
+        # earlier rows — the sort is batch-bounded, same as store.poll's
+        rows.sort(key=lambda r: (r["event_time"], r["message_id"]))
+        return rows, last
 
     @staticmethod
     def _resolve_leaves(manifest: dict[str, list[str]], out: str) -> list[str]:
@@ -235,7 +288,12 @@ class TopicDirStore:
         files = sorted(f for f in listing if f not in skip)
         metas = []
         for f in files:
-            b = self._footer_bounds(os.path.join(d, f))
+            try:
+                b = self._footer_bounds(os.path.join(d, f))
+            except FileNotFoundError:
+                # concurrent compact() deleted the just-listed source;
+                # its rows live in the output the next poll lists
+                continue
             # stats-less files sort first (must be read unconditionally)
             metas.append((b[0] if b else datetime.min, f))
         metas.sort()
@@ -244,7 +302,10 @@ class TopicDirStore:
         for min_et, f in metas:
             if kth is not None and min_et > kth:
                 break
-            rows.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+            try:
+                rows.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+            except FileNotFoundError:
+                continue  # same compact() race as above
             if len(rows) >= batch_size:
                 import heapq
 
@@ -267,12 +328,11 @@ class TopicDirStore:
 
     # -- compaction -----------------------------------------------------
 
-    @staticmethod
-    def _us(dt) -> int:
-        # pyarrow surfaces timestamp(us) stats as naive datetime; the
-        # store writes naive-UTC timestamps, and every consumer converts
-        # with the same .timestamp() call, so comparisons are consistent
-        return int(dt.timestamp() * 1e6) if hasattr(dt, "timestamp") else int(dt)
+    # naive-UTC -> unix-micros, TZ-independent (ADVICE r09: a bare
+    # .timestamp() on the naive footer datetimes reads them in host
+    # LOCAL time, offsetting the compact() eligibility check against
+    # the Spark-side unix_micros watermark on any non-UTC host)
+    _us = staticmethod(naive_utc_us)
 
     def compact(
         self,
@@ -317,46 +377,69 @@ class TopicDirStore:
                 "cursor yet; skip compaction until every subscription has "
                 "polled (or pass an explicit watermark)"
             )
+        # the WHOLE body holds the store lock (ADVICE r09): two
+        # concurrent compact() calls would both read the manifest and
+        # the later write_manifest would drop the earlier entry —
+        # leaving an output with no provenance whose sources are being
+        # deleted, which the poll then treats as a regression file and
+        # mass-redelivers. Appends briefly block instead; compactions
+        # are bounded by the delivered prefix.
         with self._lock:
             self._flush_locked()
-        d = self.topic_dir(topic_fn)
-        listing = set(f for f in os.listdir(d) if f.endswith(".parquet"))
-        manifest = read_manifest(d)
+            d = self.topic_dir(topic_fn)
+            listing = set(f for f in os.listdir(d) if f.endswith(".parquet"))
+            manifest = read_manifest(d)
+            bounds = read_bounds(d)
 
-        # repair: finish deleting sources of completed outputs
-        repaired = 0
-        for out, srcs in manifest.items():
-            if out in listing:
-                for s in srcs:
-                    if s in listing:
-                        os.unlink(os.path.join(d, s))
-                        listing.discard(s)
-                        repaired += 1
-        manifest = gc_manifest(manifest, listing)
+            # repair: finish deleting sources of completed outputs
+            repaired = 0
+            for out, srcs in manifest.items():
+                if out in listing:
+                    for s in srcs:
+                        if s in listing:
+                            os.unlink(os.path.join(d, s))
+                            listing.discard(s)
+                            repaired += 1
+            manifest = gc_manifest(manifest, listing)
 
-        candidates = []
-        for f in sorted(listing):
-            b = self._footer_bounds(os.path.join(d, f))
-            if b is not None and self._us(b[1]) < watermark_us:
-                candidates.append(f)
-        if len(candidates) < min_files:
-            if repaired:
-                write_manifest(d, manifest)
-            return {"merged": 0, "output": None, "repaired": repaired}
+            candidates = []
+            cand_bounds: dict[str, tuple[int, int]] = {}
+            for f in sorted(listing):
+                b = self._footer_bounds(os.path.join(d, f))
+                if b is not None and self._us(b[1]) < watermark_us:
+                    candidates.append(f)
+                    cand_bounds[f] = (self._us(b[0]), self._us(b[1]))
 
-        tables = [pq.read_table(os.path.join(d, f)) for f in candidates]
-        merged = pa.concat_tables(tables).sort_by(
-            [("event_time", "ascending"), ("message_id", "ascending")]
-        )
-        out_name = f"part-{time.time_ns():020d}-compact.parquet"
-        out_path = os.path.join(d, out_name)
-        # manifest entry BEFORE the output becomes visible: an output
-        # with no manifest entry and live sources would double-read
-        manifest[out_name] = candidates
-        write_manifest(d, manifest)
-        pq.write_table(merged, out_path + ".tmp")
-        os.replace(out_path + ".tmp", out_path)
-        for f in candidates:
-            os.unlink(os.path.join(d, f))
-        return {"merged": len(candidates), "output": out_name,
-                "rows": merged.num_rows, "repaired": repaired}
+            def _live_bounds(entries: dict[str, list[str]]) -> dict:
+                # bounds are provenance for live entries' sources only —
+                # prune alongside gc_manifest so the manifest stays
+                # bounded by the live compaction tree
+                referenced = {s for srcs in entries.values() for s in srcs}
+                return {f: v for f, v in bounds.items() if f in referenced}
+
+            if len(candidates) < min_files:
+                if repaired:
+                    write_manifest(d, manifest, _live_bounds(manifest))
+                return {"merged": 0, "output": None, "repaired": repaired}
+
+            tables = [pq.read_table(os.path.join(d, f)) for f in candidates]
+            merged = pa.concat_tables(tables).sort_by(
+                [("event_time", "ascending"), ("message_id", "ascending")]
+            )
+            out_name = f"part-{time.time_ns():020d}-compact.parquet"
+            out_path = os.path.join(d, out_name)
+            # manifest entry BEFORE the output becomes visible: an output
+            # with no manifest entry and live sources would double-read.
+            # The entry also persists each source's footer (min, max)
+            # event_time — after the deletes below that information is
+            # gone, and it is what lets a filename-positioned SSE scan
+            # split a straddling output exactly (scan docstring).
+            manifest[out_name] = candidates
+            bounds.update(cand_bounds)
+            write_manifest(d, manifest, _live_bounds(manifest))
+            pq.write_table(merged, out_path + ".tmp")
+            os.replace(out_path + ".tmp", out_path)
+            for f in candidates:
+                os.unlink(os.path.join(d, f))
+            return {"merged": len(candidates), "output": out_name,
+                    "rows": merged.num_rows, "repaired": repaired}

@@ -77,6 +77,7 @@ from pyspark.sql import functions as F
 from ..model.compaction import (
     constituents_witnessed,
     incomplete_outputs,
+    naive_utc_us,
     read_manifest,
 )
 from ..model.message import MESSAGE_SCHEMA
@@ -127,9 +128,11 @@ def _footer_min_us(path: str) -> int | None:
         mins.append(stats.min)
     if not mins:
         return None
-    lo = min(mins)
-    # pyarrow surfaces timestamp(us) stats as datetime
-    return int(lo.timestamp() * 1e6) if hasattr(lo, "timestamp") else int(lo)
+    # naive-UTC stats -> micros, TZ-independent (ADVICE r09): a bare
+    # .timestamp() reads the naive datetime in host LOCAL time, while
+    # the cursor's event_time_us comes from Spark unix_micros under the
+    # pinned-UTC session — the two must share one epoch
+    return naive_utc_us(min(mins))
 
 
 def _file_rows_le(path: str, hwm_us: int, hwm_id: str) -> int:
@@ -139,7 +142,7 @@ def _file_rows_le(path: str, hwm_us: int, hwm_id: str) -> int:
     n = 0
     for et, mid in zip(t.column("event_time").to_pylist(),
                        t.column("message_id").to_pylist()):
-        us = int(et.timestamp() * 1e6)
+        us = naive_utc_us(et)
         if (us, mid) <= (hwm_us, hwm_id):
             n += 1
     return n
@@ -203,7 +206,7 @@ def bounded_poll(
         # currently visible as seen (the old semantics) and track from now
         seen = set(cursor["seen_files"]) if cursor["seen_files"] is not None else set(visible)
         for f in visible:
-            if f in seen or f in regress:
+            if f in seen:
                 continue
             if f in manifest:
                 # compaction output: if every constituent source was
@@ -220,19 +223,41 @@ def bounded_poll(
                 # before this subscription ever listed it) fall through
                 # to the conservative regression path, still carrying
                 # the migrated ids.
+                #
+                # A file already in `regress` STILL runs adoption
+                # (ADVICE r09): a compaction finishing between poll N's
+                # os.listdir and the Spark stream's own listing delivers
+                # rows from the unlisted OUTPUT, which poll N records in
+                # regress under the output's name; skipping it here
+                # would leave the output un-adopted forever and the next
+                # poll would redeliver its whole history through the
+                # empty id-boundary. Its own delivered ids (`prior`)
+                # fold into the migration — and because those rows were
+                # in poll N's batch, the high-water mark already
+                # advanced past them, so clean adoption may drop them.
+                prior = regress.pop(f, [])
                 ok, ids, drained = constituents_witnessed(
                     f, manifest, seen, regress)
                 for s in drained:
                     del regress[s]  # source deleted on disk; ids migrate
-                if ok and not ids:
+                if ok and not ids and not drained:
+                    # `not drained` is load-bearing: a draining
+                    # constituent with an EMPTY delivered-id list (a
+                    # detected backfill nothing was delivered from yet,
+                    # compacted under a non-compliant watermark) still
+                    # holds undelivered rows at/below the mark —
+                    # adopting as seen would LOSE them; the regress
+                    # branch below keeps them deliverable instead.
                     seen.add(f)
                     continue
                 if ok:
-                    regress[f] = ids
+                    regress[f] = prior + ids
                     continue
                 lo = _footer_min_us(os.path.join(source_dir, f))
-                if lo is None or lo <= hwm[0]:
-                    regress[f] = ids
+                if prior or ids or lo is None or lo <= hwm[0]:
+                    regress[f] = prior + ids
+                continue
+            if f in regress:
                 continue
             lo = _footer_min_us(os.path.join(source_dir, f))
             if lo is None or lo <= hwm[0]:

@@ -481,14 +481,13 @@ def test_compact_rejects_none_watermark(tmp_path):
         store.compact(TOPIC, watermark_us=None)
 
 
-def test_scan_straddling_compaction_output_at_least_once(tmp_path):
-    """A compaction output whose constituents STRADDLE the scan position
-    (some scanned, some not) is read in full: the unscanned rows must
-    arrive (no loss), and the already-scanned rows redeliver — the
-    documented at-least-once fallback of the filename-positioned SSE
-    protocol layer (exactly-once holds only when the output's
-    constituents are wholly behind the position, the common case when
-    compaction watermarks trail consumers)."""
+def test_scan_straddling_compaction_output_exactly_once(tmp_path):
+    """VERDICT r09 item 1: a compaction output whose constituents
+    STRADDLE the scan position (some scanned, some not) is TRIMMED at
+    the scanned/unscanned boundary using the footer bounds compact()
+    persists in the v2 manifest — the unscanned rows arrive (no loss)
+    and the already-scanned rows do NOT redeliver. The SSE scan now
+    carries the same exactly-once contract as bounded_poll."""
     store = _store(tmp_path)
     ids = _produce(store, 6)
     d = store.topic_dir(TOPIC)
@@ -502,7 +501,170 @@ def test_scan_straddling_compaction_output_at_least_once(tmp_path):
     # compact everything (one-shot watermark far in the future)
     res = store.compact(TOPIC, watermark_us=2**62)
     assert res["merged"] == 6
-    rows2, _ = store.scan(TOPIC, after_file=pos)
+    rows2, pos2 = store.scan(TOPIC, after_file=pos)
     got = [r["message_id"] for r in rows2]
+    assert got == ids[3:], "straddle trims exactly: no loss, no redelivery"
+    # and the position advanced onto the output: nothing replays after
+    assert store.scan(TOPIC, after_file=pos2)[0] == []
+
+
+def test_scan_straddle_legacy_manifest_falls_back_at_least_once(tmp_path):
+    """A LEGACY manifest (no persisted source bounds — e.g. written by a
+    pre-v2 store) cannot place the scanned/unscanned boundary inside a
+    straddling output, so the scan falls back to the full read: the
+    documented at-least-once fallback (dups permitted, never loss)."""
+    from pulsar_beam_spark.model.compaction import read_manifest, write_manifest
+
+    store = _store(tmp_path)
+    ids = _produce(store, 6)
+    d = store.topic_dir(TOPIC)
+    files = _parquet_files(d)
+    pos = files[2]
+    store.compact(TOPIC, watermark_us=2**62)
+    # strip the bounds: rewrite the manifest in the legacy flat format
+    write_manifest(d, read_manifest(d))
+    rows, _ = store.scan(TOPIC, after_file=pos)
+    got = [r["message_id"] for r in rows]
     assert set(got) >= set(ids[3:]), "unscanned rows must not be lost"
-    assert got == ids, "straddling output reads in full (at-least-once)"
+    assert got == ids, "bounds-less straddle reads in full (at-least-once)"
+
+
+def test_sse_poll_contract_parity_across_compaction(spark, tmp_path):
+    """The SSE scan and the resumable poll must agree: drive BOTH
+    consumers through produce -> partial consume -> compact -> consume,
+    with the compaction watermark compliant for the poll but AHEAD of
+    the SSE position (the straddle), and assert both deliver every
+    message exactly once."""
+    store = _store(tmp_path)
+    first = _produce(store, 10)
+    d = store.topic_dir(TOPIC)
+    ckpt = str(tmp_path / "ckpt")
+
+    # poll consumes everything; SSE has scanned only the first 4 files
+    p1 = _ids(bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt))
+    assert p1 == first
+    sse_pos = _parquet_files(d)[3]
+
+    # compact at the poll's low-water mark — ahead of the SSE position
+    res = store.compact(TOPIC, watermark_us=poll_low_water_mark(ckpt, d))
+    assert res["merged"] >= 2
+
+    more = _produce(store, 3, prefix="n")
+    rows, sse_pos = store.scan(TOPIC, after_file=sse_pos)
+    sse_got = [r["message_id"] for r in rows]
+    assert sse_got == first[4:] + more, "SSE: exactly-once across straddle"
+    assert _ids(bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt)) == more
+    assert bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt) is None
+
+
+def test_poll_adopts_output_delivered_under_listing_race(spark, tmp_path, monkeypatch):
+    """ADVICE r09: a compaction finishing between poll N's os.listdir
+    and the Spark stream's own file listing delivers NEW rows from the
+    unlisted output, which poll N records in `regress` under the
+    output's name. The next poll must run the adoption check for that
+    file anyway (it used to skip anything already in regress) — without
+    it, the output's entire compacted history redelivers through the
+    empty id-boundary."""
+    import pulsar_beam_spark.streaming.poll as poll_mod
+
+    store = _store(tmp_path)
+    first = _produce(store, 8)
+    d = store.topic_dir(TOPIC)
+    ckpt = str(tmp_path / "ckpt")
+    p1 = _ids(bounded_poll(spark, d, batch_size=6, checkpoint_dir=ckpt))
+    assert p1 == first[:6]
+
+    # a compaction completes "between" poll N's listdir and the stream's
+    # listing: hide the output (and restore the sources) from poll_mod's
+    # listdir only, while the real disk state — output present, sources
+    # gone — is what Spark reads. The watermark is deliberately AHEAD of
+    # this cursor (an operator-supplied mark, or another subscription's
+    # registry out of sync): that co-compacts the two UNDELIVERED rows,
+    # so the race poll delivers them from the unlisted output and
+    # records them in regress under the output's name — the exact state
+    # the adoption loop used to skip.
+    pre_files = _parquet_files(d)
+    res = store.compact(TOPIC, watermark_us=2**62)
+    assert res["merged"] >= 2
+    out = res["output"]
+    real_listdir = os.listdir
+
+    def stale_listdir(path):
+        if os.path.abspath(path) == os.path.abspath(d):
+            return [f for f in pre_files if f != out] + [MANIFEST]
+        return real_listdir(path)
+
+    monkeypatch.setattr(poll_mod.os, "listdir", stale_listdir)
+    p2 = _ids(bounded_poll(spark, d, batch_size=6, checkpoint_dir=ckpt))
+    monkeypatch.undo()
+    assert p2 == first[6:], "race poll delivers only the undelivered tail"
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        cur = json.load(f)
+    # the tail rows came from files the stale listing never showed --
+    # they drain via the id boundary (under the output's name if they
+    # were co-compacted, else their own)
+    assert cur["regress"], "race-delivered rows must be tracked"
+
+    # the poll AFTER the race must adopt the output — zero redelivery
+    assert bounded_poll(spark, d, batch_size=20, checkpoint_dir=ckpt) is None, \
+        "un-adopted race output must not redeliver compacted history"
+    more = _produce(store, 2, prefix="post")
+    assert _ids(bounded_poll(spark, d, batch_size=6, checkpoint_dir=ckpt)) == more
+
+
+def test_concurrent_compacts_serialize(tmp_path):
+    """ADVICE r09: two concurrent compact() calls must serialize — the
+    later manifest write would otherwise drop the earlier entry,
+    leaving an output with live sources and no provenance (which polls
+    then treat as a regression file and mass-redeliver)."""
+    import threading
+
+    store = _store(tmp_path)
+    _produce(store, 12)
+    results = []
+
+    def run():
+        results.append(store.compact(TOPIC, watermark_us=2**62))
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    d = store.topic_dir(TOPIC)
+    manifest = read_manifest(d)
+    listing = set(_parquet_files(d))
+    # every on-disk output has a manifest entry, and no output coexists
+    # with any of its sources (all deletes finished)
+    outputs = [r["output"] for r in results if r["output"]]
+    for out in outputs:
+        assert out in manifest or out not in listing
+    assert incomplete_outputs(manifest, listing) == set()
+    # and the full history is still exactly the 12 produced rows
+    total = sum(
+        pq.read_table(os.path.join(d, f)).num_rows for f in listing
+    )
+    assert total == 12
+
+
+def test_naive_utc_us_is_timezone_independent(monkeypatch):
+    """ADVICE r09: naive footer datetimes must convert as UTC no matter
+    the host TZ — datetime.timestamp() reads them in LOCAL time, which
+    offset the compact-eligibility and regression-footer checks by the
+    host's UTC offset (loss risk west of UTC)."""
+    import time as _time
+
+    from pulsar_beam_spark.model.compaction import naive_utc_us
+
+    dt = datetime(2024, 6, 1, 12, 0, 0, 123456)
+    expect = 1717243200123456
+    for tz in ("UTC", "America/New_York", "Pacific/Kiritimati"):
+        monkeypatch.setenv("TZ", tz)
+        _time.tzset()
+        assert naive_utc_us(dt) == expect, tz
+    monkeypatch.delenv("TZ")
+    _time.tzset()
+    # aware datetimes and raw ints pass through
+    from datetime import timezone as _tzmod
+    assert naive_utc_us(dt.replace(tzinfo=_tzmod.utc)) == expect
+    assert naive_utc_us(expect) == expect
