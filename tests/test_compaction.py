@@ -668,3 +668,98 @@ def test_naive_utc_us_is_timezone_independent(monkeypatch):
     from datetime import timezone as _tzmod
     assert naive_utc_us(dt.replace(tzinfo=_tzmod.utc)) == expect
     assert naive_utc_us(expect) == expect
+
+
+# == stateful interleaving fuzz (VERDICT r09 item 6) =====================
+
+def test_stateful_compaction_interleavings(spark, tmp_path):
+    """Hypothesis RuleBasedStateMachine over produce / poll(xN subs) /
+    SSE-scan / compliant compact: the hand-enumerated goldens above pin
+    specific interleavings; this asserts the GLOBAL invariant — every
+    consumer sees every message exactly once, in order — across
+    machine-chosen interleavings nobody enumerated. Compactions run at
+    the compliant watermark (min poll_low_water_mark across live
+    subscriptions), where the contract promises exactly-once with no
+    fallbacks; non-compliant watermarks have their own directed goldens
+    (at-least-once, never loss)."""
+    import shutil
+    import tempfile
+
+    from hypothesis import settings
+    from hypothesis import strategies as st
+    from hypothesis.stateful import (
+        RuleBasedStateMachine,
+        invariant,
+        rule,
+        run_state_machine_as_test,
+    )
+
+    class Machine(RuleBasedStateMachine):
+        def __init__(self):
+            super().__init__()
+            self.root = tempfile.mkdtemp(dir=str(tmp_path), prefix="fuzz-")
+            self.store = TopicDirStore(
+                os.path.join(self.root, "store"), flush_interval_s=None)
+            self.d = self.store.topic_dir(TOPIC)
+            self.produced: list[str] = []
+            self.ckpts = [os.path.join(self.root, f"sub{i}") for i in (0, 1)]
+            self.delivered = [[], []]
+            self.sse_pos = None
+            self.sse_got: list[str] = []
+            self.n_compactions = 0
+
+        @rule(n=st.integers(1, 4))
+        def produce(self, n):
+            for i in range(n):
+                self.produced.append(
+                    self.store.append(TOPIC, f"m-{len(self.produced)}".encode()))
+
+        @rule(sub=st.integers(0, 1), batch=st.integers(1, 5))
+        def poll(self, sub, batch):
+            out = bounded_poll(
+                spark, self.d, batch_size=batch, checkpoint_dir=self.ckpts[sub])
+            self.delivered[sub].extend(_ids(out))
+
+        @rule()
+        def sse_scan(self):
+            rows, self.sse_pos = self.store.scan(TOPIC, after_file=self.sse_pos)
+            self.sse_got.extend(r["message_id"] for r in rows)
+
+        @rule()
+        def compact_compliant(self):
+            marks = [poll_low_water_mark(c, self.d) for c in self.ckpts]
+            if any(m is None for m in marks):
+                return  # some subscription has no cursor yet (contract)
+            res = self.store.compact(TOPIC, watermark_us=min(marks))
+            self.n_compactions += res["merged"] > 0
+
+        @invariant()
+        def exactly_once_in_order(self):
+            for sub in (0, 1):
+                got = self.delivered[sub]
+                assert got == self.produced[: len(got)], (
+                    f"sub{sub}: {got} vs {self.produced}")
+            assert self.sse_got == self.produced[: len(self.sse_got)], (
+                f"sse: {self.sse_got} vs {self.produced}")
+
+        def teardown(self):
+            # end-state: drain everything everywhere; totals must agree
+            for sub in (0, 1):
+                while True:
+                    out = bounded_poll(
+                        spark, self.d, batch_size=50,
+                        checkpoint_dir=self.ckpts[sub])
+                    if out is None:
+                        break
+                    self.delivered[sub].extend(_ids(out))
+                assert self.delivered[sub] == self.produced
+            rows, _ = self.store.scan(TOPIC, after_file=self.sse_pos)
+            self.sse_got.extend(r["message_id"] for r in rows)
+            assert self.sse_got == self.produced
+            shutil.rmtree(self.root, ignore_errors=True)
+
+    run_state_machine_as_test(
+        Machine,
+        settings=settings(
+            max_examples=5, stateful_step_count=10, deadline=None),
+    )

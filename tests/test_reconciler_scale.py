@@ -95,3 +95,96 @@ def test_reconciler_tick_latency_at_10k_configs(spark):
         f"\nreconciler@{N_CONFIGS}: flip={flip_tick:.2f}s "
         f"steady={steady_tick:.2f}s delta={delta_tick:.2f}s"
     )
+
+
+def test_version_gated_tick_skips_collect(spark):
+    """VERDICT r09 item 4: with the changelog version supplied and
+    unchanged, the steady tick must be a pure in-memory no-op — no
+    Spark job, no desired-set collect — so tick cost is O(1) at any
+    fleet size. A version bump (or version=None) forces the full diff."""
+    calls = []
+
+    def start_fn(row, ckpt):
+        calls.append(row["sub_key"])
+        return _FakeQuery()
+
+    rec = Reconciler(spark, "/tmp/pbs-reconciler-vgate-ckpts", start_fn)
+    snap = _snapshot(spark, 5).localCheckpoint()
+
+    s1, _ = rec.reconcile(snap, version=7)
+    assert len(s1) == 5
+
+    # unchanged version: no-op without touching Spark — poison the
+    # snapshot reference to PROVE the fast path never evaluates it
+    class _Poison:
+        def __getattr__(self, name):
+            raise AssertionError("version-gated tick must not touch the snapshot")
+
+    t0 = time.perf_counter()
+    for _ in range(100):
+        assert rec.reconcile(_Poison(), version=7) == ([], [])
+    assert time.perf_counter() - t0 < 0.1, "gated ticks must be microseconds"
+
+    # version moved: full diff runs again (one config dropped)
+    snap2 = _snapshot(spark, 5, drop_prefix=1).localCheckpoint()
+    s2, t2 = rec.reconcile(snap2, version=8)
+    assert not s2 and len(t2) == 1
+
+    # version=None always forces the full path (dead-query healing hook)
+    s3, t3 = rec.reconcile(snap2, version=None)
+    assert not s3 and not t3
+
+    # an exception mid-tick invalidates the gate: the NEXT gated tick
+    # must rerun the repair rather than skip it
+    def boom(row, ckpt):
+        raise RuntimeError("start failed")
+
+    rec2 = Reconciler(spark, "/tmp/pbs-reconciler-vgate2-ckpts", boom)
+    try:
+        rec2.reconcile(snap, version=3)
+    except RuntimeError:
+        pass
+    rec2.start_fn = start_fn
+    s4, _ = rec2.reconcile(snap, version=3)
+    assert len(s4) == 5, "post-failure gated tick must repair, not skip"
+
+
+import os
+
+import pytest
+
+
+@pytest.mark.skipif(
+    os.environ.get("PBS_RECONCILER_100K") != "1",
+    reason="~1 min 100k-config control-plane measurement; set PBS_RECONCILER_100K=1",
+)
+def test_reconciler_tick_latency_at_100k_configs(spark):
+    """The 100k-fleet bound (VERDICT r09 item 4): the full-collect tick
+    must stay linear and inside TICK_BOUND_S one decade above the 10k
+    measurement, and the version-gated steady tick must stay O(1)."""
+    n = 100_000
+
+    def start_mux_fn(rows, ckpt):
+        return _FakeQuery()
+
+    rec = Reconciler(
+        spark, "/tmp/pbs-reconciler-100k-ckpts", lambda r, c: _FakeQuery(),
+        start_mux_fn=start_mux_fn, multiplex_threshold=32,
+    )
+    snap = _snapshot(spark, n).localCheckpoint()
+
+    t0 = time.perf_counter()
+    s1, _ = rec.reconcile(snap, version=1)
+    flip = time.perf_counter() - t0
+    assert len(s1) == n
+
+    t0 = time.perf_counter()
+    assert rec.reconcile(snap, version=1) == ([], [])
+    gated = time.perf_counter() - t0
+    assert gated < 0.01, f"gated tick not O(1): {gated:.3f}s"
+
+    t0 = time.perf_counter()
+    assert rec.reconcile(snap, version=None) == ([], [])
+    full = time.perf_counter() - t0
+    assert full < TICK_BOUND_S, f"full 100k tick took {full:.1f}s"
+    print(f"\nreconciler@{n}: flip={flip:.2f}s full={full:.2f}s gated={gated*1e6:.0f}us")

@@ -147,3 +147,45 @@ def test_salting_spreads_hot_key_partitions(spark):
     )
     assert unsalted >= int(n * 0.45)  # the hot reducer owns half the table
     assert salted * 4 <= unsalted, (salted, unsalted)
+
+
+# == deterministic timing gate (VERDICT r09 item 3) ======================
+
+import os
+
+import pytest
+
+
+@pytest.mark.skipif(
+    os.environ.get("PBS_SKEW_GATE") != "1",
+    reason="~1 min 10M-row skew timing gate; set PBS_SKEW_GATE=1 to run",
+)
+def test_skew_mitigation_speedup_floors(spark):
+    """At sf0.1 the bench's `skew_speedup_*` rows sit inside run noise
+    (r9 adjudication: 0.93-1.21 across hosts), so they cannot PROVE the
+    mitigations work. At 10M rows with half the table on one key the
+    three variants separate decisively (measured: AQE 3.5x, salted
+    2.3x over naive), and because all three run back-to-back in ONE
+    session the naive/mitigated RATIO is immune to the host's ~2x
+    ambient speed swings. Floors sit ~40% under the measured ratios;
+    median-of-3 on breach sheds one-off stalls."""
+    import statistics
+
+    from bench import bench_skew_stress
+
+    def ratios():
+        # the shared test session runs 8 shuffle partitions (conftest);
+        # the skew story needs one-reducer-per-core to measure what the
+        # bench measures — pin 32 for the duration
+        with _confs(spark, **{"spark.sql.shuffle.partitions": "32"}):
+            t = bench_skew_stress(spark, n=10_000_000)
+        return (t["skew_join_naive"] / t["skew_join_aqe"],
+                t["skew_join_naive"] / t["skew_join_salted"])
+
+    aqe, salted = ratios()
+    if aqe < 2.0 or salted < 1.5:
+        samples = [(aqe, salted)] + [ratios() for _ in range(2)]
+        aqe = statistics.median(s[0] for s in samples)
+        salted = statistics.median(s[1] for s in samples)
+    assert aqe >= 2.0, f"AQE skew-join split stopped working: x{aqe:.2f}"
+    assert salted >= 1.5, f"salted join mitigation regressed: x{salted:.2f}"
