@@ -8622,12 +8622,32 @@ _ROUND8_VERIFIED = frozenset({
     "d_incremental_near_dup", "pipeline_curation_clustered",
 })
 
+_ROUND9_VERIFIED = frozenset({
+    "d_embedding_near_dup", "r31_cosine_topk", "s_ann_lsh_topk",
+    "s_ann_ivf_topk", "s_ann_recall_audit", "e_vector_quantize",
+    "e_range_search", "e_mips_topk", "e_grouped_topk", "r_skew_salted_agg",
+    "r_skew_salted_join", "r_funnel_sequence", "d_fuzzy_name_pairs",
+    "l_zorder_layout", "t_unigram_logprob", "r_ewma_smoothing",
+    "r_histogram_bins", "r_partial_agg_merge", "r_robust_stats",
+    "r_union_by_name", "sql_shared_dialect_not_in", "r_cohort_retention",
+    "r_market_basket", "pipeline_rag_index", "r_data_quality_audit",
+    "t_keyword_extraction", "r_interval_union_days", "r_percent_of_total",
+    "r_ohlc_bars", "r_gaps_islands", "r_mode_per_group",
+    "r_weighted_median", "r_string_agg", "r_regexp_extract_all",
+    "r_bitmap_flags", "r_null_impute_group_mean", "r_yoy_growth",
+    "r_interp_linear", "r_rolling_zscore", "r_triangle_count",
+    "t_bigram_top", "e_centroid_assign", "e_norm_audit", "p_dataset_card",
+    "d_jaccard_containment", "p_token_budget_split", "l_partition_manifest",
+    "r_running_distinct", "sql_shared_dialect_filter_agg",
+    "r_streak_detection",
+})
+
 # name -> most recent round with a hash-green driver row; later sets win.
 _LAST_GREEN: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
      _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
-     _ROUND7_VERIFIED, _ROUND8_VERIFIED),
+     _ROUND7_VERIFIED, _ROUND8_VERIFIED, _ROUND9_VERIFIED),
     start=1,
 ):
     for _n in _names:
