@@ -379,10 +379,17 @@ def bounded_poll(
                 if f not in visible_set:
                     del regress[f]
                 continue
-            if f in visible_set and len(
-                set(regress[f])
-            ) >= _file_rows_le(path, new_hwm[0], new_hwm[1]):
-                del regress[f]
+            try:
+                if f in visible_set and len(
+                    set(regress[f])
+                ) >= _file_rows_le(path, new_hwm[0], new_hwm[1]):
+                    del regress[f]
+            except FileNotFoundError:
+                # a concurrent compact() deleted the file between the
+                # exists check and the read: keep the entry this poll —
+                # the next poll resolves it through the manifest
+                # adoption path (or drops it if retention took it)
+                pass
         os.makedirs(checkpoint_dir, exist_ok=True)
         _write_cursor(checkpoint_dir, {
             "event_time_us": new_hwm[0], "message_id": new_hwm[1],
@@ -431,9 +438,10 @@ def poll_low_water_mark(checkpoint_dir: str, source_dir: str) -> int | None:
     lw = cursor["event_time_us"]
     for f in cursor["regress"]:
         path = os.path.join(source_dir, f)
-        if not os.path.exists(path):
-            continue
-        lo = _footer_min_us(path)
+        try:
+            lo = _footer_min_us(path)
+        except FileNotFoundError:
+            continue  # deleted (retention / concurrent compact adoption)
         if lo is None:
             # stats-less footer: its bounds are unknowable — hold the
             # watermark at zero (nothing below it may compact) rather

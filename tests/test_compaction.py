@@ -714,6 +714,36 @@ def test_stateful_compaction_interleavings(spark, tmp_path):
                 self.produced.append(
                     self.store.append(TOPIC, f"m-{len(self.produced)}".encode()))
 
+        @rule(n=st.integers(1, 3))
+        def produce_async_then_flush(self, n):
+            # async appends buffer; the flush writes ONE multi-row file
+            # (a different file/row shape than one-file-per-append)
+            for i in range(n):
+                self.produced.append(self.store.append(
+                    TOPIC, f"a-{len(self.produced)}".encode(),
+                    asynchronous=True))
+            self.store.flush()
+
+        @rule()
+        def retention_of_fully_consumed(self):
+            # TTL-after-consumption: delete the OLDEST file once every
+            # consumer is past ALL its rows — the only retention shape
+            # under which the exactly-once invariant stays unconditional
+            # (deleting undelivered rows is documented, deliberate loss)
+            consumed = min(len(self.delivered[0]), len(self.delivered[1]),
+                           len(self.sse_got))
+            if consumed == 0:
+                return
+            files = sorted(
+                f for f in os.listdir(self.d) if f.endswith(".parquet"))
+            if not files:
+                return
+            path = os.path.join(self.d, files[0])
+            t = pq.read_table(path, columns=["message_id"])
+            ids = set(t.column("message_id").to_pylist())
+            if ids <= set(self.produced[:consumed]):
+                os.unlink(path)
+
         @rule(sub=st.integers(0, 1), batch=st.integers(1, 5))
         def poll(self, sub, batch):
             out = bounded_poll(
@@ -763,3 +793,29 @@ def test_stateful_compaction_interleavings(spark, tmp_path):
         settings=settings(
             max_examples=5, stateful_step_count=10, deadline=None),
     )
+
+
+def test_scan_straddle_across_recompaction_chain(tmp_path):
+    """Chained straddle: scan part of the history, compact, produce,
+    compact AGAIN (the second output's sources include the first), then
+    resume the scan. Leaf resolution is transitive and the persisted
+    bounds cover intermediate outputs too, so the trim still lands
+    exactly at the scanned/unscanned boundary — zero loss, zero
+    redelivery through TWO generations of rewrite."""
+    store = _store(tmp_path)
+    first = _produce(store, 6)
+    d = store.topic_dir(TOPIC)
+    files = _parquet_files(d)
+    pos = files[2]  # consumer scanned the first three files
+
+    res1 = store.compact(TOPIC, watermark_us=2**62)
+    assert res1["merged"] == 6
+    more = _produce(store, 3, prefix="n")
+    res2 = store.compact(TOPIC, watermark_us=2**62)
+    assert res2["merged"] == 4, "output 1 + three new files"
+    assert res1["output"] in read_manifest(d)[res2["output"]]
+
+    rows, pos2 = store.scan(TOPIC, after_file=pos)
+    got = [r["message_id"] for r in rows]
+    assert got == first[3:] + more, "chained straddle trims exactly"
+    assert store.scan(TOPIC, after_file=pos2)[0] == []
