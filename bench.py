@@ -86,6 +86,9 @@ HEADLINE = [
     # round-6 additions
     "tpch_q11_important_stock",  # derived partsupp + scalar-total HAVING
     "tpch_q20_promo_suppliers",  # derived partsupp + decorrelated IN chain
+    # round-10 additions
+    "e_pq_adc_topk",             # PQ asymmetric-distance ANN (0-shuffle scan)
+    "t_bm25_search",             # BM25 postings-proportional retrieval
 ]
 
 

@@ -263,3 +263,66 @@ def pii_scrub(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return docs.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval scoring for a literal query — the classic lexical
+    ranking function (Robertson/Sparck-Jones idf with Lucene's +1 floor)
+    and the sparse half of a RAG retrieval stack (the dense half is the
+    ANN family in operators/similarity.py).
+
+    Distributed shape: the term filter is applied BEFORE any shuffle, so
+    everything downstream is proportional to the query terms' postings,
+    not the corpus — at 100 TB the explode+filter is a map-only scan and
+    the (doc, term) tf shuffle carries only matching tokens. Document
+    length rides the explode as a carried column (functionally dependent
+    on the doc id — no separate doc-length join), df is |query| rows
+    broadcast, and the corpus stats (N, total length) are a broadcast
+    scalar. Per-term contributions are summed in FIXED query order via
+    conditional aggregation — each term's sum sees exactly one row per
+    doc, so the float result is order-deterministic and oracle-exact
+    (a plain sum() over terms would float-drift between engines).
+    """
+    terms = [t.lower() for t in query_terms]
+    dl = F.size(tokens(text_col)).alias("dl")
+    toks = exploded_nonnull(
+        spread_small_input(docs),
+        [F.col(id_col).alias("id"), dl], tokens(text_col), "term",
+    )
+    hits = toks.filter(F.col("term").isin(terms))
+    tf = hits.groupBy("id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = (hits.select("id", "term").distinct()
+             .groupBy("term").agg(F.count("*").alias("dfreq")))
+    stats = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(tokens(text_col))).alias("tot"),
+    )
+    avgdl = F.col("tot").cast("double") / F.col("n")
+    idf = F.log((F.col("n") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0)
+    contrib = (
+        idf * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / avgdl))
+    )
+    per = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("id", "term", contrib.alias("c"))
+    )
+    by_doc = per.groupBy("id").agg(*[
+        F.sum(F.when(F.col("term") == t, F.col("c"))).alias(f"_c{i}")
+        for i, t in enumerate(terms)
+    ])
+    score = F.coalesce(F.col("_c0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    out = by_doc.select(
+        F.col("id").alias(id_col), F.round(score, 6).alias("bm25"))
+    return out.orderBy(F.col("bm25").desc(), id_col).limit(k)

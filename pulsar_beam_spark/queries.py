@@ -8346,6 +8346,147 @@ def q_autocorr_daily(spark, sf):
     return m.select("n", F.round(num / den, 6).alias("autocorr_lag1"))
 
 
+# == round-10 additions: PQ-ADC ANN + BM25 lexical retrieval =============
+#
+# Product quantization completes the ANN family (brute / LSH / IVF /
+# MIPS / PQ): memory-side compression with asymmetric-distance scan,
+# hash-checkable through the same fixed-literal strategy as
+# s_ann_ivf_topk. BM25 is the sparse half of a RAG retrieval stack
+# (pipeline_rag_index's tf-idf is the indexing side; this is query-time
+# ranking) with an order-deterministic per-term contribution sum.
+
+
+def _pq_fixed_codebooks(m: int = 8, ksub: int = 16, sub_dim: int = 8,
+                        seed: int = 11) -> list[list[list[float]]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # scale roughly to the embedding component spread so codes spread too
+    books = rng.standard_normal((m, ksub, sub_dim)) * 0.25
+    return [[[float(x) for x in cw] for cw in book] for book in books]
+
+
+_PQ_CODEBOOKS = _pq_fixed_codebooks()
+
+
+def _pq_sq_l2_sql(vexpr: str, consts) -> str:
+    lits = ",".join(repr(float(c)) for c in consts)
+    return _pq_sq_l2_sql_expr(vexpr, f"[{lits}]::DOUBLE[]")
+
+
+def _pq_sq_l2_sql_expr(vexpr: str, other: str) -> str:
+    # sequential left-fold of squared diffs — bit-matches Spark's
+    # F.aggregate(zip_with(...), 0.0, +) since 0.0 + x1 == x1
+    return (f"list_reduce(list_transform(list_zip({vexpr}, {other}), "
+            "x -> (x[1]-x[2])*(x[1]-x[2])), (x, y) -> x + y)")
+
+
+def _pq_adc_topk_oracle(k: int = 10) -> str:
+    m = len(_PQ_CODEBOOKS)
+    sub_dim = len(_PQ_CODEBOOKS[0][0])
+    code_exprs, dist_exprs = [], []
+    for mi, book in enumerate(_PQ_CODEBOOKS):
+        lo, hi = mi * sub_dim + 1, (mi + 1) * sub_dim
+        ds = ",\n          ".join(
+            _pq_sq_l2_sql(f"v[{lo}:{hi}]", cw) for cw in book)
+        code_exprs.append(
+            f"list_indexof([{ds}], list_aggregate([{ds}], 'min')) - 1 AS code{mi}")
+        cw_lits = ",".join(
+            "[" + ",".join(repr(float(x)) for x in cw) + "]::DOUBLE[]"
+            for cw in book)
+        dist_exprs.append(_pq_sq_l2_sql_expr(
+            f"qv[{lo}:{hi}]", f"list_extract([{cw_lits}], code{mi} + 1)"))
+    adc = " + ".join(f"({d})" for d in dist_exprs)
+    codes = ",\n       ".join(code_exprs)
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+enc AS (SELECT vec_id,
+       {codes}
+        FROM raw)
+SELECT vec_id, round({adc}, 6) AS pq_dist
+FROM enc, q
+ORDER BY round({adc}, 6), vec_id
+LIMIT {k}
+"""
+
+
+@register(
+    "e_pq_adc_topk",
+    _pq_adc_topk_oracle(),
+    doc="R31 scale path 3: product-quantization ANN top-k via asymmetric "
+        "distance — M=8 subspace codes against fixed literal codebooks "
+        "(32x vector compression at scan time), query-side M x K LUT; "
+        "encode argmin + ADC add chain bit-match the oracle's list_reduce "
+        "folds",
+)
+def q_pq_adc(spark, sf):
+    from .operators.similarity import pq_adc_topk
+
+    emb = T(spark, sf, "embeddings")
+    return _ann_entry(emb, 0, lambda qv: pq_adc_topk(
+        emb, qv, _PQ_CODEBOOKS, k=10))
+
+
+_BM25_TERMS = ["hash", "join", "scan", "filter"]
+_BM25_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"
+
+
+def _bm25_oracle(k: int = 20) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    csum = " + ".join(
+        f"coalesce(c{i}, 0.0)" for i in range(len(_BM25_TERMS)))
+    filters = ",\n         ".join(
+        f"sum(c) FILTER (WHERE term = '{t}') AS c{i}"
+        for i, t in enumerate(_BM25_TERMS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({_BM25_TOKS}) AS dl,
+         unnest({_BM25_TOKS}) AS term
+  FROM documents),
+hits AS (SELECT doc_id, dl, term FROM toks WHERE term IN ({terms})),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM hits GROUP BY 1, 2, 3),
+dfq AS (SELECT term, count(*) AS dfreq
+        FROM (SELECT DISTINCT doc_id, term FROM hits) GROUP BY 1),
+stats AS (SELECT count(*) AS n,
+                 CAST(sum(len({_BM25_TOKS})) AS BIGINT) AS tot
+          FROM documents),
+c AS (
+  SELECT tf.doc_id, tf.term,
+         ln((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+         * (tf * 2.2)
+         / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tot AS DOUBLE) / n))) AS c
+  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+by_doc AS (
+  SELECT doc_id,
+         {filters}
+  FROM c GROUP BY 1)
+SELECT doc_id, round({csum}, 6) AS bm25
+FROM by_doc
+ORDER BY round({csum}, 6) DESC, doc_id
+LIMIT {k}
+"""
+
+
+@register(
+    "t_bm25_search",
+    _bm25_oracle(),
+    doc="Lexical retrieval: BM25 top-20 for a literal 4-term query "
+        "(Lucene-form idf, k1=1.2, b=0.75). Term filter BEFORE any "
+        "shuffle (postings-proportional, not corpus-proportional), doc "
+        "length carried through the explode (no doc-length join), df "
+        "broadcast, per-term contributions summed in fixed query order "
+        "for an order-deterministic float — the sparse complement to "
+        "the dense ANN family in a RAG stack",
+)
+def q_bm25(spark, sf):
+    from .operators.text import bm25_topk
+
+    return bm25_topk(T(spark, sf, "documents"), _BM25_TERMS, k=20)
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in

@@ -375,6 +375,7 @@ _BNLJ_ALLOWED = {
     "r_chi_square_mix": 1,            # expected-counts scalar row
     "r_rolling_median": 1,            # day-spine range join (both sides calendar-bounded daily aggregates)
     "r_basket_lift": 1,               # basket-count scalar
+    "t_bm25_search": 1,               # corpus-stats (N, total-length) scalar
 }
 
 
