@@ -707,6 +707,10 @@ def test_stateful_compaction_interleavings(spark, tmp_path):
             self.sse_pos = None
             self.sse_got: list[str] = []
             self.n_compactions = 0
+            # injected crash outputs: 20-digit names starting '9' sort
+            # after every real part-{time_ns} file, like a real output
+            # minted later would
+            self._crash_seq = 90000000000000000000
 
         @rule(n=st.integers(1, 4))
         def produce(self, n):
@@ -763,6 +767,37 @@ def test_stateful_compaction_interleavings(spark, tmp_path):
             res = self.store.compact(TOPIC, watermark_us=min(marks))
             self.n_compactions += res["merged"] > 0
 
+        @rule(n_src=st.integers(2, 3))
+        def inject_crashed_compaction_window2(self, n_src):
+            # crash window 2 (model/compaction.py): output written +
+            # manifest entry present, sources NOT yet deleted. Every
+            # consumer must keep reading the sources (authoritative)
+            # and exclude the output; the next compact_compliant rule
+            # repairs. Injected by hand exactly as a SIGKILL between
+            # the output rename and the source unlinks would leave it.
+            import pyarrow as pa
+
+            files = [f for f in sorted(os.listdir(self.d))
+                     if f.endswith(".parquet")]
+            manifest = read_manifest(self.d)
+            # never share a source with an existing (possibly crashed)
+            # output: a REAL second compact() repairs the first crash
+            # before picking candidates, so two outputs can never claim
+            # the same source — the injection must respect that too
+            referenced = {s for ss in manifest.values() for s in ss}
+            srcs = [f for f in files
+                    if f not in manifest and f not in referenced][:n_src]
+            if len(srcs) < n_src:
+                return
+            t = pa.concat_tables(
+                [pq.read_table(os.path.join(self.d, s)) for s in srcs]
+            ).sort_by([("event_time", "ascending"), ("message_id", "ascending")])
+            out = f"part-{self._crash_seq:020d}-compact.parquet"
+            self._crash_seq += 1
+            manifest[out] = srcs
+            write_manifest(self.d, manifest)
+            pq.write_table(t, os.path.join(self.d, out))
+
         @invariant()
         def exactly_once_in_order(self):
             for sub in (0, 1):
@@ -788,10 +823,13 @@ def test_stateful_compaction_interleavings(spark, tmp_path):
             assert self.sse_got == self.produced
             shutil.rmtree(self.root, ignore_errors=True)
 
+    # PBS_FUZZ_EXAMPLES deepens the soak (each example is ~10 Spark
+    # polls, ~4 s); the suite default keeps the gate under ~20 s
     run_state_machine_as_test(
         Machine,
         settings=settings(
-            max_examples=5, stateful_step_count=10, deadline=None),
+            max_examples=int(os.environ.get("PBS_FUZZ_EXAMPLES", "5")),
+            stateful_step_count=10, deadline=None),
     )
 
 

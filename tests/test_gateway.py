@@ -566,3 +566,60 @@ def test_cli_serves_end_to_end(tmp_path):
         assert json.loads(body)["messages"][0]["payload"] == "cli-msg"
     finally:
         httpd.shutdown()
+
+
+def test_sse_exactly_once_across_live_compactions(gateway, keypair):
+    """Round-10 headline semantic, closed over a REAL socket: a client
+    streaming /v2/sse while the operator compacts the topic repeatedly
+    — including compactions racing undelivered rows (the straddle) —
+    receives every message exactly once, in order. The generator's scan
+    position and the compaction interleave nondeterministically per
+    tick; both the adopt-skip path and the bounds-trim path satisfy the
+    same assertion."""
+    app, base = gateway
+    topic = "persistent://tenant1/ns1/ssecompact"
+    store = app.message_store
+    sent = [f"live-{i}" for i in range(10)]
+    for p in sent[:6]:
+        store.append(topic, p.encode())
+
+    req = urllib.request.Request(
+        base + "/v2/sse/persistent/tenant1/ns1/ssecompact",
+        headers=bearer(keypair, "tenant1"),
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        assert resp.status == 200
+
+        def read_frames(n, text=""):
+            # frames end with \n\n; keepalive comments (": keepalive")
+            # keep the read loop progressing but don't count
+            got = []
+            while len(got) < n:
+                text += resp.read(1).decode()
+                while "\n\n" in text:
+                    frame, text = text.split("\n\n", 1)
+                    if frame.startswith("id: "):
+                        got.append(frame.split("data: ", 1)[1])
+            return got, text
+
+        got, buf = read_frames(6)
+        assert got == sent[:6]
+
+        # fully-scanned compaction: adopt-skip over the live stream
+        res = store.compact(topic, watermark_us=2**62)
+        assert res["merged"] == 6
+
+        # straddle race: new rows land and are IMMEDIATELY co-compacted
+        # with the scanned history; whether the generator's next tick
+        # saw them first decides skip vs trim — both must be clean
+        for p in sent[6:8]:
+            store.append(topic, p.encode())
+        store.compact(topic, watermark_us=2**62)
+        got, buf = read_frames(2, buf)
+        assert got == sent[6:8]
+
+        for p in sent[8:]:
+            store.append(topic, p.encode())
+        store.compact(topic, watermark_us=2**62)
+        got, _ = read_frames(2, buf)
+        assert got == sent[8:]
