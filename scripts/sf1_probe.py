@@ -147,10 +147,22 @@ def build(spark, out: str, replicas: int = REPLICAS,
         print(f"built {name}", file=sys.stderr)
 
 
-def probe(spark, entries: list[str], out: str = "/tmp/pbs-sf1") -> dict[str, dict]:
-    """Build (or reuse) the sf1 fixture and measure each entry once at
-    sf0.1 and once at sf1 (after one warm run). Returns
-    {entry: {"t01": s, "t1": s, "ratio": r, "exponent": k}}."""
+def probe(spark, entries: list[str], out: str = "/tmp/pbs-sf1",
+          samples: int = 2) -> dict[str, dict]:
+    """Build (or reuse) the sf1 fixture and measure each entry at sf0.1
+    and at sf1, taking the BEST of ``samples`` runs per scale (after one
+    warm run). Returns {entry: {"t01": s, "t1": s, "ratio": r,
+    "exponent": k}}.
+
+    Best-of-N (round 10): single-shot ratios made the exponent gate
+    flap — in a hot 50-entry session, one GC pause or a cold sf1 footer
+    read on either side swings log10(t1/t01) by ±0.1-0.2, and three
+    different entries "breached" on three consecutive runs while 5-run
+    quiet-host medians sat comfortably under their ceilings. min() is
+    the standard noise-robust timing estimator for "the plan's inherent
+    cost"; it can only sit AT or BELOW the single-shot anchors recorded
+    in BASELINE.md, so the ceilings stay valid and a real plan
+    regression (slow on every run) still trips the gate."""
     import math
 
     from pulsar_beam_spark.queries import REGISTRY
@@ -174,8 +186,8 @@ def probe(spark, entries: list[str], out: str = "/tmp/pbs-sf1") -> dict[str, dic
     results: dict[str, dict] = {}
     for name in entries:
         run(name, SRC)  # warm (footers, codegen)
-        t01 = run(name, SRC)
-        t1 = run(name, out)
+        t01 = min(run(name, SRC) for _ in range(samples))
+        t1 = min(run(name, out) for _ in range(samples))
         ratio = t1 / t01
         results[name] = {
             "t01": t01, "t1": t1, "ratio": ratio,
@@ -238,8 +250,9 @@ def probe_sf10(spark, entries: list[str] | None = None,
     results: dict[str, dict] = {}
     for name in entries:
         run(name, sf1_dir)  # warm (footers, codegen)
-        t1 = run(name, sf1_dir)
-        t10 = run(name, sf10_dir)
+        # best-of-2 per scale, same rationale as probe()
+        t1 = min(run(name, sf1_dir) for _ in range(2))
+        t10 = min(run(name, sf10_dir) for _ in range(2))
         ratio = t10 / t1
         results[name] = {
             "t1": t1, "t10": t10, "ratio": ratio,

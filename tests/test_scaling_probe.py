@@ -77,7 +77,12 @@ ANCHOR_EXPONENTS = {
     "s3_tumbling_window": 0.11,
     "s5_session_window": 0.19,
     "s_ann_ivf_topk": 0.20,
-    "s_rate_limit_sliding": 0.14,
+    # re-anchored 0.14 -> 0.15 in round 10: the r06 anchor sat exactly at
+    # the entry's quiet-host median (5-run standalone re-measure:
+    # 0.107/0.140/0.153/0.153/0.220, median 0.153), leaving zero noise
+    # margin — an in-suite shared-session run confirmed a phantom 0.296.
+    # Plan unchanged since anchoring (one window shuffle on key).
+    "s_rate_limit_sliding": 0.15,
     "t_unigram_logprob": 0.59,
     "tpch_q10_returned_items": 0.04,
     "tpch_q11_important_stock": 0.10,
