@@ -94,6 +94,7 @@ def test_adversarial_corpus_parity(spark, adv_sf_dir, name):
 EMPTY_REGRESSION = [
     "r31_cosine_topk", "s_ann_lsh_topk", "s_ann_ivf_topk",
     "s_ann_recall_audit", "e_range_search", "e_mips_topk", "e_pq_adc_topk",
+    "t_bm25_search",
     "r_pagerank_iter3", "p_split_leakage", "p_rank_calibrate",
     "r_pareto_cut", "r_rfm_segmentation", "r_quartile_bands",
     "r_keyset_pagination", "r_lorenz_deciles", "r_abc_xyz",
