@@ -187,11 +187,20 @@ def constituents_witnessed(
         if s in seen_nodes:
             continue
         seen_nodes.add(s)
-        if s in witnessed:
-            continue
+        # DRAINING takes priority over WITNESSED (round-10 loss golden):
+        # the poll persists its seen-file set as the full visible
+        # listing, so a detected regression file appears in BOTH sets —
+        # and "witnessed" alone asserts everything at/below the mark is
+        # delivered, which is exactly false for a draining file. Taking
+        # the witnessed branch first made a non-compliant merge of a
+        # still-draining backfill adopt as seen and silently LOSE its
+        # undelivered sub-mark rows; consulting the drain map first
+        # migrates the id boundary instead (at-least-once, never loss).
         if s in draining:
             ids.extend(draining[s])
             drained.append(s)
+            continue
+        if s in witnessed:
             continue
         if s in manifest:
             frontier.extend(manifest[s])

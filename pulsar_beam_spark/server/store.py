@@ -59,6 +59,24 @@ def _topic_dirname(topic_fn: str) -> str:
     return topic_fn.replace("://", "__").replace("/", "__")
 
 
+def _naive_utc(dt):
+    """tz-aware -> naive-UTC; naive passes through. Spark-written
+    backfill files carry tz-aware (UTC) timestamps while the store
+    writes naive-UTC — mixing them in one sort/comparison raises
+    TypeError, so every row/stat read normalizes here."""
+    if getattr(dt, "tzinfo", None) is not None:
+        return dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def _read_rows(path: str) -> list[dict]:
+    rows = pq.read_table(path).to_pylist()
+    for r in rows:
+        r["event_time"] = _naive_utc(r["event_time"])
+        r["publish_time"] = _naive_utc(r["publish_time"])
+    return rows
+
+
 class TopicDirStore:
     """Append/scan message files per topic under a root directory."""
 
@@ -162,71 +180,120 @@ class TopicDirStore:
 
     # -- consume (protocol layer; Spark readers use topic_dir) ---------
 
-    def scan(self, topic_fn: str, after_file: str | None = None) -> tuple[list[dict], str | None]:
-        """Read messages from files newer than ``after_file`` (exclusive),
-        in filename (≙ produce) order. Returns (rows, last_file_seen).
+    def scan(self, topic_fn: str, after_file=None) -> tuple[list[dict], dict | None]:
+        """Read every visible message file not yet scanned under this
+        cursor, in (event_time, message_id) order. Returns
+        ``(rows, cursor)`` — pass the cursor back verbatim on the next
+        call. A legacy FILENAME position is also accepted (semantics:
+        every file sorting at or before it was scanned).
 
-        Compaction awareness — the SSE contract now matches bounded_poll's
-        (VERDICT r09 item 1): outputs whose sources are still on disk are
-        skipped (the sources remain authoritative — crash window 2/3 in
-        model/compaction.py); a completed output whose (transitively
-        resolved) constituents ALL sort at or before ``after_file`` is
-        skipped outright (fully scanned under their original names); and
-        a STRADDLING output (some constituents scanned, some not) is
-        TRIMMED at the scanned/unscanned time boundary using the footer
-        bounds compact() persisted in the v2 manifest — only rows
-        strictly after the scanned constituents' max event_time deliver,
-        so nothing redelivers and nothing is lost (exactly-once). The
-        trim needs the scanned and unscanned constituents' time ranges
-        to be strictly separated, which produce-order files always are;
-        a legacy manifest without bounds, or interleaved ranges (a
-        backfill co-compacted under a non-compliant watermark), fall
-        back to the full read — at-least-once, never loss."""
+        SCANNED-SET position (round 10): the cursor records the SET of
+        files this consumer has consumed (bounded by the live listing
+        plus adopted compaction outputs — the same shape as
+        bounded_poll's ``seen_files``), not just a max filename. A pure
+        filename order position silently DROPPED any file whose name
+        sorts below the position — external backfill writers (Spark
+        part-<uuid> names) violate the store's monotone part-{time_ns}
+        naming, and the non-compliant-compaction fuzz found the loss.
+        Membership, not name order, now decides "already scanned".
+
+        Compaction awareness mirrors bounded_poll (VERDICT r09 item 1):
+        outputs with sources still on disk are excluded (sources stay
+        authoritative — crash window 2/3 in model/compaction.py); an
+        output whose constituents were all witnessed is ADOPTED without
+        a read; a STRADDLING output (some constituents scanned, some
+        not) is TRIMMED at the scanned/unscanned time boundary using
+        the footer bounds compact() persisted in the v2 manifest —
+        exactly-once when the two ranges are strictly separated (always
+        true for produce-order files). A legacy manifest without
+        bounds, or interleaved ranges (a backfill co-compacted under a
+        non-compliant watermark), falls back to the full read:
+        at-least-once, never loss."""
         d = self.topic_dir(topic_fn)
         listing = set(f for f in os.listdir(d) if f.endswith(".parquet"))
         manifest = read_manifest(d)
-        skip = incomplete_outputs(manifest, listing)
-        trim: dict[str, int] = {}  # output -> deliver only event_time_us > this
-        if after_file is not None:
-            bounds = read_bounds(d)
-            for out in manifest:
-                if out in listing and out not in skip and out > after_file:
-                    leaves = self._resolve_leaves(manifest, out)
-                    scanned = [s for s in leaves if s <= after_file]
-                    if leaves and len(scanned) == len(leaves):
-                        skip.add(out)
-                    elif scanned and all(s in bounds for s in leaves):
-                        hi = max(bounds[s][1] for s in scanned)
-                        lo = min(bounds[s][0] for s in leaves if s > after_file)
-                        if lo > hi:
-                            trim[out] = hi
-        files = sorted(f for f in listing if f not in skip)
-        if after_file is not None:
-            files = [f for f in files if f > after_file]
+        bounds = read_bounds(d)
+        incomplete = incomplete_outputs(manifest, listing)
+
+        legacy_last: str | None = None
+        seen: set[str] = set()
+        if isinstance(after_file, str):
+            legacy_last = after_file
+        elif after_file is not None:
+            seen = set(after_file.get("seen", ()))
+
+        def witnessed(name: str) -> bool:
+            return name in seen or (legacy_last is not None and name <= legacy_last)
+
+        def partition_constituents(out: str) -> tuple[list[str], list[str]]:
+            """(scanned, unscanned) constituents of a compaction output,
+            walking the provenance tree and STOPPING at witnessed nodes
+            — a re-compacted chain resolves through an adopted
+            intermediate output even after its own sources were deleted
+            (same traversal as model/compaction.constituents_witnessed,
+            with scanned-set membership as the witness)."""
+            scanned: list[str] = []
+            unscanned: list[str] = []
+            nodes: set[str] = set()
+            frontier = list(manifest.get(out, ()))
+            while frontier:
+                s = frontier.pop()
+                if s in nodes:
+                    continue
+                nodes.add(s)
+                if witnessed(s):
+                    scanned.append(s)
+                elif s in manifest:
+                    frontier.extend(manifest[s])
+                else:
+                    unscanned.append(s)
+            return scanned, unscanned
+
         rows: list[dict] = []
-        last = after_file
-        for f in files:
+        new_seen: set[str] = set()
+        for f in sorted(listing):
+            if f in incomplete:
+                continue  # not recorded as seen: re-examined once complete
+            if witnessed(f):
+                new_seen.add(f)
+                continue
+            trim_us: int | None = None
+            if f in manifest:
+                scanned, unscanned = partition_constituents(f)
+                if scanned and not unscanned:
+                    new_seen.add(f)  # adopted: all rows already delivered
+                    continue
+                if scanned and all(s in bounds for s in scanned + unscanned):
+                    hi = max(bounds[s][1] for s in scanned)
+                    lo = min(bounds[s][0] for s in unscanned)
+                    if lo > hi:
+                        trim_us = hi
             try:
-                t = pq.read_table(os.path.join(d, f)).to_pylist()
+                t = _read_rows(os.path.join(d, f))
             except FileNotFoundError:
-                # a concurrent compact() deleted the just-listed source
-                # (ADVICE r09) — its rows live in the compaction output.
-                # STOP here WITHOUT advancing past it: the next scan's
-                # manifest pass then treats it as unscanned and the
-                # straddle trim delivers its rows from the output;
-                # advancing would mark the output fully-scanned and
-                # silently drop them.
-                break
-            if f in trim:
-                t = [r for r in t if naive_utc_us(r["event_time"]) > trim[f]]
+                # a concurrent compact() deleted the just-listed file
+                # (ADVICE r09): skip WITHOUT marking it seen — its rows
+                # live in the compaction output, which the next scan
+                # resolves through the manifest (unwitnessed constituent
+                # -> trim or full read; never marked scanned, so never
+                # silently dropped)
+                continue
+            if trim_us is not None:
+                t = [r for r in t if naive_utc_us(r["event_time"]) > trim_us]
             rows.extend(t)
-            last = f
+            new_seen.add(f)
         # (event_time, message_id) delivery order: filename order equals
-        # time order for produce-order files, but a trimmed straddle
-        # output sorts AFTER newer small files by name while carrying
-        # earlier rows — the sort is batch-bounded, same as store.poll's
+        # time order for produce-order files, but trimmed straddle
+        # outputs and out-of-name-order backfills do not — the sort is
+        # batch-bounded, same as store.poll's
         rows.sort(key=lambda r: (r["event_time"], r["message_id"]))
-        return rows, last
+        # the cursor is the scanned set REWRITTEN to the current listing
+        # (bounded, like bounded_poll's seen_files): files deleted by
+        # compaction stay resolvable through their ADOPTED outputs
+        # (partition_constituents stops at witnessed nodes), so no
+        # deleted-name memory is needed after the scan that adopts. One
+        # scan upgrades a legacy filename position to this form.
+        return rows, {"seen": sorted(new_seen)}
 
     @staticmethod
     def _resolve_leaves(manifest: dict[str, list[str]], out: str) -> list[str]:
@@ -295,7 +362,7 @@ class TopicDirStore:
                 # its rows live in the output the next poll lists
                 continue
             # stats-less files sort first (must be read unconditionally)
-            metas.append((b[0] if b else datetime.min, f))
+            metas.append((_naive_utc(b[0]) if b else datetime.min, f))
         metas.sort()
         rows: list[dict] = []
         kth = None
@@ -303,7 +370,7 @@ class TopicDirStore:
             if kth is not None and min_et > kth:
                 break
             try:
-                rows.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+                rows.extend(_read_rows(os.path.join(d, f)))
             except FileNotFoundError:
                 continue  # same compact() race as above
             if len(rows) >= batch_size:
@@ -422,7 +489,21 @@ class TopicDirStore:
                     write_manifest(d, manifest, _live_bounds(manifest))
                 return {"merged": 0, "output": None, "repaired": repaired}
 
-            tables = [pq.read_table(os.path.join(d, f)) for f in candidates]
+            tables = []
+            for f in candidates:
+                t = pq.read_table(os.path.join(d, f))
+                if t.schema != _ARROW_SCHEMA:
+                    # Spark-written backfill files carry tz-aware (UTC)
+                    # timestamps and different map-field nullability; a
+                    # mixed-writer topic must still compact — normalize
+                    # to the store schema (tz-aware UTC -> naive-UTC is
+                    # value-preserving; both represent the same instant)
+                    t = pa.Table.from_arrays(
+                        [t.column(fld.name).cast(fld.type)
+                         for fld in _ARROW_SCHEMA],
+                        schema=_ARROW_SCHEMA,
+                    )
+                tables.append(t)
             merged = pa.concat_tables(tables).sort_by(
                 [("event_time", "ascending"), ("message_id", "ascending")]
             )

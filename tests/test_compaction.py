@@ -857,3 +857,163 @@ def test_scan_straddle_across_recompaction_chain(tmp_path):
     got = [r["message_id"] for r in rows]
     assert got == first[3:] + more, "chained straddle trims exactly"
     assert store.scan(TOPIC, after_file=pos2)[0] == []
+
+
+def test_empty_id_draining_backfill_compacted_no_loss(spark, tmp_path):
+    """Round-10 self-found loss corner, pinned: a backfill file DETECTED
+    as a regression (regress[f] = []) but with NOTHING delivered from it
+    yet gets co-compacted with seen files under a NON-compliant
+    watermark. The adoption check sees ok=True with an EMPTY migrated id
+    list — adopting the output as `seen` would silently lose the
+    backfill's undelivered sub-hwm rows. The `not drained` guard routes
+    it to the regress boundary instead: the backfill rows MUST deliver
+    (the co-compacted seen rows may redeliver — documented
+    at-least-once under a violated watermark — but nothing is lost)."""
+    import pyarrow as pa
+
+    from pulsar_beam_spark.model.message import MESSAGE_SCHEMA
+
+    store = _store(tmp_path)
+    live = _produce(store, 4)
+    d = store.topic_dir(TOPIC)
+    ckpt = str(tmp_path / "ckpt")
+    assert _ids(bounded_poll(spark, d, batch_size=4, checkpoint_dir=ckpt)) == live
+
+    # a backfill lands BELOW the cursor; a poll detects it and delivers
+    # its first row
+    t0 = datetime(2020, 1, 1)
+    rows = [(f"bf-{i}", TOPIC, str(i), b"x", t0 + timedelta(seconds=i),
+             t0 + timedelta(seconds=i), {}) for i in range(2)]
+    spark.createDataFrame(rows, MESSAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d)
+    p = _ids(bounded_poll(spark, d, batch_size=1, checkpoint_dir=ckpt))
+    assert p == ["bf-0"]
+    with open(os.path.join(ckpt, "CURSOR")) as f:
+        cur = json.load(f)
+    (bf_file,) = cur["regress"].keys()
+    # rewind to the detected-but-nothing-delivered state (the state a
+    # poll leaves when the batch filled entirely from other files):
+    # regress[bf_file] = [] with the file on disk, detected, AND in the
+    # persisted seen set — which is what made the witnessed-first
+    # constituent check treat it as fully delivered
+    cur["regress"][bf_file] = []
+    with open(os.path.join(ckpt, "CURSOR"), "w") as f:
+        json.dump(cur, f)
+
+    # NON-compliant compaction co-compacts the draining backfill with
+    # the seen files (watermark far above everything)
+    res = store.compact(TOPIC, watermark_us=2**62)
+    assert res["merged"] >= 2
+    assert bf_file in read_manifest(d)[res["output"]]
+
+    got = _drain(spark, d, ckpt, batch_size=10)
+    assert set(got) >= {"bf-0", "bf-1"}, \
+        "undelivered backfill rows must survive the non-compliant merge"
+    assert bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt) is None
+
+
+def test_stateful_noncompliant_compaction_never_loses(spark, tmp_path):
+    """Companion machine to the compliant fuzz above: compactions run at
+    an OPERATOR-SUPPLIED watermark far ahead of every cursor (the
+    documented at-least-once degradation), freely co-compacting
+    undelivered rows and draining backfills with seen history. The
+    invariant drops exactly-once and keeps the floor the docstrings
+    promise: NEVER loss, and first occurrences arrive in produce order.
+    This machine (with the directed golden above) pins the round-10
+    constituent-check fix — before it, a non-compliant merge of a
+    detected-but-undrained backfill silently lost rows."""
+    import shutil
+    import tempfile
+
+    from hypothesis import settings
+    from hypothesis import strategies as st
+    from hypothesis.stateful import (
+        RuleBasedStateMachine,
+        invariant,
+        rule,
+        run_state_machine_as_test,
+    )
+
+    class Machine(RuleBasedStateMachine):
+        def __init__(self):
+            super().__init__()
+            self.root = tempfile.mkdtemp(dir=str(tmp_path), prefix="nfz-")
+            self.store = TopicDirStore(
+                os.path.join(self.root, "store"), flush_interval_s=None)
+            self.d = self.store.topic_dir(TOPIC)
+            self.produced: list[str] = []
+            self.ckpt = os.path.join(self.root, "sub")
+            self.got: list[str] = []
+            self.sse_pos = None
+            self.sse_got: list[str] = []
+
+        @rule(n=st.integers(1, 4))
+        def produce(self, n):
+            for i in range(n):
+                self.produced.append(
+                    self.store.append(TOPIC, f"m-{len(self.produced)}".encode()))
+
+        @rule(n=st.integers(1, 2))
+        def backfill(self, n):
+            # Spark-written rows 6 years below every live event_time
+            from pulsar_beam_spark.model.message import MESSAGE_SCHEMA
+
+            t0 = datetime(2020, 1, 1) + timedelta(
+                seconds=len(self.produced) * 10)
+            rows = [(f"bf-{len(self.produced) + i}", TOPIC, None, b"x",
+                     t0 + timedelta(seconds=i), t0 + timedelta(seconds=i), {})
+                    for i in range(n)]
+            spark.createDataFrame(rows, MESSAGE_SCHEMA).coalesce(1) \
+                .write.mode("append").parquet(self.d)
+            # produce-order bookkeeping: backfills are the earliest
+            # UNDELIVERED rows from the moment they land, but their
+            # first-occurrence ORDER interleaves with history
+            # redelivery — track membership only
+            self.produced.extend(r[0] for r in rows)
+
+        @rule(batch=st.integers(1, 5))
+        def poll(self, batch):
+            out = bounded_poll(
+                spark, self.d, batch_size=batch, checkpoint_dir=self.ckpt)
+            self.got.extend(_ids(out))
+
+        @rule()
+        def sse_scan(self):
+            rows, self.sse_pos = self.store.scan(TOPIC, after_file=self.sse_pos)
+            self.sse_got.extend(r["message_id"] for r in rows)
+
+        @rule()
+        def compact_aggressive(self):
+            self.store.compact(TOPIC, watermark_us=2**62)
+
+        @invariant()
+        def never_phantom(self):
+            produced = set(self.produced)
+            assert set(self.got) <= produced
+            assert set(self.sse_got) <= produced
+
+        def teardown(self):
+            for _ in range(60):
+                out = bounded_poll(
+                    spark, self.d, batch_size=50, checkpoint_dir=self.ckpt)
+                if out is None:
+                    break
+                self.got.extend(_ids(out))
+            else:
+                raise AssertionError("poll did not drain")
+            rows, _ = self.store.scan(TOPIC, after_file=self.sse_pos)
+            self.sse_got.extend(r["message_id"] for r in rows)
+            assert set(self.got) == set(self.produced), (
+                "poll lost rows under a non-compliant watermark: "
+                f"missing={set(self.produced) - set(self.got)}")
+            assert set(self.sse_got) == set(self.produced), (
+                "SSE lost rows under a non-compliant watermark: "
+                f"missing={set(self.produced) - set(self.sse_got)}")
+            shutil.rmtree(self.root, ignore_errors=True)
+
+    run_state_machine_as_test(
+        Machine,
+        settings=settings(
+            max_examples=int(os.environ.get("PBS_FUZZ_EXAMPLES", "5")),
+            stateful_step_count=10, deadline=None),
+    )
