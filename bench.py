@@ -420,7 +420,7 @@ def main() -> None:
            else bench_sf1_subset(spark))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    scalars = {
         "metric": "headline_query_wall_clock",
         "value": total,
         "unit": "sec",
@@ -429,7 +429,6 @@ def main() -> None:
         "value_calibrated": round(total * CALIB_REF_S / calib_s, 3),
         "calib_s": calib_s,
         "calib_ref_s": CALIB_REF_S,
-        "queries": timings,
         "fanout_msgs_per_s": round(fanout_n / fanout_s, 1),
         "gateway_ingest_s": ingest_s,
         "ingest_reqs_per_s": round(ingest_n / ingest_s, 1),
@@ -438,11 +437,37 @@ def main() -> None:
         "skew_speedup_salted": round(skew["skew_join_naive"] / skew["skew_join_salted"], 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    out = dict(scalars)
+    out["queries"] = timings
     if sf1 is not None:
         out["sf1_queries"] = sf1
-        out["sf1_total_s"] = round(sum(sf1.values()), 3)
-    print(json.dumps(out))
+        scalars["sf1_total_s"] = out["sf1_total_s"] = round(sum(sf1.values()), 3)
+    emit_results(out, scalars)
     spark.stop()
+
+
+def emit_results(out: dict, scalars: dict, repo: str = REPO) -> None:
+    """Truncation-proof recording (VERDICT r10 item 1): the single full
+    JSON line outgrew the driver's fixed-size TAIL capture in round 10
+    (the front — metric/value/calib_s — was cut and ``parsed`` came back
+    null). Three layers, so whichever slice of stdout the capture keeps
+    still yields a parseable record:
+
+    1. the full JSON line prints FIRST (complete record when it fits);
+    2. a compact scalars-only line prints LAST — well under any tail
+       budget, so the final line of stdout always parses and always
+       carries metric/value/value_calibrated/calib_s;
+    3. the full dict is also written to bench_last_full.json at the
+       repo root, so per-query timings survive any stdout capture.
+    """
+    print(json.dumps(out))
+    try:
+        with open(os.path.join(repo, "bench_last_full.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # recording is best-effort; stdout remains authoritative
+    print(json.dumps(scalars))
 
 
 if __name__ == "__main__":

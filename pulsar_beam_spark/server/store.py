@@ -293,6 +293,30 @@ class TopicDirStore:
         # (partition_constituents stops at witnessed nodes), so no
         # deleted-name memory is needed after the scan that adopts. One
         # scan upgrades a legacy filename position to this form.
+        #
+        # Exception (ADVICE r10): an INCOMPLETE output — compact()
+        # crashed mid-source-delete — is skipped above without being
+        # adopted, and some of its witnessed sources may already be GONE
+        # from the listing. Rewriting the cursor to the listing alone
+        # would forget those names; after the output completes (repair /
+        # next compact) partition_constituents would see them as
+        # unscanned and take the full-read fallback — redelivery where
+        # adoption/trim was possible. Retain every witnessed node on an
+        # incomplete output's provenance chain (bounded: incomplete
+        # outputs are rare and transient, and the walk stops at
+        # witnessed nodes exactly like partition_constituents).
+        for out in incomplete:
+            frontier = list(manifest.get(out, ()))
+            walked: set[str] = set()
+            while frontier:
+                s = frontier.pop()
+                if s in walked:
+                    continue
+                walked.add(s)
+                if witnessed(s):
+                    new_seen.add(s)
+                elif s in manifest:
+                    frontier.extend(manifest[s])
         return rows, {"seen": sorted(new_seen)}
 
     @staticmethod

@@ -109,7 +109,8 @@ class Reconciler:
             pass
 
     def reconcile(self, snapshot: DataFrame,
-                  version: object | None = None) -> tuple[list[str], list[str]]:
+                  version: object | None = None,
+                  force: bool = False) -> tuple[list[str], list[str]]:
         """One tick: returns (started_sub_keys, stopped_sub_keys) — in
         multiplexed mode these are the sub_keys whose coverage was added/
         removed by the single query.
@@ -125,10 +126,15 @@ class Reconciler:
         0.3 s at 10k configs and linear to ~3 s at 100k, fine against
         the reference's 180 s PbDbInterval, but version gating makes
         the common tick free). Callers that want dead-query healing on
-        a schedule pass ``version=None`` every Nth tick to force the
-        full diff, mirroring the reference's reload-everything loop
-        (webhook.go:243-273)."""
-        if version is not None and self._last_version == version:
+        a schedule pass ``force=True`` WITH the current version every
+        Nth tick — the full diff runs, and because the version is
+        recorded on completion, gating resumes on the very next tick
+        (ADVICE r10: the old ``version=None`` healing idiom stored
+        ``None``, so every post-healing tick paid a second full
+        collect). ``version=None`` still forces a full diff, mirroring
+        the reference's reload-everything loop (webhook.go:243-273),
+        at the cost of an ungated next tick."""
+        if not force and version is not None and self._last_version == version:
             return [], []
         # invalidated until THIS tick completes: an exception mid-tick
         # (a start_fn failure) must not let the next version-gated tick

@@ -529,6 +529,50 @@ def test_scan_straddle_legacy_manifest_falls_back_at_least_once(tmp_path):
     assert got == ids, "bounds-less straddle reads in full (at-least-once)"
 
 
+def test_scan_cursor_retains_witnessed_sources_of_incomplete_output(tmp_path):
+    """ADVICE r10: crash window 3 (compact crashed mid-source-delete)
+    leaves an INCOMPLETE output whose witnessed sources are partly gone
+    from the listing. The scan excludes the output (sources stay
+    authoritative) but must RETAIN the deleted witnessed names in the
+    rewritten cursor — otherwise, after repair completes the deletes,
+    those constituents count as unscanned and the output full-reads:
+    redelivery where adoption was owed. Exactly-once must hold across
+    the crash."""
+    store = _store(tmp_path)
+    _produce(store, 6)
+    d = store.topic_dir(TOPIC)
+
+    rows1, pos = store.scan(TOPIC)
+    assert len(rows1) == 6  # everything witnessed
+
+    # real compaction, then simulate the mid-delete crash by restoring
+    # only the LAST two sources (their bounds sit ABOVE the deleted
+    # ones', so a cursor that forgot the deleted names cannot even trim
+    # — the fallback would be a full 6-row redelivery)
+    res = store.compact(TOPIC, watermark_us=2**62)
+    assert res["merged"] == 6
+    out = res["output"]
+    srcs = read_manifest(d)[out]
+    t = pq.read_table(os.path.join(d, out))
+    for i, s in enumerate(srcs[-2:], start=4):
+        pq.write_table(t.slice(i, 1), os.path.join(d, s))
+
+    # mid-crash scan: output excluded, nothing redelivers, and the
+    # cursor keeps the four deleted-but-witnessed source names
+    rows2, pos2 = store.scan(TOPIC, after_file=pos)
+    assert rows2 == []
+    assert set(srcs) <= set(pos2["seen"]), (
+        "witnessed sources of an incomplete output must survive the "
+        "cursor rewrite")
+
+    # repair finishes the deletes; the output is then ADOPTED, not read
+    res2 = store.compact(TOPIC, watermark_us=0)
+    assert res2["repaired"] == 2
+    rows3, pos3 = store.scan(TOPIC, after_file=pos2)
+    assert rows3 == [], "post-repair scan must adopt, never redeliver"
+    assert store.scan(TOPIC, after_file=pos3)[0] == []
+
+
 def test_sse_poll_contract_parity_across_compaction(spark, tmp_path):
     """The SSE scan and the resumable poll must agree: drive BOTH
     consumers through produce -> partial consume -> compact -> consume,

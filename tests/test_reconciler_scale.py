@@ -134,6 +134,15 @@ def test_version_gated_tick_skips_collect(spark):
     s3, t3 = rec.reconcile(snap2, version=None)
     assert not s3 and not t3
 
+    # ADVICE r10: the healing idiom is force=True WITH the version — the
+    # full diff runs, the version is recorded, and the very next gated
+    # tick is a no-op again (version=None healing left _last_version as
+    # None, so every post-healing tick paid a second full collect)
+    sf, tf = rec.reconcile(snap2, version=8, force=True)
+    assert not sf and not tf
+    assert rec.reconcile(_Poison(), version=8) == ([], []), (
+        "gating must resume immediately after a forced healing tick")
+
     # an exception mid-tick invalidates the gate: the NEXT gated tick
     # must rerun the repair rather than skip it
     def boom(row, ckpt):
