@@ -89,6 +89,12 @@ HEADLINE = [
     # round-10 additions
     "e_pq_adc_topk",             # PQ asymmetric-distance ANN (0-shuffle scan)
     "t_bm25_search",             # BM25 postings-proportional retrieval
+    # round-11 additions: the ingest-persisted query paths (artifact
+    # build is cached once per fixture; these rows measure QUERY time —
+    # the pay-once-at-ingest story the inline rows exist to contrast)
+    "e_pq_codes_topk",           # ADC over persisted tinyint codes
+    "t_bm25_indexed",            # BM25 over persisted postings/dictionary
+    "t_bpe_token_count",         # greedy-BPE subword accounting (codegen)
 ]
 
 

@@ -342,17 +342,36 @@ def pq_adc_topk(
     recomputes codes and ADC from the same literals; recall-vs-brute
     depends on codebook quality and is the caller's training concern.
     """
-    m = len(codebooks)
+    return pq_adc_scan(
+        pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col),
+        query_vec, codebooks, k=k, id_col=id_col,
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ingest-side half of the PQ pipeline: compress each vector to M
+    subspace code bytes — ``(id, _code0.._code{M-1} tinyint)`` — against
+    the literal codebooks. Run ONCE and persisted (parquet), this is the
+    32x-compression scan artifact the docstring above promises: the
+    query-time path (``pq_adc_scan``) then reads M bytes per vector and
+    never touches the float array.
+
+    Encoding is M x K sequential folds over the subspace slices. Two
+    rejected alternatives, measured: expanding to element_at add-chains
+    (~10k scalar expression nodes) falls out of whole-stage codegen and
+    runs ~2x SLOWER interpreted; numpy GEMM encoding would be fastest
+    but breaks the bit-exact SQL-oracle contract (BLAS sum order). The
+    fold form is the fastest hash-checkable shape. Invalid vectors are
+    dropped here (same valid_vector contract as every ANN operator), so
+    a persisted codes table contains only scorable rows.
+    """
     sub_dim = len(codebooks[0][0])
 
-    # Encoding is M x K sequential folds over the subspace slices. Two
-    # rejected alternatives, measured: expanding to element_at add-chains
-    # (~10k scalar expression nodes) falls out of whole-stage codegen and
-    # runs ~2x SLOWER interpreted; numpy GEMM encoding would be fastest
-    # but breaks the bit-exact SQL-oracle contract (BLAS sum order). The
-    # fold form is the fastest hash-checkable shape; at real scale the
-    # encode runs once at ingest and persists M tinyint code columns, so
-    # the query-time scan never pays it (docstring).
     def encode_score(mi, cw):
         lits = F.array(*[F.lit(float(x)) for x in cw])
         sub = F.slice(F.col(vec_col), mi * sub_dim + 1, sub_dim)
@@ -362,8 +381,34 @@ def pq_adc_topk(
             F.lit(0.0), lambda acc, x: acc + x,
         )
 
-    # driver-side LUT of TRUE squared L2 distances, sequential left fold
-    # (0.0 + d1 + d2 ... — bit-matching the oracle's list_reduce)
+    code_cols = []
+    for mi, book in enumerate(codebooks):
+        ds = F.array(*[encode_score(mi, cw) for cw in book])
+        code_cols.append(
+            (F.array_position(ds, F.array_min(ds)) - 1)
+            .cast("tinyint").alias(f"_code{mi}"))
+    return emb.filter(valid_vector(vec_col)).select(F.col(id_col), *code_cols)
+
+
+def pq_adc_scan(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query-time half: asymmetric-distance top-k over (possibly
+    persisted) PQ codes. The LUT is M*K doubles computed driver-side
+    from the (already driver-held) query vector with the same
+    sequential left-fold the SQL oracle uses (0.0 + d1 + d2 ... —
+    bit-matching ``list_reduce``), so Spark, Python and the oracle
+    agree bit-for-bit. The plan is M array lookups + an M-term add
+    chain per row into TakeOrderedAndProject — zero shuffles, no float
+    vector IO, and (unlike the inline-encode path) no M x K x sub_dim
+    literal expression tree for Catalyst to analyze per query.
+    """
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
     lut = []
     for mi, book in enumerate(codebooks):
         qs = [float(x) for x in query_vec[mi * sub_dim:(mi + 1) * sub_dim]]
@@ -375,19 +420,14 @@ def pq_adc_topk(
             row.append(d)
         lut.append(row)
 
-    out = emb.filter(valid_vector(vec_col))
-    code_cols = []
-    for mi, book in enumerate(codebooks):
-        ds = F.array(*[encode_score(mi, cw) for cw in book])
-        code_cols.append(
-            (F.array_position(ds, F.array_min(ds)) - 1).cast("int").alias(f"_code{mi}"))
-    out = out.select(F.col(id_col), *code_cols)
-    adc = F.element_at(F.array(*[F.lit(x) for x in lut[0]]), F.col("_code0") + 1)
+    adc = F.element_at(F.array(*[F.lit(x) for x in lut[0]]),
+                       F.col("_code0").cast("int") + 1)
     for mi in range(1, m):
         adc = adc + F.element_at(
-            F.array(*[F.lit(x) for x in lut[mi]]), F.col(f"_code{mi}") + 1)
+            F.array(*[F.lit(x) for x in lut[mi]]),
+            F.col(f"_code{mi}").cast("int") + 1)
     return (
-        out.select(F.col(id_col), F.round(adc, 6).alias("pq_dist"))
+        codes.select(F.col(id_col), F.round(adc, 6).alias("pq_dist"))
         .orderBy("pq_dist", id_col)
         .limit(k)
     )

@@ -326,3 +326,167 @@ def bm25_topk(
     out = by_doc.select(
         F.col("id").alias(id_col), F.round(score, 6).alias("bm25"))
     return out.orderBy(F.col("bm25").desc(), id_col).limit(k)
+
+
+# Greedy-BPE merge table, in application (rank) order. Deliberately a
+# small LITERAL vocabulary: the operator's contract is the deterministic
+# merge ALGORITHM (rank-ordered, all non-overlapping occurrences per
+# rank, left-to-right — the standard BPE-encoder convention), not a
+# trained vocab; a production deployment swaps in its tokenizer's merge
+# list unchanged. Later ranks reference tokens earlier ranks create
+# (th+e, an+d, in+g ...), exercising the multi-level merge path.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("s", "t"), ("e", "n"),
+    ("o", "r"), ("an", "d"), ("in", "g"), ("e", "s"), ("o", "u"),
+    ("l", "e"), ("c", "h"), ("s", "e"), ("d", "a"), ("da", "ta"),
+    ("s", "c"), ("sc", "an"), ("j", "o"), ("jo", "in"),
+)
+
+
+def bpe_token_count(text_col, merges: tuple = BPE_MERGES):
+    """Per-row subword token count under deterministic greedy BPE
+    (VERDICT r10 item 4 — the packing/budget operators counted
+    whitespace tokens; training-data budgets are computed with subword
+    tokenizers).
+
+    Algorithm: lowercase, extract ``[a-z0-9]+`` words, explode each word
+    to bracket-delimited characters (``data`` -> ``[d][a][t][a]``), then
+    apply each merge rank once as a literal string replace
+    (``[d][a]`` -> ``[da]``). Because every token is self-delimited by
+    its own brackets, adjacent matches never share characters, so the
+    engines' standard left-to-right non-overlapping replace IS the BPE
+    "merge all occurrences of this rank" sweep; and since merging two
+    tokens can never create a new adjacency for an already-applied rank
+    (tokens between two others never vanish, they only coarsen), one
+    rank-ordered pass equals the canonical greedy encode. The token
+    count is then the number of ``[`` delimiters.
+
+    Everything is JVM built-ins (regexp_extract_all + literal replace
+    chain inside transform/aggregate lambdas): whole-stage codegen, zero
+    shuffles, no Python — and every step has an exact DuckDB mirror
+    (queries._bpe_count_sql), so the count is hash-verifiable.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.regexp_extract_all(
+        F.lower(F.coalesce(c, F.lit(""))), F.lit("[a-z0-9]+"), F.lit(0))
+
+    def word_tokens(w):
+        s = F.regexp_replace(w, "(.)", "[$1]")
+        for a, b in merges:
+            s = F.replace(s, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+        return F.length(s) - F.length(F.replace(s, F.lit("["), F.lit("")))
+
+    return F.aggregate(
+        F.transform(words, word_tokens),
+        F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"),
+    )
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc token accounting under the three counters a budget
+    pipeline compares: whitespace tokens, alnum words, and greedy-BPE
+    subword tokens (always >= words: unmerged chars count singly)."""
+    ws = F.size(tokens(text_col))
+    words = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit("[a-z0-9]+"), F.lit(0))
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(ws, F.lit(0)).cast("long").alias("n_ws_tokens"),
+        F.size(words).cast("long").alias("n_words"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+    )
+
+
+def bm25_build_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One-time ingest-side pass producing the three persisted BM25
+    artifacts (VERDICT r10 item 2 — ``bm25_topk`` re-tokenizes the full
+    corpus per query for two scalars and the postings; at 100 TB that
+    scan belongs at ingest, paid once, exactly like PQ's persisted code
+    columns):
+
+    - ``postings``  (term, doc_id, tf, dl) — the inverted index at
+      (term, doc) grain, doc length denormalized onto every posting so
+      query-time scoring needs no doc-length join. Written partitioned-
+      by-nothing here but term-sortable: at cluster scale you'd bucket
+      or partition by term so a query's ``term IN (...)`` prunes files.
+    - ``dictionary`` (term, dfreq) — document frequency per term; tiny
+      (vocab-sized), broadcast at query time.
+    - ``stats``     (n, tot) — corpus document count and total token
+      count, ONE row.
+
+    The index is a pure deterministic function of the corpus, so any
+    query scored from it is bit-identical to ``bm25_topk`` scored from
+    the raw text — the oracle recomputes from ``documents`` directly.
+    """
+    dl = F.size(tokens(text_col)).alias("dl")
+    toks = exploded_nonnull(
+        spread_small_input(docs),
+        [F.col(id_col).alias("doc_id"), dl], tokens(text_col), "term",
+    )
+    postings = toks.groupBy("term", "doc_id", "dl").agg(
+        F.count("*").alias("tf"))
+    # postings grain is already (term, doc): dfreq = plain count, no
+    # second distinct pass over the token stream
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("dfreq"))
+    stats = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(tokens(text_col))).alias("tot"),
+    )
+    return postings, dictionary, stats
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    stats: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-time BM25 over the persisted index from
+    ``bm25_build_index`` — never touches the corpus text. The term
+    filter is the FIRST operation on the postings scan, so with the
+    artifacts on parquet it lands in PushedFilters and the scan reads
+    only the query terms' postings (plan-pinned in
+    tests/test_plans.py); the dictionary is filtered to the query terms
+    and broadcast; stats is one broadcast row. One shuffle total (the
+    per-doc score agg), proportional to matching postings — the true
+    100 TB shape: corpus cost paid once at ingest, per-query cost
+    proportional to |postings(query)|.
+
+    Scoring is term-for-term identical to ``bm25_topk`` (Lucene-form
+    idf, fixed query-order conditional sums for an order-deterministic
+    float), so the same DuckDB oracle text verifies both paths.
+    """
+    terms = [t.lower() for t in query_terms]
+    hits = postings.filter(F.col("term").isin(terms))
+    dfq = dictionary.filter(F.col("term").isin(terms))
+    avgdl = F.col("tot").cast("double") / F.col("n")
+    idf = F.log((F.col("n") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0)
+    contrib = (
+        idf * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / avgdl))
+    )
+    per = (
+        hits.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", contrib.alias("c"))
+    )
+    by_doc = per.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.col("term") == t, F.col("c"))).alias(f"_c{i}")
+        for i, t in enumerate(terms)
+    ])
+    score = F.coalesce(F.col("_c0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    out = by_doc.select(
+        F.col("doc_id").alias(id_col), F.round(score, 6).alias("bm25"))
+    return out.orderBy(F.col("bm25").desc(), id_col).limit(k)

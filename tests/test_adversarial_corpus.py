@@ -94,7 +94,7 @@ def test_adversarial_corpus_parity(spark, adv_sf_dir, name):
 EMPTY_REGRESSION = [
     "r31_cosine_topk", "s_ann_lsh_topk", "s_ann_ivf_topk",
     "s_ann_recall_audit", "e_range_search", "e_mips_topk", "e_pq_adc_topk",
-    "t_bm25_search",
+    "e_pq_codes_topk", "t_bm25_search", "t_bm25_indexed",
     "r_pagerank_iter3", "p_split_leakage", "p_rank_calibrate",
     "r_pareto_cut", "r_rfm_segmentation", "r_quartile_bands",
     "r_keyset_pagination", "r_lorenz_deciles", "r_abc_xyz",
@@ -202,6 +202,7 @@ def test_degenerate_input_parity(spark, degenerate_sf_dir, name):
 ANN_QUERY_ENTRIES = [
     "r31_cosine_topk", "s_ann_lsh_topk", "s_ann_ivf_topk",
     "s_ann_recall_audit", "e_range_search", "e_mips_topk", "e_pq_adc_topk",
+    "e_pq_codes_topk",
 ]
 
 
@@ -314,7 +315,7 @@ VEC_FAMILY = [
     "r31_cosine_topk", "s_ann_lsh_topk", "s_ann_ivf_topk",
     "s_ann_recall_audit", "e_range_search", "e_mips_topk",
     "e_vector_quantize", "e_grouped_topk", "d_embedding_near_dup",
-    "e_pq_adc_topk",
+    "e_pq_adc_topk", "e_pq_codes_topk",
 ]
 
 # vec_id -> poison kind; "corpus" mode hits non-query rows only, "query"

@@ -1273,3 +1273,56 @@ class TestEmbeddingNearDupClustered:
             f"{stats['cell_pairs_survived']}/{stats['cell_pairs_total']} "
             f"cell pairs survived ({survived:.1%})"
         )
+
+
+def test_bpe_token_count_matches_reference_encoder(spark):
+    """The replace-chain BPE (operators/text.bpe_token_count) must count
+    exactly what a canonical greedy BPE encoder produces: rank-ordered
+    merges, each rank merging all non-overlapping occurrences
+    left-to-right. Pins the self-delimiting-bracket argument (adjacent
+    matches share no characters, one sweep per rank is exhaustive)
+    against a pure-Python reference on merge-stressing words."""
+    import re
+
+    from pulsar_beam_spark.operators.text import BPE_MERGES, bpe_token_count
+
+    def ref_encode(word: str) -> list[str]:
+        toks = list(word)
+        for a, b in BPE_MERGES:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    def ref_count(text: str | None) -> int:
+        if text is None:
+            return 0
+        return sum(len(ref_encode(w))
+                   for w in re.findall(r"[a-z0-9]+", text.lower()))
+
+    texts = [
+        "the theater thesis threading",         # cascading th -> the
+        "ththth ananan thethethe",              # repeated-pair sweeps
+        "data database datathe scanning",       # multi-level da -> data
+        "and standing ingesting join joint",    # an+d, in+g, jo+in chains
+        "aaa ttt hhh",                          # self-pair degenerate
+        "UPPER Case MiXeD 123 a1b2c3",          # lowercasing + digits
+        "punct!!! the,data;join--scan",         # alnum extraction
+        "héllo wörld 日本",   # unicode: non-ascii split
+        "", "   ", None,                        # empty/blank/null
+        "x" * 500 + " " + "th" * 200,           # long words
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", bpe_token_count("text").alias("n")).collect()}
+    want = {i: ref_count(t) for i, t in enumerate(texts)}
+    assert got == want
+    # non-vacuous: merges actually fired (count < char count somewhere)
+    assert got[0] < sum(len(w) for w in texts[0].split())

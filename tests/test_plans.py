@@ -162,6 +162,39 @@ def test_pii_scrub_is_pure_projection(spark):
     assert n_exchanges(df) == 0, formatted_plan(df)[:2000]
 
 
+def test_bm25_indexed_never_scans_corpus_text(spark):
+    """VERDICT r10 item 2: the indexed BM25 query plan must read ONLY
+    the persisted index artifacts — the documents table (and its text
+    column) must not appear anywhere, and the query-term filter must
+    land in the postings scan's PushedFilters so a term-partitioned
+    layout prunes to the query's postings at 100 TB."""
+    df = REGISTRY["t_bm25_indexed"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "documents" not in plan, "index path must not touch the corpus"
+    assert "text" not in "".join(
+        seg.split("\n")[0] for seg in plan.split("ReadSchema:")[1:]
+    ), "no scan may read the text column"
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("term" in p and "In(" in p for p in pushed), (
+        "query-term IN filter must reach the postings parquet scan: "
+        + "\n".join(pushed))
+
+
+def test_pq_codes_topk_never_scans_embeddings(spark):
+    """VERDICT r10 item 3: the persisted-codes PQ entry's query plan
+    must read ONLY the tinyint code columns — the float embedding array
+    is pruned by construction (it isn't even in the codes table) — and
+    must stay the zero-shuffle TakeOrderedAndProject scan shape."""
+    df = REGISTRY["e_pq_codes_topk"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema:")[1:]]
+    assert schemas, "expected a parquet scan of the codes table"
+    assert all("embedding" not in s for s in schemas), schemas
+    assert all("_code0" in s for s in schemas), schemas
+    assert "TakeOrderedAndProject" in plan
+    assert n_exchanges(df) == 0, formatted_plan(df)[:2000]
+
+
 def test_decontaminate_broadcasts_eval_side(spark):
     """The eval n-gram probe must be a broadcast hash join — the corpus
     is never shuffled for membership. Allowed exchanges: the per-doc hit
@@ -376,6 +409,7 @@ _BNLJ_ALLOWED = {
     "r_rolling_median": 1,            # day-spine range join (both sides calendar-bounded daily aggregates)
     "r_basket_lift": 1,               # basket-count scalar
     "t_bm25_search": 1,               # corpus-stats (N, total-length) scalar
+    "t_bm25_indexed": 1,              # persisted one-row stats table
 }
 
 
