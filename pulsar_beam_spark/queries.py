@@ -8980,12 +8980,40 @@ _ROUND9_VERIFIED = frozenset({
     "r_streak_detection",
 })
 
+# Round-10 driver-green rows (CORRECTNESS_r10.json, hash_match=true;
+# 50/50 green, zero reds — the two round-10 registrations plus the
+# stalest round-4/5 greens). e_pq_adc_topk was r10-green but is
+# intentionally NOT listed: round 11 split its implementation into the
+# pq_encode + pq_adc_scan halves (operators/similarity.py — codes now
+# cast through tinyint) for the persisted-codes entry, so it re-enters
+# the window for a fresh hash against the recomposed plan.
+_ROUND10_VERIFIED = frozenset({
+    "t_bm25_search", "r_cusum_drift", "t_char_class_profile",
+    "p_quality_gate_funnel", "d_exact_hash_clusters", "e_cosine_histogram",
+    "g_message_size_audit", "r_lead_time_buckets", "r_self_excluding_agg",
+    "t_readability", "r_coverage_pct", "r_benford_digits", "r_min_max_scale",
+    "t_vocab_coverage", "r_reachability", "r_topk_with_ties",
+    "r_largest_remainder", "r_business_days", "r_rank_delta",
+    "r_regr_grouped", "e_dim_stats", "d_minhash_lsh_near_dup",
+    "d_simhash_near_dup", "p_packing_efficiency", "e_silhouette_by_cell",
+    "r_event_trigrams", "r_calendar_profile", "e_cluster_inertia",
+    "t_source_novelty", "r_status_transitions", "r_gini_by_nation",
+    "r_order_gap_stats", "s_rate_limit_sliding", "r_time_to_convert",
+    "r_seasonality_index", "r_new_vs_returning", "r_rolling_active_users",
+    "r_survival_curve", "r_backlog_aging", "t_js_divergence",
+    "r_hierarchy_rollup", "r_chi_square_mix", "t_bigram_entropy",
+    "r_segment_migration", "r_rolling_median", "r_pagerank_iter3",
+    "r_degree_distribution", "sql_shared_dialect_group_by_all",
+    "sql_shared_dialect_lateral",
+})
+
 # name -> most recent round with a hash-green driver row; later sets win.
 _LAST_GREEN: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
      _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
-     _ROUND7_VERIFIED, _ROUND8_VERIFIED, _ROUND9_VERIFIED),
+     _ROUND7_VERIFIED, _ROUND8_VERIFIED, _ROUND9_VERIFIED,
+     _ROUND10_VERIFIED),
     start=1,
 ):
     for _n in _names:
