@@ -512,7 +512,16 @@ def test_scan_straddle_legacy_manifest_falls_back_at_least_once(tmp_path):
     """A LEGACY manifest (no persisted source bounds — e.g. written by a
     pre-v2 store) cannot place the scanned/unscanned boundary inside a
     straddling output, so the scan falls back to the full read: the
-    documented at-least-once fallback (dups permitted, never loss)."""
+    documented at-least-once fallback (dups permitted, never loss).
+
+    This is the UNRECOVERABLE residue of the round-11 bounds backfill:
+    the v1 compaction already deleted its sources, and the merged
+    output is sorted by (event_time, message_id) — per-source
+    attribution is gone, so no footer read or chain derivation
+    (resolve_bounds) can reconstruct the boundary. Recoverable cases —
+    sources still on disk (repair upgrade) or an intermediate output
+    whose constituents carry bounds (chain derivation) — are pinned
+    exactly-once by the two goldens above."""
     from pulsar_beam_spark.model.compaction import read_manifest, write_manifest
 
     store = _store(tmp_path)
@@ -527,6 +536,96 @@ def test_scan_straddle_legacy_manifest_falls_back_at_least_once(tmp_path):
     got = [r["message_id"] for r in rows]
     assert set(got) >= set(ids[3:]), "unscanned rows must not be lost"
     assert got == ids, "bounds-less straddle reads in full (at-least-once)"
+
+
+def test_legacy_manifest_upgrades_to_bounds_on_repair(tmp_path):
+    """VERDICT r10 item 5: a LEGACY (v1, bounds-less) manifest caught in
+    crash window 2 — output and sources both on disk — upgrades to v2
+    on the next compact(): the repair pass footer-reads each source
+    BEFORE deleting it (the last moment the per-source time ranges
+    exist) and persists the bounds, flipping subsequent straddle scans
+    from the at-least-once full read to exactly-once."""
+    from pulsar_beam_spark.model.compaction import (
+        read_bounds, read_manifest, write_manifest)
+
+    store = _store(tmp_path)
+    ids = _produce(store, 6)
+    d = store.topic_dir(TOPIC)
+    files = _parquet_files(d)
+    pos = files[2]  # consumer scanned the first three files
+
+    res = store.compact(TOPIC, watermark_us=2**62)
+    assert res["merged"] == 6
+    out = res["output"]
+    srcs = read_manifest(d)[out]
+    # crash window 2 under a PRE-v2 store: restore every source and
+    # strip the manifest to the legacy flat format (no bounds)
+    t = pq.read_table(os.path.join(d, out))
+    for i, s in enumerate(srcs):
+        pq.write_table(t.slice(i, 1), os.path.join(d, s))
+    write_manifest(d, read_manifest(d))
+    assert read_bounds(d) == {}
+
+    # the upgrade: repair captures footer bounds before the deletes
+    res2 = store.compact(TOPIC, watermark_us=0)
+    assert res2["repaired"] == 6
+    assert set(read_bounds(d)) >= set(srcs), "bounds must persist on repair"
+
+    # straddle scan over the upgraded manifest: exactly-once
+    rows, pos2 = store.scan(TOPIC, after_file=pos)
+    assert [r["message_id"] for r in rows] == ids[3:]
+    assert store.scan(TOPIC, after_file=pos2)[0] == []
+
+
+def test_scan_straddle_derives_bounds_through_chain(tmp_path):
+    """VERDICT r10 item 5 (chain case): a straddling output whose
+    SCANNED constituent is itself an adopted intermediate output with
+    no directly-recorded bounds (legacy outer recording) still trims
+    exactly-once — resolve_bounds derives the intermediate's range as
+    the union of its own constituents' recorded bounds."""
+    from pulsar_beam_spark.model.compaction import (
+        read_bounds, read_manifest, write_manifest)
+
+    store = _store(tmp_path)
+    first = _produce(store, 4)
+    d = store.topic_dir(TOPIC)
+    rows1, pos = store.scan(TOPIC)
+    assert len(rows1) == 4
+
+    res1 = store.compact(TOPIC, watermark_us=2**62)
+    o1 = res1["output"]
+    rows2, pos = store.scan(TOPIC, after_file=pos)
+    assert rows2 == [] and pos["seen"] == [o1]  # O1 adopted
+
+    more = _produce(store, 2, prefix="n")
+    res2 = store.compact(TOPIC, watermark_us=2**62)
+    assert res2["merged"] == 3  # O1 + the two new files
+
+    # legacy outer recording: drop O1's DIRECT bound; its constituents'
+    # bounds stay live (they are referenced through the chain)
+    bounds = read_bounds(d)
+    del bounds[o1]
+    write_manifest(d, read_manifest(d), bounds)
+
+    rows3, pos = store.scan(TOPIC, after_file=pos)
+    assert [r["message_id"] for r in rows3] == more, (
+        "derived bounds must trim the straddle exactly — no redelivery "
+        "of O1's rows, no loss of the new rows")
+    assert store.scan(TOPIC, after_file=pos)[0] == []
+
+
+def test_resolve_bounds_partial_and_cyclic():
+    from pulsar_beam_spark.model.compaction import resolve_bounds
+
+    manifest = {"o2": ["o1", "f5"], "o1": ["f1", "f2"], "bad": ["gone"],
+                "loop": ["loop"]}
+    bounds = {"f1": (0, 10), "f2": (5, 20), "f5": (30, 40)}
+    r = resolve_bounds(manifest, bounds)
+    assert r["o1"] == (0, 20)
+    assert r["o2"] == (0, 40)
+    assert "bad" not in r, "unresolvable names must stay absent"
+    assert "loop" not in r, "a corrupt cycle must not recurse forever"
+    assert resolve_bounds({}, {}) == {}
 
 
 def test_scan_cursor_retains_witnessed_sources_of_incomplete_output(tmp_path):
