@@ -212,9 +212,21 @@ def deliver_stream(
             for rec in pdf.to_dict("records"):
                 acked, reply = sink.push(rec)
                 if acked and reply is not None:
-                    # src_key names the reply's provenance so replays of
-                    # the same epoch mint the SAME reply id (_append_replies)
-                    out.append((*reply, str(rec.get("message_id"))))
+                    # src_key names the reply's provenance — (source
+                    # message x CONFIG) — so replays of the same epoch
+                    # mint the SAME reply id (_append_replies) while two
+                    # DIFFERENT configs' replies to one source message
+                    # never collide. The config identity here is the
+                    # sink URL: the reconciler keys per-sub queries by
+                    # (topic-key + url), so same-message-same-url IS the
+                    # same subscription. Round-11 delivery fuzz found
+                    # the bare-message_id form: two per-sub queries
+                    # sharing a reply table (the e2e wiring) at the same
+                    # epoch number minted one id for two different
+                    # endpoints' bodies, and downstream exact-dedup
+                    # dropped a real reply.
+                    out.append(
+                        (*reply, f"{rec.get('message_id')}|{sink.url}"))
             yield pd.DataFrame(out, columns=["topic", "pulsar_url", "body", "src_key"])
 
     def handle(df: DataFrame, epoch: int) -> None:
@@ -310,8 +322,14 @@ def deliver_multiplexed_stream(
                     # provenance includes the config: the SAME source
                     # message replied through two configs is two distinct
                     # replies, but an epoch REPLAY of either mints the
-                    # same id (_append_replies' deterministic reply ids)
-                    out.append((*reply, f"{rec.get('message_id')}|{sk}"))
+                    # same id (_append_replies' deterministic reply ids).
+                    # The config identity is the URL — the same form the
+                    # per-subscription mode mints — so a redelivery
+                    # across a MODE FLIP (per-sub <-> mux, reconciler
+                    # hysteresis) also collides by id instead of leaving
+                    # undedupable cross-mode duplicates in a shared
+                    # reply table (round-11 delivery fuzz).
+                    out.append((*reply, f"{rec.get('message_id')}|{rec['url']}"))
             yield pd.DataFrame(out, columns=["topic", "pulsar_url", "body", "src_key"])
 
     def handle(df: DataFrame, epoch: int) -> None:
