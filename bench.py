@@ -95,6 +95,7 @@ HEADLINE = [
     "e_pq_codes_topk",           # ADC over persisted tinyint codes
     "t_bm25_indexed",            # BM25 over persisted postings/dictionary
     "t_bpe_token_count",         # greedy-BPE subword accounting (codegen)
+    "t_hybrid_rrf",              # BM25 + dense cosine reciprocal-rank fusion
 ]
 
 

@@ -8600,6 +8600,86 @@ def q_bm25_indexed(spark, sf):
     )
 
 
+def _hybrid_rrf_oracle(k: int = 10, topn: int = 20, c: int = 60) -> str:
+    return f"""
+WITH sparse AS ({_bm25_oracle(k=topn)}),
+s AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS sr
+      FROM sparse),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
+cvec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+cs AS (SELECT vec_id,
+              round(list_reduce(list_transform(list_zip(cvec.v, q.qv), x -> x[1] * x[2]), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(cvec.v, x -> x * x), (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))), 6) AS cosine
+       FROM cvec, q
+       ORDER BY cosine DESC, vec_id LIMIT {topn}),
+dn AS (SELECT vec_id AS doc_id,
+              CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS dr
+       FROM cs),
+f AS (SELECT coalesce(s.doc_id, dn.doc_id) AS doc_id, sr, dr
+      FROM s FULL OUTER JOIN dn ON s.doc_id = dn.doc_id)
+SELECT doc_id,
+       CAST(coalesce(sr, 0) AS INT) AS sparse_rank,
+       CAST(coalesce(dr, 0) AS INT) AS dense_rank,
+       round(coalesce(1.0/({c} + sr), 0) + coalesce(1.0/({c} + dr), 0), 6) AS rrf
+FROM f
+ORDER BY round(coalesce(1.0/({c} + sr), 0) + coalesce(1.0/({c} + dr), 0), 6) DESC, doc_id
+LIMIT {k}
+"""
+
+
+@register(
+    "t_hybrid_rrf",
+    _hybrid_rrf_oracle(),
+    doc="Hybrid retrieval: reciprocal-rank fusion (c=60) of the BM25 "
+        "sparse top-20 and the brute-cosine dense top-20 for the "
+        "anchored query — the standard RAG fusion step joining the two "
+        "retrieval families this repo already verifies separately. "
+        "Both rank windows run over LIMIT-20 inputs (bounded by "
+        "construction, allowlisted); the fuse is a full-outer join of "
+        "two 20-row frames; rank reciprocals sum in fixed system order "
+        "so the float is order-deterministic and hash-exact.",
+)
+def q_hybrid_rrf(spark, sf):
+    from .operators.similarity import brute_force_topk
+    from .operators.text import bm25_topk
+
+    docs = T(spark, sf, "documents")
+    emb = T(spark, sf, "embeddings")
+    sparse = bm25_topk(docs, _BM25_TERMS, k=20)
+    qv = _query_vec(emb, 0)
+    dense = brute_force_topk(emb, qv if qv is not None else [0.0], k=20)
+    if qv is None:  # guarded like _ann_entry: dense side collapses empty
+        dense = dense.where(F.lit(False))
+    s = sparse.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        ).cast("int").alias("sr"))
+    dn = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        ).cast("int").alias("dr"))
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.col("sr") + 60), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.col("dr") + 60), F.lit(0.0)), 6)
+    return (
+        s.join(dn, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("sr", F.lit(0)).cast("int").alias("sparse_rank"),
+            F.coalesce("dr", F.lit(0)).cast("int").alias("dense_rank"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 # == round-11 additions: BPE token accounting ============================
 
 

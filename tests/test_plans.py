@@ -410,6 +410,7 @@ _BNLJ_ALLOWED = {
     "r_basket_lift": 1,               # basket-count scalar
     "t_bm25_search": 1,               # corpus-stats (N, total-length) scalar
     "t_bm25_indexed": 1,              # persisted one-row stats table
+    "t_hybrid_rrf": 1,                # bm25 corpus-stats scalar (sparse leg)
 }
 
 
@@ -445,6 +446,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "r_running_distinct": 1,      # over the distinct-days spine (calendar-bounded)
     "r_largest_remainder": 1,     # over per-nation seat shares (25 rows)
     "r_percent_of_total": 1,      # sum() OVER () over per-mktsegment totals (5 rows)
+    "t_hybrid_rrf": 2,            # two rank windows over LIMIT-20 retrieval results
 }
 
 

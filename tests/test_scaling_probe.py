@@ -84,6 +84,21 @@ ANCHOR_EXPONENTS = {
     # Plan unchanged since anchoring (one window shuffle on key).
     "s_rate_limit_sliding": 0.15,
     "t_unigram_logprob": 0.59,
+    # round-11 anchors (BASELINE.md "Round-11"): the ingest-persisted
+    # query paths and BPE accounting. e_pq_codes_topk measured -0.11 /
+    # -0.08 (sub-second scan, noise floor) — anchored at 0.05 so the
+    # ceiling is still a real flat-scan pin; the two BPE rows are
+    # per-row codegen scans (expected ~linear in bytes at fixed
+    # parallelism headroom, measured 0.13-0.18 at these SFs).
+    "e_pq_adc_topk": 0.07,
+    "t_bm25_search": 0.06,
+    "e_pq_codes_topk": 0.05,
+    "t_bm25_indexed": 0.15,
+    "t_bpe_token_count": 0.18,
+    "p_sequence_packing_bpe": 0.18,
+    # flat by construction: both legs are top-20 TakeOrdered scans whose
+    # wall-clock is the BM25 corpus stats pass (measured 1.00x at 10x)
+    "t_hybrid_rrf": 0.05,
     "tpch_q10_returned_items": 0.04,
     "tpch_q11_important_stock": 0.10,
     "tpch_q18_large_orders": 0.21,
