@@ -39,16 +39,27 @@ def brute_force_topk(
     Invalid corpus vectors (NULL / non-finite / zero-norm — see
     functions.vector.valid_vector) are dropped: a single zero-norm row
     would abort the whole scan with ANSI DIVIDE_BY_ZERO.
+
+    Ranks on the UNROUNDED cosine (vec_id tiebreak), rounding only in
+    the final projection — the same convention as mips_topk and the
+    recall audit, and the one COSINE_TOPK_ORACLE uses. The round-11
+    boundary probe showed the old rounded-rank form diverging from the
+    oracle whenever two cosines within 1e-6 straddle the k-th slot:
+    rounding manufactures a tie the raw order doesn't have, and the
+    vec_id tiebreak then picks a different member than the oracle's raw
+    ORDER BY (both engines compute bit-identical doubles via the
+    sequential fold, so the raw order itself is parity-exact).
     """
     emb = emb.filter(valid_vector(vec_col))
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     return (
         emb.select(
             F.col(id_col).alias("vec_id"),
-            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),
+            cosine_sim(F.col(vec_col), q).alias("_cos_raw"),
         )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .orderBy(F.col("_cos_raw").desc(), F.col("vec_id").asc())
         .limit(k)
+        .select("vec_id", F.round(F.col("_cos_raw"), 6).alias("cosine"))
     )
 
 

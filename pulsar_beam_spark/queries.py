@@ -8611,13 +8611,13 @@ q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
 cvec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
          WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
 cs AS (SELECT vec_id,
-              round(list_reduce(list_transform(list_zip(cvec.v, q.qv), x -> x[1] * x[2]), (x, y) -> x + y)
+              list_reduce(list_transform(list_zip(cvec.v, q.qv), x -> x[1] * x[2]), (x, y) -> x + y)
               / (sqrt(list_reduce(list_transform(cvec.v, x -> x * x), (x, y) -> x + y))
-                 * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))), 6) AS cosine
+                 * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))) AS c
        FROM cvec, q
-       ORDER BY cosine DESC, vec_id LIMIT {topn}),
+       ORDER BY c DESC, vec_id LIMIT {topn}),
 dn AS (SELECT vec_id AS doc_id,
-              CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS dr
+              CAST(row_number() OVER (ORDER BY round(c, 6) DESC, vec_id) AS INT) AS dr
        FROM cs),
 f AS (SELECT coalesce(s.doc_id, dn.doc_id) AS doc_id, sr, dr
       FROM s FULL OUTER JOIN dn ON s.doc_id = dn.doc_id)
@@ -9040,8 +9040,13 @@ _ROUND8_VERIFIED = frozenset({
     "d_incremental_near_dup", "pipeline_curation_clustered",
 })
 
+# r31_cosine_topk was r09-green but is NOT listed: round 11 changed
+# brute_force_topk to rank on the UNROUNDED cosine (the family/oracle
+# convention — the rounded rank diverged from the oracle at a 1e-6
+# k-th-slot boundary, boundary-probe golden in test_adversarial_corpus)
+# — re-fronted for a fresh hash against the raw-ranked plan.
 _ROUND9_VERIFIED = frozenset({
-    "d_embedding_near_dup", "r31_cosine_topk", "s_ann_lsh_topk",
+    "d_embedding_near_dup", "s_ann_lsh_topk",
     "s_ann_ivf_topk", "s_ann_recall_audit", "e_vector_quantize",
     "e_range_search", "e_mips_topk", "e_grouped_topk", "r_skew_salted_agg",
     "r_skew_salted_join", "r_funnel_sequence", "d_fuzzy_name_pairs",

@@ -499,3 +499,97 @@ def test_dst_family_under_new_york_session_tz(spark, dst_sf_dir, name):
             f"{name} is pinned tz-INDEPENDENT but diverged under a "
             "New-York session: " + "; ".join(errs)
         )
+
+
+# == cosine k-th-slot rounding-boundary gate (round 11) =================
+# Two corpus vectors whose RAW cosines differ but round to the same 6
+# decimals, straddling the k-th slot. The old brute_force_topk ranked on
+# the ROUNDED cosine: rounding manufactured a tie the raw order doesn't
+# have, the vec_id tiebreak picked the other member than the oracle's
+# raw ORDER BY, and r31's parity was one adversarial fixture away from
+# red. Pins the family convention: SELECTION ranks on the raw double
+# (bit-identical across engines via the sequential fold), rounding only
+# in the projection.
+
+
+@pytest.fixture(scope="module")
+def boundary_sf_dir(tmp_path_factory):
+    import numpy as np
+
+    d = str(tmp_path_factory.mktemp("cos-boundary"))
+    dim = 64
+    rows = []
+
+    def vec(c32, s32):
+        v = np.zeros(dim, dtype=np.float32)
+        v[0], v[1] = c32, s32
+        return v
+
+    # query: e1 (vec_id 0 anchors every ANN entry)
+    rows.append((0, vec(np.float32(1.0), np.float32(0.0))))
+    # 8 clear top ranks: cosines ~0.95 .. 0.88
+    for i in range(1, 9):
+        c = np.float32(0.95 - 0.01 * i)
+        rows.append((i, vec(c, np.float32(np.sqrt(1 - float(c) ** 2)))))
+    # the boundary pair fighting for slot 10 (query itself takes slot 1):
+    # nudge c by float32 ULPs until two RAW cosines differ but round to
+    # the same 6 decimals
+    s = np.float32(0.69)
+
+    def cos_of(c):
+        cd, sd = float(c), float(s)
+        return cd / np.sqrt(cd * cd + sd * sd)
+
+    base = np.float32(0.7234567)
+    cands = []
+    c = base
+    for _ in range(64):
+        cands.append((c, cos_of(c)))
+        c = np.nextafter(c, np.float32(1.0), dtype=np.float32)
+    by_bucket: dict = {}
+    pair = None
+    for c, cc in cands:
+        b = round(cc, 6)
+        if b in by_bucket and by_bucket[b][1] != cc:
+            pair = (by_bucket[b], (c, cc))
+            break
+        by_bucket.setdefault(b, (c, cc))
+    assert pair, "could not construct a rounding-tied pair"
+    (c_lo, cos_lo), (c_hi, cos_hi) = sorted(pair, key=lambda t: t[1])
+    assert round(cos_lo, 6) == round(cos_hi, 6) and cos_lo != cos_hi
+    # LOWER raw cosine gets the SMALLER vec_id: a rounded rank would
+    # tie-break to it; the raw rank must pick the higher one
+    rows.append((100, vec(c_lo, s)))
+    rows.append((101, vec(c_hi, s)))
+    # filler below the boundary
+    for i in range(110, 116):
+        c = np.float32(0.5 - 0.02 * (i - 110))
+        rows.append((i, vec(c, np.float32(np.sqrt(1 - float(c) ** 2)))))
+
+    t = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([[float(x) for x in r[1]] for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(rows), pa.int32()),
+    })
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+    for f in os.listdir(SF_SMOKE):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            shutil.copy(os.path.join(SF_SMOKE, f), os.path.join(d, f))
+    return d
+
+
+@pytest.mark.parametrize("name", ["r31_cosine_topk", "t_hybrid_rrf"])
+def test_cosine_rounding_boundary_parity(spark, boundary_sf_dir, name):
+    spec = REGISTRY[name]
+    sdf = spec.spark(spark, boundary_sf_dir).toPandas()
+    ddf = duck_run(spec.oracle, boundary_sf_dir)
+    errs = compare(sdf, ddf)
+    assert not errs, f"{name} diverges at the k-th-slot rounding boundary: " + "; ".join(errs)
+    if name == "r31_cosine_topk":
+        # non-vacuous: the higher-RAW member must take the k-th slot
+        # (the old rounded rank tie-broke to vec_id 100 and failed
+        # parity here); the hybrid's fused top-10 legitimately ranks by
+        # rrf, so only its parity is asserted
+        ids = set(sdf["vec_id"])
+        assert 101 in ids and 100 not in ids, sorted(ids)
