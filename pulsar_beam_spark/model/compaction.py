@@ -157,6 +157,39 @@ def gc_manifest(
     return {out: srcs for out, srcs in manifest.items() if out in keep}
 
 
+def witnessed_incomplete_sources(
+    manifest: dict[str, list[str]],
+    incomplete: set[str],
+    witnessed,
+) -> set[str]:
+    """Witnessed provenance nodes of INCOMPLETE compaction outputs —
+    the names a cursor rewrite must RETAIN even though compaction
+    already removed them from the listing (ADVICE r10, crash window 3:
+    compact crashed mid-source-delete). A cursor rewritten to the bare
+    listing forgets them; after repair the output's adoption check then
+    sees unwitnessed constituents and falls back to redelivery
+    (poll regression path / scan full read) where adoption or a trim
+    was owed. ``witnessed`` is a predicate over filenames (the
+    consumer's own notion of "already consumed"); the walk expands
+    through nested outputs and stops at witnessed nodes, exactly like
+    the consumers' own provenance traversals. Bounded: incomplete
+    outputs are rare and transient."""
+    keep: set[str] = set()
+    for out in incomplete:
+        frontier = list(manifest.get(out, ()))
+        walked: set[str] = set()
+        while frontier:
+            s = frontier.pop()
+            if s in walked:
+                continue
+            walked.add(s)
+            if witnessed(s):
+                keep.add(s)
+            elif s in manifest:
+                frontier.extend(manifest[s])
+    return keep
+
+
 def resolve_bounds(
     manifest: dict[str, list[str]],
     bounds: dict[str, tuple[int, int]],

@@ -367,6 +367,18 @@ def bpe_token_count(text_col, merges: tuple = BPE_MERGES):
     shuffles, no Python — and every step has an exact DuckDB mirror
     (queries._bpe_count_sql), so the count is hash-verifiable.
     """
+    import re
+
+    for a, b in merges:
+        # the bracket delimiting is only sound over the extracted
+        # [a-z0-9]+ alphabet: a merge token carrying '[' or ']' (or any
+        # char the word regex can't emit) would collide with the
+        # delimiters and silently mis-merge — reject at plan-build time
+        if not re.fullmatch(r"[a-z0-9]+", a) or not re.fullmatch(r"[a-z0-9]+", b):
+            raise ValueError(
+                f"bpe_token_count: merge {(a, b)!r} outside the [a-z0-9]+ "
+                "token alphabet — the bracket-delimited replace scheme "
+                "cannot represent it")
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.regexp_extract_all(
         F.lower(F.coalesce(c, F.lit(""))), F.lit("[a-z0-9]+"), F.lit(0))

@@ -39,6 +39,7 @@ from ..model.compaction import (
     read_bounds,
     read_manifest,
     resolve_bounds,
+    witnessed_incomplete_sources,
     write_manifest,
 )
 
@@ -309,22 +310,9 @@ class TopicDirStore:
         # would forget those names; after the output completes (repair /
         # next compact) partition_constituents would see them as
         # unscanned and take the full-read fallback — redelivery where
-        # adoption/trim was possible. Retain every witnessed node on an
-        # incomplete output's provenance chain (bounded: incomplete
-        # outputs are rare and transient, and the walk stops at
-        # witnessed nodes exactly like partition_constituents).
-        for out in incomplete:
-            frontier = list(manifest.get(out, ()))
-            walked: set[str] = set()
-            while frontier:
-                s = frontier.pop()
-                if s in walked:
-                    continue
-                walked.add(s)
-                if witnessed(s):
-                    new_seen.add(s)
-                elif s in manifest:
-                    frontier.extend(manifest[s])
+        # adoption/trim was possible (model/compaction.
+        # witnessed_incomplete_sources; bounded_poll shares the fix).
+        new_seen |= witnessed_incomplete_sources(manifest, incomplete, witnessed)
         return rows, {"seen": sorted(new_seen)}
 
     @staticmethod

@@ -79,6 +79,7 @@ from ..model.compaction import (
     incomplete_outputs,
     naive_utc_us,
     read_manifest,
+    witnessed_incomplete_sources,
 )
 from ..model.message import MESSAGE_SCHEMA
 
@@ -199,12 +200,21 @@ def bounded_poll(
 
     regress: dict[str, list[str]] = {}
     hwm: tuple[int, str] | None = None
+    retained: set[str] = set()
     if cursor is not None:
         hwm = (cursor["event_time_us"], cursor["message_id"])
         regress = cursor["regress"]
         # pre-fix cursor: no file set recorded — treat everything
         # currently visible as seen (the old semantics) and track from now
         seen = set(cursor["seen_files"]) if cursor["seen_files"] is not None else set(visible)
+        # ADVICE r10 (same hazard the SSE scan had): an INCOMPLETE
+        # output's already-deleted witnessed sources are not in the
+        # listing; rewriting seen_files to the listing alone forgets
+        # them, and the post-repair adoption check would then see
+        # unwitnessed constituents and take the regression path — mass
+        # redelivery where adoption was owed. Retain them in the cursor.
+        retained = witnessed_incomplete_sources(
+            manifest, incomplete, seen.__contains__)
         for f in visible:
             if f in seen:
                 continue
@@ -393,7 +403,7 @@ def bounded_poll(
         os.makedirs(checkpoint_dir, exist_ok=True)
         _write_cursor(checkpoint_dir, {
             "event_time_us": new_hwm[0], "message_id": new_hwm[1],
-            "seen_files": visible, "regress": regress,
+            "seen_files": sorted(set(visible) | retained), "regress": regress,
         })
     if not batch:
         return None

@@ -628,6 +628,48 @@ def test_resolve_bounds_partial_and_cyclic():
     assert resolve_bounds({}, {}) == {}
 
 
+def test_poll_cursor_retains_witnessed_sources_of_incomplete_output(spark, tmp_path):
+    """ADVICE r10, bounded_poll side (same hazard as the SSE scan): a
+    crash-window-3 compaction leaves an incomplete output whose
+    witnessed sources are partly gone from the listing; the rewritten
+    seen_files must retain the deleted names or the post-repair
+    adoption check sees unwitnessed constituents and takes the
+    regression path — mass redelivery of the whole compacted history."""
+    store = _store(tmp_path)
+    all_ids = _produce(store, 6)
+    d = store.topic_dir(TOPIC)
+    ckpt = str(tmp_path / "ckpt")
+    assert _ids(bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt)) == all_ids
+
+    # everything is delivered, so the far-future watermark is compliant
+    # (the strict low-water mark would exclude the file holding the hwm
+    # row itself and leave the crash-window fixture one source short)
+    res = store.compact(TOPIC, watermark_us=2**62)
+    assert res["merged"] == 6
+    out = res["output"]
+    srcs = read_manifest(d)[out]
+    # crash window 3: restore only the LAST two sources
+    t = pq.read_table(os.path.join(d, out))
+    for i, s in enumerate(srcs[-2:], start=4):
+        pq.write_table(t.slice(i, 1), os.path.join(d, s))
+
+    # mid-crash poll: output excluded, restored sources already seen —
+    # nothing redelivers, and the cursor must keep the deleted names
+    assert bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt) is None
+    import json
+
+    cur = json.load(open(os.path.join(ckpt, "CURSOR")))
+    assert set(srcs) <= set(cur["seen_files"]), (
+        "witnessed sources of an incomplete output must survive the "
+        "seen_files rewrite")
+
+    # repair finishes the deletes; the output must be ADOPTED silently
+    res2 = store.compact(TOPIC, watermark_us=0)
+    assert res2["repaired"] == 2
+    assert bounded_poll(spark, d, batch_size=10, checkpoint_dir=ckpt) is None, (
+        "post-repair poll must adopt the output, never redeliver")
+
+
 def test_scan_cursor_retains_witnessed_sources_of_incomplete_output(tmp_path):
     """ADVICE r10: crash window 3 (compact crashed mid-source-delete)
     leaves an INCOMPLETE output whose witnessed sources are partly gone

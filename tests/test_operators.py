@@ -1326,3 +1326,15 @@ def test_bpe_token_count_matches_reference_encoder(spark):
     assert got == want
     # non-vacuous: merges actually fired (count < char count somewhere)
     assert got[0] < sum(len(w) for w in texts[0].split())
+
+
+def test_bpe_token_count_rejects_out_of_alphabet_merges(spark):
+    """A merge token outside [a-z0-9]+ would collide with the bracket
+    delimiters and silently mis-merge — must raise at plan-build time."""
+    import pytest as _pytest
+
+    from pulsar_beam_spark.operators.text import bpe_token_count
+
+    for bad in ((("[", "a"),), (("a", "b]"),), (("Th", "e"),), (("a b", "c"),)):
+        with _pytest.raises(ValueError, match="token alphabet"):
+            bpe_token_count("text", merges=bad)
