@@ -453,6 +453,43 @@ def bm25_build_index(
     return postings, dictionary, stats
 
 
+def bm25_merge_index(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    stats: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental index maintenance — fold a NEW document batch into
+    existing BM25 artifacts without re-reading the old corpus (the
+    ingest-side story at 100 TB: the indexed path is only honest if the
+    index can be MAINTAINED, not just built once):
+
+    - postings: pure append (the batch's doc ids are new, so (term,
+      doc) grain cannot collide — append-only corpora; upstream dedup
+      owns id reuse);
+    - dictionary: vocab-sized union + re-sum of dfreq;
+    - stats: two one-row frames summed.
+
+    Every artifact is an integer table, so the merged index is
+    BIT-IDENTICAL to a full rebuild over the union corpus — pinned by
+    the t_bm25_index_merge entry, whose oracle scores the full corpus
+    from raw text and must hash-match the incrementally-merged path.
+    Only the new batch is tokenized; the old corpus contributes its
+    (tiny) dictionary and stats rows.
+    """
+    np_, nd_, ns_ = bm25_build_index(new_docs, id_col=id_col, text_col=text_col)
+    merged_postings = postings.unionByName(np_)
+    merged_dictionary = (
+        dictionary.unionByName(nd_)
+        .groupBy("term").agg(F.sum("dfreq").alias("dfreq"))
+    )
+    merged_stats = stats.unionByName(ns_).agg(
+        F.sum("n").alias("n"), F.sum("tot").alias("tot"))
+    return merged_postings, merged_dictionary, merged_stats
+
+
 def bm25_topk_indexed(
     postings: DataFrame,
     dictionary: DataFrame,

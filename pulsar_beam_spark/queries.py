@@ -8382,8 +8382,9 @@ def _pq_sq_l2_sql_expr(vexpr: str, other: str) -> str:
             "x -> (x[1]-x[2])*(x[1]-x[2])), (x, y) -> x + y)")
 
 
-def _pq_adc_topk_oracle(k: int = 10) -> str:
-    m = len(_PQ_CODEBOOKS)
+def _pq_oracle_exprs() -> tuple[str, str]:
+    """(codes-projection SQL, ADC-sum SQL) over a `v`/`qv` scope —
+    shared by the top-k oracle and the recall audit."""
     sub_dim = len(_PQ_CODEBOOKS[0][0])
     code_exprs, dist_exprs = [], []
     for mi, book in enumerate(_PQ_CODEBOOKS):
@@ -8397,8 +8398,11 @@ def _pq_adc_topk_oracle(k: int = 10) -> str:
             for cw in book)
         dist_exprs.append(_pq_sq_l2_sql_expr(
             f"qv[{lo}:{hi}]", f"list_extract([{cw_lits}], code{mi} + 1)"))
-    adc = " + ".join(f"({d})" for d in dist_exprs)
-    codes = ",\n       ".join(code_exprs)
+    return ",\n       ".join(code_exprs), " + ".join(f"({d})" for d in dist_exprs)
+
+
+def _pq_adc_topk_oracle(k: int = 10) -> str:
+    codes, adc = _pq_oracle_exprs()
     return f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
            WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
@@ -8466,6 +8470,63 @@ def q_pq_codes(spark, sf):
     codes = spark.read.parquet(pq_codes_dir(spark, sf))
     return _ann_entry(emb, 0, lambda qv: pq_adc_scan(
         codes, qv, _PQ_CODEBOOKS, k=10))
+
+
+def _pq_recall_audit_oracle(k: int = 10) -> str:
+    m_codes, adc = _pq_oracle_exprs()
+    raw_cos = (
+        "list_reduce(list_transform(list_zip(v, qv), x -> x[1] * x[2]), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)))")
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+enc AS (SELECT vec_id,
+       {m_codes}
+        FROM raw),
+ann AS (SELECT vec_id FROM enc, q
+        ORDER BY round({adc}, 6), vec_id LIMIT {k}),
+exact AS (SELECT vec_id FROM raw, q
+          ORDER BY {raw_cos} DESC, vec_id LIMIT {k})
+SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM ann JOIN exact USING (vec_id)) AS hits
+"""
+
+
+@register(
+    "e_pq_recall_audit",
+    _pq_recall_audit_oracle(),
+    doc="R31 audit for the PQ path (the s_ann_recall_audit strategy "
+        "applied to product quantization): recall@10 of the ADC top-k "
+        "vs the exact cosine top-k as integer counts — fixed literal "
+        "codebooks make the approximation itself deterministic, so the "
+        "recall is hash-checkable, completing the audit symmetry "
+        "(LSH had one; PQ now does too). The measured recall on the "
+        "fixtures is LOW by construction — random untrained codebooks "
+        "on isotropic embeddings — which is exactly what the audit is "
+        "for: it pins the measurement machinery a real deployment "
+        "points at its trained codebooks.",
+)
+def q_pq_recall_audit(spark, sf):
+    from .operators.similarity import brute_force_topk, pq_adc_topk
+
+    k = 10
+    emb = T(spark, sf, "embeddings")
+    qv = _query_vec(emb, 0)
+    if qv is None:
+        return spark.range(1).select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(0).cast("long").alias("hits"),
+        )
+    ann = pq_adc_topk(emb, qv, _PQ_CODEBOOKS, k=k).select("vec_id")
+    exact = brute_force_topk(emb, qv, k=k).select("vec_id")
+    return (
+        ann.join(exact, "vec_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+        .select(F.lit(k).cast("long").alias("k"), "hits")
+    )
 
 
 _BM25_TERMS = ["hash", "join", "scan", "filter"]
@@ -8598,6 +8659,29 @@ def q_bm25_indexed(spark, sf):
         spark.read.parquet(os.path.join(d, "stats")),
         _BM25_IDX_TERMS, k=20,
     )
+
+
+@register(
+    "t_bm25_index_merge",
+    _bm25_oracle(),
+    doc="Incremental BM25 index maintenance: build artifacts over the "
+        "even-doc_id half of the corpus, FOLD the odd half in via "
+        "bm25_merge_index (postings append, dictionary re-sum, stats "
+        "add — only the new batch is tokenized), then score the query. "
+        "The oracle scores the FULL corpus from raw text, so a "
+        "hash-match proves merged-index == full-rebuild bit-for-bit — "
+        "the maintenance story that makes the persisted index honest "
+        "at 100 TB (same terms/k as t_bm25_search by construction).",
+)
+def q_bm25_index_merge(spark, sf):
+    from .operators.text import bm25_build_index, bm25_merge_index, bm25_topk_indexed
+
+    docs = T(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    p1, d1, s1 = bm25_build_index(old)
+    p2, d2, s2 = bm25_merge_index(p1, d1, s1, new)
+    return bm25_topk_indexed(p2, d2, s2, _BM25_TERMS, k=20)
 
 
 def _hybrid_rrf_oracle(k: int = 10, topn: int = 20, c: int = 60) -> str:

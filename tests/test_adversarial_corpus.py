@@ -94,7 +94,8 @@ def test_adversarial_corpus_parity(spark, adv_sf_dir, name):
 EMPTY_REGRESSION = [
     "r31_cosine_topk", "s_ann_lsh_topk", "s_ann_ivf_topk",
     "s_ann_recall_audit", "e_range_search", "e_mips_topk", "e_pq_adc_topk",
-    "e_pq_codes_topk", "t_bm25_search", "t_bm25_indexed", "t_hybrid_rrf",
+    "e_pq_codes_topk", "e_pq_recall_audit", "t_bm25_search",
+    "t_bm25_indexed", "t_bm25_index_merge", "t_hybrid_rrf",
     "r_pagerank_iter3", "p_split_leakage", "p_rank_calibrate",
     "r_pareto_cut", "r_rfm_segmentation", "r_quartile_bands",
     "r_keyset_pagination", "r_lorenz_deciles", "r_abc_xyz",
@@ -202,7 +203,7 @@ def test_degenerate_input_parity(spark, degenerate_sf_dir, name):
 ANN_QUERY_ENTRIES = [
     "r31_cosine_topk", "s_ann_lsh_topk", "s_ann_ivf_topk",
     "s_ann_recall_audit", "e_range_search", "e_mips_topk", "e_pq_adc_topk",
-    "e_pq_codes_topk", "t_hybrid_rrf",
+    "e_pq_codes_topk", "e_pq_recall_audit", "t_hybrid_rrf",
 ]
 
 
@@ -245,8 +246,9 @@ def test_no_query_vector_parity(spark, no_query_sf_dir, name):
         # ranking (both engines agree — parity asserted above); emptiness
         # would mean the sparse leg was wrongly coupled to the dense guard
         assert len(sdf) == 10 and (sdf["dense_rank"] == 0).all()
-    elif name != "s_ann_recall_audit":
-        assert len(sdf) == 0  # the contract, not just parity
+    elif name not in ("s_ann_recall_audit", "e_pq_recall_audit"):
+        assert len(sdf) == 0  # the contract, not just parity (the audits
+        # emit their one (k, 0, ...) summary row instead)
 
 
 # == NULL-bearing-column gate ===========================================
@@ -320,7 +322,7 @@ VEC_FAMILY = [
     "r31_cosine_topk", "s_ann_lsh_topk", "s_ann_ivf_topk",
     "s_ann_recall_audit", "e_range_search", "e_mips_topk",
     "e_vector_quantize", "e_grouped_topk", "d_embedding_near_dup",
-    "e_pq_adc_topk", "e_pq_codes_topk", "t_hybrid_rrf",
+    "e_pq_adc_topk", "e_pq_codes_topk", "e_pq_recall_audit", "t_hybrid_rrf",
 ]
 
 # vec_id -> poison kind; "corpus" mode hits non-query rows only, "query"

@@ -411,6 +411,7 @@ _BNLJ_ALLOWED = {
     "t_bm25_search": 1,               # corpus-stats (N, total-length) scalar
     "t_bm25_indexed": 1,              # persisted one-row stats table
     "t_hybrid_rrf": 1,                # bm25 corpus-stats scalar (sparse leg)
+    "t_bm25_index_merge": 1,          # merged one-row stats table
 }
 
 

@@ -99,6 +99,8 @@ ANCHOR_EXPONENTS = {
     # flat by construction: both legs are top-20 TakeOrdered scans whose
     # wall-clock is the BM25 corpus stats pass (measured 1.00x at 10x)
     "t_hybrid_rrf": 0.05,
+    "t_bm25_index_merge": 0.10,  # measured 0.02; tokenize is the term
+    "e_pq_recall_audit": 0.08,   # measured 0.04; driver ADC analysis dominates
     "tpch_q10_returned_items": 0.04,
     "tpch_q11_important_stock": 0.10,
     "tpch_q18_large_orders": 0.21,
