@@ -8609,7 +8609,11 @@ def _ingest_artifact_dir(sf: str, table: str, tag: str, build) -> str:
     ).hexdigest()[:16]
     d = os.path.join("/tmp/pbs-ingest-artifacts", key)
     if not os.path.isdir(d):
-        tmp = f"{d}.build-{os.getpid()}"
+        import uuid
+
+        # uuid, not pid: two sessions in ONE process (threaded test
+        # runners) must not share a half-written build dir
+        tmp = f"{d}.build-{uuid.uuid4().hex[:12]}"
         build(tmp)
         try:
             os.rename(tmp, d)

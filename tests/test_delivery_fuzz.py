@@ -96,6 +96,11 @@ class DeliveryMachine(RuleBasedStateMachine):
         ep["received"].append(headers["PulsarMessageId"])
         if ep["flaky"]:
             return 500, {}, b""
+        if ep.get("dropping"):
+            # the reference's deliberate ack-and-drop (webhook.go:155):
+            # 422 acks WITHOUT retry and never replies — the message
+            # still counts as received (it reached the endpoint)
+            return 422, {"TopicFn": REPLY_TOPIC}, b"ignored-on-422"
         if ep["replying"]:
             # the body names the CONFIG: distinct logical replies have
             # distinct bodies, so id conflation across configs is
@@ -159,6 +164,15 @@ class DeliveryMachine(RuleBasedStateMachine):
     def set_replying(self, u, replying):
         self.eps[u]["replying"] = replying
 
+    @rule(u=st.sampled_from(URLS), dropping=st.booleans())
+    def set_dropping(self, u, dropping):
+        self.eps[u]["dropping"] = dropping
+
+    def teardown_heal(self):
+        for ep in self.eps.values():
+            ep["flaky"] = False
+            ep["dropping"] = False
+
     # -- invariants -------------------------------------------------------
     @invariant()
     def reply_collisions_are_true_duplicates(self):
@@ -171,8 +185,7 @@ class DeliveryMachine(RuleBasedStateMachine):
 
     def teardown(self):
         # heal and drain every query to the end of the log
-        for ep in self.eps.values():
-            ep["flaky"] = False
+        self.teardown_heal()
         for qkey, urls in (
                 (URLS[0], (URLS[0],)), (URLS[1], (URLS[1],)), ("mux", URLS)):
             guard = 0
