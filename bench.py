@@ -96,6 +96,10 @@ HEADLINE = [
     "t_bm25_indexed",            # BM25 over persisted postings/dictionary
     "t_bpe_token_count",         # greedy-BPE subword accounting (codegen)
     "t_hybrid_rrf",              # BM25 + dense cosine reciprocal-rank fusion
+    # round-11 late additions: fixed-point clustering family
+    "e_kmeans_lloyd",            # distributed Lloyd loop (2 bounded-collect
+                                 # iterations + 0-exchange assignment scan)
+    "e_pq_trained_recall",       # oracle-replayable trained-PQ recall audit
 ]
 
 

@@ -1,0 +1,468 @@
+"""Distributed Lloyd k-means over embedding columns, hash-exact against
+an unrolled SQL oracle via FIXED-POINT integer arithmetic.
+
+Float k-means is not oracle-checkable: the per-cluster means are float
+sums whose value depends on partition/accumulation order. Quantizing
+each component to a non-negative BIGINT — ``round((x + offset) * scale)``
+— makes every quantity in the loop an integer:
+
+- squared L2 distances are integer sums (integer addition is
+  associative, so there is NO fold-order coupling at all — stronger
+  than the sequential-fold contract the double-based vector family
+  needs);
+- argmin ties break on the first index in both engines
+  (``array_position(ds, array_min(ds))`` / ``list_indexof(ds,
+  list_aggregate(ds, 'min'))``);
+- the centroid update is an integer division whose operands are
+  non-negative by the offset, so Spark's ``div``, DuckDB's ``//`` and
+  Python's ``//`` — which disagree on NEGATIVE operands (truncation vs
+  floor) — all agree.
+
+The offset cancels in every distance (only differences enter), so it
+affects nothing but the non-negativity guarantee; ``scale`` bounds the
+quantization error at ``0.5/scale`` per component.
+
+Scale shape — the Spark MLlib KMeans loop re-expressed declaratively:
+the ASSIGNMENT is a pure whole-stage-codegen projection against k
+literal centroid arrays (no join, no shuffle, no Python); the UPDATE is
+one ``posexplode`` + ``groupBy(cluster, dim)`` partial-aggregated
+shuffle whose result is exactly ``k * dim`` rows — the only driver
+collect, bounded by construction (MLlib collects the same k*dim partial
+sums via treeAggregate). At 100 TB each iteration costs one corpus scan
+plus that k*dim-row shuffle; the iteration count is a small constant
+fixed in the entry and in its oracle's unrolled CTEs.
+
+The reference (kafkaesque-io/pulsar-beam) has no clustering operator;
+this extends the LLM-pipeline family next to the trained quantizers in
+operators/similarity.py (SURVEY §2 extension set).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.vector import valid_vector
+
+DEFAULT_SCALE = 100_000
+DEFAULT_OFFSET = 1.0
+
+
+def quantize_vec(vec_col: Column | str, scale: int = DEFAULT_SCALE,
+                 offset: float = DEFAULT_OFFSET) -> Column:
+    """``array<long>`` fixed-point image of a float vector column.
+
+    ``try_cast``, not ``cast``: rows that fail the ``quantizable`` guard
+    never survive the filter, but Spark's InferFiltersFromGenerate can
+    evaluate this expression BELOW the guard when the quantized column
+    feeds a generator (the update step's posexplode) — an ANSI cast then
+    aborts the whole query on one poisoned NaN vector (found by the
+    poisoned-vector gate in tests/test_adversarial_corpus.py). try_cast
+    yields NULL there instead; on the guarded domain the two casts are
+    identical, so oracle parity is untouched."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
+    return F.transform(
+        v, lambda x: (F.round((x + F.lit(float(offset))) * F.lit(float(scale)), 0)
+                      .try_cast("long")))
+
+
+def quantizable(vec_col: str, dim: int, offset: float = DEFAULT_OFFSET) -> Column:
+    """Domain guard for the fixed-point loop: a valid vector (finite,
+    non-NULL, non-zero — the uniform vector-family contract) of exactly
+    ``dim`` components, all >= -offset so the quantized image is
+    non-negative (integer division below is floor==truncation only for
+    non-negative operands). Mirrored clause-for-clause in the SQL
+    oracle; components below -offset are excluded as out-of-domain, not
+    clamped (clamping would silently move them)."""
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        valid_vector(vec_col)
+        & (F.size(v) == dim)
+        & F.forall(v, lambda x: x + F.lit(float(offset)) >= 0)
+    )
+
+
+def sq_dist_to_literal(qv_col: Column | str, centroid: list[int]) -> Column:
+    """Exact integer squared-L2 distance to a literal quantized centroid."""
+    qv = F.col(qv_col) if isinstance(qv_col, str) else qv_col
+    return F.aggregate(
+        F.zip_with(qv, F.lit([int(c) for c in centroid]).cast("array<long>"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dists_expr(qv_col: str, centroids: list[list[int]]) -> Column:
+    """Distances to every centroid as ONE nested-literal transform —
+    ``transform(lit(array<array<long>>), c -> fold(qv, c))``, the exact
+    shape of the oracle's ``list_transform((SELECT list(v ...)), ...)``.
+    One literal expression instead of k*dim ``F.lit`` py4j round-trips:
+    the per-call driver cost of building/analyzing the assignment plan
+    drops ~10x (measured on the sf1 probe; the executed work is
+    identical)."""
+    cents = F.lit([[int(x) for x in c] for c in centroids]).cast("array<array<long>>")
+    return F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(qv_col), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def assign_exprs(qv_col: str, centroids: list[list[int]]) -> tuple[Column, Column]:
+    """(cluster, sq_dist) argmin projections against literal centroids.
+    First-index tie-break: ``array_position`` returns the FIRST match,
+    as does the oracle's ``list_indexof``.
+
+    This is the REFERENCE implementation — the expression-level mirror
+    of the oracle's CTEs, kept for the cross-implementation equality
+    gate in tests/test_clustering.py. The execution default is
+    ``assign_struct`` below: Spark evaluates higher-order-function
+    lambdas interpreted (never whole-stage-codegen), at ~7 us per
+    element — k=8 x dim=64 folds over a 2000-row corpus cost ~7 s on
+    one partition (measured), which is the slow path at any scale."""
+    ds = _dists_expr(qv_col, centroids)
+    cluster = (F.array_position(ds, F.array_min(ds)) - 1).cast("long")
+    return cluster, F.array_min(ds)
+
+
+def assign_struct(qv_col: str, centroids: list[list[int]]) -> Column:
+    """``struct<cluster: long, sq_dist: long>`` argmin against the
+    centroids, as an Arrow-batched vectorized kernel — the execution
+    default.
+
+    The FIXED-POINT domain is what makes this legal: the float vector
+    family must keep sequential-fold expressions because float sums are
+    order-dependent (numpy/BLAS accumulation breaks the bit-exact oracle
+    contract — see similarity.pq_encode's rejected-alternatives note),
+    but integer arithmetic is associative, ``||v-c||^2 = v.v - 2 v.c +
+    c.c`` is exact in int64 (components <= ~2e5, 64 dims -> every term
+    <= ~2.6e12), and ``np.argmin`` breaks ties on the first index
+    exactly like ``array_position``/``list_indexof``. So the vectorized
+    kernel is bit-identical to the interpreted reference (gated in
+    tests/test_clustering.py) at ~1000x the per-element throughput."""
+    cents = np.asarray([[int(x) for x in c] for c in centroids], dtype=np.int64)
+    cc = (cents * cents).sum(axis=1)
+
+    @pandas_udf("cluster long, sq_dist long")
+    def _assign(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int64"),
+                                 "sq_dist": pd.Series([], dtype="int64")})
+        v = np.stack([np.asarray(x, dtype=np.int64) for x in qv])
+        d = ((v * v).sum(axis=1)[:, None] - 2 * (v @ cents.T) + cc[None, :])
+        cl = d.argmin(axis=1)
+        return pd.DataFrame({
+            "cluster": cl.astype("int64"),
+            "sq_dist": d[np.arange(len(cl)), cl].astype("int64"),
+        })
+
+    return _assign(F.col(qv_col))
+
+
+def py_update(cents: list[list[int]], rows) -> list[list[int]]:
+    """Pure-integer centroid update from (cluster, d, s, n) partial rows:
+    new component = s // n (floor == truncation, operands non-negative);
+    clusters with no members CARRY OVER unchanged — exactly the oracle's
+    ``LEFT JOIN ... coalesce`` step."""
+    dim = len(cents[0]) if cents else 0
+    upd: dict[int, list[int | None]] = {}
+    for r in rows:
+        upd.setdefault(int(r["cluster"]), [None] * dim)[int(r["d"])] = (
+            int(r["s"]) // int(r["n"]))
+    out = []
+    for j, c in enumerate(cents):
+        nc = upd.get(j)
+        out.append([int(x) for x in nc] if nc is not None else list(c))
+    return out
+
+
+def quantized_frame(
+    emb: DataFrame,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+    offset: float = DEFAULT_OFFSET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(_kid, qv array<long>)`` fixed-point image of the guarded corpus
+    — the shared entry point of the k-means loop and the trained-PQ
+    pipeline (mirrored by the oracle's quantize CTE)."""
+    return (
+        emb.filter(quantizable(vec_col, dim, offset))
+        .select(F.col(id_col).alias("_kid"),
+                quantize_vec(vec_col, scale, offset).alias("qv"))
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+    offset: float = DEFAULT_OFFSET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[int]]]:
+    """Run ``iters`` Lloyd iterations; returns (quantized corpus frame
+    ``(id, qv)``, final centroids as Python ints).
+
+    Init is the k smallest ids' vectors (deterministic under any
+    partitioning, unlike a sample) — one bounded k-row collect; each
+    iteration's update collects exactly k*dim partial-agg rows.
+    """
+    q = quantized_frame(emb, dim, scale, offset, id_col, vec_col)
+    init = q.orderBy("_kid").limit(k).select("qv").collect()
+    cents = [[int(x) for x in r["qv"]] for r in init]
+    if not cents:
+        return q, cents
+    for _ in range(iters):
+        rows = (
+            q.select(assign_struct("qv", cents).getField("cluster").alias("cluster"),
+                     F.posexplode("qv").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        cents = py_update(cents, rows)
+    return q, cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+    offset: float = DEFAULT_OFFSET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, sq_dist) under the final centroids — the converged
+    assignment scan. The output plan is scan + codegen projection; the
+    training iterations above it are the bounded-collect loop."""
+    q, cents = kmeans_fit(emb, k, iters, dim, scale, offset, id_col, vec_col)
+    if not cents:
+        return q.select(
+            F.col("_kid").alias(id_col),
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("long").alias("sq_dist"),
+        ).where(F.lit(False))
+    return (
+        q.select(F.col("_kid").alias(id_col),
+                 assign_struct("qv", cents).alias("_a"))
+        .select(id_col, F.col("_a.cluster").alias("cluster"),
+                F.col("_a.sq_dist").alias("sq_dist"))
+    )
+
+
+def kmeans_cluster_means(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+    offset: float = DEFAULT_OFFSET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, d, m): per-dimension integer mean of the FINAL
+    assignment, computed distributively (posexplode + groupBy + ``div``)
+    — i.e. the (iters+1)-th update step, emitted for non-empty clusters
+    only. This is the entry that puts the update arithmetic itself in
+    the hash-checked output."""
+    q, cents = kmeans_fit(emb, k, iters, dim, scale, offset, id_col, vec_col)
+    if not cents:
+        return q.select(
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("long").alias("d"),
+            F.lit(None).cast("long").alias("m"),
+        ).where(F.lit(False))
+    return (
+        q.select(assign_struct("qv", cents).getField("cluster").alias("cluster"),
+                 F.posexplode("qv").alias("d", "x"))
+        .groupBy("cluster", "d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .select("cluster", F.col("d").cast("long").alias("d"),
+                F.expr("s div n").alias("m"))
+    )
+
+
+# == trained product quantization on the same fixed-point contract ========
+
+def fixedpoint_kmeans_py(pts: list[list[int]], k: int, iters: int) -> list[list[int]]:
+    """Pure-Python mirror of the unrolled SQL Lloyd chain over a BOUNDED
+    in-memory sample: init = first k points, assign = first-occurrence
+    argmin (strict ``<``, matching ``list_indexof``/``array_position``),
+    update = per-dim ``sum // count`` with empty-cluster carryover.
+    Python ints are arbitrary-precision and ``//`` floors — identical to
+    the SQL BIGINT/HUGEINT path on the non-negative domain — so the
+    codebooks this returns are bit-identical to what the oracle's CTEs
+    derive."""
+    cents = [list(p) for p in pts[:k]]
+    if not cents:
+        return cents
+    dim = len(cents[0])
+    for _ in range(iters):
+        sums = [[0] * dim for _ in cents]
+        cnt = [0] * len(cents)
+        for p in pts:
+            best, bd = 0, None
+            for j, c in enumerate(cents):
+                d = 0
+                for a, b in zip(p, c):
+                    d += (a - b) * (a - b)
+                if bd is None or d < bd:
+                    best, bd = j, d
+            cnt[best] += 1
+            s = sums[best]
+            for di, a in enumerate(p):
+                s[di] += a
+        cents = [
+            [sums[j][di] // cnt[j] for di in range(dim)] if cnt[j] else list(c)
+            for j, c in enumerate(cents)
+        ]
+    return cents
+
+
+def pq_train_fixedpoint(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    sample_cap: int = 256,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+    offset: float = DEFAULT_OFFSET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train M per-subspace codebooks (K codewords each) with the
+    fixed-point Lloyd loop over a DETERMINISTIC id-strided sample —
+    the whole training, not just the result, is replayable in SQL, so
+    an oracle can verify queries against TRAINED codebooks (the r10
+    audit's untrained-random recall gap, closed with the oracle kept).
+
+    Sample: ``stride = ceil(n_guarded / cap)`` (computed from the
+    guarded-corpus count — the training is a once-at-ingest cost, like
+    the FAISS-style samplers in similarity.py), rows with
+    ``id % stride == 0`` in id order, capped. The collect is bounded at
+    ``sample_cap`` rows by construction; everything after it is pure
+    Python integer arithmetic mirrored by the oracle's unrolled CTEs.
+    """
+    q = quantized_frame(emb, dim, scale, offset, id_col, vec_col)
+    n = q.count()
+    stride = (n + sample_cap - 1) // sample_cap if n else 1
+    rows = (
+        q.filter((F.col("_kid") % stride) == 0)
+        .orderBy("_kid").limit(sample_cap).select("qv").collect()
+    )
+    pts = [[int(x) for x in r["qv"]] for r in rows]
+    sub = dim // m
+    books = []
+    for mi in range(m):
+        slices = [p[mi * sub:(mi + 1) * sub] for p in pts]
+        books.append(fixedpoint_kmeans_py(slices, ksub, iters))
+    return books
+
+
+def pq_int_code_exprs(qv_col: str, books: list[list[list[int]]]) -> list[Column]:
+    """Per-subspace argmin code columns over the fixed-point vector —
+    the integer twin of similarity.pq_encode (exact distances, so no
+    fold-order caveats at all). REFERENCE implementation mirroring the
+    oracle's CTEs; the execution default is the vectorized
+    ``pq_int_codes_vectorized`` (same interpreted-HOF cost argument as
+    ``assign_exprs`` vs ``assign_struct``; equality gated in tests)."""
+    out = []
+    sub = len(books[0][0])
+    for mi, book in enumerate(books):
+        sl = F.slice(F.col(qv_col), mi * sub + 1, sub)
+        book_lit = F.lit([[int(x) for x in cw] for cw in book]).cast("array<array<long>>")
+        # NOTE: a one-parameter lambda only — PySpark maps the lambda's
+        # ARITY onto transform's (element[, index]) signature, so a
+        # captured-default second parameter would silently bind the int
+        # index instead of the closure value
+        ds = F.transform(
+            book_lit,
+            lambda cw: F.aggregate(
+                F.zip_with(sl, cw, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        out.append((F.array_position(ds, F.array_min(ds)) - 1)
+                   .cast("long").alias(f"_code{mi}"))
+    return out
+
+
+def pq_int_codes_vectorized(qv_col: str, books: list[list[list[int]]]) -> Column:
+    """``array<long>`` of the M per-subspace argmin codes, vectorized —
+    the Arrow-batched twin of ``pq_int_code_exprs`` (same associative-
+    integer argument as ``assign_struct``; equality gated in
+    tests/test_clustering.py)."""
+    mats = [np.asarray([[int(x) for x in cw] for cw in book], dtype=np.int64)
+            for book in books]
+    sub = len(books[0][0])
+
+    @pandas_udf("array<long>")
+    def _codes(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="object")
+        v = np.stack([np.asarray(x, dtype=np.int64) for x in qv])
+        out = np.empty((len(v), len(mats)), dtype=np.int64)
+        for mi, bm in enumerate(mats):
+            s = v[:, mi * sub:(mi + 1) * sub]
+            d = ((s * s).sum(axis=1)[:, None] - 2 * (s @ bm.T)
+                 + (bm * bm).sum(axis=1)[None, :])
+            out[:, mi] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return _codes(F.col(qv_col))
+
+
+def pq_adc_int_topk(
+    emb: DataFrame,
+    query_qv: list[int],
+    books: list[list[list[int]]],
+    k: int = 10,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+    offset: float = DEFAULT_OFFSET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k under trained integer codebooks: encode (vectorized
+    argmin per subspace), then sum M LUT lookups of EXACT integer
+    query-to-codeword distances — ties impossible to misorder across
+    engines since every adc value is integral. (id, adc) ordered by
+    (adc, id)."""
+    q = quantized_frame(emb, dim, scale, offset, id_col, vec_col)
+    codes = (
+        q.select("_kid", pq_int_codes_vectorized("qv", books).alias("_codes"))
+        .select("_kid",
+                *[F.element_at("_codes", mi + 1).alias(f"_code{mi}")
+                  for mi in range(len(books))])
+    )
+    sub = len(books[0][0])
+    luts = []
+    for mi, book in enumerate(books):
+        qs = query_qv[mi * sub:(mi + 1) * sub]
+        luts.append([sum((a - b) * (a - b) for a, b in zip(qs, cw)) for cw in book])
+    adc = F.element_at(F.lit([int(x) for x in luts[0]]).cast("array<long>"),
+                       (F.col("_code0") + 1).cast("int"))
+    for mi in range(1, len(books)):
+        adc = adc + F.element_at(
+            F.lit([int(x) for x in luts[mi]]).cast("array<long>"),
+            (F.col(f"_code{mi}") + 1).cast("int"))
+    return (
+        codes.select(F.col("_kid").alias(id_col), adc.alias("adc"))
+        .orderBy("adc", id_col)
+        .limit(k)
+    )

@@ -96,6 +96,7 @@ EMPTY_REGRESSION = [
     "s_ann_recall_audit", "e_range_search", "e_mips_topk", "e_pq_adc_topk",
     "e_pq_codes_topk", "e_pq_recall_audit", "t_bm25_search",
     "t_bm25_indexed", "t_bm25_index_merge", "t_hybrid_rrf",
+    "e_kmeans_lloyd", "e_kmeans_centroids", "e_pq_trained_recall",
     "r_pagerank_iter3", "p_split_leakage", "p_rank_calibrate",
     "r_pareto_cut", "r_rfm_segmentation", "r_quartile_bands",
     "r_keyset_pagination", "r_lorenz_deciles", "r_abc_xyz",
@@ -204,6 +205,7 @@ ANN_QUERY_ENTRIES = [
     "r31_cosine_topk", "s_ann_lsh_topk", "s_ann_ivf_topk",
     "s_ann_recall_audit", "e_range_search", "e_mips_topk", "e_pq_adc_topk",
     "e_pq_codes_topk", "e_pq_recall_audit", "t_hybrid_rrf",
+    "e_pq_trained_recall",
 ]
 
 
@@ -246,7 +248,8 @@ def test_no_query_vector_parity(spark, no_query_sf_dir, name):
         # ranking (both engines agree — parity asserted above); emptiness
         # would mean the sparse leg was wrongly coupled to the dense guard
         assert len(sdf) == 10 and (sdf["dense_rank"] == 0).all()
-    elif name not in ("s_ann_recall_audit", "e_pq_recall_audit"):
+    elif name not in ("s_ann_recall_audit", "e_pq_recall_audit",
+                      "e_pq_trained_recall"):
         assert len(sdf) == 0  # the contract, not just parity (the audits
         # emit their one (k, 0, ...) summary row instead)
 
@@ -265,6 +268,7 @@ def test_no_query_vector_parity(spark, no_query_sf_dir, name):
 NULL_REGRESSION = [
     "d_embedding_near_dup", "e_label_margin", "e_vector_quantize",
     "r34_pandas_grouped_agg", "r34_pandas_grouped_map", "s_ann_ivf_topk",
+    "e_kmeans_lloyd", "e_pq_trained_recall",
 ]
 
 
@@ -323,6 +327,7 @@ VEC_FAMILY = [
     "s_ann_recall_audit", "e_range_search", "e_mips_topk",
     "e_vector_quantize", "e_grouped_topk", "d_embedding_near_dup",
     "e_pq_adc_topk", "e_pq_codes_topk", "e_pq_recall_audit", "t_hybrid_rrf",
+    "e_kmeans_lloyd", "e_kmeans_centroids", "e_pq_trained_recall",
 ]
 
 # vec_id -> poison kind; "corpus" mode hits non-query rows only, "query"

@@ -1,0 +1,204 @@
+"""Fixed-point Lloyd k-means + trained-PQ gates.
+
+The oracle parity suite already hash-checks e_kmeans_lloyd /
+e_kmeans_centroids / e_pq_trained_recall against the unrolled SQL
+chains; this file pins the properties parity alone can't express:
+the pure-Python sample trainer's semantics (first-min tie-break,
+empty-cluster carryover, floor division), determinism across runs,
+the plan shapes, the out-of-domain guard, and the reason the trained
+entry exists at all — trained codebooks must not recall WORSE than
+the untrained-random ones they replace.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pulsar_beam_spark.operators.clustering import (
+    assign_exprs,
+    assign_struct,
+    fixedpoint_kmeans_py,
+    kmeans_assign,
+    kmeans_fit,
+    pq_adc_int_topk,
+    pq_int_code_exprs,
+    pq_int_codes_vectorized,
+    pq_train_fixedpoint,
+    quantizable,
+    quantized_frame,
+)
+from pulsar_beam_spark.queries import REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+# == pure-Python trainer semantics ======================================
+
+def test_py_kmeans_first_min_tie_break():
+    # two identical centroids: every point is equidistant to both; the
+    # FIRST index must win (list_indexof / array_position semantics),
+    # so cluster 1 goes empty and carries over unchanged
+    pts = [[0, 0], [0, 0], [10, 10], [10, 10]]
+    cents = fixedpoint_kmeans_py(pts, k=2, iters=1)
+    # init = first 2 points = both [0,0]; all 4 points tie -> cluster 0
+    # gets everything (mean [5,5]), cluster 1 carries over [0,0]
+    assert cents == [[5, 5], [0, 0]]
+
+
+def test_py_kmeans_floor_division():
+    # 3 members summing to 10 per dim: 10 // 3 == 3 (floor), never a
+    # float round-trip
+    pts = [[1], [4], [5]]
+    cents = fixedpoint_kmeans_py(pts, k=1, iters=1)
+    assert cents == [[3]]
+
+
+def test_py_kmeans_empty_input():
+    assert fixedpoint_kmeans_py([], k=4, iters=2) == []
+
+
+def test_py_kmeans_k_larger_than_sample():
+    cents = fixedpoint_kmeans_py([[2, 2]], k=8, iters=2)
+    assert cents == [[2, 2]]
+
+
+def test_py_kmeans_converges_on_separated_clusters():
+    pts = [[0], [1], [2], [100], [101], [102]]
+    cents = fixedpoint_kmeans_py(pts, k=2, iters=3)
+    assert cents == [[1], [101]]
+
+
+# == Spark-side loop ====================================================
+
+def test_kmeans_fit_deterministic(spark):
+    _, c1 = kmeans_fit(spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet"))
+    _, c2 = kmeans_fit(spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet"))
+    assert c1 == c2
+    assert len(c1) == 8 and len(c1[0]) == 64
+    assert all(x >= 0 for c in c1 for x in c)  # the non-negative domain
+
+
+def test_kmeans_assign_matches_driver_side_recompute(spark):
+    """The distributed assignment must equal a driver-side argmin over
+    the same integers — pins assign_exprs against an independent
+    Python recompute (first-min ties included)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q, cents = kmeans_fit(emb)
+    got = {r["vec_id"]: (r["cluster"], r["sq_dist"])
+           for r in kmeans_assign(emb).collect()}
+    for row in q.collect():
+        p = [int(x) for x in row["qv"]]
+        dists = [sum((a - b) * (a - b) for a, b in zip(p, c)) for c in cents]
+        want = (dists.index(min(dists)), min(dists))
+        assert got[row["_kid"]] == want
+
+
+def test_quantizable_guard_excludes_out_of_domain(spark):
+    """Components below -offset would break the non-negative fixed-point
+    contract: such vectors are EXCLUDED (not clamped), same as the
+    oracle's list_filter clause."""
+    rows = [
+        (1, [0.5] * 64),            # in-domain
+        (2, [-2.0] + [0.5] * 63),   # below -offset -> out
+        (3, [float("nan")] * 64),   # invalid -> out
+        (4, [0.5] * 32),            # wrong dim -> out
+        (5, None),                  # NULL -> out
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = [r["vec_id"] for r in
+            df.filter(quantizable("embedding", 64)).select("vec_id").collect()]
+    assert kept == [1]
+
+
+def test_kmeans_lloyd_plan_is_shuffle_free_projection(spark):
+    """The OUTPUT plan of the assignment entry is scan + codegen argmin
+    projection: zero exchanges, no join of any kind (training cost sits
+    in the bounded per-iteration collects, not the result plan)."""
+    from pulsar_beam_spark.plans.explain import formatted_plan, n_exchanges
+
+    df = REGISTRY["e_kmeans_lloyd"].spark(spark, SF_SMOKE)
+    assert n_exchanges(df) == 0, formatted_plan(df)[:2000]
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_kmeans_centroids_single_exchange(spark):
+    from pulsar_beam_spark.plans.explain import formatted_plan, n_exchanges
+
+    df = REGISTRY["e_kmeans_centroids"].spark(spark, SF_SMOKE)
+    assert n_exchanges(df) <= 1, formatted_plan(df)[:2000]
+
+
+# == trained PQ =========================================================
+
+def test_pq_training_deterministic(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    b1 = pq_train_fixedpoint(emb)
+    b2 = pq_train_fixedpoint(emb)
+    assert b1 == b2
+    assert len(b1) == 8 and len(b1[0]) == 16 and len(b1[0][0]) == 8
+
+
+def test_trained_codebooks_beat_random_recall(spark):
+    """The point of e_pq_trained_recall: codebooks fit on the corpus
+    must recall at least as well as the fixed random ones, strictly
+    better on the smoke fixture (measured 3 vs 1; equality elsewhere is
+    allowed — on isotropic fixtures PQ recall saturates low)."""
+    row = REGISTRY["e_pq_trained_recall"].spark(spark, SF_SMOKE).head()
+    assert row["hits_trained"] >= row["hits_random"]
+    assert row["hits_trained"] > row["hits_random"], (
+        "trained recall no longer strictly beats random on the smoke "
+        "fixture — if the fixture changed, re-measure before relaxing")
+
+
+def test_trained_adc_topk_is_integer_exact(spark):
+    """Every adc distance is integral (exact longs end to end), and the
+    ranking is reproducible run-to-run."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    books = pq_train_fixedpoint(emb)
+    qv = [int(x) for x in
+          quantized_frame(emb).filter(F.col("_kid") == 0).head()["qv"]]
+    r1 = pq_adc_int_topk(emb, qv, books, k=10).collect()
+    r2 = pq_adc_int_topk(emb, qv, books, k=10).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    assert all(isinstance(r["adc"], int) for r in r1)
+
+
+def test_assign_exprs_first_min_tie_break_in_spark(spark):
+    """Two identical literal centroids: Spark's array_position must pick
+    index 0, mirroring list_indexof and the Python trainer."""
+    df = spark.createDataFrame([(1, [5, 5])], "id long, qv array<long>")
+    cluster, _ = assign_exprs("qv", [[0, 0], [0, 0]])
+    assert df.select(cluster.alias("c")).head()["c"] == 0
+    # and the vectorized default agrees (np.argmin is also first-min)
+    a = df.select(assign_struct("qv", [[0, 0], [0, 0]]).alias("a")).head()["a"]
+    assert a["cluster"] == 0 and a["sq_dist"] == 50
+
+
+# == cross-implementation equality: vectorized kernel vs the =============
+# == oracle-mirroring HOF reference, whole fixture, bit-exact =============
+
+def test_vectorized_assign_equals_reference_exprs(spark):
+    """assign_struct (Arrow/numpy int64) and assign_exprs (interpreted
+    sequential folds — the oracle's exact shape) must agree on every
+    row of the fixture: the associativity argument, executed."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q, cents = kmeans_fit(emb)
+    cl, sq = assign_exprs("qv", cents)
+    ref = {r["_kid"]: (r["c"], r["s"]) for r in
+           q.select("_kid", cl.alias("c"), sq.alias("s")).collect()}
+    vec = {r["_kid"]: (r["a"]["cluster"], r["a"]["sq_dist"]) for r in
+           q.select("_kid", assign_struct("qv", cents).alias("a")).collect()}
+    assert ref == vec and len(ref) > 0
+
+
+def test_vectorized_pq_codes_equal_reference_exprs(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    books = pq_train_fixedpoint(emb)
+    q = quantized_frame(emb)
+    ref = {r["_kid"]: tuple(r[f"_code{m}"] for m in range(8)) for r in
+           q.select("_kid", *pq_int_code_exprs("qv", books)).collect()}
+    vec = {r["_kid"]: tuple(r["c"]) for r in
+           q.select("_kid", pq_int_codes_vectorized("qv", books).alias("c")).collect()}
+    assert ref == vec and len(ref) > 0

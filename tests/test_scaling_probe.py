@@ -101,6 +101,14 @@ ANCHOR_EXPONENTS = {
     "t_hybrid_rrf": 0.05,
     "t_bm25_index_merge": 0.10,  # measured 0.02; tokenize is the term
     "e_pq_recall_audit": 0.08,   # measured 0.04; driver ADC analysis dominates
+    # round-11 late anchors: the fixed-point clustering family. The
+    # assignment/encode kernels are Arrow-vectorized int64 (the
+    # associativity dividend — see operators/clustering.assign_struct),
+    # so per-row cost is tiny and these exponents are dominated by the
+    # per-iteration job overhead (measured 0.10 / 0.14 / 0.04).
+    "e_kmeans_lloyd": 0.12,
+    "e_kmeans_centroids": 0.16,
+    "e_pq_trained_recall": 0.06,
     "tpch_q10_returned_items": 0.04,
     "tpch_q11_important_stock": 0.10,
     "tpch_q18_large_orders": 0.21,
