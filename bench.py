@@ -100,6 +100,7 @@ HEADLINE = [
     "e_kmeans_lloyd",            # distributed Lloyd loop (2 bounded-collect
                                  # iterations + 0-exchange assignment scan)
     "e_pq_trained_recall",       # oracle-replayable trained-PQ recall audit
+    "e_ivf_trained_topk",        # full IVF lifecycle: train, assign, probe
 ]
 
 

@@ -295,6 +295,78 @@ def kmeans_cluster_means(
     )
 
 
+def ivf_trained_topk(
+    emb: DataFrame,
+    query_vec: list[float] | None,
+    query_qv: list[int] | None,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+    offset: float = DEFAULT_OFFSET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k with a TRAINED coarse quantizer, end-to-end
+    oracle-verifiable: cells come from the fixed-point Lloyd loop over
+    the corpus (kmeans_fit — the SQL-replayable trainer), the query
+    probes its ``nprobe`` nearest cells by EXACT integer distance
+    (ties by cell index), and the probed candidates rank by exact float
+    cosine under the vector family's sequential-fold / rank-on-raw /
+    round-in-projection contract. similarity.ivf_topk's entry holds
+    FIXED literal centroids precisely because float training wasn't
+    oracle-replayable; this is the real index shape — train, assign,
+    probe — with the oracle replaying every step.
+
+    ``query_qv`` is the query's fixed-point image, collected by the
+    caller from the SAME Spark expression the corpus uses (a one-row
+    ``quantized_frame`` lookup — recomputing it in Python could diverge
+    on exact .5 products, banker's vs half-up). None (either arg) means
+    no valid query: empty result, the family's contract.
+
+    One scan, zero joins: cell assignment (vectorized int64 kernel) and
+    the cosine fold are projections over the same guarded corpus;
+    probing is an IN filter on the assigned cell; top-k is
+    TakeOrderedAndProject. At 100 TB the cell column is what you
+    persist at ingest (the PQ-codes story again); the probe filter then
+    prunes to ~nprobe/n_cells of the corpus before any ranking work.
+    """
+    from ..functions.vector import cosine_sim
+
+    q, cents = kmeans_fit(emb, n_cells, iters, dim, scale, offset,
+                          id_col, vec_col)
+    base = (
+        emb.filter(quantizable(vec_col, dim, offset))
+        .select(F.col(id_col),
+                quantize_vec(vec_col, scale, offset).alias("qv"),
+                F.col(vec_col).cast("array<double>").alias("_v"))
+    )
+    empty = base.select(
+        F.col(id_col), F.lit(None).cast("double").alias("cosine")
+    ).where(F.lit(False))
+    if not cents or query_vec is None or query_qv is None:
+        return empty
+    dists = []
+    for j, c in enumerate(cents):
+        d = 0
+        for a, b in zip(query_qv, c):
+            d += (int(a) - b) * (int(a) - b)
+        dists.append((d, j))
+    probe = [j for _, j in sorted(dists)[:nprobe]]
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cell = assign_struct("qv", cents).getField("cluster")
+    cos = cosine_sim(F.col("_v"), qlit)
+    return (
+        base.select(F.col(id_col), cell.alias("_cell"), cos.alias("_cos"))
+        .filter(F.col("_cell").isin([int(j) for j in probe]))
+        .orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round(F.col("_cos"), 6).alias("cosine"))
+    )
+
+
 # == trained product quantization on the same fixed-point contract ========
 
 def fixedpoint_kmeans_py(pts: list[list[int]], k: int, iters: int) -> list[list[int]]:

@@ -9078,7 +9078,7 @@ SELECT CAST({k} AS BIGINT) AS k,
         "integer: no rounding, no fold-order caveats), and reports "
         "recall@10 vs the exact cosine top-k next to the untrained-"
         "random-codebook recall of e_pq_recall_audit. The improvement "
-        "itself is gated in tests/test_operators.py; at 100 TB training "
+        "itself is gated in tests/test_clustering.py; at 100 TB training "
         "stays a once-at-ingest bounded-sample cost (FAISS-style) and "
         "the query path is the same codes-only ADC scan.",
 )
@@ -9130,6 +9130,71 @@ def q_pq_trained_recall(spark, sf):
         )
         .select(F.lit(k).cast("long").alias("k"), "hits_trained", "hits_random")
     )
+
+
+# -- trained IVF on the fixed-point contract ------------------------------
+
+_IVFT_CELLS, _IVFT_NPROBE, _IVFT_ITERS = 16, 4, 2
+
+
+def _ivf_trained_oracle(k: int = 10) -> str:
+    dim, scale, offset = _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET
+    cells, nprobe, iters = _IVFT_CELLS, _IVFT_NPROBE, _IVFT_ITERS
+    parts = [_fp_quantize_cte("fq", dim, scale, offset)]
+    parts += _fp_kmeans_chain("fq", "", cells, iters, dim, final_assign=True)
+    probe_fold = ("list_reduce(list_transform(list_zip(qq.qv, cc.v), "
+                  "x -> (x[1]-x[2])*(x[1]-x[2])), (x, y) -> x + y)")
+    raw_cos = (
+        "list_reduce(list_transform(list_zip(cand.v, rqf.qv), x -> x[1] * x[2]), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(cand.v, x -> x * x), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(rqf.qv, x -> x * x), (x, y) -> x + y)))")
+    parts.append("""
+qq AS (SELECT v AS qv FROM fq WHERE vec_id = 0)""")
+    parts.append(f"""
+probe AS (SELECT cc.cluster FROM c{iters} cc, qq
+          ORDER BY {probe_fold}, cc.cluster LIMIT {nprobe})""")
+    parts.append(f"""
+cand AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+         FROM embeddings e
+         JOIN (SELECT vec_id, cluster FROM a{iters + 1}) a ON e.vec_id = a.vec_id
+         JOIN probe USING (cluster))""")
+    parts.append(f"""
+rqf AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')})""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT cand.vec_id, round({raw_cos}, 6) AS cosine
+FROM cand, rqf
+ORDER BY {raw_cos} DESC, cand.vec_id
+LIMIT {k}""")
+
+
+@register(
+    "e_ivf_trained_topk",
+    _ivf_trained_oracle(),
+    doc="IVF ANN top-k whose coarse quantizer is TRAINED and the "
+        "training ORACLE-REPLAYED: cells from the fixed-point Lloyd "
+        "loop over the corpus (16 cells, 2 iterations — the "
+        "e_kmeans_lloyd chain), query probes its 4 nearest cells by "
+        "exact integer distance (ties by cell index), candidates rank "
+        "by exact float cosine (sequential fold, rank on raw, round in "
+        "projection — r31's boundary contract). s_ann_ivf_topk pins "
+        "the probe/rank mechanics against FIXED literal centroids; "
+        "this is the full index lifecycle — train, assign, probe — "
+        "hash-checked end to end. Plan: one scan, cell-IN filter, "
+        "TakeOrderedAndProject; at scale the trained cell column is "
+        "persisted at ingest like the PQ codes.",
+)
+def q_ivf_trained(spark, sf):
+    from .operators.clustering import ivf_trained_topk, quantized_frame
+
+    emb = T(spark, sf, "embeddings")
+    qv = _query_vec(emb, 0)
+    qrow = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+            .filter(F.col("_kid") == 0).select("qv").head())
+    return ivf_trained_topk(
+        emb, qv, [int(x) for x in qrow["qv"]] if qrow is not None else None,
+        k=10, n_cells=_IVFT_CELLS, nprobe=_IVFT_NPROBE, iters=_IVFT_ITERS,
+        dim=_KMEANS_DIM, scale=_KMEANS_SCALE, offset=_KMEANS_OFFSET)
 
 
 # == exports consumed by __spark_entry__.py ==============================

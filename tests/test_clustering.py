@@ -193,6 +193,27 @@ def test_vectorized_assign_equals_reference_exprs(spark):
     assert ref == vec and len(ref) > 0
 
 
+def test_ivf_trained_probed_candidates_rank_like_brute_force(spark):
+    """Every hit the trained IVF returns must appear in the brute-force
+    ranking with the SAME rounded cosine (the probe prunes, never
+    rescores), and the result must be deterministic across runs."""
+    from pulsar_beam_spark.operators.clustering import ivf_trained_topk
+    from pulsar_beam_spark.operators.similarity import brute_force_topk
+    from pulsar_beam_spark.queries import _query_vec
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qv = _query_vec(emb, 0)
+    qrow = quantized_frame(emb).filter(F.col("_kid") == 0).head()
+    got = ivf_trained_topk(emb, qv, [int(x) for x in qrow["qv"]]).collect()
+    again = ivf_trained_topk(emb, qv, [int(x) for x in qrow["qv"]]).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    assert 0 < len(got) <= 10
+    brute = {r["vec_id"]: r["cosine"]
+             for r in brute_force_topk(emb, qv, k=emb.count()).collect()}
+    for r in got:
+        assert brute[r["vec_id"]] == r["cosine"]
+
+
 def test_vectorized_pq_codes_equal_reference_exprs(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     books = pq_train_fixedpoint(emb)
