@@ -50,6 +50,21 @@ from ..functions.vector import valid_vector
 DEFAULT_SCALE = 100_000
 DEFAULT_OFFSET = 1.0
 
+# Largest allowed quantized component. Bounds every intermediate in the
+# loop within int64: squared distances <= dim * (2 * MAX_QUANT)^2 and the
+# vectorized kernel's v.v / 2 v.c / c.c terms <= dim * MAX_QUANT^2 + a
+# factor 2 — all < 2^63 at dim=64. WITHOUT this bound a single huge
+# component (x ~ 1e6 -> quantized 1e11 -> squared diff 1e22) would WRAP
+# SILENTLY in the numpy int64 kernel (verified: 1e22 wraps to 1.86e18
+# with no error) while Spark's ANSI long arithmetic throws and DuckDB's
+# HUGEINT widens — three different behaviors, one of them quietly wrong.
+# Out-of-domain components are EXCLUDED by the guard (both engines, same
+# clause), never clamped. Residual documented bound: per-(cluster,dim)
+# update sums are n * MAX_QUANT, so corpora beyond ~6e10 rows per
+# cluster need a smaller scale (Spark's ANSI sum overflows loudly there;
+# DuckDB widens — divergence is noisy, not silent).
+MAX_QUANT = 150_000_000
+
 
 def quantize_vec(vec_col: Column | str, scale: int = DEFAULT_SCALE,
                  offset: float = DEFAULT_OFFSET) -> Column:
@@ -69,19 +84,24 @@ def quantize_vec(vec_col: Column | str, scale: int = DEFAULT_SCALE,
                       .try_cast("long")))
 
 
-def quantizable(vec_col: str, dim: int, offset: float = DEFAULT_OFFSET) -> Column:
+def quantizable(vec_col: str, dim: int, offset: float = DEFAULT_OFFSET,
+                scale: int = DEFAULT_SCALE) -> Column:
     """Domain guard for the fixed-point loop: a valid vector (finite,
     non-NULL, non-zero — the uniform vector-family contract) of exactly
     ``dim`` components, all >= -offset so the quantized image is
     non-negative (integer division below is floor==truncation only for
-    non-negative operands). Mirrored clause-for-clause in the SQL
-    oracle; components below -offset are excluded as out-of-domain, not
-    clamped (clamping would silently move them)."""
+    non-negative operands) AND with quantized magnitude <= MAX_QUANT so
+    no int64 intermediate can overflow (see the MAX_QUANT note — the
+    numpy kernel would WRAP silently). Mirrored clause-for-clause in
+    the SQL oracle; out-of-domain components are excluded, not clamped
+    (clamping would silently move them)."""
     v = F.col(vec_col).cast("array<double>")
     return (
         valid_vector(vec_col)
         & (F.size(v) == dim)
-        & F.forall(v, lambda x: x + F.lit(float(offset)) >= 0)
+        & F.forall(v, lambda x: (x + F.lit(float(offset)) >= 0)
+                   & ((x + F.lit(float(offset))) * F.lit(float(scale))
+                      <= F.lit(float(MAX_QUANT))))
     )
 
 
@@ -195,7 +215,7 @@ def quantized_frame(
     — the shared entry point of the k-means loop and the trained-PQ
     pipeline (mirrored by the oracle's quantize CTE)."""
     return (
-        emb.filter(quantizable(vec_col, dim, offset))
+        emb.filter(quantizable(vec_col, dim, offset, scale))
         .select(F.col(id_col).alias("_kid"),
                 quantize_vec(vec_col, scale, offset).alias("qv"))
     )
@@ -338,7 +358,7 @@ def ivf_trained_topk(
     q, cents = kmeans_fit(emb, n_cells, iters, dim, scale, offset,
                           id_col, vec_col)
     base = (
-        emb.filter(quantizable(vec_col, dim, offset))
+        emb.filter(quantizable(vec_col, dim, offset, scale))
         .select(F.col(id_col),
                 quantize_vec(vec_col, scale, offset).alias("qv"),
                 F.col(vec_col).cast("array<double>").alias("_v"))

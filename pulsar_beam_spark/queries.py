@@ -8867,6 +8867,7 @@ def q_packing_bpe(spark, sf):
 
 _KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM = 8, 2, 64
 _KMEANS_SCALE, _KMEANS_OFFSET = 100_000, 1.0
+from .operators.clustering import MAX_QUANT as _MAX_QUANT  # noqa: E402
 
 
 _FP_FOLD = ("list_reduce(list_transform(list_zip(v, c), "
@@ -8884,7 +8885,9 @@ def _fp_quantize_cte(name: str, dim: int, scale: int, offset: float) -> str:
       FROM embeddings
       WHERE {_finite_vec_sql(v_dbl)}
         AND len({v_dbl}) = {dim}
-        AND len(list_filter({v_dbl}, x -> x + {offset} < 0)) = 0)"""
+        AND len(list_filter({v_dbl},
+              x -> x + {offset} < 0
+                   OR (x + {offset}) * {float(scale)} > {float(_MAX_QUANT)})) = 0)"""
 
 
 def _fp_kmeans_chain(src: str, prefix: str, k: int, iters: int, dim: int,

@@ -335,7 +335,12 @@ VEC_FAMILY = [
 # vec_id -> poison kind; "corpus" mode hits non-query rows only, "query"
 # mode hits the anchored query ids (0: brute/lsh/ivf/range, 7: mips,
 # 3: one of e_grouped_topk's five queries)
-_POISON_CORPUS = {10: "nan", 11: "inf", 12: "zero", 13: "null_comp"}
+# "huge": finite but beyond the fixed-point family's MAX_QUANT domain
+# bound (round-11 self-probe: numpy int64 squared distances WRAP
+# silently at ~1e22 — the clustering guard must exclude the row on both
+# engines; the float family keeps it, it is a perfectly finite vector)
+_POISON_CORPUS = {10: "nan", 11: "inf", 12: "zero", 13: "null_comp",
+                  14: "huge"}
 _POISON_QUERY = {0: "nan", 7: "zero", 3: "inf"}
 
 
@@ -349,6 +354,8 @@ def _poison_vec(vec, kind):
         vec = [0.0] * len(vec)
     elif kind == "null_comp":
         vec[0] = None
+    elif kind == "huge":
+        vec[3] = 1.0e6
     return vec
 
 

@@ -104,6 +104,8 @@ def test_quantizable_guard_excludes_out_of_domain(spark):
         (3, [float("nan")] * 64),   # invalid -> out
         (4, [0.5] * 32),            # wrong dim -> out
         (5, None),                  # NULL -> out
+        (6, [1.0e6] + [0.5] * 63),  # finite but quantized > MAX_QUANT ->
+                                    # out (int64 overflow domain bound)
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     kept = [r["vec_id"] for r in
