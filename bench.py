@@ -101,6 +101,7 @@ HEADLINE = [
                                  # iterations + 0-exchange assignment scan)
     "e_pq_trained_recall",       # oracle-replayable trained-PQ recall audit
     "e_ivf_trained_topk",        # full IVF lifecycle: train, assign, probe
+    "e_ivf_cells_topk",          # IVF over persisted cells (query path only)
 ]
 
 

@@ -368,19 +368,84 @@ def ivf_trained_topk(
     ).where(F.lit(False))
     if not cents or query_vec is None or query_qv is None:
         return empty
-    dists = []
-    for j, c in enumerate(cents):
-        d = 0
-        for a, b in zip(query_qv, c):
-            d += (int(a) - b) * (int(a) - b)
-        dists.append((d, j))
-    probe = [j for _, j in sorted(dists)[:nprobe]]
+    probe = ivf_probe_cells(query_qv, cents, nprobe)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     cell = assign_struct("qv", cents).getField("cluster")
     cos = cosine_sim(F.col("_v"), qlit)
     return (
         base.select(F.col(id_col), cell.alias("_cell"), cos.alias("_cos"))
         .filter(F.col("_cell").isin([int(j) for j in probe]))
+        .orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round(F.col("_cos"), 6).alias("cosine"))
+    )
+
+
+def ivf_probe_cells(query_qv: list[int], cents: list[list[int]],
+                    nprobe: int) -> list[int]:
+    """The query's ``nprobe`` nearest cells by exact integer distance,
+    ties broken by cell index — Python ints, so exactly the oracle's
+    ``ORDER BY fold, cluster LIMIT nprobe``."""
+    dists = []
+    for j, c in enumerate(cents):
+        d = 0
+        for a, b in zip(query_qv, c):
+            d += (int(a) - b) * (int(a) - b)
+        dists.append((d, j))
+    return [j for _, j in sorted(dists)[:nprobe]]
+
+
+def ivf_assign_cells(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+    offset: float = DEFAULT_OFFSET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[int]]]:
+    """Ingest-side half of the IVF pipeline: train the coarse quantizer
+    and return ((id, cell) assignment frame, centroids) — the artifact
+    pair a 100 TB deployment persists once (the cell column next to the
+    corpus, the tiny centroid table for query-time probing)."""
+    q, cents = kmeans_fit(emb, n_cells, iters, dim, scale, offset,
+                          id_col, vec_col)
+    if not cents:
+        return (q.select(F.col("_kid").alias(id_col),
+                         F.lit(None).cast("long").alias("cell"))
+                .where(F.lit(False)), cents)
+    cell = assign_struct("qv", cents).getField("cluster")
+    return (q.select(F.col("_kid").alias(id_col), cell.alias("cell")), cents)
+
+
+def ivf_cells_scan_topk(
+    cells: DataFrame,
+    emb: DataFrame,
+    query_vec: list[float],
+    probe: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query-time half over a PERSISTED (id, cell) artifact: the probe
+    IN-filter lands in the cells parquet scan's PushedFilters (a
+    cell-partitioned layout prunes to ~nprobe/n_cells of the postings
+    at 100 TB), candidates join back to the corpus by id for the exact
+    float cosine ranking (rank on raw, round in projection — the same
+    contract as the inline entry, so they share one oracle). No
+    training job anywhere in this plan."""
+    from ..functions.vector import cosine_sim, valid_vector
+
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (cells.filter(F.col("cell").isin([int(j) for j in probe]))
+            .select(id_col))
+    base = (emb.filter(valid_vector(vec_col))
+            .select(F.col(id_col),
+                    cosine_sim(F.col(vec_col).cast("array<double>"),
+                               qlit).alias("_cos")))
+    return (
+        base.join(cand, id_col)
         .orderBy(F.col("_cos").desc(), F.col(id_col).asc())
         .limit(k)
         .select(id_col, F.round(F.col("_cos"), 6).alias("cosine"))

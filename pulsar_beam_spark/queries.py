@@ -9200,6 +9200,61 @@ def q_ivf_trained(spark, sf):
         dim=_KMEANS_DIM, scale=_KMEANS_SCALE, offset=_KMEANS_OFFSET)
 
 
+def ivf_cells_dir(spark: SparkSession, sf: str) -> str:
+    """Persisted IVF artifacts (operators/clustering.ivf_assign_cells):
+    cells/ — the (vec_id, cell) column a 100 TB deployment stores next
+    to the corpus — and centroids/ — the tiny (cell, v) quantizer table
+    the query path probes. Trained once per corpus, cached by source
+    identity like the PQ codes and BM25 index."""
+    import os
+
+    def build(tmp: str) -> None:
+        from .operators.clustering import ivf_assign_cells
+
+        cells, cents = ivf_assign_cells(
+            T(spark, sf, "embeddings"), n_cells=_IVFT_CELLS,
+            iters=_IVFT_ITERS, dim=_KMEANS_DIM, scale=_KMEANS_SCALE,
+            offset=_KMEANS_OFFSET)
+        cells.write.mode("overwrite").parquet(os.path.join(tmp, "cells"))
+        cent_rows = [(j, [int(x) for x in c]) for j, c in enumerate(cents)]
+        spark.createDataFrame(cent_rows, "cell long, v array<long>") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(tmp, "centroids"))
+
+    return _ingest_artifact_dir(sf, "embeddings", "ivf-cells-v1", build)
+
+
+@register(
+    "e_ivf_cells_topk",
+    _ivf_trained_oracle(),
+    doc="Trained IVF over INGEST-PERSISTED artifacts: the (vec_id, "
+        "cell) assignment and the centroid table are written once per "
+        "corpus (ivf_cells_dir); the query-time plan probes the 4 "
+        "nearest cells from the persisted centroids (bounded 16-row "
+        "collect), IN-filters the cells parquet scan (PushedFilters — "
+        "plan-pinned), and joins candidates back to the corpus for the "
+        "exact cosine ranking. NO training job in the query path. Same "
+        "oracle as e_ivf_trained_topk (the cell assignment is a "
+        "deterministic function of the corpus), proving index-path "
+        "parity — the e_pq_codes_topk story for the IVF family.",
+)
+def q_ivf_cells(spark, sf):
+    from .operators.clustering import ivf_cells_scan_topk, ivf_probe_cells, quantized_frame
+
+    emb = T(spark, sf, "embeddings")
+    d = ivf_cells_dir(spark, sf)
+    cells = spark.read.parquet(f"{d}/cells")
+    cents = [[int(x) for x in r["v"]] for r in
+             spark.read.parquet(f"{d}/centroids").orderBy("cell").collect()]
+    qv = _query_vec(emb, 0)
+    qrow = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+            .filter(F.col("_kid") == 0).select("qv").head())
+    if not cents or qv is None or qrow is None:
+        return ivf_cells_scan_topk(cells, emb, [1.0], [], k=10).where(F.lit(False))
+    probe = ivf_probe_cells([int(x) for x in qrow["qv"]], cents, _IVFT_NPROBE)
+    return ivf_cells_scan_topk(cells, emb, qv, probe, k=10)
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in

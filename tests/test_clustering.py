@@ -178,6 +178,28 @@ def test_assign_exprs_first_min_tie_break_in_spark(spark):
     assert a["cluster"] == 0 and a["sq_dist"] == 50
 
 
+def test_ivf_cells_probe_filter_pushed_to_artifact_scan(spark):
+    """The persisted-cells IVF query plan must push the probe's cell IN
+    filter into the cells parquet scan (PushedFilters) and read only
+    (vec_id, embedding) from the corpus — no training job, no quantize
+    expression, anywhere in the query path."""
+    from pulsar_beam_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["e_ivf_cells_topk"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("cell" in p and "In(" in p for p in pushed), (
+        "probe cell IN filter must reach the cells parquet scan:\n"
+        + "\n".join(pushed))
+    assert "transform(" not in plan.lower().replace("list_transform", ""), \
+        "no quantize/assign expression may appear in the query path"
+    # result parity with the inline trained entry (same oracle)
+    from pulsar_beam_spark.queries import REGISTRY as R
+    inline = R["e_ivf_trained_topk"].spark(spark, SF_SMOKE).collect()
+    cells = df.collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in cells]
+
+
 # == cross-implementation equality: vectorized kernel vs the =============
 # == oracle-mirroring HOF reference, whole fixture, bit-exact =============
 
