@@ -522,6 +522,10 @@ def pq_train_fixedpoint(
         .orderBy("_kid").limit(sample_cap).select("qv").collect()
     )
     pts = [[int(x) for x in r["qv"]] for r in rows]
+    if not pts:
+        # [] (falsy), never m empty books — a truthy list of empty
+        # codebooks would send callers into len(books[0][0]) crashes
+        return []
     sub = dim // m
     books = []
     for mi in range(m):

@@ -9221,7 +9221,12 @@ def ivf_cells_dir(spark: SparkSession, sf: str) -> str:
             .coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(tmp, "centroids"))
 
-    return _ingest_artifact_dir(sf, "embeddings", "ivf-cells-v1", build)
+    # the tag encodes the training hyperparameters: a parameter change
+    # must MISS the cache, not silently serve an artifact trained under
+    # the old recipe (the oracle retrains live and would go red)
+    tag = (f"ivf-cells-v1-k{_IVFT_CELLS}-i{_IVFT_ITERS}-d{_KMEANS_DIM}"
+           f"-s{_KMEANS_SCALE}-o{_KMEANS_OFFSET}")
+    return _ingest_artifact_dir(sf, "embeddings", tag, build)
 
 
 @register(
