@@ -1723,3 +1723,71 @@ def test_delivery_reply_write_partitions_compacts_files(spark, msg_dir, tmp_path
     assert len(parts) == 1, parts  # one epoch -> one writer file
     replies = spark.read.schema(MESSAGE_SCHEMA).parquet(reply_dir).collect()
     assert len(replies) == len(t.calls) > 0
+
+
+def test_vector_index_stream_matches_batch_and_replays_idempotently(spark, tmp_path):
+    """S-custom: streaming maintenance of the PQ-codes / IVF-cells
+    ingest artifacts (streaming/vector_index.py). Vectors arrive across
+    >=2 micro-batches; the unioned per-epoch appends must BIT-EQUAL the
+    one-shot batch encode (row-local encode under fixed trained
+    codebooks/centroids), and a replayed committed epoch (crash between
+    artifact write and stream commit — the standing foreachBatch replay
+    discipline) must rewrite identical bytes, never duplicate rows."""
+    from pulsar_beam_spark.operators.clustering import (
+        kmeans_fit, pq_train_fixedpoint)
+    from pulsar_beam_spark.streaming.vector_index import (
+        encode_batch, read_artifact, vector_index_sink)
+
+    sf_smoke = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    books = pq_train_fixedpoint(emb)
+    _, cents = kmeans_fit(emb, k=16)
+
+    src = str(tmp_path / "vecs")
+    art = str(tmp_path / "vec-art")
+    ckpt = str(tmp_path / "vec-ckpt")
+    emb.filter("vec_id % 2 = 0").coalesce(1).write.parquet(src)
+    emb.filter("vec_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    def run_sink():
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = vector_index_sink(stream, books, cents, art, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    run_sink()
+
+    m = len(books)
+    code_cols = ["vec_id"] + [f"_code{i}" for i in range(m)]
+    want = encode_batch(emb, books, cents)
+    want_codes = sorted(tuple(r) for r in want.select(*code_cols).collect())
+    want_cells = sorted(tuple(r) for r in want.select("vec_id", "cell").collect())
+
+    got_codes = sorted(tuple(r) for r in
+                       read_artifact(spark, art, "codes").select(*code_cols).collect())
+    got_cells = sorted(tuple(r) for r in
+                       read_artifact(spark, art, "cells").select("vec_id", "cell").collect())
+    assert got_codes == want_codes and len(got_codes) > 0
+    assert got_cells == want_cells
+    epochs = [d for d in os.listdir(os.path.join(art, "codes"))
+              if d.startswith("epoch=")]
+    assert len(epochs) >= 2, "maxFilesPerTrigger=1 must yield >=2 epochs"
+
+    # replay: drop the LAST epoch's commit marker (and its hadoop crc
+    # sidecar) so a restart re-delivers that epoch to foreachBatch
+    commits = sorted(int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+                     if f.isdigit())
+    last = commits[-1]
+    os.remove(os.path.join(ckpt, "commits", str(last)))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_sink()
+
+    replayed_codes = sorted(tuple(r) for r in
+                            read_artifact(spark, art, "codes").select(*code_cols).collect())
+    replayed_cells = sorted(tuple(r) for r in
+                            read_artifact(spark, art, "cells").select("vec_id", "cell").collect())
+    assert replayed_codes == want_codes, "epoch replay must not duplicate codes"
+    assert replayed_cells == want_cells, "epoch replay must not duplicate cells"
