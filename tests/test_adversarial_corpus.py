@@ -147,6 +147,11 @@ DEGENERATE_REGRESSION = [
     "r11_stats_aggregates", "r_anova_dow",         # the round-8 fixes
     "r15_window_rank", "r19_topk", "r_topk_with_ties",
     "r_weighted_median", "r_quartile_bands", "r_gini_by_nation",
+    # round-11 wave 2: the fixed-point clustering family at zero
+    # degrees of freedom (k > n init, single-member clusters, the
+    # trained-PQ sample collapsing to one point)
+    "e_kmeans_lloyd", "e_kmeans_centroids", "e_pq_trained_recall",
+    "e_ivf_cells_topk",
 ]
 
 
