@@ -102,6 +102,7 @@ HEADLINE = [
     "e_pq_trained_recall",       # oracle-replayable trained-PQ recall audit
     "e_ivf_trained_topk",        # full IVF lifecycle: train, assign, probe
     "e_ivf_cells_topk",          # IVF over persisted cells (query path only)
+    "e_ivfpq_topk",              # composite IVFPQ (residual PQ per probed cell)
 ]
 
 

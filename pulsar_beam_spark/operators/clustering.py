@@ -452,6 +452,123 @@ def ivf_cells_scan_topk(
     )
 
 
+def residual_struct(qv_col: str, centroids: list[list[int]],
+                    shift: int) -> Column:
+    """``struct<cell: long, rv: array<long>>``: argmin cell plus the
+    SHIFTED residual ``v - centroid[cell] + shift`` — one vectorized
+    pass. The shift re-enters the non-negative domain the fixed-point
+    contract needs (raw residuals are signed, and Spark div / DuckDB //
+    / Python // disagree on negatives); distances are shift-invariant,
+    so the PQ geometry is exactly FAISS's IVFPQ residual encoding.
+    With shift == MAX_QUANT, residual components stay in
+    [0, 2*MAX_QUANT] and every downstream intermediate still fits
+    int64."""
+    cents = np.asarray([[int(x) for x in c] for c in centroids], dtype=np.int64)
+    cc = (cents * cents).sum(axis=1)
+    s = int(shift)
+
+    @pandas_udf("cell long, rv array<long>")
+    def _res(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int64"),
+                                 "rv": pd.Series([], dtype="object")})
+        v = np.stack([np.asarray(x, dtype=np.int64) for x in qv])
+        d = ((v * v).sum(axis=1)[:, None] - 2 * (v @ cents.T) + cc[None, :])
+        cl = d.argmin(axis=1)
+        rv = v - cents[cl] + s
+        return pd.DataFrame({"cell": cl.astype("int64"),
+                             "rv": list(rv)})
+
+    return _res(F.col(qv_col))
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_qv: list[int] | None,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    sample_cap: int = 256,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+    offset: float = DEFAULT_OFFSET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-shape IVFPQ, end-to-end oracle-replayable: coarse cells
+    from the fixed-point Lloyd loop, per-vector SHIFTED residuals
+    (``residual_struct``), per-subspace PQ codebooks trained on a
+    deterministic strided residual sample, and query-time ADC where the
+    query's residual is taken against EACH PROBED CELL's centroid (the
+    defining IVFPQ detail — one LUT set per probed cell). Every
+    quantity end to end is an exact integer: training, codes, LUTs and
+    the ranked adc, so the DuckDB oracle replays the whole index and
+    the top-k hashes exactly.
+
+    Returns (id, adc) ordered by (adc, id). None query / empty corpus
+    -> empty frame (the vector-family contract).
+    """
+    q, cents = kmeans_fit(emb, n_cells, iters, dim, scale, offset,
+                          id_col, vec_col)
+    empty = q.select(
+        F.col("_kid").alias(id_col), F.lit(None).cast("long").alias("adc")
+    ).where(F.lit(False))
+    if not cents or query_qv is None:
+        return empty
+    shift = MAX_QUANT
+    res = q.select("_kid", residual_struct("qv", cents, shift).alias("_r")) \
+           .select("_kid", F.col("_r.cell").alias("cell"),
+                   F.col("_r.rv").alias("rv"))
+    n = q.count()
+    stride = (n + sample_cap - 1) // sample_cap if n else 1
+    rows = (res.filter((F.col("_kid") % stride) == 0)
+            .orderBy("_kid").limit(sample_cap).select("rv").collect())
+    pts = [[int(x) for x in r["rv"]] for r in rows]
+    if not pts:
+        return empty
+    sub = dim // m
+    books = [fixedpoint_kmeans_py([p[mi * sub:(mi + 1) * sub] for p in pts],
+                                  ksub, iters)
+             for mi in range(m)]
+    probe = ivf_probe_cells(query_qv, cents, nprobe)
+    # per-probed-cell query residuals and LUTs — pure Python ints,
+    # exactly the oracle's folds
+    luts: dict[int, list[list[int]]] = {}
+    for c in probe:
+        qr = [int(a) - b + shift for a, b in zip(query_qv, cents[c])]
+        cell_luts = []
+        for mi, book in enumerate(books):
+            qs = qr[mi * sub:(mi + 1) * sub]
+            cell_luts.append([
+                sum((a - b) * (a - b) for a, b in zip(qs, cw)) for cw in book])
+        luts[c] = cell_luts
+    codes = (res.filter(F.col("cell").isin([int(c) for c in probe]))
+             .select("_kid", "cell",
+                     pq_int_codes_vectorized("rv", books).alias("_codes")))
+
+    def adc_for(c: int) -> Column:
+        t = F.element_at(F.lit([int(x) for x in luts[c][0]]).cast("array<long>"),
+                         (F.element_at("_codes", 1) + 1).cast("int"))
+        for mi in range(1, m):
+            t = t + F.element_at(
+                F.lit([int(x) for x in luts[c][mi]]).cast("array<long>"),
+                (F.element_at("_codes", mi + 1) + 1).cast("int"))
+        return t
+
+    adc = None
+    for c in probe:
+        adc = (F.when(F.col("cell") == int(c), adc_for(c)) if adc is None
+               else adc.when(F.col("cell") == int(c), adc_for(c)))
+    return (
+        codes.select(F.col("_kid").alias(id_col), adc.alias("adc"))
+        .orderBy("adc", id_col)
+        .limit(k)
+    )
+
+
 # == trained product quantization on the same fixed-point contract ========
 
 def fixedpoint_kmeans_py(pts: list[list[int]], k: int, iters: int) -> list[list[int]]:

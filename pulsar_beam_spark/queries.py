@@ -8874,12 +8874,18 @@ _FP_FOLD = ("list_reduce(list_transform(list_zip(v, c), "
             "x -> (x[1]-x[2])*(x[1]-x[2])), (x, y) -> x + y)")
 
 
-def _fp_quantize_cte(name: str, dim: int, scale: int, offset: float) -> str:
+def _fp_quantize_cte(name: str, dim: int, scale: int, offset: float,
+                     materialized: bool = False) -> str:
     """(vec_id, v BIGINT[]) fixed-point image of `embeddings` under the
-    operators/clustering.quantizable guard, mirrored clause-for-clause."""
+    operators/clustering.quantizable guard, mirrored clause-for-clause.
+    ``materialized`` forces DuckDB to evaluate the CTE once: a chain
+    referenced from several scalar subqueries gets RE-INLINED per
+    reference otherwise, which turns the composite IVFPQ oracle
+    super-linear (observed: >400 s vs ~20 s materialized)."""
     v_dbl = "embedding::DOUBLE[]"
+    kw = "MATERIALIZED " if materialized else ""
     return f"""
-{name} AS (SELECT vec_id,
+{name} AS {kw}(SELECT vec_id,
         list_transform({v_dbl},
                        x -> CAST(round((x + {offset}) * {float(scale)}, 0) AS BIGINT)) AS v
       FROM embeddings
@@ -8891,7 +8897,8 @@ def _fp_quantize_cte(name: str, dim: int, scale: int, offset: float) -> str:
 
 
 def _fp_kmeans_chain(src: str, prefix: str, k: int, iters: int, dim: int,
-                     final_assign: bool = False) -> list[str]:
+                     final_assign: bool = False,
+                     materialized: bool = False) -> list[str]:
     """Unrolled fixed-point Lloyd chain over CTE ``src`` (vec_id, v):
     ``{prefix}c0`` init (k smallest ids) → iters x (assign ``{prefix}a{i}``
     → update-with-carryover ``{prefix}c{i}``), plus one extra assignment
@@ -8901,13 +8908,14 @@ def _fp_kmeans_chain(src: str, prefix: str, k: int, iters: int, dim: int,
     Python ``//``) lives in. Shared by the k-means entries and the
     trained-PQ oracle (which runs one chain per subspace over a strided
     sample)."""
+    kw = "MATERIALIZED " if materialized else ""
     parts = [f"""
-{prefix}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v
+{prefix}c0 AS {kw}(SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v
        FROM (SELECT vec_id, v FROM {src} ORDER BY vec_id LIMIT {k}))"""]
     last = iters + 1 if final_assign else iters
     for i in range(1, last + 1):
         parts.append(f"""
-{prefix}a{i} AS (SELECT vec_id, v,
+{prefix}a{i} AS {kw}(SELECT vec_id, v,
         list_indexof(ds, list_aggregate(ds, 'min')) - 1 AS cluster,
         list_aggregate(ds, 'min') AS sq_dist
         FROM (SELECT vec_id, v,
@@ -8916,7 +8924,7 @@ def _fp_kmeans_chain(src: str, prefix: str, k: int, iters: int, dim: int,
               FROM {src}))""")
         if i <= iters:
             parts.append(f"""
-{prefix}c{i} AS (SELECT p.cluster, coalesce(u.nv, p.v) AS v
+{prefix}c{i} AS {kw}(SELECT p.cluster, coalesce(u.nv, p.v) AS v
         FROM {prefix}c{i-1} p LEFT JOIN (
           SELECT cluster, list(m ORDER BY d) AS nv
           FROM (SELECT cluster, d, CAST(sum(x) // count(*) AS BIGINT) AS m
@@ -9258,6 +9266,120 @@ def q_ivf_cells(spark, sf):
         return ivf_cells_scan_topk(cells, emb, [1.0], [], k=10).where(F.lit(False))
     probe = ivf_probe_cells([int(x) for x in qrow["qv"]], cents, _IVFT_NPROBE)
     return ivf_cells_scan_topk(cells, emb, qv, probe, k=10)
+
+
+# -- IVFPQ: residual product quantization under probed cells --------------
+# The composite FAISS IVFPQ shape: coarse cells prune the corpus, PQ
+# codes compress the RESIDUAL v - centroid[cell], and the query builds
+# one ADC LUT set PER PROBED CELL from its residual against that cell.
+# The fixed-point contract extends with one move: residuals are signed,
+# so they are SHIFTED by MAX_QUANT back into the non-negative domain
+# (distances are shift-invariant; the update division stays floor ==
+# truncation). Every quantity end to end — training, codes, LUTs, adc —
+# is an exact integer, so the oracle replays the ENTIRE composite index.
+
+def _ivfpq_oracle(k: int = 10) -> str:
+    from .operators.clustering import MAX_QUANT as shift
+
+    dim, scale, offset = _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET
+    cells, nprobe, iters = _IVFT_CELLS, _IVFT_NPROBE, _IVFT_ITERS
+    m, ksub, cap = _PQT_M, _PQT_KSUB, _PQT_CAP
+    sub = dim // m
+    # every chain CTE is MATERIALIZED: the residual training chains are
+    # referenced from scalar subqueries in enc and the final adc, and
+    # DuckDB re-inlines non-materialized CTEs per reference (observed:
+    # the composite oracle went super-linear, >400 s; materialized it
+    # evaluates each chain once)
+    parts = [_fp_quantize_cte("fq", dim, scale, offset, materialized=True)]
+    parts += _fp_kmeans_chain("fq", "", cells, iters, dim,
+                              final_assign=True, materialized=True)
+    parts.append(f"""
+res AS MATERIALIZED (SELECT a.vec_id, a.cluster AS cell,
+        list_transform(list_zip(a.v, cc.v), x -> x[1] - x[2] + {shift}) AS v
+        FROM a{iters + 1} a JOIN c{iters} cc ON a.cluster = cc.cluster)""")
+    parts.append(f"""
+st AS MATERIALIZED (SELECT greatest(1, CAST((count(*) + {cap - 1}) // {cap} AS BIGINT)) AS stride
+       FROM fq)""")
+    parts.append(f"""
+samp AS MATERIALIZED (SELECT vec_id, v FROM res, st
+         WHERE vec_id % st.stride = 0 ORDER BY vec_id LIMIT {cap})""")
+    ds_cols, enc_cols, adc_terms = [], [], []
+    for mi in range(m):
+        lo, hi = mi * sub + 1, (mi + 1) * sub
+        parts.append(f"""
+rs{mi} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS v FROM samp)""")
+        parts += _fp_kmeans_chain(f"rs{mi}", f"r{mi}", ksub, iters, sub,
+                                  materialized=True)
+        book = f"(SELECT list(v ORDER BY cluster) FROM r{mi}c{iters})"
+        fold = (f"list_reduce(list_transform(list_zip(v[{lo}:{hi}], c), "
+                "x -> (x[1]-x[2])*(x[1]-x[2])), (x, y) -> x + y)")
+        # ds{mi} computed ONCE in the inner projection; argmin reads it
+        # twice without re-instantiating the chain
+        ds_cols.append(f"list_transform({book}, c -> {fold}) AS ds{mi}")
+        enc_cols.append(
+            f"list_indexof(ds{mi}, list_aggregate(ds{mi}, 'min')) - 1"
+            f" AS code{mi}")
+        qfold = (f"list_reduce(list_transform(list_zip(qr.qv[{lo}:{hi}], "
+                 f"list_extract({book}, e.code{mi} + 1)), "
+                 "x -> (x[1]-x[2])*(x[1]-x[2])), (x, y) -> x + y)")
+        adc_terms.append(f"({qfold})")
+    ds_sql = ",\n       ".join(ds_cols)
+    enc_sql = ",\n       ".join(enc_cols)
+    adc_sql = " + ".join(adc_terms)
+    probe_fold = ("list_reduce(list_transform(list_zip(qq.qv, cc.v), "
+                  "x -> (x[1]-x[2])*(x[1]-x[2])), (x, y) -> x + y)")
+    parts.append("""
+qq AS MATERIALIZED (SELECT v AS qv FROM fq WHERE vec_id = 0)""")
+    parts.append(f"""
+probe AS MATERIALIZED (SELECT cc.cluster FROM c{iters} cc, qq
+          ORDER BY {probe_fold}, cc.cluster LIMIT {nprobe})""")
+    parts.append(f"""
+qr AS MATERIALIZED (SELECT p.cluster AS cell,
+       list_transform(list_zip(qq.qv, cc.v), x -> x[1] - x[2] + {shift}) AS qv
+       FROM probe p JOIN c{iters} cc ON p.cluster = cc.cluster CROSS JOIN qq)""")
+    parts.append(f"""
+enc AS MATERIALIZED (SELECT vec_id, cell,
+       {enc_sql}
+        FROM (SELECT vec_id, cell,
+       {ds_sql}
+              FROM res))""")
+    # adc is an exact integer, so ordering by the projected alias is
+    # identical to ordering by the raw expression (no float rounding
+    # asymmetry) — and evaluates the LUT folds once
+    return ("WITH " + ",".join(parts) + f"""
+SELECT vec_id, adc FROM (
+  SELECT e.vec_id, CAST({adc_sql} AS BIGINT) AS adc
+  FROM enc e JOIN qr ON e.cell = qr.cell)
+ORDER BY adc, vec_id
+LIMIT {k}""")
+
+
+@register(
+    "e_ivfpq_topk",
+    _ivfpq_oracle(),
+    doc="FAISS-shape IVFPQ, the composite index, ORACLE-REPLAYED END TO "
+        "END: fixed-point Lloyd cells prune to 4 probed cells, PQ "
+        "codebooks train on a strided sample of SHIFTED residuals "
+        "(v - centroid[cell] + MAX_QUANT — re-entering the non-negative "
+        "domain; distances are shift-invariant), and the query ADC "
+        "builds one LUT set per probed cell from ITS residual (the "
+        "defining IVFPQ detail). Training, codes, LUTs and the ranked "
+        "adc are all exact integers — the DuckDB oracle replays cells, "
+        "residuals, per-subspace training and the per-cell ADC, and the "
+        "top-k hashes exactly. Completes the ANN family: brute / LSH / "
+        "IVF(fixed) / IVF(trained) / MIPS / PQ / trained-PQ / IVFPQ.",
+)
+def q_ivfpq(spark, sf):
+    from .operators.clustering import ivfpq_topk, quantized_frame
+
+    emb = T(spark, sf, "embeddings")
+    qrow = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+            .filter(F.col("_kid") == 0).select("qv").head())
+    return ivfpq_topk(
+        emb, [int(x) for x in qrow["qv"]] if qrow is not None else None,
+        k=10, n_cells=_IVFT_CELLS, nprobe=_IVFT_NPROBE, m=_PQT_M,
+        ksub=_PQT_KSUB, iters=_IVFT_ITERS, sample_cap=_PQT_CAP,
+        dim=_KMEANS_DIM, scale=_KMEANS_SCALE, offset=_KMEANS_OFFSET)
 
 
 # == exports consumed by __spark_entry__.py ==============================

@@ -58,6 +58,11 @@ PROBE = [
     "s_ann_ivf_topk",
     "flagship_revenue_by_nation",
     "tpch_q7_volume_shipping",
+    # round-11 wave 2: the clustering family's per-round sf1 records
+    # (bench sf1_total_s grows by their ~5 s from this round on —
+    # per-query series stay comparable)
+    "e_kmeans_lloyd",
+    "e_ivf_cells_topk",
 ]
 
 # key columns to offset per table (same offset per replica keeps FKs

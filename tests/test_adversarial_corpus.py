@@ -97,7 +97,7 @@ EMPTY_REGRESSION = [
     "e_pq_codes_topk", "e_pq_recall_audit", "t_bm25_search",
     "t_bm25_indexed", "t_bm25_index_merge", "t_hybrid_rrf",
     "e_kmeans_lloyd", "e_kmeans_centroids", "e_pq_trained_recall",
-    "e_ivf_trained_topk", "e_ivf_cells_topk",
+    "e_ivf_trained_topk", "e_ivf_cells_topk", "e_ivfpq_topk",
     "r_pagerank_iter3", "p_split_leakage", "p_rank_calibrate",
     "r_pareto_cut", "r_rfm_segmentation", "r_quartile_bands",
     "r_keyset_pagination", "r_lorenz_deciles", "r_abc_xyz",
@@ -151,7 +151,7 @@ DEGENERATE_REGRESSION = [
     # degrees of freedom (k > n init, single-member clusters, the
     # trained-PQ sample collapsing to one point)
     "e_kmeans_lloyd", "e_kmeans_centroids", "e_pq_trained_recall",
-    "e_ivf_cells_topk",
+    "e_ivf_cells_topk", "e_ivfpq_topk",
 ]
 
 
@@ -212,6 +212,7 @@ ANN_QUERY_ENTRIES = [
     "s_ann_recall_audit", "e_range_search", "e_mips_topk", "e_pq_adc_topk",
     "e_pq_codes_topk", "e_pq_recall_audit", "t_hybrid_rrf",
     "e_pq_trained_recall", "e_ivf_trained_topk", "e_ivf_cells_topk",
+    "e_ivfpq_topk",
 ]
 
 
@@ -334,7 +335,7 @@ VEC_FAMILY = [
     "e_vector_quantize", "e_grouped_topk", "d_embedding_near_dup",
     "e_pq_adc_topk", "e_pq_codes_topk", "e_pq_recall_audit", "t_hybrid_rrf",
     "e_kmeans_lloyd", "e_kmeans_centroids", "e_pq_trained_recall",
-    "e_ivf_trained_topk", "e_ivf_cells_topk",
+    "e_ivf_trained_topk", "e_ivf_cells_topk", "e_ivfpq_topk",
 ]
 
 # vec_id -> poison kind; "corpus" mode hits non-query rows only, "query"

@@ -247,3 +247,26 @@ def test_vectorized_pq_codes_equal_reference_exprs(spark):
     vec = {r["_kid"]: tuple(r["c"]) for r in
            q.select("_kid", pq_int_codes_vectorized("qv", books).alias("c")).collect()}
     assert ref == vec and len(ref) > 0
+
+
+def test_ivfpq_candidates_only_from_probed_cells_and_deterministic(spark):
+    """IVFPQ discipline: every returned id sits in one of the query's
+    probed cells (the coarse prune is a filter, never a rescore), the
+    adc values are exact ints, and the whole composite is reproducible."""
+    from pulsar_beam_spark.operators.clustering import (
+        ivf_probe_cells, ivfpq_topk, kmeans_fit)
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q, cents = kmeans_fit(emb, k=16)
+    qrow = quantized_frame(emb).filter(F.col("_kid") == 0).head()
+    qv = [int(x) for x in qrow["qv"]]
+    got = ivfpq_topk(emb, qv, k=10).collect()
+    again = ivfpq_topk(emb, qv, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    assert 0 < len(got) <= 10
+    assert all(isinstance(r["adc"], int) for r in got)
+    probe = set(ivf_probe_cells(qv, cents, 4))
+    cells = {r["_kid"]: r["a"]["cluster"] for r in q.select(
+        "_kid", assign_struct("qv", cents).alias("a")).collect()}
+    for r in got:
+        assert cells[r["vec_id"]] in probe

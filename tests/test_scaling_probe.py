@@ -112,6 +112,8 @@ ANCHOR_EXPONENTS = {
     "e_ivf_trained_topk": 0.12,  # measured 0.10 (train + one probed scan)
     "e_ivf_cells_topk": 0.05,    # measured -0.08 (sub-second artifact scan,
                                  # noise floor — pinned like e_pq_codes_topk)
+    "e_ivfpq_topk": 0.13,        # measured 0.11 (cells + residual-PQ train
+                                 # + probed ADC scan)
     "tpch_q10_returned_items": 0.04,
     "tpch_q11_important_stock": 0.10,
     "tpch_q18_large_orders": 0.21,
