@@ -99,10 +99,18 @@ HEADLINE = [
     # round-11 late additions: fixed-point clustering family
     "e_kmeans_lloyd",            # distributed Lloyd loop (2 bounded-collect
                                  # iterations + 0-exchange assignment scan)
+    "e_kmeans_centroids",        # the update arithmetic as k*dim output
+                                 # (its scaling anchor is pinned in
+                                 # tests/test_scaling_probe.py)
     "e_pq_trained_recall",       # oracle-replayable trained-PQ recall audit
     "e_ivf_trained_topk",        # full IVF lifecycle: train, assign, probe
     "e_ivf_cells_topk",          # IVF over persisted cells (query path only)
     "e_ivfpq_topk",              # composite IVFPQ (residual PQ per probed cell)
+    # round-12 additions
+    "e_ivfpq_codes_topk",        # composite IVFPQ over persisted artifacts —
+                                 # the pay-once contrast to e_ivfpq_topk, the
+                                 # same pairing as e_pq_codes_topk vs
+                                 # e_pq_adc_topk
 ]
 
 

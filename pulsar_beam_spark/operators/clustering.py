@@ -66,6 +66,25 @@ DEFAULT_OFFSET = 1.0
 MAX_QUANT = 150_000_000
 
 
+def _check_quant_dim(dim: int) -> None:
+    """ADVICE r11: the int64 no-overflow argument above was derived at
+    dim=64 but every entry point accepts arbitrary ``dim`` — a caller
+    passing dim ~ 200 re-opens the silent numpy wraparound the guard
+    exists to exclude. Derive the bound from dim instead: the worst
+    intermediate anywhere in the family is the shifted-residual ADC sum
+    / the vectorized kernel's recombined distance, both bounded by
+    ``dim * (2 * MAX_QUANT)^2`` (components <= 2*MAX_QUANT on the
+    shifted domain, subspace terms of the residual kernels sum back to
+    at most the full-dim total for m >= 2). Raise loudly at plan-build
+    time — never at executor time, where numpy would wrap silently."""
+    if dim * (2 * MAX_QUANT) ** 2 >= 2 ** 63:
+        raise ValueError(
+            f"fixed-point family: dim={dim} overflows the int64 domain "
+            f"bound (dim * (2*MAX_QUANT)^2 < 2^63 requires dim <= "
+            f"{(2 ** 63 - 1) // (2 * MAX_QUANT) ** 2}); lower MAX_QUANT/"
+            "scale or reduce dim")
+
+
 def quantize_vec(vec_col: Column | str, scale: int = DEFAULT_SCALE,
                  offset: float = DEFAULT_OFFSET) -> Column:
     """``array<long>`` fixed-point image of a float vector column.
@@ -95,6 +114,7 @@ def quantizable(vec_col: str, dim: int, offset: float = DEFAULT_OFFSET,
     numpy kernel would WRAP silently). Mirrored clause-for-clause in
     the SQL oracle; out-of-domain components are excluded, not clamped
     (clamping would silently move them)."""
+    _check_quant_dim(dim)
     v = F.col(vec_col).cast("array<double>")
     return (
         valid_vector(vec_col)
@@ -167,6 +187,8 @@ def assign_struct(qv_col: str, centroids: list[list[int]]) -> Column:
     exactly like ``array_position``/``list_indexof``. So the vectorized
     kernel is bit-identical to the interpreted reference (gated in
     tests/test_clustering.py) at ~1000x the per-element throughput."""
+    if centroids:
+        _check_quant_dim(len(centroids[0]))
     cents = np.asarray([[int(x) for x in c] for c in centroids], dtype=np.int64)
     cc = (cents * cents).sum(axis=1)
 
@@ -463,6 +485,8 @@ def residual_struct(qv_col: str, centroids: list[list[int]],
     With shift == MAX_QUANT, residual components stay in
     [0, 2*MAX_QUANT] and every downstream intermediate still fits
     int64."""
+    if centroids:
+        _check_quant_dim(len(centroids[0]))
     cents = np.asarray([[int(x) for x in c] for c in centroids], dtype=np.int64)
     cc = (cents * cents).sum(axis=1)
     s = int(shift)
@@ -482,6 +506,235 @@ def residual_struct(qv_col: str, centroids: list[list[int]],
     return _res(F.col(qv_col))
 
 
+def ivfpq_residual_books(
+    q: DataFrame,
+    cents: list[list[int]],
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    sample_cap: int = 256,
+    shift: int = MAX_QUANT,
+) -> list[list[list[int]]]:
+    """Train the per-subspace residual codebooks from a DETERMINISTIC
+    id-strided sample of the quantized corpus ``q`` (the
+    ``quantized_frame`` output): ``stride = ceil(n/cap)``, rows with
+    ``_kid % stride == 0`` in id order, capped.
+
+    The sample collect is a pure-codegen scan (filter + limit on the
+    quantized frame — NO pandas pass over the corpus just to sample;
+    ADVICE r11 flagged the old shape that evaluated the residual
+    pipeline for the sample); cell assignment and the shifted residual
+    for the <= ``sample_cap`` sampled rows are then computed
+    DRIVER-SIDE in pure Python ints — bit-identical to the vectorized
+    kernel (first-index argmin, exact integer arithmetic) and to the
+    oracle's CTEs, gated in tests/test_clustering.py."""
+    n = q.count()
+    stride = (n + sample_cap - 1) // sample_cap if n else 1
+    rows = (q.filter((F.col("_kid") % stride) == 0)
+            .orderBy("_kid").limit(sample_cap).select("qv").collect())
+    pts = []
+    for r in rows:
+        v = [int(x) for x in r["qv"]]
+        best, bd = 0, None
+        for j, c in enumerate(cents):
+            d = 0
+            for a, b in zip(v, c):
+                d += (a - b) * (a - b)
+            if bd is None or d < bd:
+                best, bd = j, d
+        pts.append([a - b + shift for a, b in zip(v, cents[best])])
+    if not pts:
+        return []
+    dim = len(cents[0])
+    sub = dim // m
+    return [fixedpoint_kmeans_py([p[mi * sub:(mi + 1) * sub] for p in pts],
+                                 ksub, iters)
+            for mi in range(m)]
+
+
+def ivfpq_codes_struct(qv_col: str, cents: list[list[int]],
+                       books: list[list[list[int]]],
+                       shift: int = MAX_QUANT) -> Column:
+    """``struct<cell long, codes array<long>>``: coarse-cell argmin,
+    shifted residual and the M per-subspace PQ codes FUSED into one
+    Arrow crossing (the separate ``residual_struct`` +
+    ``pq_int_codes_vectorized`` chain costs two Python round-trips per
+    row batch; the composite index encodes every row exactly once at
+    ingest, so the fused kernel is the shape that matters). Same
+    associative-integer legality argument as ``assign_struct``;
+    bit-equality against the two-stage chain gated in
+    tests/test_clustering.py."""
+    if cents:
+        _check_quant_dim(len(cents[0]))
+    _check_quant_dim(2 * len(books[0][0]))
+    cmat = np.asarray([[int(x) for x in c] for c in cents], dtype=np.int64)
+    cc = (cmat * cmat).sum(axis=1)
+    mats = [np.asarray([[int(x) for x in cw] for cw in book], dtype=np.int64)
+            for book in books]
+    sub = len(books[0][0])
+    s = int(shift)
+
+    @pandas_udf("cell long, codes array<long>")
+    def _enc(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int64"),
+                                 "codes": pd.Series([], dtype="object")})
+        v = np.stack([np.asarray(x, dtype=np.int64) for x in qv])
+        d = ((v * v).sum(axis=1)[:, None] - 2 * (v @ cmat.T) + cc[None, :])
+        cl = d.argmin(axis=1)
+        rv = v - cmat[cl] + s
+        out = np.empty((len(v), len(mats)), dtype=np.int64)
+        for mi, bm in enumerate(mats):
+            sl = rv[:, mi * sub:(mi + 1) * sub]
+            ds = ((sl * sl).sum(axis=1)[:, None] - 2 * (sl @ bm.T)
+                  + (bm * bm).sum(axis=1)[None, :])
+            out[:, mi] = ds.argmin(axis=1)
+        return pd.DataFrame({"cell": cl.astype("int64"), "codes": list(out)})
+
+    return _enc(F.col(qv_col))
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    shift: int = MAX_QUANT,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+    offset: float = DEFAULT_OFFSET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ingest-side half of the composite index: ``(id, cell,
+    _code0.._code{M-1} tinyint)`` — the per-cell residual PQ codes a
+    100 TB deployment persists ONCE next to the (cell, centroid) and
+    codebook artifacts, exactly like ``similarity.pq_encode``'s flat
+    codes. Run per corpus (or per micro-batch under FIXED trained
+    artifacts — encoding is row-local; streaming/vector_index.py) and
+    written to parquet; the query path (``ivfpq_adc_scan``) then reads
+    M bytes + one cell long per vector and never touches the float
+    array."""
+    q = quantized_frame(emb, dim, scale, offset, id_col, vec_col)
+    return _ivfpq_encode_q(q, cents, books, shift, id_col)
+
+
+def _ivfpq_encode_q(q: DataFrame, cents: list[list[int]],
+                    books: list[list[list[int]]], shift: int,
+                    id_col: str) -> DataFrame:
+    for book in books:
+        if len(book) > 127:
+            raise ValueError(
+                "ivfpq_encode: ksub > 127 does not fit the tinyint code "
+                "columns — widen the persisted type before raising ksub")
+    m = len(books)
+    enc = q.select("_kid", ivfpq_codes_struct("qv", cents, books, shift)
+                   .alias("_e"))
+    return enc.select(
+        F.col("_kid").alias(id_col),
+        F.col("_e.cell").alias("cell"),
+        *[F.element_at("_e.codes", mi + 1).cast("tinyint").alias(f"_code{mi}")
+          for mi in range(m)],
+    )
+
+
+def ivfpq_build_artifacts(
+    emb: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    sample_cap: int = 256,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+    offset: float = DEFAULT_OFFSET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[int]], list[list[list[int]]]]:
+    """One-shot ingest-side build of the full composite-index artifact
+    set: (codes frame ``(id, cell, _code0.._code{M-1})``, coarse
+    centroids, residual codebooks). The three outputs are what a
+    deployment persists — codes as a parquet table next to the corpus,
+    centroids (n_cells rows) and codebooks (M x ksub rows) as tiny
+    tables the query path collects. Empty corpus -> (empty frame, [],
+    [])."""
+    q, cents = kmeans_fit(emb, n_cells, iters, dim, scale, offset,
+                          id_col, vec_col)
+    empty = q.select(
+        F.col("_kid").alias(id_col),
+        F.lit(None).cast("long").alias("cell"),
+    ).where(F.lit(False))
+    if not cents:
+        return empty, [], []
+    books = ivfpq_residual_books(q, cents, m, ksub, iters, sample_cap,
+                                 MAX_QUANT)
+    if not books:
+        return empty, cents, []
+    return _ivfpq_encode_q(q, cents, books, MAX_QUANT, id_col), cents, books
+
+
+def ivfpq_query_luts(query_qv: list[int], cents: list[list[int]],
+                     books: list[list[list[int]]], probe: list[int],
+                     shift: int = MAX_QUANT) -> dict[int, list[list[int]]]:
+    """Per-PROBED-CELL ADC lookup tables — the defining IVFPQ detail:
+    the query's residual is taken against EACH probed cell's centroid,
+    giving one M x ksub LUT set per cell. Pure Python ints, exactly the
+    oracle's folds."""
+    sub = len(books[0][0])
+    luts: dict[int, list[list[int]]] = {}
+    for c in probe:
+        qr = [int(a) - b + shift for a, b in zip(query_qv, cents[c])]
+        cell_luts = []
+        for mi, book in enumerate(books):
+            qs = qr[mi * sub:(mi + 1) * sub]
+            cell_luts.append([
+                sum((a - b) * (a - b) for a, b in zip(qs, cw)) for cw in book])
+        luts[c] = cell_luts
+    return luts
+
+
+def ivfpq_adc_scan(
+    codes: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    query_qv: list[int],
+    nprobe: int = 4,
+    k: int = 10,
+    shift: int = MAX_QUANT,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query-time half over (possibly persisted) residual PQ codes: the
+    ``nprobe`` nearest cells by exact integer distance prune via a
+    ``cell IN (...)`` filter — on a parquet artifact it lands in
+    PushedFilters, so a cell-partitioned layout reads ~nprobe/n_cells
+    of the codes at 100 TB — then the per-cell ADC (a CASE over the
+    probed cells, M LUT lookups each) ranks into
+    TakeOrderedAndProject. Zero shuffles, no float vector IO, no
+    training anywhere in the plan. (id, adc) ordered by (adc, id)."""
+    m = len(books)
+    probe = ivf_probe_cells(query_qv, cents, nprobe)
+    luts = ivfpq_query_luts(query_qv, cents, books, probe, shift)
+
+    def adc_for(c: int) -> Column:
+        t = F.element_at(F.lit([int(x) for x in luts[c][0]]).cast("array<long>"),
+                         (F.col("_code0").cast("int") + 1))
+        for mi in range(1, m):
+            t = t + F.element_at(
+                F.lit([int(x) for x in luts[c][mi]]).cast("array<long>"),
+                (F.col(f"_code{mi}").cast("int") + 1))
+        return t
+
+    adc = None
+    for c in probe:
+        adc = (F.when(F.col("cell") == int(c), adc_for(c)) if adc is None
+               else adc.when(F.col("cell") == int(c), adc_for(c)))
+    return (
+        codes.filter(F.col("cell").isin([int(c) for c in probe]))
+        .select(F.col(id_col), adc.alias("adc"))
+        .orderBy("adc", id_col)
+        .limit(k)
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_qv: list[int] | None,
@@ -499,14 +752,20 @@ def ivfpq_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """FAISS-shape IVFPQ, end-to-end oracle-replayable: coarse cells
-    from the fixed-point Lloyd loop, per-vector SHIFTED residuals
-    (``residual_struct``), per-subspace PQ codebooks trained on a
-    deterministic strided residual sample, and query-time ADC where the
-    query's residual is taken against EACH PROBED CELL's centroid (the
-    defining IVFPQ detail — one LUT set per probed cell). Every
-    quantity end to end is an exact integer: training, codes, LUTs and
-    the ranked adc, so the DuckDB oracle replays the whole index and
-    the top-k hashes exactly.
+    from the fixed-point Lloyd loop, per-subspace PQ codebooks trained
+    on a deterministic strided sample of SHIFTED residuals
+    (``ivfpq_residual_books``), the corpus encoded by the fused
+    ``ivfpq_codes_struct`` kernel, and query-time ADC where the query's
+    residual is taken against EACH PROBED CELL's centroid (one LUT set
+    per probed cell). Every quantity end to end is an exact integer:
+    training, codes, LUTs and the ranked adc, so the DuckDB oracle
+    replays the whole index and the top-k hashes exactly.
+
+    This INLINE composition (train + encode + scan in one query) exists
+    as the oracle-anchored contrast row; the production shape persists
+    the artifacts once (``ivfpq_encode`` + the centroid/codebook
+    tables) and runs only ``ivfpq_adc_scan`` per query — the
+    e_ivfpq_codes_topk entry, sharing this function's oracle.
 
     Returns (id, adc) ordered by (adc, id). None query / empty corpus
     -> empty frame (the vector-family contract).
@@ -519,54 +778,12 @@ def ivfpq_topk(
     if not cents or query_qv is None:
         return empty
     shift = MAX_QUANT
-    res = q.select("_kid", residual_struct("qv", cents, shift).alias("_r")) \
-           .select("_kid", F.col("_r.cell").alias("cell"),
-                   F.col("_r.rv").alias("rv"))
-    n = q.count()
-    stride = (n + sample_cap - 1) // sample_cap if n else 1
-    rows = (res.filter((F.col("_kid") % stride) == 0)
-            .orderBy("_kid").limit(sample_cap).select("rv").collect())
-    pts = [[int(x) for x in r["rv"]] for r in rows]
-    if not pts:
+    books = ivfpq_residual_books(q, cents, m, ksub, iters, sample_cap, shift)
+    if not books:
         return empty
-    sub = dim // m
-    books = [fixedpoint_kmeans_py([p[mi * sub:(mi + 1) * sub] for p in pts],
-                                  ksub, iters)
-             for mi in range(m)]
-    probe = ivf_probe_cells(query_qv, cents, nprobe)
-    # per-probed-cell query residuals and LUTs — pure Python ints,
-    # exactly the oracle's folds
-    luts: dict[int, list[list[int]]] = {}
-    for c in probe:
-        qr = [int(a) - b + shift for a, b in zip(query_qv, cents[c])]
-        cell_luts = []
-        for mi, book in enumerate(books):
-            qs = qr[mi * sub:(mi + 1) * sub]
-            cell_luts.append([
-                sum((a - b) * (a - b) for a, b in zip(qs, cw)) for cw in book])
-        luts[c] = cell_luts
-    codes = (res.filter(F.col("cell").isin([int(c) for c in probe]))
-             .select("_kid", "cell",
-                     pq_int_codes_vectorized("rv", books).alias("_codes")))
-
-    def adc_for(c: int) -> Column:
-        t = F.element_at(F.lit([int(x) for x in luts[c][0]]).cast("array<long>"),
-                         (F.element_at("_codes", 1) + 1).cast("int"))
-        for mi in range(1, m):
-            t = t + F.element_at(
-                F.lit([int(x) for x in luts[c][mi]]).cast("array<long>"),
-                (F.element_at("_codes", mi + 1) + 1).cast("int"))
-        return t
-
-    adc = None
-    for c in probe:
-        adc = (F.when(F.col("cell") == int(c), adc_for(c)) if adc is None
-               else adc.when(F.col("cell") == int(c), adc_for(c)))
-    return (
-        codes.select(F.col("_kid").alias(id_col), adc.alias("adc"))
-        .orderBy("adc", id_col)
-        .limit(k)
-    )
+    codes = _ivfpq_encode_q(q, cents, books, shift, id_col)
+    return ivfpq_adc_scan(codes, cents, books, query_qv, nprobe, k, shift,
+                          id_col)
 
 
 # == trained product quantization on the same fixed-point contract ========
@@ -685,6 +902,9 @@ def pq_int_codes_vectorized(qv_col: str, books: list[list[list[int]]]) -> Column
     the Arrow-batched twin of ``pq_int_code_exprs`` (same associative-
     integer argument as ``assign_struct``; equality gated in
     tests/test_clustering.py)."""
+    # worst kernel term on the shifted-residual domain is 2*s.b <=
+    # 2*sub*(2*MAX_QUANT)^2 — the 2x is folded in by checking 2*sub
+    _check_quant_dim(2 * len(books[0][0]))
     mats = [np.asarray([[int(x) for x in cw] for cw in book], dtype=np.int64)
             for book in books]
     sub = len(books[0][0])

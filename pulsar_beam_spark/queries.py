@@ -9382,6 +9382,84 @@ def q_ivfpq(spark, sf):
         dim=_KMEANS_DIM, scale=_KMEANS_SCALE, offset=_KMEANS_OFFSET)
 
 
+def ivfpq_artifacts_dir(spark: SparkSession, sf: str) -> str:
+    """Persisted composite-index artifacts (operators/clustering.
+    ivfpq_build_artifacts): codes/ — (vec_id, cell, _code0.._code7
+    tinyint), the per-cell residual PQ codes next to the corpus —
+    plus centroids/ (cell, v) and books/ (mi, code, v), the tiny
+    trained tables the query path collects. Built once per corpus,
+    cached by source identity; the tag encodes every training
+    hyperparameter so a recipe change misses the cache (the oracle
+    retrains live and would go red against a stale artifact)."""
+    import os
+
+    def build(tmp: str) -> None:
+        from .operators.clustering import ivfpq_build_artifacts
+
+        codes, cents, books = ivfpq_build_artifacts(
+            T(spark, sf, "embeddings"), n_cells=_IVFT_CELLS, m=_PQT_M,
+            ksub=_PQT_KSUB, iters=_IVFT_ITERS, sample_cap=_PQT_CAP,
+            dim=_KMEANS_DIM, scale=_KMEANS_SCALE, offset=_KMEANS_OFFSET)
+        codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
+        spark.createDataFrame(
+            [(j, [int(x) for x in c]) for j, c in enumerate(cents)],
+            "cell long, v array<long>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "centroids"))
+        spark.createDataFrame(
+            [(mi, ci, [int(x) for x in cw])
+             for mi, book in enumerate(books) for ci, cw in enumerate(book)],
+            "mi long, code long, v array<long>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "books"))
+
+    tag = (f"ivfpq-v1-c{_IVFT_CELLS}-p{_IVFT_NPROBE}-m{_PQT_M}-k{_PQT_KSUB}"
+           f"-i{_IVFT_ITERS}-cap{_PQT_CAP}-d{_KMEANS_DIM}-s{_KMEANS_SCALE}"
+           f"-o{_KMEANS_OFFSET}")
+    return _ingest_artifact_dir(sf, "embeddings", tag, build)
+
+
+@register(
+    "e_ivfpq_codes_topk",
+    _ivfpq_oracle(),
+    doc="VERDICT r11 item 1 — the composite IVFPQ over INGEST-PERSISTED "
+        "artifacts, completing the persisted-artifact symmetry (PQ and "
+        "IVF each already have a codes/cells twin): per-cell residual "
+        "PQ codes, coarse centroids and residual codebooks are trained "
+        "+ encoded once per corpus (ivfpq_artifacts_dir); the "
+        "query-time plan collects the two tiny trained tables, probes "
+        "the 4 nearest cells driver-side, IN-filters the codes parquet "
+        "scan on cell (PushedFilters — plan-pinned) and ranks by the "
+        "per-probed-cell ADC CASE into TakeOrderedAndProject. NO "
+        "training job and NO float-vector IO in the query path; the "
+        "embedding column is gone by construction. Same oracle as "
+        "e_ivfpq_topk (the artifacts are a deterministic function of "
+        "the corpus), proving index-path parity.",
+)
+def q_ivfpq_codes(spark, sf):
+    from .operators.clustering import ivfpq_adc_scan, quantized_frame
+
+    emb = T(spark, sf, "embeddings")
+    d = ivfpq_artifacts_dir(spark, sf)
+    codes = spark.read.parquet(f"{d}/codes")
+    cents = [[int(x) for x in r["v"]] for r in
+             spark.read.parquet(f"{d}/centroids").orderBy("cell").collect()]
+    brows = spark.read.parquet(f"{d}/books").orderBy("mi", "code").collect()
+    books: list[list[list[int]]] = []
+    for r in brows:
+        while len(books) <= r["mi"]:
+            books.append([])
+        books[r["mi"]].append([int(x) for x in r["v"]])
+    qrow = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+            .filter(F.col("_kid") == 0).select("qv").head())
+    if not cents or not books or qrow is None:
+        return codes.select(
+            F.col("vec_id"), F.lit(None).cast("long").alias("adc")
+        ).where(F.lit(False))
+    return ivfpq_adc_scan(codes, cents, books, [int(x) for x in qrow["qv"]],
+                          nprobe=_IVFT_NPROBE, k=10)
+
+
 # == exports consumed by __spark_entry__.py ==============================
 
 # The driver's CORRECTNESS gate hashes the FIRST 50 entries of queries() in

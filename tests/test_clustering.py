@@ -149,9 +149,18 @@ def test_trained_codebooks_beat_random_recall(spark):
     allowed — on isotropic fixtures PQ recall saturates low)."""
     row = REGISTRY["e_pq_trained_recall"].spark(spark, SF_SMOKE).head()
     assert row["hits_trained"] >= row["hits_random"]
-    assert row["hits_trained"] > row["hits_random"], (
-        "trained recall no longer strictly beats random on the smoke "
-        "fixture — if the fixture changed, re-measure before relaxing")
+    if row["hits_trained"] == row["hits_random"]:
+        # ADVICE r11: >= is the CONTRACT; the strict improvement (3 vs 1
+        # measured on this fixture) is an observation that any fixture
+        # regeneration or codebook-neutral change could legitimately
+        # flatten — surface it loudly, don't fail spuriously
+        import warnings
+
+        warnings.warn(
+            "trained recall no longer strictly beats random on the smoke "
+            "fixture (measured 3 vs 1 at pin time) — if the fixture "
+            "changed, re-measure; the >= contract still holds",
+            stacklevel=1)
 
 
 def test_trained_adc_topk_is_integer_exact(spark):
@@ -270,3 +279,76 @@ def test_ivfpq_candidates_only_from_probed_cells_and_deterministic(spark):
         "_kid", assign_struct("qv", cents).alias("a")).collect()}
     for r in got:
         assert cells[r["vec_id"]] in probe
+
+
+# == round-12: persisted composite-index artifacts ======================
+
+def test_quant_dim_guard_derived_from_dim():
+    """ADVICE r11: the int64 no-overflow bound must follow dim, not
+    assume dim=64 — dim ~ 200 would silently wrap the numpy kernel."""
+    from pulsar_beam_spark.operators.clustering import (
+        MAX_QUANT, _check_quant_dim)
+
+    _check_quant_dim(64)
+    _check_quant_dim((2 ** 63 - 1) // (2 * MAX_QUANT) ** 2)  # exact max
+    with pytest.raises(ValueError, match="overflows the int64 domain"):
+        _check_quant_dim(200)
+    with pytest.raises(ValueError):
+        quantizable("embedding", 200)
+
+
+def test_fused_ivfpq_encode_matches_two_stage(spark):
+    """ivfpq_codes_struct (one Arrow crossing) must be bit-identical to
+    the residual_struct -> pq_int_codes_vectorized chain it fuses."""
+    from pulsar_beam_spark.operators.clustering import (
+        MAX_QUANT, _ivfpq_encode_q, ivfpq_residual_books, residual_struct)
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q, cents = kmeans_fit(emb, k=16)
+    books = ivfpq_residual_books(q, cents)
+    fused = {
+        r["vec_id"]: (r["cell"],) + tuple(
+            int(r[f"_code{mi}"]) for mi in range(len(books)))
+        for r in _ivfpq_encode_q(q, cents, books, MAX_QUANT, "vec_id").collect()
+    }
+    res = (q.select("_kid", residual_struct("qv", cents, MAX_QUANT).alias("_r"))
+           .select("_kid", F.col("_r.cell").alias("cell"),
+                   F.col("_r.rv").alias("rv")))
+    staged = {
+        r["_kid"]: (r["cell"],) + tuple(int(x) for x in r["_codes"])
+        for r in res.select(
+            "_kid", "cell",
+            pq_int_codes_vectorized("rv", books).alias("_codes")).collect()
+    }
+    assert fused == staged and len(fused) > 0
+
+
+def test_residual_books_match_pre_refactor_sample_semantics(spark):
+    """The driver-side sample trainer (codegen sample collect + Python
+    residuals) must reproduce what sampling the distributed residual
+    frame produced: same strided ids, same residuals, same codebooks."""
+    from pulsar_beam_spark.operators.clustering import (
+        MAX_QUANT, ivfpq_residual_books, residual_struct)
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q, cents = kmeans_fit(emb, k=16)
+    books = ivfpq_residual_books(q, cents, sample_cap=256)
+    n = q.count()
+    stride = (n + 255) // 256 if n else 1
+    res = (q.select("_kid", residual_struct("qv", cents, MAX_QUANT).alias("_r"))
+           .filter((F.col("_kid") % stride) == 0)
+           .orderBy("_kid").limit(256).select("_r.rv").collect())
+    pts = [[int(x) for x in r["rv"]] for r in res]
+    sub = len(pts[0]) // 8
+    expect = [fixedpoint_kmeans_py([p[mi * sub:(mi + 1) * sub] for p in pts],
+                                   16, 2) for mi in range(8)]
+    assert books == expect
+
+
+def test_ivfpq_codes_entry_matches_inline(spark):
+    """Index-path parity at the result level (the oracle proves it by
+    hash; this is the fast in-suite pin): the persisted-artifact entry
+    and the inline train+encode+scan entry return identical rows."""
+    a = [tuple(r) for r in REGISTRY["e_ivfpq_topk"].spark(spark, SF_SMOKE).collect()]
+    b = [tuple(r) for r in REGISTRY["e_ivfpq_codes_topk"].spark(spark, SF_SMOKE).collect()]
+    assert a == b and len(a) > 0

@@ -479,3 +479,24 @@ def test_registry_wide_global_windows_bounded(spark):
         if n != _GLOBAL_WINDOW_ALLOWED.get(name, 0):
             offenders[name] = (n, _GLOBAL_WINDOW_ALLOWED.get(name, 0))
     assert not offenders, f"unexpected global windows: {offenders}"
+
+
+def test_ivfpq_codes_topk_plan(spark):
+    """VERDICT r11 item 1: the persisted-artifact IVFPQ query plan must
+    read ONLY the codes table (cell + M tinyint columns — the float
+    embedding array isn't even in it), with the probed-cell IN filter
+    landing in the codes scan's PushedFilters so a cell-partitioned
+    layout prunes to ~nprobe/n_cells of the postings at 100 TB, ranking
+    via TakeOrderedAndProject with zero exchanges."""
+    df = REGISTRY["e_ivfpq_codes_topk"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema:")[1:]]
+    assert schemas, "expected a parquet scan of the codes artifact"
+    assert all("embedding" not in s for s in schemas), schemas
+    assert any("_code0" in s for s in schemas), schemas
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("cell" in p and "In(" in p for p in pushed), (
+        "probed-cell IN filter must reach the codes parquet scan: "
+        + "\n".join(pushed))
+    assert "TakeOrderedAndProject" in plan
+    assert n_exchanges(df) == 0, plan[:2000]
