@@ -113,6 +113,47 @@ def vector_index_sink(
     )
 
 
+def ivfpq_index_sink(
+    stream_df: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    artifact_dir: str,
+    checkpoint: str,
+    query_name: str = "ivfpq-index-maintenance",
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+    offset: float = DEFAULT_OFFSET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """VERDICT r11 item 2 — streaming maintenance of the COMPOSITE
+    index's per-cell residual PQ codes (the artifact
+    queries.ivfpq_artifacts_dir persists batch-side and
+    e_ivfpq_codes_topk queries). Under FIXED trained artifacts the
+    residual encode is row-local exactly like the flat families — a
+    vector's cell, residual and codes depend on nothing but that
+    vector — so the same per-epoch-partition overwrite discipline
+    gives replay idempotency: ``ivfpq_codes/epoch=N`` rewritten
+    bit-identically on a re-delivered committed epoch. Retraining
+    (new cents/books) is a batch event that versions the artifact dir,
+    never a streaming side effect."""
+    from ..operators.clustering import ivfpq_encode
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        enc = ivfpq_encode(batch_df, cents, books, dim=dim, scale=scale,
+                           offset=offset, id_col=id_col, vec_col=vec_col)
+        enc.write.mode("overwrite").parquet(
+            os.path.join(artifact_dir, "ivfpq_codes", f"epoch={int(epoch_id)}"))
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_artifact(spark, artifact_dir: str, which: str) -> DataFrame:
     """Scan the streamed artifact root (epoch layer is layout only)."""
     return spark.read.option("recursiveFileLookup", "true").parquet(
