@@ -8719,6 +8719,42 @@ LIMIT {k}
 """
 
 
+def _rrf_fuse(sparse: DataFrame, dense: DataFrame, k: int = 10,
+              c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of a (doc_id, bm25) sparse top-N and a
+    (vec_id, cosine) dense top-N: two rank windows over LIMIT-bounded
+    inputs (allowlisted), a full-outer join of two N-row frames, rank
+    reciprocals summed in fixed system order so the float is
+    order-deterministic and hash-exact. Shared by the inline and
+    artifact-backed hybrid entries — the fusion is identical; only
+    where the legs COME FROM differs."""
+    s = sparse.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        ).cast("int").alias("sr"))
+    dn = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        ).cast("int").alias("dr"))
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.col("sr") + c), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.col("dr") + c), F.lit(0.0)), 6)
+    return (
+        s.join(dn, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("sr", F.lit(0)).cast("int").alias("sparse_rank"),
+            F.coalesce("dr", F.lit(0)).cast("int").alias("dense_rank"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+
 @register(
     "t_hybrid_rrf",
     _hybrid_rrf_oracle(),
@@ -8742,30 +8778,7 @@ def q_hybrid_rrf(spark, sf):
     dense = brute_force_topk(emb, qv if qv is not None else [0.0], k=20)
     if qv is None:  # guarded like _ann_entry: dense side collapses empty
         dense = dense.where(F.lit(False))
-    s = sparse.select(
-        "doc_id",
-        F.row_number().over(
-            Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-        ).cast("int").alias("sr"))
-    dn = dense.select(
-        F.col("vec_id").alias("doc_id"),
-        F.row_number().over(
-            Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        ).cast("int").alias("dr"))
-    rrf = F.round(
-        F.coalesce(F.lit(1.0) / (F.col("sr") + 60), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.col("dr") + 60), F.lit(0.0)), 6)
-    return (
-        s.join(dn, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            F.coalesce("sr", F.lit(0)).cast("int").alias("sparse_rank"),
-            F.coalesce("dr", F.lit(0)).cast("int").alias("dense_rank"),
-            rrf.alias("rrf"),
-        )
-        .orderBy(F.col("rrf").desc(), "doc_id")
-        .limit(10)
-    )
+    return _rrf_fuse(sparse, dense, k=10, c=60)
 
 
 # == round-11 additions: BPE token accounting ============================
@@ -9266,6 +9279,80 @@ def q_ivf_cells(spark, sf):
         return ivf_cells_scan_topk(cells, emb, [1.0], [], k=10).where(F.lit(False))
     probe = ivf_probe_cells([int(x) for x in qrow["qv"]], cents, _IVFT_NPROBE)
     return ivf_cells_scan_topk(cells, emb, qv, probe, k=10)
+
+
+def _hybrid_rrf_indexed_oracle(k: int = 10, topn: int = 20, c: int = 60) -> str:
+    """Sparse leg recomputed from raw text, dense leg replaying the full
+    trained-IVF index (quantize -> Lloyd chain -> probe -> candidate
+    cosine) — the oracle PROVES both artifact paths by recomputation,
+    exactly like each leg's own entry does."""
+    return f"""
+WITH sparse AS ({_bm25_oracle(k=topn)}),
+s AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS sr
+      FROM sparse),
+dense AS ({_ivf_trained_oracle(k=topn)}),
+dn AS (SELECT vec_id AS doc_id,
+              CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS dr
+       FROM dense),
+f AS (SELECT coalesce(s.doc_id, dn.doc_id) AS doc_id, sr, dr
+      FROM s FULL OUTER JOIN dn ON s.doc_id = dn.doc_id)
+SELECT doc_id,
+       CAST(coalesce(sr, 0) AS INT) AS sparse_rank,
+       CAST(coalesce(dr, 0) AS INT) AS dense_rank,
+       round(coalesce(1.0/({c} + sr), 0) + coalesce(1.0/({c} + dr), 0), 6) AS rrf
+FROM f
+ORDER BY round(coalesce(1.0/({c} + sr), 0) + coalesce(1.0/({c} + dr), 0), 6) DESC, doc_id
+LIMIT {k}
+"""
+
+
+@register(
+    "t_hybrid_rrf_indexed",
+    _hybrid_rrf_indexed_oracle(),
+    doc="VERDICT r11 item 3 — the full RAG read path over "
+        "INGEST-PERSISTED artifacts end to end: the sparse leg scores "
+        "BM25 from the persisted postings/dictionary/stats (documents. "
+        "text never scanned — plan-pinned), the dense leg probes the "
+        "persisted IVF cells + centroids (no training, no re-assignment "
+        "— only the probed candidates' embeddings are read for the "
+        "exact cosine), and reciprocal-rank fusion (c=60) joins the two "
+        "LIMIT-20 legs. The oracle recomputes BOTH legs from raw data "
+        "(text tokenization + the full trained-IVF replay), so a hash "
+        "match proves the composed artifact read path bit-equal to "
+        "recomputation — index-path parity for the whole pipeline, not "
+        "just each index alone.",
+)
+def q_hybrid_rrf_indexed(spark, sf):
+    import os
+
+    from .operators.clustering import (
+        ivf_cells_scan_topk, ivf_probe_cells, quantized_frame)
+    from .operators.text import bm25_topk_indexed
+
+    emb = T(spark, sf, "embeddings")
+    bd = bm25_index_dir(spark, sf)
+    sparse = bm25_topk_indexed(
+        spark.read.parquet(os.path.join(bd, "postings")),
+        spark.read.parquet(os.path.join(bd, "dictionary")),
+        spark.read.parquet(os.path.join(bd, "stats")),
+        _BM25_TERMS, k=20,
+    )
+    vd = ivf_cells_dir(spark, sf)
+    cells = spark.read.parquet(f"{vd}/cells")
+    cents = [[int(x) for x in r["v"]] for r in
+             spark.read.parquet(f"{vd}/centroids").orderBy("cell").collect()]
+    qv = _query_vec(emb, 0)
+    qrow = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+            .filter(F.col("_kid") == 0).select("qv").head())
+    if not cents or qv is None or qrow is None:
+        dense = ivf_cells_scan_topk(cells, emb, [1.0], [], k=20).where(
+            F.lit(False))
+    else:
+        probe = ivf_probe_cells([int(x) for x in qrow["qv"]], cents,
+                                _IVFT_NPROBE)
+        dense = ivf_cells_scan_topk(cells, emb, qv, probe, k=20)
+    return _rrf_fuse(sparse, dense, k=10, c=60)
 
 
 # -- IVFPQ: residual product quantization under probed cells --------------

@@ -412,6 +412,7 @@ _BNLJ_ALLOWED = {
     "t_bm25_indexed": 1,              # persisted one-row stats table
     "t_hybrid_rrf": 1,                # bm25 corpus-stats scalar (sparse leg)
     "t_bm25_index_merge": 1,          # merged one-row stats table
+    "t_hybrid_rrf_indexed": 1,        # persisted one-row stats table (sparse leg)
 }
 
 
@@ -448,6 +449,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "r_largest_remainder": 1,     # over per-nation seat shares (25 rows)
     "r_percent_of_total": 1,      # sum() OVER () over per-mktsegment totals (5 rows)
     "t_hybrid_rrf": 2,            # two rank windows over LIMIT-20 retrieval results
+    "t_hybrid_rrf_indexed": 2,    # same two rank windows, artifact-backed legs
 }
 
 
@@ -500,3 +502,22 @@ def test_ivfpq_codes_topk_plan(spark):
         + "\n".join(pushed))
     assert "TakeOrderedAndProject" in plan
     assert n_exchanges(df) == 0, plan[:2000]
+
+
+def test_hybrid_rrf_indexed_never_scans_corpus_text(spark):
+    """VERDICT r11 item 3: the artifact-backed hybrid entry's plan must
+    never read documents.text (sparse leg from persisted postings) and
+    never re-assign cells (dense leg from the persisted cell table —
+    only the probed candidates' embeddings are read for the exact
+    cosine). Both index filters must be pushed: query terms into the
+    postings scan, probed cells into the cells scan."""
+    df = REGISTRY["t_hybrid_rrf_indexed"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "text" not in "".join(
+        seg.split("\n")[0] for seg in plan.split("ReadSchema:")[1:]
+    ), "no scan may read the text column"
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("term" in p and "In(" in p for p in pushed), (
+        "query-term IN filter must reach the postings scan:\n" + "\n".join(pushed))
+    assert any("cell" in p and "In(" in p for p in pushed), (
+        "probed-cell IN filter must reach the cells scan:\n" + "\n".join(pushed))
