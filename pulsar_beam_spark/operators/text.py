@@ -6,6 +6,7 @@ every one mirrorable in ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -344,6 +345,139 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 
+# Practical bound for the NESTED-replace plan form below (VERDICT r11
+# item 4, measured on this container, Spark 4.1 local mode): the chain
+# builds one expression node per rank, and the driver-side
+# ColumnNodeToExpression conversion recurses per node — at 256 ranks
+# build+exec cost ~1.3 s + ~4.4 s over 500 docs; at 512 ranks the
+# conversion dies with java.lang.StackOverflowError before any plan
+# exists. The bound is therefore a HARD engine limit, not a tuning
+# choice; past it use bpe_token_count_hof (O(1) plan nodes — the merge
+# table is DATA in one literal, any rank count) or the Arrow-batched
+# bpe_token_count_arrow (the execution default for real tokenizers).
+BPE_NESTED_MAX_RANKS = 256
+
+
+def gen_bpe_merges(n: int) -> tuple[tuple[str, str], ...]:
+    """Deterministic synthetic merge table of ``n`` ranks over the
+    [a-z0-9]+ alphabet, for exercising realistic-tokenizer-scale rank
+    counts (real tables are 10k-50k merges): first the 676 two-letter
+    pairs in a fixed permuted order (stride 375, coprime to 676), then
+    multi-level merges referencing earlier tokens — the structure (not
+    the linguistics) of a trained BPE vocabulary. Duplicate-free by
+    construction."""
+    import string
+
+    chars = string.ascii_lowercase
+    out: list[tuple[str, str]] = []
+    for k in range(676):
+        if len(out) >= n:
+            break
+        idx = (k * 375 + 91) % 676
+        out.append((chars[idx // 26], chars[idx % 26]))
+    i = 0
+    while len(out) < n:
+        a, b = out[i]
+        out.append((a + b, chars[(i * 17 + 7) % 26]))
+        i += 1
+    return tuple(out)
+
+
+def _check_merge_alphabet(merges) -> None:
+    import re
+
+    for a, b in merges:
+        # the bracket delimiting is only sound over the extracted
+        # [a-z0-9]+ alphabet: a merge token carrying '[' or ']' (or any
+        # char the word regex can't emit) would collide with the
+        # delimiters and silently mis-merge — reject at plan-build time
+        if not re.fullmatch(r"[a-z0-9]+", a) or not re.fullmatch(r"[a-z0-9]+", b):
+            raise ValueError(
+                f"bpe merge {(a, b)!r} outside the [a-z0-9]+ token "
+                "alphabet — the bracket-delimited replace scheme cannot "
+                "represent it")
+
+
+def _bpe_words(text_col, max_words: int | None = None):
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.regexp_extract_all(
+        F.lower(F.coalesce(c, F.lit(""))), F.lit("[a-z0-9]+"), F.lit(0))
+    return F.slice(words, 1, max_words) if max_words else words
+
+
+def bpe_token_count_hof(text_col, merges, max_words: int | None = None):
+    """Rank-sweep BPE count with the merge table as DATA: one literal
+    ``array<array<string>>`` folded over each word with ``aggregate``
+    (replace per rank) — the plan holds O(1) expression nodes no matter
+    the rank count, so the StackOverflowError wall the nested form hits
+    at ~512 ranks (BPE_NESTED_MAX_RANKS) never appears. Exactly mirrors
+    the DuckDB oracle's ``list_reduce(list_prepend(...))`` accumulator
+    trick, so counts stay hash-verifiable at ANY table size. Execution
+    is Spark's interpreted HOF path (~linear in ranks x words); for the
+    throughput path see bpe_token_count_arrow, bit-equality gated."""
+    _check_merge_alphabet(merges)
+    ml = F.lit([[a, b] for a, b in merges]).cast("array<array<string>>")
+
+    def word_tokens(w):
+        s0 = F.regexp_replace(w, "(.)", "[$1]")
+        s = F.aggregate(ml, s0, lambda acc, m: F.replace(
+            acc,
+            F.concat(F.lit("["), F.element_at(m, 1), F.lit("]["),
+                     F.element_at(m, 2), F.lit("]")),
+            F.concat(F.lit("["), F.element_at(m, 1), F.element_at(m, 2),
+                     F.lit("]"))))
+        return F.length(s) - F.length(F.replace(s, F.lit("["), F.lit("")))
+
+    return F.aggregate(
+        F.transform(_bpe_words(text_col, max_words), word_tokens),
+        F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"),
+    )
+
+
+def bpe_token_count_arrow(text_col, merges, max_words: int | None = None):
+    """Arrow-batched execution default for realistic merge tables: the
+    same rank-sweep semantics (rank-ordered, left-to-right
+    non-overlapping — Python str.replace == Spark replace == DuckDB
+    replace on the bracket-disjoint encoding) run as C-level replaces
+    with a per-batch DISTINCT-WORD cache, so each unique word pays the
+    sweep once per batch regardless of its frequency — the shape a
+    100 TB token-accounting pass actually runs. Bit-equality against
+    bpe_token_count_hof (and through it the SQL oracle) is gated in
+    tests/test_operators.py."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    _check_merge_alphabet(merges)
+    pairs = [(f"[{a}][{b}]", f"[{a}{b}]") for a, b in merges]
+    word_re = re.compile(r"[a-z0-9]+")
+    mw = max_words
+
+    @pandas_udf("long")
+    def _count(s: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def word_count(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                t = "".join("[" + ch + "]" for ch in w)
+                for pat, rep in pairs:
+                    t = t.replace(pat, rep)
+                v = t.count("[")
+                cache[w] = v
+            return v
+
+        out = []
+        for txt in s:
+            words = word_re.findall((txt or "").lower())
+            if mw:
+                words = words[:mw]
+            out.append(sum(word_count(w) for w in words))
+        return pd.Series(out, dtype="int64")
+
+    return _count(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
 def bpe_token_count(text_col, merges: tuple = BPE_MERGES):
     """Per-row subword token count under deterministic greedy BPE
     (VERDICT r10 item 4 — the packing/budget operators counted
@@ -367,18 +501,15 @@ def bpe_token_count(text_col, merges: tuple = BPE_MERGES):
     shuffles, no Python — and every step has an exact DuckDB mirror
     (queries._bpe_count_sql), so the count is hash-verifiable.
     """
-    import re
-
-    for a, b in merges:
-        # the bracket delimiting is only sound over the extracted
-        # [a-z0-9]+ alphabet: a merge token carrying '[' or ']' (or any
-        # char the word regex can't emit) would collide with the
-        # delimiters and silently mis-merge — reject at plan-build time
-        if not re.fullmatch(r"[a-z0-9]+", a) or not re.fullmatch(r"[a-z0-9]+", b):
-            raise ValueError(
-                f"bpe_token_count: merge {(a, b)!r} outside the [a-z0-9]+ "
-                "token alphabet — the bracket-delimited replace scheme "
-                "cannot represent it")
+    _check_merge_alphabet(merges)
+    if len(merges) > BPE_NESTED_MAX_RANKS:
+        raise ValueError(
+            f"bpe_token_count: {len(merges)} merge ranks exceed the nested-"
+            f"replace plan bound ({BPE_NESTED_MAX_RANKS}) — the per-rank "
+            "expression chain StackOverflows driver-side conversion at "
+            "~512 ranks (measured; see BPE_NESTED_MAX_RANKS). Use "
+            "bpe_token_count_hof (literal merge table, O(1) plan nodes) "
+            "or bpe_token_count_arrow (vectorized execution default)")
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.regexp_extract_all(
         F.lower(F.coalesce(c, F.lit(""))), F.lit("[a-z0-9]+"), F.lit(0))

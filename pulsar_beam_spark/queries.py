@@ -56,7 +56,12 @@ from .operators.similarity import brute_force_topk, hyperplane_lsh_topk, ivf_top
 from .operators.text import language_id, quality_scores, token_stats, top_terms
 from .operators.text import doc_fingerprints, pii_scrub, repetition_scores, tf_idf
 from .operators.text import unigram_logprob
-from .operators.text import BPE_MERGES, bpe_token_count, bpe_token_stats
+from .operators.text import (
+    BPE_MERGES,
+    bpe_token_count,
+    bpe_token_stats,
+    gen_bpe_merges,
+)
 from .functions.texthash import poly_fingerprint
 from .model.topic import gen_key_from_names, tenant_from_topic_col, topic_key_col
 from .sources.tables import load_table
@@ -8862,6 +8867,70 @@ def q_packing_bpe(spark, sf):
         packed.groupBy("shard", "pack_id")
         .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("pack_tokens"))
         .orderBy("shard", "pack_id")
+    )
+
+
+_BPE_1K = gen_bpe_merges(1024)
+
+
+def _bpe_1k_oracle() -> str:
+    """The merge table as DATA on the oracle side too: DuckDB 1.0 has no
+    3-arg list_reduce, so the string accumulator rides inside the
+    element type — elements are VARCHAR[2], the initial element wraps
+    the bracketized word, each step rewrites slot 1. One literal list
+    of 1024 pairs (linear parse), the reduce evaluated ONCE per word
+    via the inner list_transform (the naive double-reference form
+    re-evaluates the whole 1024-replace fold per use — measured 2x)."""
+    ml = "[" + ",".join(f"['{a}','{b}']" for a, b in _BPE_1K) + "]"
+    reduced = (
+        "list_reduce(list_prepend([regexp_replace(w, '(.)', '[\\1]', 'g'), ''], "
+        + ml
+        + "), (acc, mm) -> [replace(acc[1], '[' || mm[1] || '][' || mm[2] || "
+          "']', '[' || mm[1] || mm[2] || ']'), ''])[1]")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         {_BPE_WORDS_SQL} AS words
+  FROM documents WHERE doc_id % 10 = 0)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(coalesce(list_sum(list_transform(
+         list_transform(words, w -> {reduced}),
+         s -> length(s) - length(replace(s, '[', '')))), 0) AS BIGINT)
+         AS n_bpe_tokens
+FROM t
+"""
+
+
+@register(
+    "t_bpe_token_count_1k",
+    _bpe_1k_oracle(),
+    doc="VERDICT r11 item 4 — BPE accounting at REALISTIC merge-table "
+        "scale (1024 ranks; t_bpe_token_count's 24-rank literal chain "
+        "is one expression node per rank, which StackOverflows driver-"
+        "side conversion at ~512 ranks — measured, bound pinned as "
+        "BPE_NESTED_MAX_RANKS with a loud raise). Past the bound the "
+        "merge table becomes DATA: one literal array<array<string>> "
+        "folded per word (bpe_token_count_hof — O(1) plan nodes, any "
+        "rank count, exact oracle mirror via DuckDB's accumulator-in-"
+        "element list_reduce trick), executed here by the Arrow-batched "
+        "twin (bpe_token_count_arrow: C-level rank sweep + per-batch "
+        "distinct-word cache, bit-equality gated against the HOF form). "
+        "Entry runs on the doc_id%10 corpus slice purely to bound the "
+        "ORACLE's interpreter cost (~12 s/100 docs at 1024 ranks); the "
+        "Spark side is corpus-rate.",
+)
+def q_bpe_count_1k(spark, sf):
+    from .operators.text import bpe_token_count_arrow
+
+    docs = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+    n_words = F.size(F.regexp_extract_all(
+        F.lower(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit("[a-z0-9]+"), F.lit(0)))
+    return docs.select(
+        F.col("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        bpe_token_count_arrow("text", _BPE_1K).alias("n_bpe_tokens"),
     )
 
 

@@ -1338,3 +1338,60 @@ def test_bpe_token_count_rejects_out_of_alphabet_merges(spark):
     for bad in ((("[", "a"),), (("a", "b]"),), (("Th", "e"),), (("a b", "c"),)):
         with _pytest.raises(ValueError, match="token alphabet"):
             bpe_token_count("text", merges=bad)
+
+
+def test_bpe_nested_form_raises_past_measured_bound():
+    """VERDICT r11 item 4, the gated bound: the nested replace chain
+    StackOverflows the JVM's expression conversion at ~512 ranks
+    (measured: 256 ranks builds+runs; 512 dies in
+    ColumnNodeToExpressionConverter before a plan exists), so the
+    operator must refuse loudly at plan-build time and point to the
+    literal-table forms."""
+    from pulsar_beam_spark.operators.text import (
+        BPE_NESTED_MAX_RANKS, bpe_token_count, gen_bpe_merges)
+
+    assert BPE_NESTED_MAX_RANKS == 256
+    with pytest.raises(ValueError, match="nested-replace plan bound"):
+        bpe_token_count("text", merges=gen_bpe_merges(BPE_NESTED_MAX_RANKS + 1))
+
+
+def test_gen_bpe_merges_structure():
+    from pulsar_beam_spark.operators.text import gen_bpe_merges
+
+    m = gen_bpe_merges(1024)
+    assert len(m) == 1024 and len(set(m)) == 1024
+    assert m == gen_bpe_merges(1024)  # deterministic
+    # multi-level: late ranks must reference tokens earlier ranks create
+    assert any(len(a) > 1 for a, _ in m[676:])
+    import re
+
+    assert all(re.fullmatch(r"[a-z0-9]+", a + b) for a, b in m)
+
+
+def test_bpe_arrow_matches_hof_and_nested(spark):
+    """The three plan forms are one semantics: at 24 ranks the Arrow
+    kernel and the literal-table HOF fold must both bit-match the
+    nested chain the oracle already verifies; at 1024 ranks (past the
+    nested wall) Arrow must bit-match HOF — which is what ties the
+    execution default to the SQL oracle of t_bpe_token_count_1k."""
+    from pulsar_beam_spark.operators.text import (
+        BPE_MERGES, bpe_token_count, bpe_token_count_arrow,
+        bpe_token_count_hof, gen_bpe_merges)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter("doc_id % 10 = 0"))
+    small = {r["doc_id"]: (r["a"], r["b"], r["c"]) for r in docs.select(
+        "doc_id",
+        bpe_token_count("text", BPE_MERGES).alias("a"),
+        bpe_token_count_hof("text", BPE_MERGES).alias("b"),
+        bpe_token_count_arrow("text", BPE_MERGES).alias("c"),
+    ).collect()}
+    assert small and all(a == b == c for a, b, c in small.values())
+
+    big = gen_bpe_merges(1024)
+    wide = {r["doc_id"]: (r["h"], r["c"]) for r in docs.select(
+        "doc_id",
+        bpe_token_count_hof("text", big).alias("h"),
+        bpe_token_count_arrow("text", big).alias("c"),
+    ).collect()}
+    assert wide and all(h == c for h, c in wide.values())
