@@ -1,0 +1,122 @@
+"""VERDICT r11 item 5 — artifact lifecycle under compaction/retention.
+
+The ingest artifacts are deterministic functions of a corpus; on a
+LIVING topic the corpus changes under append (content grows — artifact
+silently diverges) and under compact() (listing changes, content does
+not — artifact still exact). model/artifacts.py classifies via the
+compaction manifest's provenance chain; these goldens pin each verdict
+transition AND the content claim behind it (a ``compacted`` artifact
+really does equal a fresh re-encode of the rewritten topic).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pulsar_beam_spark.model.artifacts import (
+    artifact_staleness,
+    ensure_artifact,
+    record_provenance,
+)
+from pulsar_beam_spark.server.store import TopicDirStore
+
+TOPIC = "persistent://tenant/ns/artifact-topic"
+
+
+def _encode(spark, topic_dir: str):
+    """The stand-in index build: a deterministic per-message artifact
+    row (message_id, payload length). The lifecycle contract does not
+    care WHICH index; content-sensitivity is all the golden needs."""
+    return (
+        spark.read.parquet(os.path.join(topic_dir, "*.parquet"))
+        .select("message_id", F.length("payload").cast("long").alias("n_bytes"))
+    )
+
+
+def _build(spark, topic_dir: str, artifact_dir: str) -> None:
+    _encode(spark, topic_dir).write.mode("overwrite").parquet(
+        os.path.join(artifact_dir, "rows"))
+
+
+def _artifact_rows(spark, artifact_dir: str):
+    return sorted(tuple(r) for r in spark.read.parquet(
+        os.path.join(artifact_dir, "rows")).collect())
+
+
+def _reencode_rows(spark, topic_dir: str):
+    return sorted(tuple(r) for r in _encode(spark, topic_dir).collect())
+
+
+def test_compact_then_query_lifecycle(spark, tmp_path):
+    store = TopicDirStore(str(tmp_path / "store"), flush_interval_s=None)
+    for i in range(6):
+        store.append(TOPIC, f"payload-{i}-{'x' * i}".encode())
+    d = store.topic_dir(TOPIC)
+    art = str(tmp_path / "art")
+
+    # build + stamp: fresh, and artifact == re-encode
+    _build(spark, d, art)
+    record_provenance(art, d)
+    assert artifact_staleness(d, art) == "fresh"
+    assert _artifact_rows(spark, art) == _reencode_rows(spark, d)
+
+    # compact everything: listing changed, content did not -> the
+    # artifact is still exact and NO rebuild is owed
+    r = store.compact(TOPIC, watermark_us=2**62, min_files=2)
+    assert r["merged"] == 6
+    assert artifact_staleness(d, art) == "compacted"
+    assert _artifact_rows(spark, art) == _reencode_rows(spark, d), (
+        "the compacted verdict's content claim must actually hold")
+
+    # append: the artifact now silently MISSES rows -> stale, and the
+    # content divergence is real
+    store.append(TOPIC, b"late-arrival")
+    assert artifact_staleness(d, art) == "stale"
+    assert _artifact_rows(spark, art) != _reencode_rows(spark, d)
+
+    # maintenance hook: rebuild + restamp; verdict reports the PRE state
+    verdict = ensure_artifact(
+        d, art, lambda a: _build(spark, d, a))
+    assert verdict == "stale"
+    assert artifact_staleness(d, art) == "fresh"
+    assert _artifact_rows(spark, art) == _reencode_rows(spark, d)
+
+    # recompaction CHAIN: the new output's sources include the previous
+    # output; transitive expansion through the manifest must resolve to
+    # recorded names -> still just "compacted"
+    store.append(TOPIC, b"tail-1")
+    store.append(TOPIC, b"tail-2")
+    ensure_artifact(d, art, lambda a: _build(spark, d, a))
+    r = store.compact(TOPIC, watermark_us=2**62, min_files=2)
+    assert r["merged"] >= 2
+    assert artifact_staleness(d, art) == "compacted"
+    assert _artifact_rows(spark, art) == _reencode_rows(spark, d)
+
+
+def test_stale_verdicts_for_unexplained_listings(spark, tmp_path):
+    store = TopicDirStore(str(tmp_path / "store"), flush_interval_s=None)
+    for i in range(3):
+        store.append(TOPIC, f"m{i}".encode())
+    d = store.topic_dir(TOPIC)
+    art = str(tmp_path / "art")
+    _build(spark, d, art)
+    record_provenance(art, d, recipe="v1")
+
+    # recipe change must miss, same as the fixture cache's tag contract
+    assert artifact_staleness(d, art, recipe="v1") == "fresh"
+    assert artifact_staleness(d, art, recipe="v2") == "stale"
+
+    # an unstamped artifact is stale by construction (crash between
+    # content write and stamp)
+    os.remove(os.path.join(art, "_artifact_provenance.json"))
+    assert artifact_staleness(d, art, recipe="v1") == "stale"
+    record_provenance(art, d, recipe="v1")
+
+    # retention/GC: a recorded file vanishing WITHOUT a manifest chain
+    # consuming it means recorded data is gone -> stale, never
+    # misclassified as compaction
+    victim = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))[0]
+    os.unlink(os.path.join(d, victim))
+    assert artifact_staleness(d, art, recipe="v1") == "stale"
