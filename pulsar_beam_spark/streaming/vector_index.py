@@ -137,13 +137,10 @@ def ivfpq_index_sink(
     bit-identically on a re-delivered committed epoch. Retraining
     (new cents/books) is a batch event that versions the artifact dir,
     never a streaming side effect."""
-    from ..operators.clustering import ivfpq_encode
-
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        enc = ivfpq_encode(batch_df, cents, books, dim=dim, scale=scale,
-                           offset=offset, id_col=id_col, vec_col=vec_col)
-        enc.write.mode("overwrite").parquet(
-            os.path.join(artifact_dir, "ivfpq_codes", f"epoch={int(epoch_id)}"))
+        ivfpq_write_epoch(batch_df, cents, books, artifact_dir, epoch_id,
+                          dim=dim, scale=scale, offset=offset,
+                          id_col=id_col, vec_col=vec_col)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)
@@ -152,6 +149,31 @@ def ivfpq_index_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ivfpq_write_epoch(
+    batch_df: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    artifact_dir: str,
+    epoch_id: int,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+    offset: float = DEFAULT_OFFSET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One epoch's append — the exact function the foreachBatch sink
+    runs, exported so the maintenance fuzz machine drives the REAL
+    write path (tests/test_index_maintenance_fuzz.py), not a copy.
+    mode=overwrite into the epoch's own partition directory IS the
+    replay idempotency."""
+    from ..operators.clustering import ivfpq_encode
+
+    enc = ivfpq_encode(batch_df, cents, books, dim=dim, scale=scale,
+                       offset=offset, id_col=id_col, vec_col=vec_col)
+    enc.write.mode("overwrite").parquet(
+        os.path.join(artifact_dir, "ivfpq_codes", f"epoch={int(epoch_id)}"))
 
 
 def read_artifact(spark, artifact_dir: str, which: str) -> DataFrame:
