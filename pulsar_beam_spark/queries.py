@@ -9944,13 +9944,41 @@ _ROUND10_VERIFIED = frozenset({
     "sql_shared_dialect_lateral",
 })
 
+# Round-11 driver-green rows (CORRECTNESS_r11.json, hash_match=true;
+# 50/50 green, zero reds — the clustering/persisted-artifact wave plus
+# staleness rotation). Four r11 greens are intentionally NOT listed and
+# re-enter the window for fresh hashes against round-12 changes:
+# e_ivfpq_topk (inline composite re-built on the shared
+# build/scan halves — the residual-sample collect is now codegen-side
+# with driver-side residuals, and encode is the fused single-crossing
+# kernel); t_hybrid_rrf (fusion extracted into the shared _rrf_fuse
+# helper); t_bpe_token_count and p_sequence_packing_bpe (bpe_token_count
+# gained the BPE_NESTED_MAX_RANKS guard and the shared alphabet check).
+_ROUND11_VERIFIED = frozenset({
+    "r31_cosine_topk", "e_pq_adc_topk", "e_pq_codes_topk",
+    "e_pq_recall_audit", "t_bm25_indexed", "t_bm25_index_merge",
+    "e_kmeans_lloyd", "e_kmeans_centroids", "e_pq_trained_recall",
+    "e_ivf_trained_topk", "e_ivf_cells_topk",
+    "r_variant_shred", "r_basket_lift", "r21_except_intersect_all",
+    "l_dataset_diff", "r_autocorr_daily", "flagship_revenue_by_nation",
+    "r01_scan_project", "r03_filter", "r04_inner_join",
+    "r05_broadcast_join", "r06_left_join", "r06_full_outer_join",
+    "r07_semi_join", "r07_anti_join", "r08_range_join", "r09_cross_join",
+    "r11_tpch_q1_agg", "r12_distinct", "r12_count_distinct",
+    "r13_approx_count_distinct", "r14_rollup", "r14_cube",
+    "r15_window_rank", "r16_lag_lead", "r17_window_frames",
+    "r18_sort_with_position", "r19_topk", "r20_union_all",
+    "r21_intersect", "r21_except", "r22_string_fns", "r23_date_fns",
+    "r24_math_fns", "r25_array_fns", "r25_higher_order_fns",
+})
+
 # name -> most recent round with a hash-green driver row; later sets win.
 _LAST_GREEN: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
      _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
      _ROUND7_VERIFIED, _ROUND8_VERIFIED, _ROUND9_VERIFIED,
-     _ROUND10_VERIFIED),
+     _ROUND10_VERIFIED, _ROUND11_VERIFIED),
     start=1,
 ):
     for _n in _names:
