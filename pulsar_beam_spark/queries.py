@@ -9538,6 +9538,62 @@ def q_ivfpq(spark, sf):
         dim=_KMEANS_DIM, scale=_KMEANS_SCALE, offset=_KMEANS_OFFSET)
 
 
+def _ivfpq_recall_oracle(k: int = 10) -> str:
+    """The composite index's ANN leg is the FULL _ivfpq_oracle replay
+    (nested WITH, like the hybrid fusion's legs); the exact leg is the
+    family's raw-cosine top-k. Probed-cell pruning means the ann side
+    ranks only ~nprobe/n_cells of the corpus — the recall number is the
+    hash-checked measurement of what that pruning + residual
+    quantization costs against exact search."""
+    raw_cos = (
+        "list_reduce(list_transform(list_zip(v, qv), x -> x[1] * x[2]), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)))")
+    return f"""
+WITH ann AS ({_ivfpq_oracle(k)}),
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+rq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
+exact AS (SELECT vec_id FROM raw, rq ORDER BY {raw_cos} DESC, vec_id LIMIT {k})
+SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM ann JOIN exact USING (vec_id)) AS hits
+"""
+
+
+@register(
+    "e_ivfpq_recall_audit",
+    _ivfpq_recall_oracle(),
+    doc="Recall@10 of the composite IVFPQ against the exact cosine "
+        "top-k, completing the audit symmetry (LSH, PQ and trained-PQ "
+        "each carry one; the composite did not): the ann leg runs the "
+        "PERSISTED-artifact query path (probe + codes-only ADC — the "
+        "production read), the exact leg is brute cosine, and the "
+        "oracle replays the entire index (cells, residual training, "
+        "per-cell ADC) before counting hits — so the recall number "
+        "itself is hash-checked, pinning what nprobe/n_cells pruning + "
+        "residual quantization cost vs exact search on this corpus.",
+)
+def q_ivfpq_recall_audit(spark, sf):
+    from .operators.similarity import brute_force_topk
+
+    k = 10
+    emb = T(spark, sf, "embeddings")
+    qv = _query_vec(emb, 0)
+    if qv is None:
+        return spark.range(1).select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(0).cast("long").alias("hits"),
+        )
+    ann = q_ivfpq_codes(spark, sf).select("vec_id")
+    exact = brute_force_topk(emb, qv, k=k).select("vec_id")
+    return (
+        ann.join(exact, "vec_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+        .select(F.lit(k).cast("long").alias("k"), "hits")
+    )
+
+
 def ivfpq_artifacts_dir(spark: SparkSession, sf: str) -> str:
     """Persisted composite-index artifacts (operators/clustering.
     ivfpq_build_artifacts): codes/ — (vec_id, cell, _code0.._code7

@@ -176,7 +176,164 @@ def ivfpq_write_epoch(
         os.path.join(artifact_dir, "ivfpq_codes", f"epoch={int(epoch_id)}"))
 
 
+ARTIFACT_MANIFEST = "_compaction_manifest.json"
+
+
+def _artifact_listing(path: str) -> set[str]:
+    if not os.path.isdir(path):
+        return set()
+    return {d for d in os.listdir(path)
+            if not d.endswith(".tmp")
+            and os.path.isdir(os.path.join(path, d))}
+
+
+def _read_artifact_manifest(path: str) -> dict[str, list[str]]:
+    import json
+
+    p = os.path.join(path, ARTIFACT_MANIFEST)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_artifact_manifest(path: str, manifest: dict[str, list[str]]) -> None:
+    import json
+
+    p = os.path.join(path, ARTIFACT_MANIFEST)
+    tmp = p + ".manifest-tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, p)
+
+
+def _consumed_dirs(manifest: dict[str, list[str]],
+                   listing: set[str]) -> set[str]:
+    """TRANSITIVE sources of PRESENT outputs — a lingering grandparent
+    source (crash mid-delete, later re-folded through a chain) is still
+    a duplicate of the live output's content."""
+    consumed: set[str] = set()
+    frontier = [s for out, srcs in manifest.items() if out in listing
+                for s in srcs]
+    while frontier:
+        s = frontier.pop()
+        if s in consumed:
+            continue
+        consumed.add(s)
+        frontier.extend(manifest.get(s, ()))
+    return consumed
+
+
+def live_artifact_dirs(artifact_dir: str, which: str) -> list[str]:
+    """The partition directories a reader must scan: every listed dir
+    MINUS the (transitive) sources of PRESENT compaction outputs.
+
+    The authority rule is the OPPOSITE of server/store.compact's: the
+    store must keep reading sources while any survives because its
+    consumers hold positional cursors into them; artifact readers are
+    whole-scan, and the output directory appears ATOMICALLY (tmp +
+    rename), so once an output is listed it is complete and its
+    lingering sources are pure duplicates — excluded here, deleted by
+    the next compact's repair pass."""
+    path = os.path.join(artifact_dir, which)
+    listing = _artifact_listing(path)
+    manifest = _read_artifact_manifest(path)
+    return sorted(listing - _consumed_dirs(manifest, listing))
+
+
+def compact_artifact(
+    spark,
+    artifact_dir: str,
+    which: str,
+    keep_latest: int = 1,
+    min_dirs: int = 2,
+    _fail_point: str | None = None,
+) -> dict:
+    """Fold settled per-epoch artifact partitions into ONE consolidated
+    partition — the file-count bound for the streaming sinks' one-dir-
+    per-micro-batch layout (server/store.compact's role, at directory
+    granularity): without it a long-lived stream accumulates O(epochs)
+    directories and every query pays an O(epochs) listing.
+
+    ``keep_latest`` highest-numbered ``epoch=N`` dirs are PROTECTED
+    from the merge: those are exactly the epochs the streaming
+    checkpoint may still REPLAY (a replayed committed epoch overwrites
+    its own partition — fine; had it been folded away, the replay would
+    resurrect its rows beside the consolidated copy). Older epochs are
+    beyond the replay window by the availableNow commit protocol.
+    Prior compaction outputs are re-foldable (chains).
+
+    Crash-safe ordering, same as the store: repair lingering sources of
+    completed outputs -> gc the manifest -> append the new entry ->
+    write the output via tmp + atomic rename -> delete sources. A crash
+    at ANY point converges on rerun, and readers (live_artifact_dirs)
+    never double-count: a dangling manifest entry (crash before rename)
+    is ignored because its output is not listed; lingering sources
+    (crash mid-delete) are excluded because their output IS listed.
+    ``_fail_point`` ('after_manifest' | 'after_rename' | 'mid_delete')
+    injects those crashes for the goldens/fuzz.
+    """
+    import shutil
+
+    from ..model.compaction import gc_manifest
+
+    path = os.path.join(artifact_dir, which)
+    listing = _artifact_listing(path)
+    manifest = _read_artifact_manifest(path)
+
+    # repair: finish deleting (transitive) sources of completed outputs
+    repaired = 0
+    for s in sorted(_consumed_dirs(manifest, listing)):
+        if s in listing:
+            shutil.rmtree(os.path.join(path, s), ignore_errors=True)
+            listing.discard(s)
+            repaired += 1
+    # drop dangling tmp outputs (crash before rename) and gc entries
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            if d.endswith(".tmp"):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    manifest = gc_manifest(manifest, listing)
+
+    live = sorted(listing - _consumed_dirs(manifest, listing))
+    epochs = sorted((int(d.split("=", 1)[1]), d) for d in live
+                    if d.startswith("epoch="))
+    protected = {d for _, d in epochs[-keep_latest:]} if keep_latest else set()
+    candidates = [d for d in live if d not in protected]
+    if len(candidates) < min_dirs:
+        _write_artifact_manifest(path, manifest)
+        return {"merged": 0, "output": None, "repaired": repaired}
+
+    out_name = f"compact-{len(manifest)}-{max((e for e, _ in epochs), default=0)}"
+    while out_name in listing or out_name in manifest:
+        out_name += "x"
+    manifest[out_name] = candidates
+    _write_artifact_manifest(path, manifest)
+    if _fail_point == "after_manifest":
+        return {"merged": 0, "output": None, "crashed": "after_manifest"}
+    tmp = os.path.join(path, out_name + ".tmp")
+    (spark.read.parquet(*[os.path.join(path, d) for d in candidates])
+     .coalesce(1).write.mode("overwrite").parquet(tmp))
+    os.rename(tmp, os.path.join(path, out_name))
+    if _fail_point == "after_rename":
+        return {"merged": len(candidates), "output": out_name,
+                "crashed": "after_rename"}
+    for i, d in enumerate(candidates):
+        if _fail_point == "mid_delete" and i >= len(candidates) // 2:
+            return {"merged": len(candidates), "output": out_name,
+                    "crashed": "mid_delete"}
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return {"merged": len(candidates), "output": out_name,
+            "repaired": repaired}
+
+
 def read_artifact(spark, artifact_dir: str, which: str) -> DataFrame:
-    """Scan the streamed artifact root (epoch layer is layout only)."""
-    return spark.read.option("recursiveFileLookup", "true").parquet(
-        os.path.join(artifact_dir, which))
+    """Scan the live artifact partitions — compaction-aware: present
+    outputs supersede their (possibly lingering) sources, dangling
+    manifest entries are ignored. Falls back to the recursive scan when
+    the artifact was never compacted and has no partition dirs."""
+    path = os.path.join(artifact_dir, which)
+    dirs = live_artifact_dirs(artifact_dir, which)
+    if not dirs:
+        return spark.read.option("recursiveFileLookup", "true").parquet(path)
+    return spark.read.parquet(*[os.path.join(path, d) for d in dirs])

@@ -81,14 +81,34 @@ class EpochIndexMachine(RuleBasedStateMachine):
 
     @rule(pick=st.integers(0, 10_000))
     def replay_epoch(self, pick):
-        from pulsar_beam_spark.streaming.vector_index import ivfpq_write_epoch
+        from pulsar_beam_spark.streaming.vector_index import (
+            ivfpq_write_epoch, live_artifact_dirs)
 
         if not self.epochs:
             return
-        epoch = pick % len(self.epochs)
+        # the checkpoint protocol can only re-deliver epochs whose
+        # partition is still live (compact_artifact's keep_latest
+        # protects the replayable window; folded epochs have retained
+        # commit markers) — model exactly what the layout supports
+        live = set(live_artifact_dirs(self.art, "ivfpq_codes"))
+        candidates = [e for e in range(len(self.epochs))
+                      if f"epoch={e}" in live]
+        if not candidates:
+            return
+        epoch = candidates[pick % len(candidates)]
         lo, hi = self.epochs[epoch]
         ivfpq_write_epoch(self._frame(lo, hi), self.cents, self.books,
                           self.art, epoch)
+
+    @rule(fail=st.sampled_from([None, None, "after_manifest",
+                                "after_rename", "mid_delete"]))
+    def compact(self, fail):
+        from pulsar_beam_spark.streaming.vector_index import compact_artifact
+
+        if not self.epochs:
+            return
+        compact_artifact(self.spark, self.art, "ivfpq_codes",
+                         _fail_point=fail)
 
     @invariant()
     def artifact_equals_one_shot_encode(self):

@@ -1861,3 +1861,98 @@ def test_ivfpq_index_stream_matches_batch_and_replays_idempotently(spark, tmp_pa
     from_batch = [tuple(r) for r in ivfpq_adc_scan(
         ivfpq_encode(emb, cents, books), cents, books, qv).collect()]
     assert from_stream == from_batch and len(from_stream) > 0
+
+
+def test_artifact_compaction_bounds_dirs_and_survives_crashes(spark, tmp_path):
+    """Round-12: compact_artifact folds settled epoch partitions into
+    one consolidated dir (the file-count bound for the per-micro-batch
+    sink layout), with the store's crash-safe ordering at directory
+    granularity. Pins: content preserved bit-for-bit; the protected
+    latest epoch stays replayable; every injected crash window leaves
+    readers duplicate-free and converges on the next compact; chains
+    (re-folding a previous output) resolve transitively."""
+    from pulsar_beam_spark.operators.clustering import (
+        ivfpq_encode, ivfpq_residual_books, kmeans_fit)
+    from pulsar_beam_spark.streaming.vector_index import (
+        compact_artifact, ivfpq_write_epoch, live_artifact_dirs,
+        read_artifact)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q, cents = kmeans_fit(emb, k=16)
+    books = ivfpq_residual_books(q, cents)
+    m = len(books)
+    cols = ["vec_id", "cell"] + [f"_code{i}" for i in range(m)]
+    art = str(tmp_path / "art")
+
+    pool = (emb.orderBy("vec_id").limit(40)
+            .select("vec_id", F.col("embedding").cast("array<double>"))
+            .collect())
+    rows = [(int(r[0]), [float(x) for x in r[1]]) for r in pool]
+
+    def frame(lo, hi):
+        return spark.createDataFrame(rows[lo:hi],
+                                     "vec_id long, embedding array<double>")
+
+    def want(hi):
+        return sorted(tuple(r) for r in
+                      ivfpq_encode(frame(0, hi), cents, books)
+                      .select(*cols).collect())
+
+    def got():
+        return sorted(tuple(r) for r in
+                      read_artifact(spark, art, "ivfpq_codes")
+                      .select(*cols).collect())
+
+    # 5 epochs of 8
+    for e in range(5):
+        ivfpq_write_epoch(frame(e * 8, e * 8 + 8), cents, books, art, e)
+    assert got() == want(40)
+
+    # full compact: 4 settled epochs fold, epoch=4 stays replayable
+    r = compact_artifact(spark, art, "ivfpq_codes")
+    assert r["merged"] == 4 and r["output"]
+    dirs = live_artifact_dirs(art, "ivfpq_codes")
+    assert len(dirs) == 2 and "epoch=4" in dirs, dirs
+    assert got() == want(40)
+
+    # replay of the protected epoch after compaction: idempotent
+    ivfpq_write_epoch(frame(32, 40), cents, books, art, 4)
+    assert got() == want(40)
+
+    # crash window 1: manifest written, no output — readers unaffected,
+    # next compact gc's the dangling entry and completes (a CHAIN fold:
+    # candidates now include the previous compact output)
+    ivfpq_write_epoch(frame(0, 0).where(F.lit(False)), cents, books, art, 5)
+    r = compact_artifact(spark, art, "ivfpq_codes",
+                         _fail_point="after_manifest")
+    assert r.get("crashed") == "after_manifest"
+    assert got() == want(40)
+    r = compact_artifact(spark, art, "ivfpq_codes")
+    assert r["merged"] >= 2
+    assert got() == want(40)
+
+    # crash window 2: output renamed, sources not deleted — the output
+    # supersedes them (no double-count), repair finishes the deletes
+    # new epochs from here may duplicate earlier ids — irrelevant to the
+    # compaction contract, which preserves row multisets; the assertions
+    # below compare content before/after repair, not against want()
+    ivfpq_write_epoch(frame(0, 8), cents, books, art, 6)
+    r = compact_artifact(spark, art, "ivfpq_codes",
+                         _fail_point="after_rename")
+    assert r.get("crashed") == "after_rename"
+    got_now = got()
+    r2 = compact_artifact(spark, art, "ivfpq_codes")
+    assert r2["repaired"] >= 1
+    assert got() == got_now
+
+    # crash window 3: mid-delete — half the sources linger; still no
+    # double-count, repair converges
+    ivfpq_write_epoch(frame(8, 16), cents, books, art, 7)
+    ivfpq_write_epoch(frame(16, 24), cents, books, art, 8)
+    r = compact_artifact(spark, art, "ivfpq_codes",
+                         _fail_point="mid_delete")
+    assert r.get("crashed") == "mid_delete"
+    got_now = got()
+    r2 = compact_artifact(spark, art, "ivfpq_codes")
+    assert r2["repaired"] >= 1
+    assert got() == got_now
