@@ -213,6 +213,9 @@ ANN_QUERY_ENTRIES = [
     "e_pq_codes_topk", "e_pq_recall_audit", "t_hybrid_rrf",
     "e_pq_trained_recall", "e_ivf_trained_topk", "e_ivf_cells_topk",
     "e_ivfpq_topk",
+    # round-12: the persisted composite, its recall audit, and the
+    # artifact-native hybrid all anchor on the same query vector
+    "e_ivfpq_codes_topk", "e_ivfpq_recall_audit", "t_hybrid_rrf_indexed",
 ]
 
 
@@ -250,13 +253,14 @@ def test_no_query_vector_parity(spark, no_query_sf_dir, name):
     ddf = duck_run(spec.oracle, no_query_sf_dir)
     errs = compare(sdf, ddf)
     assert not errs, f"{name} diverges on a missing/NULL query vector: " + "; ".join(errs)
-    if name == "t_hybrid_rrf":
-        # fusion contract: a missing dense query degrades to the SPARSE
-        # ranking (both engines agree — parity asserted above); emptiness
-        # would mean the sparse leg was wrongly coupled to the dense guard
+    if name in ("t_hybrid_rrf", "t_hybrid_rrf_indexed"):
+        # fusion contract (both variants): a missing dense query degrades
+        # to the SPARSE ranking (both engines agree — parity asserted
+        # above); emptiness would mean the sparse leg was wrongly coupled
+        # to the dense guard
         assert len(sdf) == 10 and (sdf["dense_rank"] == 0).all()
     elif name not in ("s_ann_recall_audit", "e_pq_recall_audit",
-                      "e_pq_trained_recall"):
+                      "e_pq_trained_recall", "e_ivfpq_recall_audit"):
         assert len(sdf) == 0  # the contract, not just parity (the audits
         # emit their one (k, 0, ...) summary row instead)
 
@@ -336,6 +340,7 @@ VEC_FAMILY = [
     "e_pq_adc_topk", "e_pq_codes_topk", "e_pq_recall_audit", "t_hybrid_rrf",
     "e_kmeans_lloyd", "e_kmeans_centroids", "e_pq_trained_recall",
     "e_ivf_trained_topk", "e_ivf_cells_topk", "e_ivfpq_topk",
+    "e_ivfpq_codes_topk", "e_ivfpq_recall_audit", "t_hybrid_rrf_indexed",
 ]
 
 # vec_id -> poison kind; "corpus" mode hits non-query rows only, "query"
