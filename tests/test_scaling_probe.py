@@ -114,6 +114,13 @@ ANCHOR_EXPONENTS = {
                                  # noise floor — pinned like e_pq_codes_topk)
     "e_ivfpq_topk": 0.13,        # measured 0.11 (cells + residual-PQ train
                                  # + probed ADC scan)
+    # round-12 anchors: persisted/artifact-native query paths, all flat
+    # by construction (measured 0.01 / -0.01 / 0.01 / 0.08; the BPE
+    # arrow kernel's distinct-word cache saturates with vocabulary)
+    "e_ivfpq_codes_topk": 0.05,
+    "t_hybrid_rrf_indexed": 0.05,
+    "e_ivfpq_recall_audit": 0.06,
+    "t_bpe_token_count_1k": 0.15,
     "tpch_q10_returned_items": 0.04,
     "tpch_q11_important_stock": 0.10,
     "tpch_q18_large_orders": 0.21,
