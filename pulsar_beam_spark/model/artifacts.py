@@ -152,6 +152,15 @@ def ensure_artifact(topic_dir: str, artifact_dir: str, rebuild,
     classification so callers can log/alert on rebuild churn."""
     verdict = artifact_staleness(topic_dir, artifact_dir, recipe)
     if verdict == "stale":
+        # invalidate the stamp BEFORE touching content (round-12
+        # self-probe): rebuild() overwrites the artifact in place, so a
+        # crash mid-rebuild would otherwise leave corrupt content under
+        # a still-valid old stamp — and if the topic hadn't changed
+        # since that stamp, the next check would say "fresh" over
+        # garbage. Unstamped classifies stale, which re-rebuilds.
+        p = os.path.join(artifact_dir, PROVENANCE)
+        if os.path.exists(p):
+            os.remove(p)
         rebuild(artifact_dir)
         record_provenance(artifact_dir, topic_dir, recipe)
     return verdict

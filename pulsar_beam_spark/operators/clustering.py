@@ -532,6 +532,16 @@ def ivfpq_residual_books(
     stride = (n + sample_cap - 1) // sample_cap if n else 1
     rows = (q.filter((F.col("_kid") % stride) == 0)
             .orderBy("_kid").limit(sample_cap).select("qv").collect())
+    if cents and len(cents[0]) % m:
+        # round-12 self-probe: sub = dim // m silently DROPS the last
+        # dim % m components from every codebook, code and LUT — both
+        # engines agree (the oracle slices identically), so parity
+        # can't catch it; distances are just quietly computed on a
+        # truncated vector. Refuse at train time.
+        raise ValueError(
+            f"ivfpq_residual_books: dim={len(cents[0])} not divisible by "
+            f"m={m} — the last {len(cents[0]) % m} components would be "
+            "silently excluded from every subspace")
     pts = []
     for r in rows:
         v = [int(x) for x in r["qv"]]
@@ -848,6 +858,13 @@ def pq_train_fixedpoint(
     ``sample_cap`` rows by construction; everything after it is pure
     Python integer arithmetic mirrored by the oracle's unrolled CTEs.
     """
+    if dim % m:
+        # same silent-truncation hazard as ivfpq_residual_books — the
+        # tail components would vanish from every subspace on BOTH
+        # engines, invisible to parity
+        raise ValueError(
+            f"pq_train_fixedpoint: dim={dim} not divisible by m={m} — "
+            f"the last {dim % m} components would be silently excluded")
     q = quantized_frame(emb, dim, scale, offset, id_col, vec_col)
     n = q.count()
     stride = (n + sample_cap - 1) // sample_cap if n else 1

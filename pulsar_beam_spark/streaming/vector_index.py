@@ -278,6 +278,37 @@ def compact_artifact(
     from ..model.compaction import gc_manifest
 
     path = os.path.join(artifact_dir, which)
+    # one compactor per artifact path per process (the store's ADVICE
+    # r09 lesson at directory granularity: two concurrent compacts both
+    # read the manifest and the later write DROPS the earlier entry —
+    # an output with no provenance whose sources are being deleted).
+    # Cross-process coordination is the caller's deployment concern
+    # (one maintenance job per artifact), same as the store's.
+    with _compact_lock(path):
+        return _compact_artifact_locked(
+            spark, path, keep_latest, min_dirs, _fail_point,
+            shutil, gc_manifest)
+
+
+_COMPACT_LOCKS: dict[str, object] = {}
+_COMPACT_LOCKS_GUARD = None
+
+
+def _compact_lock(path: str):
+    import threading
+
+    global _COMPACT_LOCKS_GUARD
+    if _COMPACT_LOCKS_GUARD is None:
+        _COMPACT_LOCKS_GUARD = threading.Lock()
+    with _COMPACT_LOCKS_GUARD:
+        lock = _COMPACT_LOCKS.get(path)
+        if lock is None:
+            lock = _COMPACT_LOCKS[path] = threading.Lock()
+    return lock
+
+
+def _compact_artifact_locked(spark, path, keep_latest, min_dirs,
+                             _fail_point, shutil, gc_manifest):
     listing = _artifact_listing(path)
     manifest = _read_artifact_manifest(path)
 

@@ -120,3 +120,38 @@ def test_stale_verdicts_for_unexplained_listings(spark, tmp_path):
     victim = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))[0]
     os.unlink(os.path.join(d, victim))
     assert artifact_staleness(d, art, recipe="v1") == "stale"
+
+
+def test_crash_mid_rebuild_never_leaves_fresh_stamp(spark, tmp_path):
+    """Round-12 self-probe find: ensure_artifact rebuilds IN PLACE, so
+    a crash inside rebuild() must not leave corrupt content under a
+    still-valid stamp (the topic may not change again, and a stamp
+    comparison alone would then say 'fresh' over garbage forever). The
+    stamp is invalidated before rebuild begins: a crashed rebuild
+    classifies stale and re-runs."""
+    store = TopicDirStore(str(tmp_path / "store"), flush_interval_s=None)
+    store.append(TOPIC, b"one")
+    d = store.topic_dir(TOPIC)
+    art = str(tmp_path / "art")
+    _build(spark, d, art)
+    record_provenance(art, d)
+    store.append(TOPIC, b"two")  # make it stale so ensure() rebuilds
+    assert artifact_staleness(d, art) == "stale"
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing_rebuild(a):
+        raise Boom()
+
+    try:
+        ensure_artifact(d, art, crashing_rebuild)
+    except Boom:
+        pass
+    # the interrupted rebuild must classify STALE (unstamped), never
+    # fall back to the pre-crash stamp
+    assert artifact_staleness(d, art) == "stale"
+    verdict = ensure_artifact(d, art, lambda a: _build(spark, d, a))
+    assert verdict == "stale"
+    assert artifact_staleness(d, art) == "fresh"
+    assert _artifact_rows(spark, art) == _reencode_rows(spark, d)

@@ -352,3 +352,17 @@ def test_ivfpq_codes_entry_matches_inline(spark):
     a = [tuple(r) for r in REGISTRY["e_ivfpq_topk"].spark(spark, SF_SMOKE).collect()]
     b = [tuple(r) for r in REGISTRY["e_ivfpq_codes_topk"].spark(spark, SF_SMOKE).collect()]
     assert a == b and len(a) > 0
+
+
+def test_pq_trainers_reject_indivisible_dim(spark):
+    """Round-12 self-probe: sub = dim // m drops the last dim % m
+    components from every subspace on BOTH engines — parity-invisible
+    silent truncation. The trainers must refuse."""
+    from pulsar_beam_spark.operators.clustering import ivfpq_residual_books
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible by m"):
+        pq_train_fixedpoint(emb, m=7, dim=64)
+    q, cents = kmeans_fit(emb, k=4)
+    with pytest.raises(ValueError, match="not divisible by m"):
+        ivfpq_residual_books(q, cents, m=7)
