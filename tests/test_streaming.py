@@ -1956,3 +1956,59 @@ def test_artifact_compaction_bounds_dirs_and_survives_crashes(spark, tmp_path):
     r2 = compact_artifact(spark, art, "ivfpq_codes")
     assert r2["repaired"] >= 1
     assert got() == got_now
+
+
+def test_sink_with_compaction_cadence_bounds_dirs(spark, tmp_path):
+    """compact_every wires the directory-count bound into the sink
+    itself: a 4-epoch stream with compact_every=2 must finish with a
+    bounded live-dir set, content bit-equal to the one-shot batch
+    encode, and the post-compaction replay window intact."""
+    from pulsar_beam_spark.operators.clustering import (
+        ivfpq_encode, ivfpq_residual_books, kmeans_fit)
+    from pulsar_beam_spark.streaming.vector_index import (
+        ivfpq_index_sink, live_artifact_dirs, read_artifact)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q, cents = kmeans_fit(emb, k=16)
+    books = ivfpq_residual_books(q, cents)
+    m = len(books)
+    cols = ["vec_id", "cell"] + [f"_code{i}" for i in range(m)]
+
+    src = str(tmp_path / "vecs")
+    art = str(tmp_path / "art")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(4):
+        emb.filter(f"vec_id % 4 = {i}").coalesce(1).write.mode(
+            "append").parquet(src)
+
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    sq = ivfpq_index_sink(stream, cents, books, art, ckpt, compact_every=2)
+    sq.awaitTermination(180)
+    sq.stop()
+
+    dirs = live_artifact_dirs(art, "ivfpq_codes")
+    assert len(dirs) <= 3, dirs  # 4 epochs folded down, not 4+ dirs
+    got = sorted(tuple(r) for r in
+                 read_artifact(spark, art, "ivfpq_codes").select(*cols).collect())
+    want = sorted(tuple(r) for r in
+                  ivfpq_encode(emb, cents, books).select(*cols).collect())
+    assert got == want and len(got) > 0
+
+    # replay the final epoch (commit marker dropped) across the
+    # compacted layout: still idempotent
+    commits = sorted(int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+                     if f.isdigit())
+    last = commits[-1]
+    os.remove(os.path.join(ckpt, "commits", str(last)))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    sq = ivfpq_index_sink(stream, cents, books, art, ckpt, compact_every=2)
+    sq.awaitTermination(180)
+    sq.stop()
+    replayed = sorted(tuple(r) for r in
+                      read_artifact(spark, art, "ivfpq_codes").select(*cols).collect())
+    assert replayed == want
