@@ -526,6 +526,46 @@ def bpe_token_count(text_col, merges: tuple = BPE_MERGES):
     )
 
 
+def bpe_subword_tokens(text_col, merges: tuple = BPE_MERGES):
+    """``array<string>`` of the row's greedy-BPE subword tokens — the
+    same bracket-delimited rank sweep as ``bpe_token_count`` but
+    RETURNING the tokens instead of counting the delimiters: strip the
+    outer brackets, split on ``][``. Pure codegen; feeds the
+    vocabulary-audit entry (top subwords over a corpus — what a
+    tokenizer's vocab actually ABSORBS on this data, the counterpart of
+    t_vocab_coverage for subword vocabularies)."""
+    _check_merge_alphabet(merges)
+    if len(merges) > BPE_NESTED_MAX_RANKS:
+        raise ValueError(
+            f"bpe_subword_tokens: {len(merges)} merge ranks exceed the "
+            f"nested-replace plan bound ({BPE_NESTED_MAX_RANKS}); see "
+            "bpe_token_count's scale forms")
+
+    def word_tokens(w):
+        s = F.regexp_replace(w, "(.)", "[$1]")
+        for a, b in merges:
+            s = F.replace(s, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+        return F.split(F.btrim(s, F.lit("[]")), r"\]\[")
+
+    return F.flatten(F.transform(_bpe_words(text_col), word_tokens))
+
+
+def bpe_top_subwords(
+    docs: DataFrame, k: int = 20,
+    merges: tuple = BPE_MERGES,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(token, n) top-k subword tokens by corpus frequency, ties by
+    token — explode + one count shuffle + TakeOrderedAndProject."""
+    return (
+        spread_small_input(docs)
+        .select(F.explode(bpe_subword_tokens(text_col, merges)).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(k)
+    )
+
+
 def bpe_token_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

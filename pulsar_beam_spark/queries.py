@@ -8789,15 +8789,21 @@ def q_hybrid_rrf(spark, sf):
 # == round-11 additions: BPE token accounting ============================
 
 
-def _bpe_count_sql(word: str) -> str:
-    """DuckDB mirror of operators/text.bpe_token_count's per-word count:
-    bracket-delimit characters, apply the literal merge chain in rank
-    order (both engines' replace() is left-to-right non-overlapping, and
-    the bracket delimiting makes adjacent matches character-disjoint, so
-    the sweeps agree exactly), count '[' delimiters."""
+def _bpe_string_sql(word: str) -> str:
+    """DuckDB mirror of the bracket-delimited rank sweep: the reduced
+    ``[tok][tok]...`` string after the full literal merge chain (both
+    engines' replace() is left-to-right non-overlapping, and the
+    bracket delimiting makes adjacent matches character-disjoint, so
+    the sweeps agree exactly)."""
     s = f"regexp_replace({word}, '(.)', '[\\1]', 'g')"
     for a, b in BPE_MERGES:
         s = f"replace({s}, '[{a}][{b}]', '[{a}{b}]')"
+    return s
+
+
+def _bpe_count_sql(word: str) -> str:
+    """Per-word subword count: '[' delimiters of the reduced string."""
+    s = _bpe_string_sql(word)
     return f"length({s}) - length(replace({s}, '[', ''))"
 
 
@@ -8868,6 +8874,35 @@ def q_packing_bpe(spark, sf):
         .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("pack_tokens"))
         .orderBy("shard", "pack_id")
     )
+
+
+@register(
+    "t_bpe_top_subwords",
+    f"""
+    WITH w AS (SELECT unnest({_BPE_WORDS_SQL}) AS w FROM documents),
+    s AS (SELECT {_bpe_string_sql('w')} AS s FROM w),
+    t AS (SELECT unnest(regexp_split_to_array(trim(s, '[]'), '\\]\\[')) AS token
+          FROM s)
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    doc="Subword-vocabulary audit: the top-20 BPE tokens by corpus "
+        "frequency under the literal merge table — what a tokenizer's "
+        "vocab actually absorbs on THIS corpus (the subword counterpart "
+        "of t_vocab_coverage; in a training pipeline this is how you "
+        "check a candidate merge table against your data before "
+        "committing to it). Same bracket-delimited rank sweep as "
+        "t_bpe_token_count but returning the TOKENS: strip outer "
+        "brackets, split on ][. Pure codegen explode + one count "
+        "shuffle + TakeOrderedAndProject; the oracle replays the sweep "
+        "and the split verbatim.",
+)
+def q_bpe_top_subwords(spark, sf):
+    from .operators.text import bpe_top_subwords
+
+    return bpe_top_subwords(T(spark, sf, "documents"), k=20)
 
 
 _BPE_1K = gen_bpe_merges(1024)
