@@ -121,6 +121,10 @@ ANCHOR_EXPONENTS = {
     "t_hybrid_rrf_indexed": 0.05,
     "e_ivfpq_recall_audit": 0.06,
     "t_bpe_token_count_1k": 0.15,
+    "t_bpe_top_subwords": 0.35,  # measured 0.27 — explode scan grows
+                                 # linearly but the count shuffle is
+                                 # vocab-bounded
+
     "tpch_q10_returned_items": 0.04,
     "tpch_q11_important_stock": 0.10,
     "tpch_q18_large_orders": 0.21,
