@@ -136,6 +136,26 @@ def artifact_staleness(topic_dir: str, artifact_dir: str,
         if leaves is None:
             return "stale"  # rows from outside the recorded corpus
         covered |= leaves
+    # ADVICE r12: a COVERED file may itself be a compaction output whose
+    # (also recorded) sources were still lingering, not yet deleted, when
+    # the build-time listing was taken. A later repair pass deletes those
+    # sources, but the live output still carries their rows — so mark the
+    # transitive recorded sources of every covered output as covered too,
+    # instead of misclassifying unchanged content as stale (which turned
+    # every crash-window compaction into a spurious O(corpus) rebuild).
+    # Sources GC'd by retention (consumed by NO covered output) stay
+    # uncovered and still classify stale, as they must.
+    frontier = [f for f in covered if f in manifest]
+    walked: set[str] = set()
+    while frontier:
+        n = frontier.pop()
+        if n in walked:
+            continue
+        walked.add(n)
+        for s in manifest.get(n, ()):
+            if s in rec_names:
+                covered.add(s)
+            frontier.append(s)
     for f in recorded:
         if f not in covered:
             return "stale"  # recorded data vanished un-consumed (GC/retention)

@@ -574,6 +574,16 @@ def ivfpq_codes_struct(qv_col: str, cents: list[list[int]],
     associative-integer legality argument as ``assign_struct``;
     bit-equality against the two-stage chain gated in
     tests/test_clustering.py."""
+    if not books or not books[0] or not books[0][0]:
+        raise ValueError(
+            "ivfpq_codes_struct: empty codebooks — train via "
+            "ivfpq_residual_books/pq_train_fixedpoint first")
+    if cents and len(books) * len(books[0][0]) != len(cents[0]):
+        raise ValueError(
+            f"ivfpq_codes_struct: m*sub = {len(books)}*{len(books[0][0])} "
+            f"!= dim {len(cents[0])} — the slicing below would silently "
+            "drop tail components from every code; the trainers raise on "
+            "dim % m != 0, so these books came from an unguarded path")
     if cents:
         _check_quant_dim(len(cents[0]))
     _check_quant_dim(2 * len(books[0][0]))

@@ -248,11 +248,26 @@ def live_artifact_dirs(artifact_dir: str, which: str) -> list[str]:
     whole-scan, and the output directory appears ATOMICALLY (tmp +
     rename), so once an output is listed it is complete and its
     lingering sources are pure duplicates — excluded here, deleted by
-    the next compact's repair pass."""
+    the next compact's repair pass.
+
+    Readers concurrent with a CROSS-PROCESS compactor (the in-process
+    one is serialized by _compact_lock) can catch the listing+manifest
+    pair mid-transition — e.g. the listing taken before the output
+    rename while the compactor deletes sources right after — leaving
+    live dirs that vanish before the scan. We verify every returned
+    dir still exists and retry the snapshot once on a miss (ADVICE
+    r12); a second pass observes the post-rename state, where the
+    manifest entry excludes the deleted sources. The residual window
+    between this check and the caller's spark.read is the caller's
+    retry to own, same as any reader racing a file GC."""
     path = os.path.join(artifact_dir, which)
-    listing = _artifact_listing(path)
-    manifest = _read_artifact_manifest(path)
-    return sorted(listing - _consumed_dirs(manifest, listing))
+    for _attempt in range(2):
+        listing = _artifact_listing(path)
+        manifest = _read_artifact_manifest(path)
+        live = sorted(listing - _consumed_dirs(manifest, listing))
+        if all(os.path.isdir(os.path.join(path, d)) for d in live):
+            return live
+    return live
 
 
 def compact_artifact(
@@ -304,16 +319,18 @@ def compact_artifact(
             shutil, gc_manifest)
 
 
+import threading as _threading
+
 _COMPACT_LOCKS: dict[str, object] = {}
-_COMPACT_LOCKS_GUARD = None
+# eager, not lazy: a lazy check-then-set here could hand two first
+# callers two DIFFERENT guard locks and hence two per-path locks,
+# defeating the single-compactor guarantee (ADVICE r12)
+_COMPACT_LOCKS_GUARD = _threading.Lock()
 
 
 def _compact_lock(path: str):
     import threading
 
-    global _COMPACT_LOCKS_GUARD
-    if _COMPACT_LOCKS_GUARD is None:
-        _COMPACT_LOCKS_GUARD = threading.Lock()
     with _COMPACT_LOCKS_GUARD:
         lock = _COMPACT_LOCKS.get(path)
         if lock is None:

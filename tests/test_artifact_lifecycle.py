@@ -122,6 +122,52 @@ def test_stale_verdicts_for_unexplained_listings(spark, tmp_path):
     assert artifact_staleness(d, art, recipe="v1") == "stale"
 
 
+def test_lingering_sources_at_build_time_stay_compacted(tmp_path):
+    """ADVICE r12 — the build-time listing may capture a compaction
+    output AND its not-yet-deleted sources (stamp taken inside the
+    crash window, before the repair pass). When a later repair deletes
+    those sources, the content is unchanged — the live output carries
+    every recorded row — so the verdict must be ``compacted``, not a
+    spurious O(corpus) rebuild. Pure-listing construction: staleness
+    reads names/sizes + manifest only."""
+    from pulsar_beam_spark.model.compaction import write_manifest
+
+    d = tmp_path / "topic"
+    d.mkdir()
+    for name in ("s1.parquet", "s2.parquet", "out.parquet"):
+        (d / name).write_bytes(b"x" * len(name))
+    write_manifest(str(d), {"out.parquet": ["s1.parquet", "s2.parquet"]})
+    art = str(tmp_path / "art")
+    # stamp taken with output + lingering sources all live
+    record_provenance(art, str(d))
+    assert artifact_staleness(str(d), art) == "fresh"
+
+    # repair pass deletes the lingering sources: content unchanged
+    (d / "s1.parquet").unlink()
+    (d / "s2.parquet").unlink()
+    assert artifact_staleness(str(d), art) == "compacted"
+
+    # ... and one level deeper: a chain output folds the first output;
+    # the stamp recorded the whole chain mid-crash-window
+    (d / "s1.parquet").write_bytes(b"x" * len("s1.parquet"))
+    (d / "s2.parquet").write_bytes(b"x" * len("s2.parquet"))
+    (d / "out2.parquet").write_bytes(b"x" * len("out2.parquet"))
+    write_manifest(str(d), {"out.parquet": ["s1.parquet", "s2.parquet"],
+                            "out2.parquet": ["out.parquet"]})
+    record_provenance(art, str(d))
+    (d / "s1.parquet").unlink()
+    (d / "s2.parquet").unlink()
+    (d / "out.parquet").unlink()
+    assert artifact_staleness(str(d), art) == "compacted"
+
+    # genuine retention loss must STILL classify stale: a recorded file
+    # consumed by no covered output vanishes
+    (d / "orphan.parquet").write_bytes(b"x" * len("orphan.parquet"))
+    record_provenance(art, str(d))
+    (d / "orphan.parquet").unlink()
+    assert artifact_staleness(str(d), art) == "stale"
+
+
 def test_crash_mid_rebuild_never_leaves_fresh_stamp(spark, tmp_path):
     """Round-12 self-probe find: ensure_artifact rebuilds IN PLACE, so
     a crash inside rebuild() must not leave corrupt content under a

@@ -366,3 +366,22 @@ def test_pq_trainers_reject_indivisible_dim(spark):
     q, cents = kmeans_fit(emb, k=4)
     with pytest.raises(ValueError, match="not divisible by m"):
         ivfpq_residual_books(q, cents, m=7)
+
+
+def test_ivfpq_codes_struct_rejects_mismatched_books():
+    """ADVICE r12: the encode kernel slices rv[:, mi*sub:(mi+1)*sub];
+    books with m*sub != dim (possible only from an unguarded external
+    path — the trainers raise) would silently drop tail components from
+    every code. The kernel itself must refuse, and refuse loudly on
+    empty books rather than IndexError."""
+    from pulsar_beam_spark.operators.clustering import ivfpq_codes_struct
+
+    cents = [[0] * 64, [1] * 64]
+    with pytest.raises(ValueError, match="empty codebooks"):
+        ivfpq_codes_struct("qv", cents, [])
+    with pytest.raises(ValueError, match="empty codebooks"):
+        ivfpq_codes_struct("qv", cents, [[]])
+    # m=3, sub=20 -> 60 != 64
+    bad = [[[0] * 20, [1] * 20] for _ in range(3)]
+    with pytest.raises(ValueError, match=r"m\*sub"):
+        ivfpq_codes_struct("qv", cents, bad)
