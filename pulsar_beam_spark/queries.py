@@ -8913,9 +8913,17 @@ def _bpe_1k_oracle() -> str:
     3-arg list_reduce, so the string accumulator rides inside the
     element type — elements are VARCHAR[2], the initial element wraps
     the bracketized word, each step rewrites slot 1. One literal list
-    of 1024 pairs (linear parse), the reduce evaluated ONCE per word
-    via the inner list_transform (the naive double-reference form
-    re-evaluates the whole 1024-replace fold per use — measured 2x)."""
+    of 1024 pairs (linear parse).
+
+    VERDICT r12 task 1: the sweep runs at VOCAB-rate, not corpus-rate —
+    aggregate to DISTINCT words first (materialized CTE, evaluated
+    once), run the 1024-rank fold once per distinct word, then join the
+    per-word subword count back to the occurrences and sum per doc.
+    This is the oracle-side mirror of the Arrow kernel's per-batch
+    distinct-word cache, and it deletes the doc_id%10 corpus slice the
+    old corpus-rate form needed (124 s full-corpus then; ~31 distinct
+    words on this corpus now). Docs with zero words survive via the
+    LEFT JOIN + coalesce."""
     ml = "[" + ",".join(f"['{a}','{b}']" for a, b in _BPE_1K) + "]"
     reduced = (
         "list_reduce(list_prepend([regexp_replace(w, '(.)', '[\\1]', 'g'), ''], "
@@ -8926,14 +8934,18 @@ def _bpe_1k_oracle() -> str:
 WITH t AS (
   SELECT doc_id,
          {_BPE_WORDS_SQL} AS words
-  FROM documents WHERE doc_id % 10 = 0)
-SELECT doc_id,
-       CAST(len(words) AS BIGINT) AS n_words,
-       CAST(coalesce(list_sum(list_transform(
-         list_transform(words, w -> {reduced}),
-         s -> length(s) - length(replace(s, '[', '')))), 0) AS BIGINT)
-         AS n_bpe_tokens
-FROM t
+  FROM documents),
+occ AS (SELECT doc_id, unnest(words) AS w FROM t),
+enc AS MATERIALIZED (
+  SELECT w, length(s) - length(replace(s, '[', '')) AS n_sub
+  FROM (SELECT w, {reduced} AS s
+        FROM (SELECT DISTINCT w FROM occ))),
+agg AS (SELECT o.doc_id, CAST(sum(e.n_sub) AS BIGINT) AS n_bpe
+        FROM occ o JOIN enc e USING (w) GROUP BY o.doc_id)
+SELECT t.doc_id,
+       CAST(len(t.words) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+FROM t LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -8951,14 +8963,14 @@ FROM t
         "element list_reduce trick), executed here by the Arrow-batched "
         "twin (bpe_token_count_arrow: C-level rank sweep + per-batch "
         "distinct-word cache, bit-equality gated against the HOF form). "
-        "Entry runs on the doc_id%10 corpus slice purely to bound the "
-        "ORACLE's interpreter cost (~12 s/100 docs at 1024 ranks); the "
-        "Spark side is corpus-rate.",
+        "FULL corpus (r12 task 1): the oracle now pays vocab-rate too "
+        "(distinct-word sweep + count join-back), so the doc_id%10 "
+        "slice that bounded its interpreter cost is gone.",
 )
 def q_bpe_count_1k(spark, sf):
     from .operators.text import bpe_token_count_arrow
 
-    docs = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+    docs = T(spark, sf, "documents")
     n_words = F.size(F.regexp_extract_all(
         F.lower(F.coalesce(F.col("text"), F.lit(""))),
         F.lit("[a-z0-9]+"), F.lit(0)))
@@ -10063,13 +10075,39 @@ _ROUND11_VERIFIED = frozenset({
     "r24_math_fns", "r25_array_fns", "r25_higher_order_fns",
 })
 
+# Round-12 driver-green rows (CORRECTNESS_r12.json, hash_match=true;
+# 50/50 green, zero reds — the persisted-IVFPQ/BPE-scale wave plus
+# staleness rotation). One r12 green is intentionally NOT listed and
+# re-enters the window for a fresh hash against round-13 changes:
+# t_bpe_token_count_1k (VERDICT r12 task 1 — the doc_id%10 corpus slice
+# is deleted; both engines now run the FULL corpus, the oracle at
+# vocab-rate via a materialized distinct-word sweep).
+_ROUND12_VERIFIED = frozenset({
+    "t_hybrid_rrf", "t_bpe_token_count", "p_sequence_packing_bpe",
+    "t_bpe_top_subwords", "t_hybrid_rrf_indexed", "e_ivfpq_topk",
+    "e_ivfpq_recall_audit", "e_ivfpq_codes_topk", "r25_nested_array_fns",
+    "r26_map_fns", "r27_json_fns", "r28_conditional", "m_media_features",
+    "tpch_q11_important_stock", "tpch_q20_promo_suppliers",
+    "p_rank_calibrate", "r13_approx_percentile", "m_resize_media",
+    "r13_hll_mergeable", "r_quartile_bands", "r_keyset_pagination",
+    "r_lorenz_deciles", "r10_asof_join", "r29_dedup_exact_latest",
+    "r30_ngram_jaccard_pairs", "r32_top_terms", "t_language_id",
+    "t_quality_scores", "t_token_stats", "t_tfidf", "t_fingerprint",
+    "r33_python_udf", "r34_pandas_scalar_udf", "r34_pandas_grouped_map",
+    "r35_udtf_posexplode", "g06_topic_tokenize", "g07_sha1_key",
+    "g08_changelog_snapshot", "g10_tenant_isolation", "s3_tumbling_window",
+    "s4_sliding_window", "s5_session_window", "s6_stateful_dedup",
+    "s7_bounded_poll", "m_binary_columns", "r15_percent_rank",
+    "r16_first_last_value", "r16_nth_value", "r17_range_frame",
+})
+
 # name -> most recent round with a hash-green driver row; later sets win.
 _LAST_GREEN: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
      _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
      _ROUND7_VERIFIED, _ROUND8_VERIFIED, _ROUND9_VERIFIED,
-     _ROUND10_VERIFIED, _ROUND11_VERIFIED),
+     _ROUND10_VERIFIED, _ROUND11_VERIFIED, _ROUND12_VERIFIED),
     start=1,
 ):
     for _n in _names:
