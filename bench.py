@@ -111,6 +111,11 @@ HEADLINE = [
                                  # the pay-once contrast to e_ivfpq_topk, the
                                  # same pairing as e_pq_codes_topk vs
                                  # e_pq_adc_topk
+    # round-13 additions: BPE training (the token family's trained half)
+    "t_bpe_train_merges",        # most-frequent-pair merge learning: one
+                                 # corpus-rate wordcount shuffle, then 12
+                                 # vocab-rate argmax iterations
+    "t_bpe_train_apply",         # learned table feeding the codegen encoder
 ]
 
 

@@ -504,6 +504,22 @@ def test_ivfpq_codes_topk_plan(spark):
     assert n_exchanges(df) == 0, plan[:2000]
 
 
+def test_bpe_train_apply_plan(spark):
+    """VERDICT r12 task 2: after the bounded-collect training loop, the
+    composed train->encode entry's RESULT plan must be the same shape
+    as the fixed-table encoder — one documents scan reading only
+    (doc_id, text), the learned 12-rank replace chain fully codegen
+    (no Python UDF, no exchange): training cost lives in the loop's
+    vocab-rate jobs, never in the per-row encode path."""
+    df = REGISTRY["t_bpe_train_apply"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert n_exchanges(df) == 0, plan[:2000]
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan, (
+        "encode must be JVM-side")
+    schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema:")[1:]]
+    assert len(schemas) == 1 and "text" in schemas[0], schemas
+
+
 def test_hybrid_rrf_indexed_never_scans_corpus_text(spark):
     """VERDICT r11 item 3: the artifact-backed hybrid entry's plan must
     never read documents.text (sparse leg from persisted postings) and
