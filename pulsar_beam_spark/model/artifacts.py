@@ -60,6 +60,35 @@ def topic_listing(topic_dir: str) -> dict[str, int]:
     return out
 
 
+def topic_live_files(topic_dir: str) -> list[str]:
+    """The parquet files a WHOLE-SCAN reader (an index rebuild) must
+    read so every row appears exactly once: the live listing minus the
+    transitive sources of PRESENT compaction outputs.
+
+    This is the artifact-reader authority rule (streaming/vector_index.
+    live_artifact_dirs), the OPPOSITE of server/store.scan's: the
+    store's cursors keep sources authoritative while any survives
+    because consumers hold positions into them; a rebuild holds no
+    position, and compact() writes outputs via tmp + atomic rename, so
+    a listed output is complete and its lingering sources are pure
+    duplicates. Dangling manifest entries (crash before rename) are
+    ignored because their output is not listed."""
+    from .compaction import read_manifest
+
+    listing = {f for f in os.listdir(topic_dir) if f.endswith(".parquet")}
+    manifest = read_manifest(topic_dir)
+    consumed: set[str] = set()
+    frontier = [s for out, srcs in manifest.items() if out in listing
+                for s in srcs]
+    while frontier:
+        s = frontier.pop()
+        if s in consumed:
+            continue
+        consumed.add(s)
+        frontier.extend(manifest.get(s, ()))
+    return sorted(listing - consumed)
+
+
 def record_provenance(artifact_dir: str, topic_dir: str,
                       recipe: str = "") -> None:
     """Stamp the artifact with the source identity it was built at.

@@ -8627,6 +8627,155 @@ def _ingest_artifact_dir(sf: str, table: str, tag: str, build) -> str:
     return d
 
 
+# -- topic-dir index builds, routed through the lifecycle contract -------
+# VERDICT r12 task 3: `_ingest_artifact_dir` keys on a FIXTURE file's
+# (path, mtime, size) — right for the immutable testdata parquet, but it
+# bypasses model/artifacts.py, so the "compaction => accept WITHOUT
+# rebuild" contract never guarded a real query path. These variants
+# build the SAME artifacts the registry entries query (same operators,
+# same layout under the artifact dir) from a LIVING TopicDirStore topic
+# directory, with staleness decided by ensure_artifact/artifact_staleness:
+# append -> stale -> rebuild; compact() -> compacted -> served as-is.
+# Golden-tested end-to-end in tests/test_artifact_lifecycle.py (compact
+# does NOT rebuild and the indexed query stays hash-equal; append does).
+
+
+def topic_docs_frame(spark: SparkSession, topic_dir: str) -> DataFrame:
+    """Exact-once documents view of a living topic: payloads as text,
+    message ids as doc ids. Reads `model/artifacts.topic_live_files`
+    — the whole-scan authority rule (present compaction outputs replace
+    their transitive sources; lingering sources are duplicates)."""
+    from .model.artifacts import topic_live_files
+
+    import os
+
+    files = [os.path.join(topic_dir, f) for f in topic_live_files(topic_dir)]
+    return spark.read.parquet(*files).select(
+        F.col("message_id").alias("doc_id"),
+        F.col("payload").cast("string").alias("text"))
+
+
+def topic_emb_frame(spark: SparkSession, topic_dir: str) -> DataFrame:
+    """Exact-once embeddings view of a living topic: JSON payloads
+    ``{"vec_id": n, "embedding": [...]}`` shredded to the (vec_id,
+    embedding) shape every vector-index trainer consumes."""
+    from .model.artifacts import topic_live_files
+
+    import os
+
+    files = [os.path.join(topic_dir, f) for f in topic_live_files(topic_dir)]
+    return (spark.read.parquet(*files)
+            .select(F.from_json(
+                F.col("payload").cast("string"),
+                "vec_id long, embedding array<double>").alias("j"))
+            .select("j.vec_id", "j.embedding"))
+
+
+def topic_bm25_index_dir(spark: SparkSession, topic_dir: str,
+                         artifact_dir: str) -> str:
+    """BM25 postings/dictionary/stats built from a living topic, served
+    through the lifecycle contract; returns the PRE-build staleness
+    verdict ('fresh' | 'compacted' | 'stale')."""
+    import os
+
+    from .model.artifacts import ensure_artifact
+
+    def rebuild(adir: str) -> None:
+        from .operators.text import bm25_build_index
+
+        postings, dictionary, stats = bm25_build_index(
+            topic_docs_frame(spark, topic_dir))
+        postings.write.mode("overwrite").parquet(os.path.join(adir, "postings"))
+        dictionary.write.mode("overwrite").parquet(
+            os.path.join(adir, "dictionary"))
+        stats.write.mode("overwrite").parquet(os.path.join(adir, "stats"))
+
+    return ensure_artifact(topic_dir, artifact_dir, rebuild, recipe="bm25-v1")
+
+
+def topic_pq_codes_dir(spark: SparkSession, topic_dir: str,
+                       artifact_dir: str, codebooks) -> str:
+    """PQ code columns from a living topic under FIXED float codebooks
+    (operators/similarity.pq_encode); the recipe digests the codebooks
+    so a changed table misses, exactly like the fixture tag
+    discipline."""
+    import hashlib
+    import os
+
+    from .model.artifacts import ensure_artifact
+
+    def rebuild(adir: str) -> None:
+        from .operators.similarity import pq_encode
+
+        pq_encode(topic_emb_frame(spark, topic_dir), codebooks) \
+            .write.mode("overwrite").parquet(os.path.join(adir, "codes"))
+
+    recipe = ("pq-codes-v1-"
+              + hashlib.sha1(repr(codebooks).encode()).hexdigest()[:12])
+    return ensure_artifact(topic_dir, artifact_dir, rebuild, recipe=recipe)
+
+
+def topic_ivf_cells_dir(spark: SparkSession, topic_dir: str,
+                        artifact_dir: str, *, n_cells: int, iters: int,
+                        dim: int, scale: int, offset: float) -> str:
+    """Trained IVF cells/ + centroids/ from a living topic, lifecycle-
+    routed; recipe encodes every training hyperparameter."""
+    import os
+
+    from .model.artifacts import ensure_artifact
+
+    def rebuild(adir: str) -> None:
+        from .operators.clustering import ivf_assign_cells
+
+        cells, cents = ivf_assign_cells(
+            topic_emb_frame(spark, topic_dir), n_cells=n_cells,
+            iters=iters, dim=dim, scale=scale, offset=offset)
+        cells.write.mode("overwrite").parquet(os.path.join(adir, "cells"))
+        spark.createDataFrame(
+            [(j, [int(x) for x in c]) for j, c in enumerate(cents)],
+            "cell long, v array<long>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(adir, "centroids"))
+
+    recipe = f"ivf-cells-v1-k{n_cells}-i{iters}-d{dim}-s{scale}-o{offset}"
+    return ensure_artifact(topic_dir, artifact_dir, rebuild, recipe=recipe)
+
+
+def topic_ivfpq_artifacts_dir(spark: SparkSession, topic_dir: str,
+                              artifact_dir: str, *, n_cells: int, m: int,
+                              ksub: int, iters: int, sample_cap: int,
+                              dim: int, scale: int, offset: float) -> str:
+    """Composite IVFPQ codes/ + centroids/ + books/ from a living
+    topic, lifecycle-routed; recipe encodes every hyperparameter."""
+    import os
+
+    from .model.artifacts import ensure_artifact
+
+    def rebuild(adir: str) -> None:
+        from .operators.clustering import ivfpq_build_artifacts
+
+        codes, cents, books = ivfpq_build_artifacts(
+            topic_emb_frame(spark, topic_dir), n_cells=n_cells, m=m,
+            ksub=ksub, iters=iters, sample_cap=sample_cap, dim=dim,
+            scale=scale, offset=offset)
+        codes.write.mode("overwrite").parquet(os.path.join(adir, "codes"))
+        spark.createDataFrame(
+            [(j, [int(x) for x in c]) for j, c in enumerate(cents)],
+            "cell long, v array<long>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(adir, "centroids"))
+        spark.createDataFrame(
+            [(mi, ci, [int(x) for x in cw])
+             for mi, book in enumerate(books) for ci, cw in enumerate(book)],
+            "mi long, code long, v array<long>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(adir, "books"))
+
+    recipe = (f"ivfpq-v1-c{n_cells}-m{m}-k{ksub}-i{iters}-cap{sample_cap}"
+              f"-d{dim}-s{scale}-o{offset}")
+    return ensure_artifact(topic_dir, artifact_dir, rebuild, recipe=recipe)
+
+
 def bm25_index_dir(spark: SparkSession, sf: str) -> str:
     """Persisted BM25 index artifacts (operators/text.bm25_build_index):
     postings/, dictionary/, stats/ parquet under one cached dir."""

@@ -122,6 +122,209 @@ def test_stale_verdicts_for_unexplained_listings(spark, tmp_path):
     assert artifact_staleness(d, art, recipe="v1") == "stale"
 
 
+def _sentinel(artifact_dir: str, sub: str) -> str:
+    """A marker file INSIDE a Spark-written artifact subdir: any rebuild
+    overwrites the subdir and deletes it, so its survival proves the
+    compacted verdict really served the old artifact as-is."""
+    p = os.path.join(artifact_dir, sub, "_rebuild_sentinel")
+    open(p, "w").close()
+    return p
+
+
+def test_topic_bm25_lifecycle_compact_serves_append_rebuilds(spark, tmp_path):
+    """VERDICT r12 task 3 — the lifecycle contract on the REAL query
+    path: BM25 artifacts built from a living topic via
+    queries.topic_bm25_index_dir (ensure_artifact-routed). compact()
+    must NOT rebuild and the indexed top-k must stay exactly equal
+    against the compacted topic; append must force a rebuild that picks
+    up the new rows."""
+    import json  # noqa: F401  (symmetry with the vector golden)
+
+    from pulsar_beam_spark.operators.text import bm25_topk, bm25_topk_indexed
+    from pulsar_beam_spark.queries import topic_bm25_index_dir, topic_docs_frame
+
+    store = TopicDirStore(str(tmp_path / "store"), flush_interval_s=None)
+    corpus = [
+        "spark shuffles data across executors",
+        "parquet scans prune row groups",
+        "data data everywhere and shuffles too",
+        "the broker compacts delivered files",
+        "executors spill when partitions skew",
+        "row groups carry min max stats",
+    ]
+    for t in corpus:
+        store.append(TOPIC, t.encode())
+    d = store.topic_dir(TOPIC)
+    art = str(tmp_path / "bm25-art")
+    terms = ["data", "shuffles"]
+
+    def indexed_topk():
+        return [tuple(r) for r in bm25_topk_indexed(
+            spark.read.parquet(os.path.join(art, "postings")),
+            spark.read.parquet(os.path.join(art, "dictionary")),
+            spark.read.parquet(os.path.join(art, "stats")),
+            terms, k=10).collect()]
+
+    def recompute_topk():
+        return [tuple(r) for r in bm25_topk(
+            topic_docs_frame(spark, d), terms, k=10).collect()]
+
+    # absent artifact -> stale -> built; index path == inline recompute
+    assert topic_bm25_index_dir(spark, d, art) == "stale"
+    q1 = indexed_topk()
+    assert q1 == recompute_topk() and len(q1) > 0
+
+    # compact: verdict 'compacted', artifact served AS-IS (sentinel
+    # survives), and the indexed query is hash-equal against the
+    # compacted topic
+    sent = _sentinel(art, "postings")
+    r = store.compact(TOPIC, watermark_us=2**62, min_files=2)
+    assert r["merged"] == len(corpus)
+    assert topic_bm25_index_dir(spark, d, art) == "compacted"
+    assert os.path.exists(sent), "compacted verdict must not rebuild"
+    assert indexed_topk() == q1
+    assert recompute_topk() == q1, (
+        "the content claim behind 'compacted': exact-once topic read "
+        "over the compacted listing still matches the old artifact")
+
+    # append: stale -> rebuilt (sentinel gone), new row scored
+    store.append(TOPIC, b"late data about data and shuffles")
+    assert topic_bm25_index_dir(spark, d, art) == "stale"
+    assert not os.path.exists(sent), "append must force a rebuild"
+    q3 = indexed_topk()
+    assert q3 == recompute_topk()
+    assert q3 != q1, "the appended doc must change the ranking"
+    # idempotent second ensure: fresh, no rebuild
+    sent2 = _sentinel(art, "postings")
+    assert topic_bm25_index_dir(spark, d, art) == "fresh"
+    assert os.path.exists(sent2)
+
+
+def _emb_payload(i: int, dim: int = 8) -> bytes:
+    import json
+
+    v = [(((i + 1) * (j + 3)) % 13 - 6) / 6.5 for j in range(dim)]
+    return json.dumps({"vec_id": i, "embedding": v}).encode()
+
+
+_IVFPQ_KW = dict(n_cells=4, m=2, ksub=4, iters=2, sample_cap=64,
+                 dim=8, scale=100_000, offset=1.0)
+
+
+def test_topic_ivfpq_lifecycle_compact_serves_append_rebuilds(spark, tmp_path):
+    """The same lifecycle golden for the composite vector index: IVFPQ
+    artifacts (codes/centroids/books) built from JSON embedding
+    payloads on a living topic, ADC scan served across compact(),
+    rebuilt on append — index-path parity checked against an inline
+    rebuild at every step."""
+    from pulsar_beam_spark.operators.clustering import (
+        ivfpq_adc_scan,
+        ivfpq_build_artifacts,
+        quantized_frame,
+    )
+    from pulsar_beam_spark.queries import (
+        topic_emb_frame,
+        topic_ivfpq_artifacts_dir,
+    )
+
+    store = TopicDirStore(str(tmp_path / "store"), flush_interval_s=None)
+    for i in range(24):
+        store.append(TOPIC, _emb_payload(i))
+    d = store.topic_dir(TOPIC)
+    art = str(tmp_path / "ivfpq-art")
+
+    def load_trained():
+        cents = [[int(x) for x in r["v"]] for r in spark.read.parquet(
+            os.path.join(art, "centroids")).orderBy("cell").collect()]
+        brows = spark.read.parquet(
+            os.path.join(art, "books")).orderBy("mi", "code").collect()
+        books: list[list[list[int]]] = []
+        for r in brows:
+            while len(books) <= r["mi"]:
+                books.append([])
+            books[r["mi"]].append([int(x) for x in r["v"]])
+        return cents, books
+
+    def qv():
+        row = quantized_frame(
+            topic_emb_frame(spark, d), _IVFPQ_KW["dim"],
+            _IVFPQ_KW["scale"], _IVFPQ_KW["offset"]
+        ).filter(F.col("_kid") == 0).select("qv").head()
+        return [int(x) for x in row["qv"]]
+
+    def indexed_topk():
+        cents, books = load_trained()
+        return [tuple(r) for r in ivfpq_adc_scan(
+            spark.read.parquet(os.path.join(art, "codes")), cents, books,
+            qv(), nprobe=2, k=5).collect()]
+
+    def inline_topk():
+        codes, cents, books = ivfpq_build_artifacts(
+            topic_emb_frame(spark, d), **_IVFPQ_KW)
+        return [tuple(r) for r in ivfpq_adc_scan(
+            codes, cents, books, qv(), nprobe=2, k=5).collect()]
+
+    assert topic_ivfpq_artifacts_dir(spark, d, art, **_IVFPQ_KW) == "stale"
+    q1 = indexed_topk()
+    assert q1 == inline_topk() and len(q1) == 5
+
+    sent = _sentinel(art, "codes")
+    r = store.compact(TOPIC, watermark_us=2**62, min_files=2)
+    assert r["merged"] == 24
+    assert topic_ivfpq_artifacts_dir(spark, d, art, **_IVFPQ_KW) == "compacted"
+    assert os.path.exists(sent), "compacted verdict must not rebuild"
+    assert indexed_topk() == q1
+    assert inline_topk() == q1
+
+    store.append(TOPIC, _emb_payload(99))
+    assert topic_ivfpq_artifacts_dir(spark, d, art, **_IVFPQ_KW) == "stale"
+    assert not os.path.exists(sent), "append must force a rebuild"
+    assert indexed_topk() == inline_topk()
+
+    # hyperparameter change misses: a different recipe must classify
+    # stale even with an unchanged topic (the fixture tag discipline)
+    kw2 = dict(_IVFPQ_KW, n_cells=2)
+    assert topic_ivfpq_artifacts_dir(spark, d, art, **kw2) == "stale"
+
+
+def test_topic_pq_and_ivf_lifecycle_verdicts(spark, tmp_path):
+    """Verdict cycle (stale -> compacted -> stale) for the remaining
+    two lifecycle-routed families, PQ codes and trained IVF cells —
+    same machinery, sentinel-checked."""
+    from pulsar_beam_spark.queries import (
+        topic_ivf_cells_dir,
+        topic_pq_codes_dir,
+    )
+
+    store = TopicDirStore(str(tmp_path / "store"), flush_interval_s=None)
+    for i in range(12):
+        store.append(TOPIC, _emb_payload(i))
+    d = store.topic_dir(TOPIC)
+
+    books = [[[0.0] * 4, [0.5] * 4], [[0.0] * 4, [-0.5] * 4]]
+    pq_art = str(tmp_path / "pq-art")
+    ivf_art = str(tmp_path / "ivf-art")
+    ivf_kw = dict(n_cells=2, iters=1, dim=8, scale=100_000, offset=1.0)
+
+    assert topic_pq_codes_dir(spark, d, pq_art, books) == "stale"
+    assert topic_ivf_cells_dir(spark, d, ivf_art, **ivf_kw) == "stale"
+    s_pq = _sentinel(pq_art, "codes")
+    s_ivf = _sentinel(ivf_art, "cells")
+
+    store.compact(TOPIC, watermark_us=2**62, min_files=2)
+    assert topic_pq_codes_dir(spark, d, pq_art, books) == "compacted"
+    assert topic_ivf_cells_dir(spark, d, ivf_art, **ivf_kw) == "compacted"
+    assert os.path.exists(s_pq) and os.path.exists(s_ivf)
+
+    store.append(TOPIC, _emb_payload(50))
+    assert topic_pq_codes_dir(spark, d, pq_art, books) == "stale"
+    assert topic_ivf_cells_dir(spark, d, ivf_art, **ivf_kw) == "stale"
+    assert not os.path.exists(s_pq) and not os.path.exists(s_ivf)
+    # changed codebooks on an unchanged topic -> recipe miss -> stale
+    books2 = [[[0.1] * 4, [0.5] * 4], [[0.0] * 4, [-0.5] * 4]]
+    assert topic_pq_codes_dir(spark, d, pq_art, books2) == "stale"
+
+
 def test_lingering_sources_at_build_time_stay_compacted(tmp_path):
     """ADVICE r12 — the build-time listing may capture a compaction
     output AND its not-yet-deleted sources (stamp taken inside the
