@@ -528,6 +528,16 @@ def ivfpq_residual_books(
     DRIVER-SIDE in pure Python ints — bit-identical to the vectorized
     kernel (first-index argmin, exact integer arithmetic) and to the
     oracle's CTEs, gated in tests/test_clustering.py."""
+    if sample_cap < 4 * ksub:
+        # the coarse-quantizer discipline (operators/dedup.py trains on
+        # max(256, 4*n_centroids)): fewer than ~4 points per codeword
+        # under-determines the subspace codebooks — several codewords
+        # collapse onto single sample points and the 'trained' books
+        # are mostly init artifacts (r12 task 4 audit)
+        raise ValueError(
+            f"ivfpq_residual_books: sample_cap={sample_cap} < 4*ksub="
+            f"{4 * ksub} under-determines the residual codebooks — "
+            "raise sample_cap or lower ksub")
     n = q.count()
     stride = (n + sample_cap - 1) // sample_cap if n else 1
     rows = (q.filter((F.col("_kid") % stride) == 0)

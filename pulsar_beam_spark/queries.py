@@ -9764,11 +9764,18 @@ def q_hybrid_rrf_indexed(spark, sf):
 # truncation). Every quantity end to end — training, codes, LUTs, adc —
 # is an exact integer, so the oracle replays the ENTIRE composite index.
 
-def _ivfpq_oracle(k: int = 10) -> str:
+def _ivfpq_parts(k: int = 10):
+    """Shared CTE prefix of every IVFPQ oracle: quantize, coarse Lloyd
+    chain, shifted residuals, strided sample, per-subspace residual
+    training, corpus encode and the quantized query — everything that
+    does NOT depend on nprobe. Returns (parts, adc_sql, probe_fold);
+    callers append probe/qr CTEs per nprobe (r12 task 4: the recall
+    sweep replays training ONCE and probes four ways, instead of four
+    full replays)."""
     from .operators.clustering import MAX_QUANT as shift
 
     dim, scale, offset = _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET
-    cells, nprobe, iters = _IVFT_CELLS, _IVFT_NPROBE, _IVFT_ITERS
+    cells, iters = _IVFT_CELLS, _IVFT_ITERS
     m, ksub, cap = _PQT_M, _PQT_KSUB, _PQT_CAP
     sub = dim // m
     # every chain CTE is MATERIALIZED: the residual training chains are
@@ -9817,18 +9824,32 @@ rs{mi} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS v FROM samp)""")
     parts.append("""
 qq AS MATERIALIZED (SELECT v AS qv FROM fq WHERE vec_id = 0)""")
     parts.append(f"""
-probe AS MATERIALIZED (SELECT cc.cluster FROM c{iters} cc, qq
-          ORDER BY {probe_fold}, cc.cluster LIMIT {nprobe})""")
-    parts.append(f"""
-qr AS MATERIALIZED (SELECT p.cluster AS cell,
-       list_transform(list_zip(qq.qv, cc.v), x -> x[1] - x[2] + {shift}) AS qv
-       FROM probe p JOIN c{iters} cc ON p.cluster = cc.cluster CROSS JOIN qq)""")
-    parts.append(f"""
 enc AS MATERIALIZED (SELECT vec_id, cell,
        {enc_sql}
         FROM (SELECT vec_id, cell,
        {ds_sql}
               FROM res))""")
+    return parts, adc_sql, probe_fold
+
+
+def _ivfpq_probe_parts(nprobe: int, probe_fold: str,
+                       sfx: str = "") -> list[str]:
+    """probe/qr CTE pair for one nprobe; ``sfx`` disambiguates names
+    when several probes share one WITH (the sweep oracle)."""
+    from .operators.clustering import MAX_QUANT as shift
+
+    iters = _IVFT_ITERS
+    return [f"""
+probe{sfx} AS MATERIALIZED (SELECT cc.cluster FROM c{iters} cc, qq
+          ORDER BY {probe_fold}, cc.cluster LIMIT {nprobe})""", f"""
+qr{sfx} AS MATERIALIZED (SELECT p.cluster AS cell,
+       list_transform(list_zip(qq.qv, cc.v), x -> x[1] - x[2] + {shift}) AS qv
+       FROM probe{sfx} p JOIN c{iters} cc ON p.cluster = cc.cluster CROSS JOIN qq)"""]
+
+
+def _ivfpq_oracle(k: int = 10) -> str:
+    parts, adc_sql, probe_fold = _ivfpq_parts(k)
+    parts += _ivfpq_probe_parts(_IVFT_NPROBE, probe_fold)
     # adc is an exact integer, so ordering by the projected alias is
     # identical to ordering by the raw expression (no float rounding
     # asymmetry) — and evaluates the LUT folds once
@@ -9922,6 +9943,95 @@ def q_ivfpq_recall_audit(spark, sf):
         .agg(F.count("*").cast("long").alias("hits"))
         .select(F.lit(k).cast("long").alias("k"), "hits")
     )
+
+
+_IVFPQ_SWEEP_PROBES = (2, 4, 8, 16)
+
+
+def _ivfpq_recall_sweep_oracle(k: int = 10) -> str:
+    """Four probe variants over ONE training replay: the shared
+    _ivfpq_parts prefix (quantize, Lloyd, residual training, encode) is
+    evaluated once, then each nprobe gets its own probe/qr/top chain,
+    all counted against the same exact-cosine top-k."""
+    parts, adc_sql, probe_fold = _ivfpq_parts(k)
+    raw_cos = (
+        "list_reduce(list_transform(list_zip(v, qv), x -> x[1] * x[2]), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)))")
+    sels = []
+    for n in _IVFPQ_SWEEP_PROBES:
+        parts += _ivfpq_probe_parts(n, probe_fold, sfx=f"_{n}")
+        parts.append(f"""
+top_{n} AS MATERIALIZED (SELECT vec_id FROM (
+  SELECT e.vec_id, CAST({adc_sql} AS BIGINT) AS adc
+  FROM enc e JOIN qr_{n} qr ON e.cell = qr.cell)
+ORDER BY adc, vec_id LIMIT {k})""")
+        sels.append(
+            f"SELECT CAST({n} AS BIGINT) AS nprobe, "
+            f"CAST({k} AS BIGINT) AS k, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM top_{n} "
+            f"JOIN exact USING (vec_id)) AS hits")
+    parts.append(f"""
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+rq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
+exact AS MATERIALIZED (SELECT vec_id FROM raw, rq
+         ORDER BY {raw_cos} DESC, vec_id LIMIT {k})""")
+    return ("WITH " + ",".join(parts) + " "
+            + " UNION ALL ".join(sels) + " ORDER BY nprobe")
+
+
+@register(
+    "e_ivfpq_recall_sweep",
+    _ivfpq_recall_sweep_oracle(),
+    doc="VERDICT r12 task 4 — the recall/cost CURVE, not one gauge "
+        "point: recall@10 of the PERSISTED IVFPQ path at nprobe = 2, 4, "
+        "8, 16 (= all cells, isolating pure PQ quantization loss from "
+        "cell-pruning loss) against the exact cosine top-k, one row per "
+        "nprobe. The artifacts are built once (ivfpq_artifacts_dir "
+        "cache); each row is one codes-scan ADC rank + a k-row join. "
+        "The oracle replays training ONCE (shared _ivfpq_parts prefix) "
+        "and probes four ways, so all four hash-checked recall numbers "
+        "pin the pruning-vs-recall trade as data. Curve recorded in "
+        "BASELINE.md.",
+)
+def q_ivfpq_recall_sweep(spark, sf):
+    from .operators.clustering import ivfpq_adc_scan, quantized_frame
+    from .operators.similarity import brute_force_topk
+
+    k = 10
+    emb = T(spark, sf, "embeddings")
+    qv = _query_vec(emb, 0)
+    d = ivfpq_artifacts_dir(spark, sf)
+    codes = spark.read.parquet(f"{d}/codes")
+    cents = [[int(x) for x in r["v"]] for r in
+             spark.read.parquet(f"{d}/centroids").orderBy("cell").collect()]
+    brows = spark.read.parquet(f"{d}/books").orderBy("mi", "code").collect()
+    books: list[list[list[int]]] = []
+    for r in brows:
+        while len(books) <= r["mi"]:
+            books.append([])
+        books[r["mi"]].append([int(x) for x in r["v"]])
+    qrow = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+            .filter(F.col("_kid") == 0).select("qv").head())
+    if not cents or not books or qv is None or qrow is None:
+        return spark.range(0).select(
+            F.lit(0).cast("long").alias("nprobe"),
+            F.lit(k).cast("long").alias("k"),
+            F.lit(0).cast("long").alias("hits"))
+    qqv = [int(x) for x in qrow["qv"]]
+    exact = brute_force_topk(emb, qv, k=k).select("vec_id")
+    out = None
+    for n in _IVFPQ_SWEEP_PROBES:
+        ann = ivfpq_adc_scan(codes, cents, books, qqv,
+                             nprobe=n, k=k).select("vec_id")
+        row = (ann.join(exact, "vec_id")
+               .agg(F.count("*").cast("long").alias("hits"))
+               .select(F.lit(n).cast("long").alias("nprobe"),
+                       F.lit(k).cast("long").alias("k"), "hits"))
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")
 
 
 def ivfpq_artifacts_dir(spark: SparkSession, sf: str) -> str:
@@ -10365,6 +10475,11 @@ _ROUND11_VERIFIED = frozenset({
 # t_bpe_token_count_1k (VERDICT r12 task 1 — the doc_id%10 corpus slice
 # is deleted; both engines now run the FULL corpus, the oracle at
 # vocab-rate via a materialized distinct-word sweep).
+# e_ivfpq_topk / e_ivfpq_recall_audit / e_ivfpq_codes_topk are KEPT
+# despite the round-13 _ivfpq_parts refactor reordering their oracle
+# CTE text (enc before probe/qr — no semantic change): all three were
+# re-verified hash-green side-by-side vs DuckDB at sf0.001 AND sf0.01
+# in-session after the refactor (the r03 d_dedup_clusters precedent).
 _ROUND12_VERIFIED = frozenset({
     "t_hybrid_rrf", "t_bpe_token_count", "p_sequence_packing_bpe",
     "t_bpe_top_subwords", "t_hybrid_rrf_indexed", "e_ivfpq_topk",

@@ -368,6 +368,20 @@ def test_pq_trainers_reject_indivisible_dim(spark):
         ivfpq_residual_books(q, cents, m=7)
 
 
+def test_ivfpq_residual_books_rejects_underdetermined_sample(spark):
+    """r12 task 4 audit: a residual training sample smaller than
+    4*ksub leaves codewords collapsed onto single points — the books
+    are init artifacts, not trained quantizers. Refuse at train time
+    (the dedup.py coarse-quantizer discipline)."""
+    from pulsar_beam_spark.operators.clustering import (
+        ivfpq_residual_books, kmeans_fit)
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q, cents = kmeans_fit(emb, k=4)
+    with pytest.raises(ValueError, match="under-determines"):
+        ivfpq_residual_books(q, cents, m=8, ksub=16, sample_cap=32)
+
+
 def test_ivfpq_codes_struct_rejects_mismatched_books():
     """ADVICE r12: the encode kernel slices rv[:, mi*sub:(mi+1)*sub];
     books with m*sub != dim (possible only from an unguarded external
