@@ -59,6 +59,7 @@ class EpochIndexMachine(RuleBasedStateMachine):
         super().__init__()
         self.tmp = tempfile.mkdtemp(prefix="pbs-idxfuzz-")
         self.art = os.path.join(self.tmp, "art")
+        self.bm_art = os.path.join(self.tmp, "bm25")
         self.cursor = 0
         self.epochs: list[tuple[int, int]] = []  # epoch -> pool slice
 
@@ -66,8 +67,22 @@ class EpochIndexMachine(RuleBasedStateMachine):
         return self.spark.createDataFrame(
             self.pool[lo:hi], "vec_id long, embedding array<double>")
 
+    @staticmethod
+    def _text(i: int) -> str:
+        # deterministic, overlap-heavy vocabulary so dfreq actually
+        # couples across epochs (the globally-coupled partials are what
+        # the bm25 rules exist to fuzz)
+        return (f"data scan a{i % 3} b{i % 5} "
+                + ("repeat " * (i % 4)))
+
+    def _docs_frame(self, lo: int, hi: int):
+        return self.spark.createDataFrame(
+            [(int(v[0]), self._text(int(v[0]))) for v in self.pool[lo:hi]],
+            "doc_id long, text string")
+
     @rule(n=st.integers(1, 8))
     def append_batch(self, n):
+        from pulsar_beam_spark.streaming.text_index import bm25_write_epoch
         from pulsar_beam_spark.streaming.vector_index import ivfpq_write_epoch
 
         lo, hi = self.cursor, min(self.cursor + n, len(self.pool))
@@ -78,9 +93,11 @@ class EpochIndexMachine(RuleBasedStateMachine):
         self.epochs.append((lo, hi))
         ivfpq_write_epoch(self._frame(lo, hi), self.cents, self.books,
                           self.art, epoch)
+        bm25_write_epoch(self._docs_frame(lo, hi), self.bm_art, epoch)
 
     @rule(pick=st.integers(0, 10_000))
     def replay_epoch(self, pick):
+        from pulsar_beam_spark.streaming.text_index import bm25_write_epoch
         from pulsar_beam_spark.streaming.vector_index import (
             ivfpq_write_epoch, live_artifact_dirs)
 
@@ -93,22 +110,33 @@ class EpochIndexMachine(RuleBasedStateMachine):
         live = set(live_artifact_dirs(self.art, "ivfpq_codes"))
         candidates = [e for e in range(len(self.epochs))
                       if f"epoch={e}" in live]
-        if not candidates:
-            return
-        epoch = candidates[pick % len(candidates)]
-        lo, hi = self.epochs[epoch]
-        ivfpq_write_epoch(self._frame(lo, hi), self.cents, self.books,
-                          self.art, epoch)
+        if candidates:
+            epoch = candidates[pick % len(candidates)]
+            lo, hi = self.epochs[epoch]
+            ivfpq_write_epoch(self._frame(lo, hi), self.cents, self.books,
+                              self.art, epoch)
+        # r12 task 5: the bm25 partials replay under the SAME protocol;
+        # replaying a live epoch must rewrite identical partial dfreq/
+        # stats rows, never double-count them
+        bm_live = set(live_artifact_dirs(self.bm_art, "postings"))
+        bm_candidates = [e for e in range(len(self.epochs))
+                         if f"epoch={e}" in bm_live]
+        if bm_candidates:
+            epoch = bm_candidates[pick % len(bm_candidates)]
+            lo, hi = self.epochs[epoch]
+            bm25_write_epoch(self._docs_frame(lo, hi), self.bm_art, epoch)
 
     @rule(fail=st.sampled_from([None, None, "after_manifest",
-                                "after_rename", "mid_delete"]))
-    def compact(self, fail):
+                                "after_rename", "mid_delete"]),
+          which=st.sampled_from(["ivfpq_codes", "postings", "dictionary",
+                                 "stats"]))
+    def compact(self, fail, which):
         from pulsar_beam_spark.streaming.vector_index import compact_artifact
 
         if not self.epochs:
             return
-        compact_artifact(self.spark, self.art, "ivfpq_codes",
-                         _fail_point=fail)
+        art = self.art if which == "ivfpq_codes" else self.bm_art
+        compact_artifact(self.spark, art, which, _fail_point=fail)
 
     @invariant()
     def artifact_equals_one_shot_encode(self):
@@ -127,6 +155,24 @@ class EpochIndexMachine(RuleBasedStateMachine):
         assert got == want, (
             f"streamed artifact diverged from one-shot encode after "
             f"epochs {self.epochs}")
+
+    @invariant()
+    def bm25_partials_equal_one_shot_rebuild(self):
+        from pulsar_beam_spark.operators.text import bm25_build_index
+        from pulsar_beam_spark.streaming.text_index import bm25_read_index
+
+        if not self.epochs:
+            return
+        p, d, s = bm25_read_index(self.spark, self.bm_art)
+        wp, wd, ws = bm25_build_index(self._docs_frame(0, self.cursor))
+        assert (sorted(tuple(r) for r in p.collect())
+                == sorted(tuple(r) for r in wp.collect()))
+        assert (sorted(tuple(r) for r in d.collect())
+                == sorted(tuple(r) for r in wd.collect())), (
+            f"partial-dfreq view diverged after epochs {self.epochs}")
+        assert ([tuple(r) for r in s.collect()]
+                == [tuple(r) for r in ws.collect()]), (
+            f"partial-stats view diverged after epochs {self.epochs}")
 
     def teardown(self):
         shutil.rmtree(self.tmp, ignore_errors=True)
