@@ -8650,6 +8650,10 @@ def topic_docs_frame(spark: SparkSession, topic_dir: str) -> DataFrame:
     import os
 
     files = [os.path.join(topic_dir, f) for f in topic_live_files(topic_dir)]
+    if not files:
+        # loud, not an opaque reader error: a never-appended topic has
+        # nothing to index (round-13 self-probe)
+        raise ValueError(f"topic dir {topic_dir} has no parquet to index")
     return spark.read.parquet(*files).select(
         F.col("message_id").alias("doc_id"),
         F.col("payload").cast("string").alias("text"))
@@ -8664,6 +8668,8 @@ def topic_emb_frame(spark: SparkSession, topic_dir: str) -> DataFrame:
     import os
 
     files = [os.path.join(topic_dir, f) for f in topic_live_files(topic_dir)]
+    if not files:
+        raise ValueError(f"topic dir {topic_dir} has no parquet to index")
     return (spark.read.parquet(*files)
             .select(F.from_json(
                 F.col("payload").cast("string"),

@@ -44,7 +44,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .vector_index import compact_artifact, live_artifact_dirs
+from .vector_index import compact_artifact, read_artifact
 
 
 def bm25_write_epoch(
@@ -104,25 +104,17 @@ def bm25_index_sink(
     )
 
 
-def _read(spark, artifact_dir: str, which: str) -> DataFrame:
-    path = os.path.join(artifact_dir, which)
-    dirs = live_artifact_dirs(artifact_dir, which)
-    if not dirs:
-        return spark.read.option("recursiveFileLookup", "true").parquet(path)
-    return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
-
-
 def bm25_read_index(spark, artifact_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The query-time (postings, dictionary, stats) view over the
     streamed partials — drop-in for ``bm25_topk_indexed``'s inputs.
     Postings are the plain union (row-local rows); dictionary and stats
     re-aggregate the integer partials, which is exact in any grouping,
     so the view equals a one-shot rebuild bit-for-bit. Compaction-aware
-    via live_artifact_dirs (present outputs supersede lingering
+    via vector_index.read_artifact (present outputs supersede lingering
     sources)."""
-    postings = _read(spark, artifact_dir, "postings")
-    dictionary = (_read(spark, artifact_dir, "dictionary")
+    postings = read_artifact(spark, artifact_dir, "postings")
+    dictionary = (read_artifact(spark, artifact_dir, "dictionary")
                   .groupBy("term").agg(F.sum("dfreq").alias("dfreq")))
-    stats = _read(spark, artifact_dir, "stats").agg(
+    stats = read_artifact(spark, artifact_dir, "stats").agg(
         F.sum("n").alias("n"), F.sum("tot").alias("tot"))
     return postings, dictionary, stats

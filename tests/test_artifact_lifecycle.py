@@ -287,6 +287,22 @@ def test_topic_ivfpq_lifecycle_compact_serves_append_rebuilds(spark, tmp_path):
     assert topic_ivfpq_artifacts_dir(spark, d, art, **kw2) == "stale"
 
 
+def test_topic_frames_raise_on_empty_topic(spark, tmp_path):
+    """Round-13 self-probe: a never-appended topic has nothing to
+    index; the exact-once readers must raise a clear error instead of
+    an opaque reader failure inside a rebuild."""
+    import pytest
+
+    from pulsar_beam_spark.queries import topic_docs_frame, topic_emb_frame
+
+    d = tmp_path / "empty-topic"
+    d.mkdir()
+    with pytest.raises(ValueError, match="no parquet to index"):
+        topic_docs_frame(spark, str(d))
+    with pytest.raises(ValueError, match="no parquet to index"):
+        topic_emb_frame(spark, str(d))
+
+
 def test_topic_pq_and_ivf_lifecycle_verdicts(spark, tmp_path):
     """Verdict cycle (stale -> compacted -> stale) for the remaining
     two lifecycle-routed families, PQ codes and trained IVF cells —
