@@ -116,6 +116,9 @@ HEADLINE = [
                                  # corpus-rate wordcount shuffle, then 12
                                  # vocab-rate argmax iterations
     "t_bpe_train_apply",         # learned table feeding the codegen encoder
+                                 # (inline train+encode — the contrast row)
+    "t_bpe_learned_apply",       # encode under the PERSISTED learned table:
+                                 # no training jobs in the query path
 ]
 
 

@@ -9270,6 +9270,55 @@ def q_bpe_train_apply(spark, sf):
         bpe_token_count("text", learned).alias("n_bpe_tokens"))
 
 
+def bpe_merges_dir(spark: SparkSession, sf: str) -> str:
+    """Persisted LEARNED merge table (train once per corpus, cached by
+    source identity like every index artifact): one tiny parquet of
+    (merge_rank, a, b, pair_n) rows — the tokenizer artifact a real
+    pipeline ships, produced by the same bounded-collect trainer the
+    inline entries run."""
+    def build(tmp: str) -> None:
+        from .operators.text import bpe_train_merges
+
+        learned = bpe_train_merges(T(spark, sf, "documents"),
+                                   _BPE_TRAIN_RANKS)
+        spark.createDataFrame(
+            [(i + 1, a, b, n) for i, (a, b, n) in enumerate(learned)],
+            "merge_rank long, a string, b string, pair_n long",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    return _ingest_artifact_dir(
+        sf, "documents", f"bpe-merges-v1-r{_BPE_TRAIN_RANKS}", build)
+
+
+@register(
+    "t_bpe_learned_apply",
+    _bpe_train_apply_oracle(),
+    doc="The persisted twin of t_bpe_train_apply, completing for tokens "
+        "the train-once/persist/query-flat arc every vector family has "
+        "(e_ivfpq_topk vs e_ivfpq_codes_topk): the merge table is "
+        "LEARNED once per corpus and persisted (bpe_merges_dir), and "
+        "the query path collects the 12-row artifact and runs ONLY the "
+        "codegen encode scan — no training jobs. Shares "
+        "t_bpe_train_apply's oracle (the learned table is a "
+        "deterministic function of the corpus), proving tokenizer-"
+        "artifact parity the same way the persisted index entries do.",
+)
+def q_bpe_learned_apply(spark, sf):
+    from .operators.text import bpe_token_count
+
+    d = bpe_merges_dir(spark, sf)
+    rows = spark.read.parquet(d).orderBy("merge_rank").collect()
+    learned = tuple((r["a"], r["b"]) for r in rows)
+    docs = T(spark, sf, "documents")
+    n_words = F.size(F.regexp_extract_all(
+        F.lower(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit("[a-z0-9]+"), F.lit(0)))
+    return docs.select(
+        F.col("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        bpe_token_count("text", learned).alias("n_bpe_tokens"))
+
+
 # == round-11 additions: fixed-point Lloyd k-means ========================
 # The one family the LLM-pipeline set still lacked as a FIRST-CLASS
 # oracle-bearing entry: distributed cluster TRAINING (the quantizers in

@@ -511,13 +511,15 @@ def test_bpe_train_apply_plan(spark):
     (doc_id, text), the learned 12-rank replace chain fully codegen
     (no Python UDF, no exchange): training cost lives in the loop's
     vocab-rate jobs, never in the per-row encode path."""
-    df = REGISTRY["t_bpe_train_apply"].spark(spark, SF_SMOKE)
-    plan = formatted_plan(df)
-    assert n_exchanges(df) == 0, plan[:2000]
-    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan, (
-        "encode must be JVM-side")
-    schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema:")[1:]]
-    assert len(schemas) == 1 and "text" in schemas[0], schemas
+    for entry in ("t_bpe_train_apply", "t_bpe_learned_apply"):
+        df = REGISTRY[entry].spark(spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert n_exchanges(df) == 0, (entry, plan[:2000])
+        assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan, (
+            f"{entry}: encode must be JVM-side")
+        schemas = [seg.split("\n")[0]
+                   for seg in plan.split("ReadSchema:")[1:]]
+        assert len(schemas) == 1 and "text" in schemas[0], (entry, schemas)
 
 
 def test_hybrid_rrf_indexed_never_scans_corpus_text(spark):

@@ -138,6 +138,10 @@ ANCHOR_EXPONENTS = {
     # brute exact leg (measured 0.00).
     "t_bpe_train_merges": 0.05,
     "t_bpe_train_apply": 0.13,
+    "t_bpe_learned_apply": 0.13,  # measured 0.00 (warm-artifact encode
+                                  # scan at the noise floor); pinned at
+                                  # the inline apply's expected-linear
+                                  # anchor so the ceiling is a real pin
     "e_ivfpq_recall_sweep": 0.05,
 
     "tpch_q10_returned_items": 0.04,
