@@ -119,6 +119,10 @@ HEADLINE = [
                                  # (inline train+encode — the contrast row)
     "t_bpe_learned_apply",       # encode under the PERSISTED learned table:
                                  # no training jobs in the query path
+    "e_ivfpq_rerank_topk",       # the FAISS refine stage: persisted ADC
+                                 # top-64 -> pushed IN filter -> exact
+                                 # cosine re-rank (recovers recall 3->7+
+                                 # of 10; see BASELINE.md r13)
 ]
 
 

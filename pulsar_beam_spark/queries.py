@@ -10089,6 +10089,137 @@ def q_ivfpq_recall_sweep(spark, sf):
     return out.orderBy("nprobe")
 
 
+_IVFPQ_RERANK_C = 64
+
+
+def _load_ivfpq_artifacts(spark: SparkSession, sf: str):
+    """(codes frame, centroids, books) from the persisted artifact dir
+    — the two trained tables are bounded collects (n_cells rows /
+    m x ksub rows)."""
+    d = ivfpq_artifacts_dir(spark, sf)
+    codes = spark.read.parquet(f"{d}/codes")
+    cents = [[int(x) for x in r["v"]] for r in
+             spark.read.parquet(f"{d}/centroids").orderBy("cell").collect()]
+    brows = spark.read.parquet(f"{d}/books").orderBy("mi", "code").collect()
+    books: list[list[list[int]]] = []
+    for r in brows:
+        while len(books) <= r["mi"]:
+            books.append([])
+        books[r["mi"]].append([int(x) for x in r["v"]])
+    return codes, cents, books
+
+
+def _ivfpq_rerank_candidates(spark, sf) -> list[int] | None:
+    """The bounded driver collect at the heart of the refine stage: the
+    persisted ADC top-C candidate ids (C = 64 rows — the probe-cells
+    collect pattern). None when the index/query is degenerate."""
+    from .operators.clustering import ivfpq_adc_scan, quantized_frame
+
+    emb = T(spark, sf, "embeddings")
+    codes, cents, books = _load_ivfpq_artifacts(spark, sf)
+    qrow = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+            .filter(F.col("_kid") == 0).select("qv").head())
+    if not cents or not books or qrow is None:
+        return None
+    cand = ivfpq_adc_scan(codes, cents, books,
+                          [int(x) for x in qrow["qv"]],
+                          nprobe=_IVFT_NPROBE, k=_IVFPQ_RERANK_C)
+    return [int(r["vec_id"]) for r in cand.select("vec_id").collect()]
+
+
+def _ivfpq_rerank_oracle(k: int = 10) -> str:
+    raw_cos = (
+        "list_reduce(list_transform(list_zip(v, qv), x -> x[1] * x[2]), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)))")
+    return f"""
+WITH annc AS ({_ivfpq_oracle(_IVFPQ_RERANK_C)}),
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+rq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')})
+SELECT vec_id, round({raw_cos}, 6) AS cosine
+FROM raw JOIN annc USING (vec_id), rq
+ORDER BY {raw_cos} DESC, vec_id
+LIMIT {k}
+"""
+
+
+@register(
+    "e_ivfpq_rerank_topk",
+    _ivfpq_rerank_oracle(),
+    doc="The FAISS refine stage the recall sweep's adjudication calls "
+        "for (r13; e_ivfpq_recall_sweep measured the curve FLAT in "
+        "nprobe — the ceiling is residual-quantization RANKING error, "
+        "not pruning, so the fix is exact re-scoring of a candidate "
+        "buffer, not more probe IO): the persisted ADC path returns its "
+        "top-64 candidate ids (one bounded collect, the probe-cells "
+        "pattern), the ids become an IN filter PUSHED into the "
+        "embeddings parquet scan (64 rows read at 100 TB, not a "
+        "corpus scan — plan-pinned), and the exact cosine re-ranks to "
+        "top-10. Oracle: the full composite replay at C=64 nested "
+        "under an exact-cosine rerank, so the refined ranking is "
+        "hash-verified end to end.",
+)
+def q_ivfpq_rerank(spark, sf):
+    from .operators.similarity import brute_force_topk
+
+    emb = T(spark, sf, "embeddings")
+    qv = _query_vec(emb, 0)
+    ids = _ivfpq_rerank_candidates(spark, sf)
+    if qv is None or ids is None:
+        return spark.range(0).select(
+            F.lit(0).cast("long").alias("vec_id"),
+            F.lit(0.0).alias("cosine"))
+    return brute_force_topk(emb.filter(F.col("vec_id").isin(ids)), qv, k=10)
+
+
+def _ivfpq_rerank_recall_oracle(k: int = 10) -> str:
+    raw_cos = (
+        "list_reduce(list_transform(list_zip(v, qv), x -> x[1] * x[2]), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)))")
+    return f"""
+WITH ann AS ({_ivfpq_rerank_oracle(k)}),
+raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+rq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
+exact AS (SELECT vec_id FROM raw, rq ORDER BY {raw_cos} DESC, vec_id LIMIT {k})
+SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM ann JOIN exact USING (vec_id)) AS hits
+"""
+
+
+@register(
+    "e_ivfpq_rerank_recall",
+    _ivfpq_rerank_recall_oracle(),
+    doc="Recall@10 of the REFINED path (persisted ADC top-64 -> exact "
+        "cosine re-rank) against exact search — the hash-checked proof "
+        "that the refine stage recovers what quantization ranking "
+        "loses: the sweep pinned the un-refined path at 3-4/10 "
+        "regardless of nprobe; the residual misses here are true "
+        "cell-pruning losses (exact-top-k members whose cell the probe "
+        "never opened). Numbers recorded per SF in BASELINE.md.",
+)
+def q_ivfpq_rerank_recall(spark, sf):
+    from .operators.similarity import brute_force_topk
+
+    k = 10
+    emb = T(spark, sf, "embeddings")
+    qv = _query_vec(emb, 0)
+    if qv is None:
+        return spark.range(1).select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(0).cast("long").alias("hits"))
+    ann = q_ivfpq_rerank(spark, sf).select("vec_id")
+    exact = brute_force_topk(emb, qv, k=k).select("vec_id")
+    return (
+        ann.join(exact, "vec_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+        .select(F.lit(k).cast("long").alias("k"), "hits"))
+
+
 def ivfpq_artifacts_dir(spark: SparkSession, sf: str) -> str:
     """Persisted composite-index artifacts (operators/clustering.
     ivfpq_build_artifacts): codes/ — (vec_id, cell, _code0.._code7

@@ -522,6 +522,23 @@ def test_bpe_train_apply_plan(spark):
         assert len(schemas) == 1 and "text" in schemas[0], (entry, schemas)
 
 
+def test_ivfpq_rerank_plan(spark):
+    """r13 refine stage: the exact-cosine re-rank must read ONLY the
+    64 ADC candidates — the candidate-id IN filter lands in the
+    embeddings scan's PushedFilters (64 rows at 100 TB, never a corpus
+    scan), ranking via TakeOrderedAndProject with zero exchanges. The
+    ADC candidate selection itself is the already-pinned persisted
+    codes path (test_ivfpq_codes_topk_plan)."""
+    df = REGISTRY["e_ivfpq_rerank_topk"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("vec_id" in p and "In(" in p for p in pushed), (
+        "candidate-id IN filter must reach the embeddings scan:\n"
+        + "\n".join(pushed))
+    assert "TakeOrderedAndProject" in plan
+    assert n_exchanges(df) == 0, plan[:2000]
+
+
 def test_hybrid_rrf_indexed_never_scans_corpus_text(spark):
     """VERDICT r11 item 3: the artifact-backed hybrid entry's plan must
     never read documents.text (sparse leg from persisted postings) and

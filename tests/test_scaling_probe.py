@@ -143,6 +143,10 @@ ANCHOR_EXPONENTS = {
                                   # the inline apply's expected-linear
                                   # anchor so the ceiling is a real pin
     "e_ivfpq_recall_sweep": 0.05,
+    # the refine stage: one flat persisted ADC scan + a 64-row pushed-IN
+    # re-rank (measured -0.03 / 0.04 — both at the noise floor)
+    "e_ivfpq_rerank_topk": 0.05,
+    "e_ivfpq_rerank_recall": 0.08,
 
     "tpch_q10_returned_items": 0.04,
     "tpch_q11_important_stock": 0.10,
