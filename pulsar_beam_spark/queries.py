@@ -10220,6 +10220,97 @@ def q_ivfpq_rerank_recall(spark, sf):
         .select(F.lit(k).cast("long").alias("k"), "hits"))
 
 
+def _ivfpq_rerank_sweep_oracle(k: int = 10) -> str:
+    """Refined recall per nprobe over ONE training replay: per probe
+    count, the composite ADC top-C candidates re-ranked by exact
+    cosine, counted against the same exact top-k. The refined curve's
+    residual misses are pure cell-pruning losses, so THIS curve must
+    rise with nprobe (unlike the un-refined sweep, which the
+    quantization ranking error holds flat)."""
+    parts, adc_sql, probe_fold = _ivfpq_parts(k)
+    raw_cos = (
+        "list_reduce(list_transform(list_zip(v, qv), x -> x[1] * x[2]), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)))")
+    sels = []
+    for n in _IVFPQ_SWEEP_PROBES:
+        parts += _ivfpq_probe_parts(n, probe_fold, sfx=f"_{n}")
+        parts.append(f"""
+cand_{n} AS MATERIALIZED (SELECT vec_id FROM (
+  SELECT e.vec_id, CAST({adc_sql} AS BIGINT) AS adc
+  FROM enc e JOIN qr_{n} qr ON e.cell = qr.cell)
+ORDER BY adc, vec_id LIMIT {_IVFPQ_RERANK_C})""")
+        parts.append(f"""
+rr_{n} AS (SELECT vec_id FROM raw JOIN cand_{n} USING (vec_id), rq
+  ORDER BY {raw_cos} DESC, vec_id LIMIT {k})""")
+        sels.append(
+            f"SELECT CAST({n} AS BIGINT) AS nprobe, "
+            f"CAST({k} AS BIGINT) AS k, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM rr_{n} "
+            f"JOIN exact USING (vec_id)) AS hits")
+    # raw/rq/exact appear BEFORE their uses textually via WITH scoping:
+    # DuckDB resolves same-WITH references in order, so put them first
+    pre = [f"""
+raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+rq AS MATERIALIZED (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
+exact AS MATERIALIZED (SELECT vec_id FROM raw, rq
+         ORDER BY {raw_cos} DESC, vec_id LIMIT {k})"""]
+    return ("WITH " + ",".join(pre + parts) + " "
+            + " UNION ALL ".join(sels) + " ORDER BY nprobe")
+
+
+@register(
+    "e_ivfpq_rerank_sweep",
+    _ivfpq_rerank_sweep_oracle(),
+    doc="The refined recall/cost curve, closing the adjudication loop: "
+        "e_ivfpq_recall_sweep showed un-refined recall FLAT in nprobe "
+        "(quantization ranking error dominates); e_ivfpq_rerank_recall "
+        "showed refinement recovering it at nprobe=4. This entry "
+        "measures refined recall AT EACH nprobe (2/4/8/16) under the "
+        "FIXED C=64 candidate buffer — and the measured curve "
+        "DISPROVED the naive expectation that it rises to k at full "
+        "probe: at sf0.1 recall drops 7 -> 6 as nprobe grows 2 -> 16, "
+        "because widening the probe makes the fixed ADC-top-C buffer "
+        "draw from a larger pool, DILUTING true winners below rank C "
+        "(the standard IVFPQ result that the refine budget must scale "
+        "with probe width; C is the third axis of the trade, now "
+        "pinned as hash-checked data in BASELINE.md). One training "
+        "replay; per-probe candidate+rerank chains.",
+)
+def q_ivfpq_rerank_sweep(spark, sf):
+    from .operators.clustering import ivfpq_adc_scan, quantized_frame
+    from .operators.similarity import brute_force_topk
+
+    k = 10
+    emb = T(spark, sf, "embeddings")
+    qv = _query_vec(emb, 0)
+    codes, cents, books = _load_ivfpq_artifacts(spark, sf)
+    qrow = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+            .filter(F.col("_kid") == 0).select("qv").head())
+    if not cents or not books or qv is None or qrow is None:
+        return spark.range(0).select(
+            F.lit(0).cast("long").alias("nprobe"),
+            F.lit(k).cast("long").alias("k"),
+            F.lit(0).cast("long").alias("hits"))
+    qqv = [int(x) for x in qrow["qv"]]
+    exact = brute_force_topk(emb, qv, k=k).select("vec_id")
+    out = None
+    for n in _IVFPQ_SWEEP_PROBES:
+        ids = [int(r["vec_id"]) for r in
+               ivfpq_adc_scan(codes, cents, books, qqv, nprobe=n,
+                              k=_IVFPQ_RERANK_C).select("vec_id").collect()]
+        rr = brute_force_topk(
+            emb.filter(F.col("vec_id").isin(ids)), qv, k=k).select("vec_id")
+        row = (rr.join(exact, "vec_id")
+               .agg(F.count("*").cast("long").alias("hits"))
+               .select(F.lit(n).cast("long").alias("nprobe"),
+                       F.lit(k).cast("long").alias("k"), "hits"))
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")
+
+
 def ivfpq_artifacts_dir(spark: SparkSession, sf: str) -> str:
     """Persisted composite-index artifacts (operators/clustering.
     ivfpq_build_artifacts): codes/ — (vec_id, cell, _code0.._code7

@@ -147,6 +147,7 @@ ANCHOR_EXPONENTS = {
     # re-rank (measured -0.03 / 0.04 — both at the noise floor)
     "e_ivfpq_rerank_topk": 0.05,
     "e_ivfpq_rerank_recall": 0.08,
+    "e_ivfpq_rerank_sweep": 0.08,  # measured -0.02 (four flat chains)
 
     "tpch_q10_returned_items": 0.04,
     "tpch_q11_important_stock": 0.10,
