@@ -10311,6 +10311,89 @@ def q_ivfpq_rerank_sweep(spark, sf):
     return out.orderBy("nprobe")
 
 
+def _ivfpq_rerank_scaled_oracle(k: int = 10) -> str:
+    """The C-scaling counterpart of _ivfpq_rerank_sweep_oracle: the
+    candidate budget grows with the probe width (C = 16*nprobe, i.e.
+    a FIXED fraction of the probed pool), testing the operating
+    guidance the fixed-C sweep's dilution result implies."""
+    parts, adc_sql, probe_fold = _ivfpq_parts(k)
+    raw_cos = (
+        "list_reduce(list_transform(list_zip(v, qv), x -> x[1] * x[2]), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y)))")
+    sels = []
+    for n in _IVFPQ_SWEEP_PROBES:
+        c = 16 * n
+        parts += _ivfpq_probe_parts(n, probe_fold, sfx=f"_s{n}")
+        parts.append(f"""
+cand_s{n} AS MATERIALIZED (SELECT vec_id FROM (
+  SELECT e.vec_id, CAST({adc_sql} AS BIGINT) AS adc
+  FROM enc e JOIN qr_s{n} qr ON e.cell = qr.cell)
+ORDER BY adc, vec_id LIMIT {c})""")
+        parts.append(f"""
+rr_s{n} AS (SELECT vec_id FROM raw JOIN cand_s{n} USING (vec_id), rq
+  ORDER BY {raw_cos} DESC, vec_id LIMIT {k})""")
+        sels.append(
+            f"SELECT CAST({n} AS BIGINT) AS nprobe, "
+            f"CAST({c} AS BIGINT) AS c, CAST({k} AS BIGINT) AS k, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM rr_s{n} "
+            f"JOIN exact USING (vec_id)) AS hits")
+    pre = [f"""
+raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+rq AS MATERIALIZED (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = 0 AND {_finite_vec_sql('embedding::DOUBLE[]')}),
+exact AS MATERIALIZED (SELECT vec_id FROM raw, rq
+         ORDER BY {raw_cos} DESC, vec_id LIMIT {k})"""]
+    return ("WITH " + ",".join(pre + parts) + " "
+            + " UNION ALL ".join(sels) + " ORDER BY nprobe")
+
+
+@register(
+    "e_ivfpq_rerank_scaled_sweep",
+    _ivfpq_rerank_scaled_oracle(),
+    doc="Validates (rather than asserts) the operating guidance the "
+        "fixed-C sweep's dilution result implies: scale the refine "
+        "budget WITH the probe width (C = 16*nprobe — a fixed fraction "
+        "of the probed pool) and the refined recall curve should stop "
+        "falling as nprobe grows. Hash-checked like its fixed-C twin; "
+        "measured numbers + the guidance verdict in BASELINE.md.",
+)
+def q_ivfpq_rerank_scaled(spark, sf):
+    from .operators.clustering import ivfpq_adc_scan, quantized_frame
+    from .operators.similarity import brute_force_topk
+
+    k = 10
+    emb = T(spark, sf, "embeddings")
+    qv = _query_vec(emb, 0)
+    codes, cents, books = _load_ivfpq_artifacts(spark, sf)
+    qrow = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+            .filter(F.col("_kid") == 0).select("qv").head())
+    if not cents or not books or qv is None or qrow is None:
+        return spark.range(0).select(
+            F.lit(0).cast("long").alias("nprobe"),
+            F.lit(0).cast("long").alias("c"),
+            F.lit(k).cast("long").alias("k"),
+            F.lit(0).cast("long").alias("hits"))
+    qqv = [int(x) for x in qrow["qv"]]
+    exact = brute_force_topk(emb, qv, k=k).select("vec_id")
+    out = None
+    for n in _IVFPQ_SWEEP_PROBES:
+        c = 16 * n
+        ids = [int(r["vec_id"]) for r in
+               ivfpq_adc_scan(codes, cents, books, qqv, nprobe=n,
+                              k=c).select("vec_id").collect()]
+        rr = brute_force_topk(
+            emb.filter(F.col("vec_id").isin(ids)), qv, k=k).select("vec_id")
+        row = (rr.join(exact, "vec_id")
+               .agg(F.count("*").cast("long").alias("hits"))
+               .select(F.lit(n).cast("long").alias("nprobe"),
+                       F.lit(c).cast("long").alias("c"),
+                       F.lit(k).cast("long").alias("k"), "hits"))
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")
+
+
 def ivfpq_artifacts_dir(spark: SparkSession, sf: str) -> str:
     """Persisted composite-index artifacts (operators/clustering.
     ivfpq_build_artifacts): codes/ — (vec_id, cell, _code0.._code7
