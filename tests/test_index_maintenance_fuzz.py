@@ -68,10 +68,14 @@ class EpochIndexMachine(RuleBasedStateMachine):
             self.pool[lo:hi], "vec_id long, embedding array<double>")
 
     @staticmethod
-    def _text(i: int) -> str:
+    def _text(i: int):
         # deterministic, overlap-heavy vocabulary so dfreq actually
         # couples across epochs (the globally-coupled partials are what
-        # the bm25 rules exist to fuzz)
+        # the bm25 rules exist to fuzz); every 7th doc has NULL text
+        # (the adversarial-corpus class: partial stats must sum cleanly
+        # over null-token rows)
+        if i % 7 == 0:
+            return None
         return (f"data scan a{i % 3} b{i % 5} "
                 + ("repeat " * (i % 4)))
 
