@@ -123,6 +123,10 @@ HEADLINE = [
                                  # top-64 -> pushed IN filter -> exact
                                  # cosine re-rank (recovers recall 3->7+
                                  # of 10; see BASELINE.md r13)
+    "e_ivfpq_batch_topk",        # batch multi-query retrieval: ONE codes
+                                 # scan serves Q queries via a broadcast
+                                 # (qid, cell, LUTs) table — the
+                                 # retrieval-for-training read shape
 ]
 
 

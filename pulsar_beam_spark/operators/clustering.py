@@ -765,6 +765,66 @@ def ivfpq_adc_scan(
     )
 
 
+def ivfpq_adc_batch_scan(
+    codes: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    queries: list[tuple[int, list[int]]],
+    nprobe: int = 4,
+    k: int = 10,
+    shift: int = MAX_QUANT,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """BATCH multi-query ADC over (possibly persisted) residual codes —
+    the retrieval-for-training read shape: every training example needs
+    k neighbors, so queries arrive as a SET, and the brute batch join
+    (e_grouped_topk: Q x N dots) is exactly what the index exists to
+    avoid.
+
+    Per query the probe + LUTs are computed driver-side (bounded:
+    Q x nprobe x m x ksub ints — the probe-cells collect pattern); they
+    ship as ONE broadcast (qid, cell, l0..l{M-1}) table joined to the
+    codes ON CELL. The codes are scanned ONCE for all queries with the
+    union of probed cells pushed as an IN filter (a cell-partitioned
+    layout reads ~the probed fraction at 100 TB regardless of Q); each
+    surviving (row, query-probing-its-cell) pair pays M element_at
+    adds, and the per-query rank is a window over the already-pruned
+    candidates (the one shuffle, proportional to candidates, never the
+    corpus). (qid, id, adc, rn<=k), rank ties broken by id — exact
+    integers end to end, so the multi-query oracle replays it.
+    """
+    from pyspark.sql import Window
+
+    m = len(books)
+    rows = []
+    all_cells: set[int] = set()
+    for qid, qv in queries:
+        probe = ivf_probe_cells(qv, cents, nprobe)
+        luts = ivfpq_query_luts(qv, cents, books, probe, shift)
+        for c in probe:
+            all_cells.add(int(c))
+            rows.append(tuple([int(qid), int(c)]
+                              + [[int(x) for x in luts[c][mi]]
+                                 for mi in range(m)]))
+    schema = ("qid long, cell long, "
+              + ", ".join(f"l{mi} array<long>" for mi in range(m)))
+    lutdf = codes.sparkSession.createDataFrame(rows, schema)
+    adc = F.element_at(F.col("l0"), F.col("_code0").cast("int") + 1)
+    for mi in range(1, m):
+        adc = adc + F.element_at(F.col(f"l{mi}"),
+                                 F.col(f"_code{mi}").cast("int") + 1)
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(),
+                                          F.col(id_col).asc())
+    return (
+        codes.filter(F.col("cell").isin(sorted(all_cells)))
+        .join(F.broadcast(lutdf), "cell")
+        .select("qid", id_col, adc.alias("adc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col, "adc", F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_qv: list[int] | None,

@@ -10394,6 +10394,84 @@ def q_ivfpq_rerank_scaled(spark, sf):
     return out.orderBy("nprobe")
 
 
+_IVFPQ_BATCH_Q, _IVFPQ_BATCH_K = 5, 5
+
+
+def _ivfpq_batch_oracle() -> str:
+    """Multi-query replay over the shared training prefix: per query
+    (vec_id < Q), rank the coarse cells (row_number per qid), take the
+    nprobe nearest, build the per-(qid, cell) shifted query residual,
+    join the encoded corpus on cell and rank the per-cell ADC per qid."""
+    from .operators.clustering import MAX_QUANT as shift
+
+    q, k, nprobe, iters = (_IVFPQ_BATCH_Q, _IVFPQ_BATCH_K, _IVFT_NPROBE,
+                           _IVFT_ITERS)
+    parts, adc_sql, probe_fold = _ivfpq_parts(k)
+    mq_fold = probe_fold.replace("qq.qv", "mqq.qv")
+    parts.append(f"""
+mqq AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM fq
+       WHERE vec_id < {q})""")
+    parts.append(f"""
+mprobe AS MATERIALIZED (SELECT qid, cluster FROM (
+    SELECT mqq.qid, cc.cluster,
+           row_number() OVER (PARTITION BY mqq.qid
+                              ORDER BY {mq_fold}, cc.cluster) AS prn
+    FROM c{iters} cc, mqq) WHERE prn <= {nprobe})""")
+    parts.append(f"""
+mqr AS MATERIALIZED (SELECT p.qid, p.cluster AS cell,
+       list_transform(list_zip(mqq.qv, cc.v), x -> x[1] - x[2] + {shift}) AS qv
+       FROM mprobe p JOIN c{iters} cc ON p.cluster = cc.cluster
+       JOIN mqq ON p.qid = mqq.qid)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT qid, vec_id, adc, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT qr.qid, e.vec_id, CAST({adc_sql} AS BIGINT) AS adc,
+         row_number() OVER (PARTITION BY qr.qid
+                            ORDER BY {adc_sql}, e.vec_id) AS rn
+  FROM enc e JOIN mqr qr ON e.cell = qr.cell)
+WHERE rn <= {k}
+ORDER BY qid, rn""")
+
+
+@register(
+    "e_ivfpq_batch_topk",
+    _ivfpq_batch_oracle(),
+    doc="BATCH multi-query retrieval over the PERSISTED composite index "
+        "— the retrieval-for-training shape (every training example "
+        "needs k neighbors) that e_grouped_topk's brute Q x N batch "
+        "join exists to contrast with: Q=5 queries' probes + per-cell "
+        "ADC LUTs are computed driver-side (bounded ints) and broadcast "
+        "as ONE (qid, cell, luts) table joined to the codes on cell, so "
+        "the codes artifact is scanned ONCE for all queries with the "
+        "union of probed cells pushed as an IN filter; the per-query "
+        "rank is a window over the pruned candidates (the one shuffle, "
+        "candidate-proportional). No float IO, no training in the "
+        "plan. Oracle: multi-query replay over the shared training "
+        "prefix (per-qid probe ranking, per-(qid, cell) residual, ADC "
+        "rank per qid).",
+)
+def q_ivfpq_batch(spark, sf):
+    from .operators.clustering import ivfpq_adc_batch_scan, quantized_frame
+
+    codes, cents, books = _load_ivfpq_artifacts(spark, sf)
+    emb = T(spark, sf, "embeddings")
+    qrows = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+             .filter(F.col("_kid") < _IVFPQ_BATCH_Q)
+             .orderBy("_kid").select("_kid", "qv").collect())
+    queries = [(int(r["_kid"]), [int(x) for x in r["qv"]]) for r in qrows]
+    if not cents or not books or not queries:
+        return spark.range(0).select(
+            F.lit(0).cast("long").alias("qid"),
+            F.lit(0).cast("long").alias("vec_id"),
+            F.lit(0).cast("long").alias("adc"),
+            F.lit(0).cast("int").alias("rn"))
+    # no final orderBy: it would add a global range-sort exchange for
+    # pure cosmetics (the driver compare is row-order-insensitive; rows
+    # are already uniquely keyed by (qid, rn))
+    return ivfpq_adc_batch_scan(
+        codes, cents, books, queries,
+        nprobe=_IVFT_NPROBE, k=_IVFPQ_BATCH_K)
+
+
 def ivfpq_artifacts_dir(spark: SparkSession, sf: str) -> str:
     """Persisted composite-index artifacts (operators/clustering.
     ivfpq_build_artifacts): codes/ — (vec_id, cell, _code0.._code7

@@ -539,6 +539,24 @@ def test_ivfpq_rerank_plan(spark):
     assert n_exchanges(df) == 0, plan[:2000]
 
 
+def test_ivfpq_batch_plan(spark):
+    """r13 batch retrieval: ONE codes scan serves all Q queries — the
+    union of probed cells lands in PushedFilters, the per-query LUT
+    table is broadcast (no shuffle on the codes side), the embedding
+    column never appears, and the only exchange is the per-qid rank
+    window over the already-pruned candidates."""
+    df = REGISTRY["e_ivfpq_batch_topk"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema:")[1:]]
+    assert all("embedding" not in s for s in schemas), schemas
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("cell" in p and "In(" in p for p in pushed), (
+        "probed-cell union IN filter must reach the codes scan:\n"
+        + "\n".join(pushed))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert n_exchanges(df) == 1, plan[:2000]  # the per-qid rank window
+
+
 def test_hybrid_rrf_indexed_never_scans_corpus_text(spark):
     """VERDICT r11 item 3: the artifact-backed hybrid entry's plan must
     never read documents.text (sparse leg from persisted postings) and

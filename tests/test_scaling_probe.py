@@ -149,6 +149,8 @@ ANCHOR_EXPONENTS = {
     "e_ivfpq_rerank_recall": 0.08,
     "e_ivfpq_rerank_sweep": 0.08,  # measured -0.02 (four flat chains)
     "e_ivfpq_rerank_scaled_sweep": 0.08,  # measured -0.02
+    "e_ivfpq_batch_topk": 0.08,  # measured -0.07 (one pruned codes scan
+                                 # + candidate-proportional window)
 
     "tpch_q10_returned_items": 0.04,
     "tpch_q11_important_stock": 0.10,
