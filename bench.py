@@ -127,6 +127,9 @@ HEADLINE = [
                                  # scan serves Q queries via a broadcast
                                  # (qid, cell, LUTs) table — the
                                  # retrieval-for-training read shape
+    "e_ivfpq_batch_rerank_topk", # the composed production read: batch
+                                 # ADC candidates + per-query exact
+                                 # cosine refine
 ]
 
 

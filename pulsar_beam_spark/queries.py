@@ -10472,6 +10472,123 @@ def q_ivfpq_batch(spark, sf):
         nprobe=_IVFT_NPROBE, k=_IVFPQ_BATCH_K)
 
 
+def _ivfpq_batch_rerank_oracle() -> str:
+    """Batch + refine composed: per qid, the ADC top-C candidates from
+    the multi-query replay are re-ranked by exact cosine against that
+    query's raw vector."""
+    q, k, nprobe, iters = (_IVFPQ_BATCH_Q, _IVFPQ_BATCH_K, _IVFT_NPROBE,
+                           _IVFT_ITERS)
+    c = _IVFPQ_RERANK_C
+    from .operators.clustering import MAX_QUANT as shift
+
+    parts, adc_sql, probe_fold = _ivfpq_parts(k)
+    mq_fold = probe_fold.replace("qq.qv", "mqq.qv")
+    raw_cos = (
+        "list_reduce(list_transform(list_zip(raw.v, qraw.qv), x -> x[1] * x[2]), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(raw.v, x -> x * x), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(qraw.qv, x -> x * x), (x, y) -> x + y)))")
+    parts.append(f"""
+mqq AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM fq
+       WHERE vec_id < {q})""")
+    parts.append(f"""
+mprobe AS MATERIALIZED (SELECT qid, cluster FROM (
+    SELECT mqq.qid, cc.cluster,
+           row_number() OVER (PARTITION BY mqq.qid
+                              ORDER BY {mq_fold}, cc.cluster) AS prn
+    FROM c{iters} cc, mqq) WHERE prn <= {nprobe})""")
+    parts.append(f"""
+mqr AS MATERIALIZED (SELECT p.qid, p.cluster AS cell,
+       list_transform(list_zip(mqq.qv, cc.v), x -> x[1] - x[2] + {shift}) AS qv
+       FROM mprobe p JOIN c{iters} cc ON p.cluster = cc.cluster
+       JOIN mqq ON p.qid = mqq.qid)""")
+    parts.append(f"""
+mcand AS MATERIALIZED (SELECT qid, vec_id FROM (
+  SELECT qr.qid, e.vec_id,
+         row_number() OVER (PARTITION BY qr.qid
+                            ORDER BY {adc_sql}, e.vec_id) AS crn
+  FROM enc e JOIN mqr qr ON e.cell = qr.cell) WHERE crn <= {c})""")
+    parts.append(f"""
+raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+qraw AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings
+        WHERE vec_id < {q} AND {_finite_vec_sql('embedding::DOUBLE[]')})""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT qid, vec_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT mc.qid, mc.vec_id, round({raw_cos}, 6) AS cosine,
+         row_number() OVER (PARTITION BY mc.qid
+                            ORDER BY {raw_cos} DESC, mc.vec_id) AS rn
+  FROM mcand mc JOIN raw ON mc.vec_id = raw.vec_id
+  JOIN qraw ON mc.qid = qraw.qid)
+WHERE rn <= {k}""")
+
+
+@register(
+    "e_ivfpq_batch_rerank_topk",
+    _ivfpq_batch_rerank_oracle(),
+    doc="The COMPLETE production read path composed: batch multi-query "
+        "ADC over the persisted codes (one pruned scan for Q queries) "
+        "selects top-64 candidates PER QUERY, the per-query candidate "
+        "ids + raw query vectors broadcast against the embeddings scan "
+        "(union-of-candidates IN filter pushed), and the exact cosine "
+        "re-ranks per query — batch retrieval with the refine stage "
+        "the recall surface showed is where recall lives. Q=5, C=64, "
+        "k=5; oracle replays training once and composes the multi-"
+        "query ADC rank with a per-qid exact re-rank.",
+)
+def q_ivfpq_batch_rerank(spark, sf):
+    from pyspark.sql import Window
+
+    from .operators.clustering import ivfpq_adc_batch_scan, quantized_frame
+    from .functions.vector import cosine_sim, valid_vector
+
+    codes, cents, books = _load_ivfpq_artifacts(spark, sf)
+    emb = T(spark, sf, "embeddings")
+    qrows = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+             .filter(F.col("_kid") < _IVFPQ_BATCH_Q)
+             .orderBy("_kid").select("_kid", "qv").collect())
+    queries = [(int(r["_kid"]), [int(x) for x in r["qv"]]) for r in qrows]
+    if not cents or not books or not queries:
+        return spark.range(0).select(
+            F.lit(0).cast("long").alias("qid"),
+            F.lit(0).cast("long").alias("vec_id"),
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).cast("int").alias("rn"))
+    # per-query ADC top-C candidate ids: ONE bounded collect (Q*C rows)
+    cand = ivfpq_adc_batch_scan(codes, cents, books, queries,
+                                nprobe=_IVFT_NPROBE, k=_IVFPQ_RERANK_C)
+    crows = cand.select("qid", "vec_id").collect()
+    by_q: dict[int, list[int]] = {}
+    for r in crows:
+        by_q.setdefault(int(r["qid"]), []).append(int(r["vec_id"]))
+    all_ids = sorted({v for ids in by_q.values() for v in ids})
+    # raw query vectors, broadcast beside the candidate memberships
+    qraw = {int(r["vec_id"]): r["embedding"] for r in
+            emb.filter(valid_vector("embedding"))
+            .filter(F.col("vec_id") < _IVFPQ_BATCH_Q)
+            .select("vec_id", F.col("embedding").cast("array<double>")
+                    .alias("embedding")).collect()}
+    pairs = [(q_, v) for q_, ids in by_q.items() for v in ids if q_ in qraw]
+    memb = spark.createDataFrame(pairs, "qid long, vec_id long")
+    qvecs = spark.createDataFrame(
+        [(q_, [float(x) for x in qraw[q_]]) for q_ in sorted(by_q) if q_ in qraw],
+        "qid long, qv array<double>")
+    w = Window.partitionBy("qid").orderBy(F.col("_cos_raw").desc(),
+                                          F.col("vec_id").asc())
+    return (
+        emb.filter(valid_vector("embedding"))
+        .filter(F.col("vec_id").isin(all_ids))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(F.broadcast(memb), "vec_id")
+        .join(F.broadcast(qvecs), "qid")
+        .withColumn("_cos_raw", cosine_sim(F.col("v"), F.col("qv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVFPQ_BATCH_K)
+        .select("qid", "vec_id", F.round("_cos_raw", 6).alias("cosine"),
+                F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def ivfpq_artifacts_dir(spark: SparkSession, sf: str) -> str:
     """Persisted composite-index artifacts (operators/clustering.
     ivfpq_build_artifacts): codes/ — (vec_id, cell, _code0.._code7

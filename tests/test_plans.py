@@ -557,6 +557,20 @@ def test_ivfpq_batch_plan(spark):
     assert n_exchanges(df) == 1, plan[:2000]  # the per-qid rank window
 
 
+def test_ivfpq_batch_rerank_plan(spark):
+    """r13 composed production read: the re-rank side reads ONLY the
+    union of per-query candidates (IN filter pushed into the embeddings
+    scan), memberships and query vectors are broadcast, and the only
+    exchange is the per-qid rank window over Q*C candidate rows."""
+    df = REGISTRY["e_ivfpq_batch_rerank_topk"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("vec_id" in p and "In(" in p for p in pushed), (
+        "candidate-union IN filter must reach the embeddings scan:\n"
+        + "\n".join(pushed))
+    assert n_exchanges(df) == 1, plan[:2000]  # per-qid rank window
+
+
 def test_hybrid_rrf_indexed_never_scans_corpus_text(spark):
     """VERDICT r11 item 3: the artifact-backed hybrid entry's plan must
     never read documents.text (sparse leg from persisted postings) and

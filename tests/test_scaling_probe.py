@@ -151,6 +151,8 @@ ANCHOR_EXPONENTS = {
     "e_ivfpq_rerank_scaled_sweep": 0.08,  # measured -0.02
     "e_ivfpq_batch_topk": 0.08,  # measured -0.07 (one pruned codes scan
                                  # + candidate-proportional window)
+    "e_ivfpq_batch_rerank_topk": 0.08,  # measured 0.03 (composed read:
+                                        # both halves flat)
 
     "tpch_q10_returned_items": 0.04,
     "tpch_q11_important_stock": 0.10,
