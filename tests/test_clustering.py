@@ -368,6 +368,39 @@ def test_pq_trainers_reject_indivisible_dim(spark):
         ivfpq_residual_books(q, cents, m=7)
 
 
+def test_ivfpq_batch_scan_equals_per_query_scans(spark):
+    """r13 batch retrieval: the one-scan-for-Q-queries batch kernel
+    must return, per query, exactly the rows the single-query ADC scan
+    returns — same candidates, same integer distances, same
+    (adc, vec_id) order."""
+    from pulsar_beam_spark.operators.clustering import (
+        ivfpq_adc_batch_scan,
+        ivfpq_adc_scan,
+        ivfpq_build_artifacts,
+        quantized_frame,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    codes, cents, books = ivfpq_build_artifacts(emb, n_cells=8, m=4,
+                                                ksub=8, sample_cap=64)
+    qrows = (quantized_frame(emb, 64).filter(F.col("_kid") < 4)
+             .orderBy("_kid").select("_kid", "qv").collect())
+    queries = [(int(r["_kid"]), [int(x) for x in r["qv"]]) for r in qrows]
+    assert len(queries) == 4
+    batch = ivfpq_adc_batch_scan(codes, cents, books, queries,
+                                 nprobe=3, k=7)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(int(r["qid"]), []).append(
+            (int(r["rn"]), int(r["vec_id"]), int(r["adc"])))
+    for qid, qv in queries:
+        want = [(i + 1, int(r["vec_id"]), int(r["adc"]))
+                for i, r in enumerate(
+                    ivfpq_adc_scan(codes, cents, books, qv,
+                                   nprobe=3, k=7).collect())]
+        assert sorted(got[qid]) == want, f"qid {qid} diverged"
+
+
 def test_ivfpq_residual_books_rejects_underdetermined_sample(spark):
     """r12 task 4 audit: a residual training sample smaller than
     4*ksub leaves codewords collapsed onto single points — the books
