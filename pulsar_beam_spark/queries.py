@@ -8677,11 +8677,16 @@ def topic_emb_frame(spark: SparkSession, topic_dir: str) -> DataFrame:
             .select("j.vec_id", "j.embedding"))
 
 
-def topic_bm25_index_dir(spark: SparkSession, topic_dir: str,
-                         artifact_dir: str) -> str:
+def ensure_topic_bm25_index(spark: SparkSession, topic_dir: str,
+                            artifact_dir: str) -> tuple[str, str]:
     """BM25 postings/dictionary/stats built from a living topic, served
-    through the lifecycle contract; returns the PRE-build staleness
-    verdict ('fresh' | 'compacted' | 'stale')."""
+    through the lifecycle contract; returns ``(artifact_dir, verdict)``
+    where verdict is the PRE-build staleness classification ('fresh' |
+    'compacted' | 'stale'). Renamed from topic_bm25_index_dir (ADVICE
+    r13): the *_dir name/str annotation suggested a path return while
+    the value was the verdict — siblings bm25_index_dir/
+    ivfpq_artifacts_dir DO return paths, so a caller pattern-matching
+    them would have fed 'stale' to spark.read.parquet."""
     import os
 
     from .model.artifacts import ensure_artifact
@@ -8696,16 +8701,23 @@ def topic_bm25_index_dir(spark: SparkSession, topic_dir: str,
             os.path.join(adir, "dictionary"))
         stats.write.mode("overwrite").parquet(os.path.join(adir, "stats"))
 
-    return ensure_artifact(topic_dir, artifact_dir, rebuild, recipe="bm25-v1")
+    verdict = ensure_artifact(topic_dir, artifact_dir, rebuild,
+                              recipe="bm25-v1")
+    return artifact_dir, verdict
 
 
-def topic_pq_codes_dir(spark: SparkSession, topic_dir: str,
-                       artifact_dir: str, codebooks) -> str:
+def ensure_topic_pq_codes(spark: SparkSession, topic_dir: str,
+                          artifact_dir: str, codebooks) -> tuple[str, str]:
     """PQ code columns from a living topic under FIXED float codebooks
     (operators/similarity.pq_encode); the recipe digests the codebooks
-    so a changed table misses, exactly like the fixture tag
-    discipline."""
+    so a changed table misses, exactly like the fixture tag discipline.
+    Returns ``(artifact_dir, verdict)``. The digest serializes the
+    codebooks as json over plain int/float lists (ADVICE r13):
+    ``repr`` of a large numpy array elides values with '...', so two
+    different big codebooks could collide and a stale artifact would
+    classify fresh."""
     import hashlib
+    import json
     import os
 
     from .model.artifacts import ensure_artifact
@@ -8716,16 +8728,22 @@ def topic_pq_codes_dir(spark: SparkSession, topic_dir: str,
         pq_encode(topic_emb_frame(spark, topic_dir), codebooks) \
             .write.mode("overwrite").parquet(os.path.join(adir, "codes"))
 
-    recipe = ("pq-codes-v1-"
-              + hashlib.sha1(repr(codebooks).encode()).hexdigest()[:12])
-    return ensure_artifact(topic_dir, artifact_dir, rebuild, recipe=recipe)
+    canon = json.dumps(
+        [[[float(x) for x in centroid] for centroid in book]
+         for book in codebooks])
+    recipe = ("pq-codes-v2-"
+              + hashlib.sha1(canon.encode()).hexdigest()[:12])
+    verdict = ensure_artifact(topic_dir, artifact_dir, rebuild, recipe=recipe)
+    return artifact_dir, verdict
 
 
-def topic_ivf_cells_dir(spark: SparkSession, topic_dir: str,
-                        artifact_dir: str, *, n_cells: int, iters: int,
-                        dim: int, scale: int, offset: float) -> str:
+def ensure_topic_ivf_cells(spark: SparkSession, topic_dir: str,
+                           artifact_dir: str, *, n_cells: int, iters: int,
+                           dim: int, scale: int,
+                           offset: float) -> tuple[str, str]:
     """Trained IVF cells/ + centroids/ from a living topic, lifecycle-
-    routed; recipe encodes every training hyperparameter."""
+    routed; recipe encodes every training hyperparameter. Returns
+    ``(artifact_dir, verdict)``."""
     import os
 
     from .model.artifacts import ensure_artifact
@@ -8744,15 +8762,18 @@ def topic_ivf_cells_dir(spark: SparkSession, topic_dir: str,
             os.path.join(adir, "centroids"))
 
     recipe = f"ivf-cells-v1-k{n_cells}-i{iters}-d{dim}-s{scale}-o{offset}"
-    return ensure_artifact(topic_dir, artifact_dir, rebuild, recipe=recipe)
+    verdict = ensure_artifact(topic_dir, artifact_dir, rebuild, recipe=recipe)
+    return artifact_dir, verdict
 
 
-def topic_ivfpq_artifacts_dir(spark: SparkSession, topic_dir: str,
-                              artifact_dir: str, *, n_cells: int, m: int,
-                              ksub: int, iters: int, sample_cap: int,
-                              dim: int, scale: int, offset: float) -> str:
+def ensure_topic_ivfpq_artifacts(spark: SparkSession, topic_dir: str,
+                                 artifact_dir: str, *, n_cells: int, m: int,
+                                 ksub: int, iters: int, sample_cap: int,
+                                 dim: int, scale: int,
+                                 offset: float) -> tuple[str, str]:
     """Composite IVFPQ codes/ + centroids/ + books/ from a living
-    topic, lifecycle-routed; recipe encodes every hyperparameter."""
+    topic, lifecycle-routed; recipe encodes every hyperparameter.
+    Returns ``(artifact_dir, verdict)``."""
     import os
 
     from .model.artifacts import ensure_artifact
@@ -8779,7 +8800,8 @@ def topic_ivfpq_artifacts_dir(spark: SparkSession, topic_dir: str,
 
     recipe = (f"ivfpq-v1-c{n_cells}-m{m}-k{ksub}-i{iters}-cap{sample_cap}"
               f"-d{dim}-s{scale}-o{offset}")
-    return ensure_artifact(topic_dir, artifact_dir, rebuild, recipe=recipe)
+    verdict = ensure_artifact(topic_dir, artifact_dir, rebuild, recipe=recipe)
+    return artifact_dir, verdict
 
 
 def bm25_index_dir(spark: SparkSession, sf: str) -> str:

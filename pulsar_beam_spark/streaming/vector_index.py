@@ -261,13 +261,22 @@ def live_artifact_dirs(artifact_dir: str, which: str) -> list[str]:
     between this check and the caller's spark.read is the caller's
     retry to own, same as any reader racing a file GC."""
     path = os.path.join(artifact_dir, which)
-    for _attempt in range(2):
+    for _attempt in range(4):
         listing = _artifact_listing(path)
         manifest = _read_artifact_manifest(path)
         live = sorted(listing - _consumed_dirs(manifest, listing))
         if all(os.path.isdir(os.path.join(path, d)) for d in live):
             return live
-    return live
+    # Never hand back a listing that already failed validation (ADVICE
+    # r13): the caller's spark.read would die on an opaque missing-path
+    # error, or a lenient caller would silently under-read. Four
+    # snapshots spanning a compaction transition all catching deleted
+    # dirs means something other than the documented race is deleting
+    # partitions; surface it as retryable.
+    missing = [d for d in live if not os.path.isdir(os.path.join(path, d))]
+    raise RuntimeError(
+        f"live_artifact_dirs({path}): listing still references deleted "
+        f"partitions after retries: {missing}; retry the read")
 
 
 def compact_artifact(

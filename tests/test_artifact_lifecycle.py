@@ -134,14 +134,14 @@ def _sentinel(artifact_dir: str, sub: str) -> str:
 def test_topic_bm25_lifecycle_compact_serves_append_rebuilds(spark, tmp_path):
     """VERDICT r12 task 3 — the lifecycle contract on the REAL query
     path: BM25 artifacts built from a living topic via
-    queries.topic_bm25_index_dir (ensure_artifact-routed). compact()
+    queries.ensure_topic_bm25_index (ensure_artifact-routed). compact()
     must NOT rebuild and the indexed top-k must stay exactly equal
     against the compacted topic; append must force a rebuild that picks
     up the new rows."""
     import json  # noqa: F401  (symmetry with the vector golden)
 
     from pulsar_beam_spark.operators.text import bm25_topk, bm25_topk_indexed
-    from pulsar_beam_spark.queries import topic_bm25_index_dir, topic_docs_frame
+    from pulsar_beam_spark.queries import ensure_topic_bm25_index, topic_docs_frame
 
     store = TopicDirStore(str(tmp_path / "store"), flush_interval_s=None)
     corpus = [
@@ -170,7 +170,7 @@ def test_topic_bm25_lifecycle_compact_serves_append_rebuilds(spark, tmp_path):
             topic_docs_frame(spark, d), terms, k=10).collect()]
 
     # absent artifact -> stale -> built; index path == inline recompute
-    assert topic_bm25_index_dir(spark, d, art) == "stale"
+    assert ensure_topic_bm25_index(spark, d, art)[1] == "stale"
     q1 = indexed_topk()
     assert q1 == recompute_topk() and len(q1) > 0
 
@@ -180,7 +180,7 @@ def test_topic_bm25_lifecycle_compact_serves_append_rebuilds(spark, tmp_path):
     sent = _sentinel(art, "postings")
     r = store.compact(TOPIC, watermark_us=2**62, min_files=2)
     assert r["merged"] == len(corpus)
-    assert topic_bm25_index_dir(spark, d, art) == "compacted"
+    assert ensure_topic_bm25_index(spark, d, art)[1] == "compacted"
     assert os.path.exists(sent), "compacted verdict must not rebuild"
     assert indexed_topk() == q1
     assert recompute_topk() == q1, (
@@ -189,14 +189,14 @@ def test_topic_bm25_lifecycle_compact_serves_append_rebuilds(spark, tmp_path):
 
     # append: stale -> rebuilt (sentinel gone), new row scored
     store.append(TOPIC, b"late data about data and shuffles")
-    assert topic_bm25_index_dir(spark, d, art) == "stale"
+    assert ensure_topic_bm25_index(spark, d, art)[1] == "stale"
     assert not os.path.exists(sent), "append must force a rebuild"
     q3 = indexed_topk()
     assert q3 == recompute_topk()
     assert q3 != q1, "the appended doc must change the ranking"
     # idempotent second ensure: fresh, no rebuild
     sent2 = _sentinel(art, "postings")
-    assert topic_bm25_index_dir(spark, d, art) == "fresh"
+    assert ensure_topic_bm25_index(spark, d, art)[1] == "fresh"
     assert os.path.exists(sent2)
 
 
@@ -224,7 +224,7 @@ def test_topic_ivfpq_lifecycle_compact_serves_append_rebuilds(spark, tmp_path):
     )
     from pulsar_beam_spark.queries import (
         topic_emb_frame,
-        topic_ivfpq_artifacts_dir,
+        ensure_topic_ivfpq_artifacts,
     )
 
     store = TopicDirStore(str(tmp_path / "store"), flush_interval_s=None)
@@ -264,27 +264,27 @@ def test_topic_ivfpq_lifecycle_compact_serves_append_rebuilds(spark, tmp_path):
         return [tuple(r) for r in ivfpq_adc_scan(
             codes, cents, books, qv(), nprobe=2, k=5).collect()]
 
-    assert topic_ivfpq_artifacts_dir(spark, d, art, **_IVFPQ_KW) == "stale"
+    assert ensure_topic_ivfpq_artifacts(spark, d, art, **_IVFPQ_KW)[1] == "stale"
     q1 = indexed_topk()
     assert q1 == inline_topk() and len(q1) == 5
 
     sent = _sentinel(art, "codes")
     r = store.compact(TOPIC, watermark_us=2**62, min_files=2)
     assert r["merged"] == 24
-    assert topic_ivfpq_artifacts_dir(spark, d, art, **_IVFPQ_KW) == "compacted"
+    assert ensure_topic_ivfpq_artifacts(spark, d, art, **_IVFPQ_KW)[1] == "compacted"
     assert os.path.exists(sent), "compacted verdict must not rebuild"
     assert indexed_topk() == q1
     assert inline_topk() == q1
 
     store.append(TOPIC, _emb_payload(99))
-    assert topic_ivfpq_artifacts_dir(spark, d, art, **_IVFPQ_KW) == "stale"
+    assert ensure_topic_ivfpq_artifacts(spark, d, art, **_IVFPQ_KW)[1] == "stale"
     assert not os.path.exists(sent), "append must force a rebuild"
     assert indexed_topk() == inline_topk()
 
     # hyperparameter change misses: a different recipe must classify
     # stale even with an unchanged topic (the fixture tag discipline)
     kw2 = dict(_IVFPQ_KW, n_cells=2)
-    assert topic_ivfpq_artifacts_dir(spark, d, art, **kw2) == "stale"
+    assert ensure_topic_ivfpq_artifacts(spark, d, art, **kw2)[1] == "stale"
 
 
 def test_topic_frames_raise_on_empty_topic(spark, tmp_path):
@@ -308,8 +308,8 @@ def test_topic_pq_and_ivf_lifecycle_verdicts(spark, tmp_path):
     two lifecycle-routed families, PQ codes and trained IVF cells —
     same machinery, sentinel-checked."""
     from pulsar_beam_spark.queries import (
-        topic_ivf_cells_dir,
-        topic_pq_codes_dir,
+        ensure_topic_ivf_cells,
+        ensure_topic_pq_codes,
     )
 
     store = TopicDirStore(str(tmp_path / "store"), flush_interval_s=None)
@@ -322,23 +322,23 @@ def test_topic_pq_and_ivf_lifecycle_verdicts(spark, tmp_path):
     ivf_art = str(tmp_path / "ivf-art")
     ivf_kw = dict(n_cells=2, iters=1, dim=8, scale=100_000, offset=1.0)
 
-    assert topic_pq_codes_dir(spark, d, pq_art, books) == "stale"
-    assert topic_ivf_cells_dir(spark, d, ivf_art, **ivf_kw) == "stale"
+    assert ensure_topic_pq_codes(spark, d, pq_art, books)[1] == "stale"
+    assert ensure_topic_ivf_cells(spark, d, ivf_art, **ivf_kw)[1] == "stale"
     s_pq = _sentinel(pq_art, "codes")
     s_ivf = _sentinel(ivf_art, "cells")
 
     store.compact(TOPIC, watermark_us=2**62, min_files=2)
-    assert topic_pq_codes_dir(spark, d, pq_art, books) == "compacted"
-    assert topic_ivf_cells_dir(spark, d, ivf_art, **ivf_kw) == "compacted"
+    assert ensure_topic_pq_codes(spark, d, pq_art, books)[1] == "compacted"
+    assert ensure_topic_ivf_cells(spark, d, ivf_art, **ivf_kw)[1] == "compacted"
     assert os.path.exists(s_pq) and os.path.exists(s_ivf)
 
     store.append(TOPIC, _emb_payload(50))
-    assert topic_pq_codes_dir(spark, d, pq_art, books) == "stale"
-    assert topic_ivf_cells_dir(spark, d, ivf_art, **ivf_kw) == "stale"
+    assert ensure_topic_pq_codes(spark, d, pq_art, books)[1] == "stale"
+    assert ensure_topic_ivf_cells(spark, d, ivf_art, **ivf_kw)[1] == "stale"
     assert not os.path.exists(s_pq) and not os.path.exists(s_ivf)
     # changed codebooks on an unchanged topic -> recipe miss -> stale
     books2 = [[[0.1] * 4, [0.5] * 4], [[0.0] * 4, [-0.5] * 4]]
-    assert topic_pq_codes_dir(spark, d, pq_art, books2) == "stale"
+    assert ensure_topic_pq_codes(spark, d, pq_art, books2)[1] == "stale"
 
 
 def test_lingering_sources_at_build_time_stay_compacted(tmp_path):

@@ -553,7 +553,12 @@ def test_ivfpq_batch_plan(spark):
     assert any("cell" in p and "In(" in p for p in pushed), (
         "probed-cell union IN filter must reach the codes scan:\n"
         + "\n".join(pushed))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # The LUT join must actually BE a broadcast hash join (ADVICE r13:
+    # the old `A in plan or B not in plan` form was satisfied by a
+    # SortMergeJoin regression that has neither).
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan, \
+        plan[:2000]
     assert n_exchanges(df) == 1, plan[:2000]  # the per-qid rank window
 
 
