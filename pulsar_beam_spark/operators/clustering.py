@@ -796,9 +796,18 @@ def ivfpq_adc_batch_scan(
     from pyspark.sql import Window
 
     m = len(books)
+    # qid is the query's IDENTITY: a duplicated qid would duplicate its
+    # (qid, cell) LUT rows, double every candidate through the join and
+    # corrupt the per-qid row_number ranks (each vec_id would appear at
+    # two ranks). Keep the first occurrence — batch(dups) == batch(set),
+    # pinned by the adversarial gate.
+    seen_qids: set[int] = set()
     rows = []
     all_cells: set[int] = set()
     for qid, qv in queries:
+        if int(qid) in seen_qids:
+            continue
+        seen_qids.add(int(qid))
         probe = ivf_probe_cells(qv, cents, nprobe)
         luts = ivfpq_query_luts(qv, cents, books, probe, shift)
         for c in probe:

@@ -98,6 +98,7 @@ EMPTY_REGRESSION = [
     "t_bm25_indexed", "t_bm25_index_merge", "t_hybrid_rrf",
     "e_kmeans_lloyd", "e_kmeans_centroids", "e_pq_trained_recall",
     "e_ivf_trained_topk", "e_ivf_cells_topk", "e_ivfpq_topk",
+    "e_ivfpq_batch_topk", "e_ivfpq_batch_rerank_topk",
     "r_pagerank_iter3", "p_split_leakage", "p_rank_calibrate",
     "r_pareto_cut", "r_rfm_segmentation", "r_quartile_bands",
     "r_keyset_pagination", "r_lorenz_deciles", "r_abc_xyz",
@@ -152,6 +153,9 @@ DEGENERATE_REGRESSION = [
     # trained-PQ sample collapsing to one point)
     "e_kmeans_lloyd", "e_kmeans_centroids", "e_pq_trained_recall",
     "e_ivf_cells_topk", "e_ivfpq_topk",
+    # round-14: the batch kernels at zero degrees of freedom (one corpus
+    # row means at most one query and one candidate per qid)
+    "e_ivfpq_batch_topk", "e_ivfpq_batch_rerank_topk",
 ]
 
 
@@ -216,6 +220,12 @@ ANN_QUERY_ENTRIES = [
     # round-12: the persisted composite, its recall audit, and the
     # artifact-native hybrid all anchor on the same query vector
     "e_ivfpq_codes_topk", "e_ivfpq_recall_audit", "t_hybrid_rrf_indexed",
+    # round-14 (VERDICT r13 task 6): the batch entries anchor on
+    # vec_id < Q, so removing/nulling vec_id 0 removes ONE of the Q
+    # queries; parity must hold and the surviving queries must still
+    # rank (asserted below — batch is the one family where a missing
+    # query does NOT mean an empty result)
+    "e_ivfpq_batch_topk", "e_ivfpq_batch_rerank_topk",
 ]
 
 
@@ -259,6 +269,13 @@ def test_no_query_vector_parity(spark, no_query_sf_dir, name):
         # above); emptiness would mean the sparse leg was wrongly coupled
         # to the dense guard
         assert len(sdf) == 10 and (sdf["dense_rank"] == 0).all()
+    elif name in ("e_ivfpq_batch_topk", "e_ivfpq_batch_rerank_topk"):
+        # batch contract: losing ONE of the Q queries drops only that
+        # qid's rows; the surviving queries keep ranking (an empty
+        # result here would mean the whole batch was wrongly coupled to
+        # one query's guard)
+        qids = set(sdf["qid"])
+        assert 0 not in qids and len(qids) >= 3, sorted(qids)
     elif name not in ("s_ann_recall_audit", "e_pq_recall_audit",
                       "e_pq_trained_recall", "e_ivfpq_recall_audit"):
         assert len(sdf) == 0  # the contract, not just parity (the audits
@@ -341,6 +358,12 @@ VEC_FAMILY = [
     "e_kmeans_lloyd", "e_kmeans_centroids", "e_pq_trained_recall",
     "e_ivf_trained_topk", "e_ivf_cells_topk", "e_ivfpq_topk",
     "e_ivfpq_codes_topk", "e_ivfpq_recall_audit", "t_hybrid_rrf_indexed",
+    # round-14 (VERDICT r13 task 6): the single-query gates' poisoned
+    # vectors replayed through the BATCH path — query-mode poison hits
+    # vec_ids 0 and 3, both inside the batch query set (vec_id < 5), so
+    # the quantizable guard must drop them on BOTH engines while the
+    # clean queries keep ranking
+    "e_ivfpq_batch_topk", "e_ivfpq_batch_rerank_topk",
 ]
 
 # vec_id -> poison kind; "corpus" mode hits non-query rows only, "query"
@@ -407,6 +430,16 @@ def test_poisoned_vector_parity(spark, poisoned_vec_sf_dir, name):
         "r31_cosine_topk", "s_ann_lsh_topk", "s_ann_ivf_topk", "e_mips_topk"
     ):
         assert len(sdf) > 0
+    if name in ("e_ivfpq_batch_topk", "e_ivfpq_batch_rerank_topk"):
+        qids = set(sdf["qid"])
+        if "query" in poisoned_vec_sf_dir:
+            # poisoned queries 0 (nan) and 3 (inf) must be dropped by
+            # the quantizable guard; the clean ones keep ranking
+            assert 0 not in qids and 3 not in qids, sorted(qids)
+            assert qids >= {1, 2, 4}, sorted(qids)
+        else:
+            # corpus-mode poison leaves every query intact
+            assert qids >= {0, 1, 2, 3, 4}, sorted(qids)
 
 
 # == timezone / DST gate (VERDICT r08 item 4) ============================
@@ -620,3 +653,74 @@ def test_cosine_rounding_boundary_parity(spark, boundary_sf_dir, name):
         # rrf, so only its parity is asserted
         ids = set(sdf["vec_id"])
         assert 101 in ids and 100 not in ids, sorted(ids)
+
+
+# == batch-retrieval poisoned QUERY-SET gate (VERDICT r13 task 6) ========
+# The corpus gates above replay poisoned STORED vectors through the
+# batch entries; this pins the kernel against a poisoned QUERY SET —
+# the shapes a retrieval-for-training caller actually produces:
+# duplicate qids (a training example sampled twice) and a query whose
+# probed cells hold zero codes (a far-out-of-distribution example).
+# Hand-built integer index so the expected candidates are exact.
+
+
+@pytest.fixture(scope="module")
+def tiny_batch_index(spark):
+    # one PQ subspace (m=1, dim=2), two codewords; four coarse cells on
+    # a line; codes ONLY in cells 0 and 1 — cells 2 and 3 are empty.
+    books = [[[0, 0], [10, 10]]]
+    cents = [[0, 0], [100, 100], [200, 200], [300, 300]]
+    codes = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 1), (3, 1, 0), (4, 1, 1)],
+        "vec_id long, cell long, _code0 int")
+    return codes, cents, books
+
+
+def test_batch_query_probing_only_empty_cells(spark, tiny_batch_index):
+    """A query whose nprobe nearest cells contain no codes yields ZERO
+    rows for that qid — and must not disturb the other queries' ranks
+    (the join simply finds no candidates; nothing crashes, nothing
+    backfills k rows of NULL)."""
+    from pulsar_beam_spark.operators.clustering import ivfpq_adc_batch_scan
+
+    codes, cents, books = tiny_batch_index
+    out = ivfpq_adc_batch_scan(
+        codes, cents, books,
+        queries=[(0, [1, 1]), (9, [299, 299])], nprobe=2, k=10)
+    rows = {(r["qid"], r["vec_id"], r["rn"]) for r in out.collect()}
+    assert not {t for t in rows if t[0] == 9}, rows
+    # qid 0 probes cells 0,1 and ranks all four codes. The exact order
+    # follows the SHIFTED-residual ADC: with qv=[1,1], residual vs cell
+    # c is (1 - cent_c + shift), so distances ascend as (shift-109)^2 <
+    # (shift-99)^2 < (shift-9)^2 < (shift+1)^2 -> vec 4, 3, 2, 1.
+    assert {t for t in rows if t[0] == 0} == {
+        (0, 4, 1), (0, 3, 2), (0, 2, 3), (0, 1, 4)}, rows
+
+
+def test_batch_duplicate_qids_collapse_to_first(spark, tiny_batch_index):
+    """batch(queries with duplicated qids) == batch(first occurrences):
+    qid is the query's identity; without the kernel's dedup the
+    duplicated (qid, cell) LUT rows double every candidate through the
+    join and corrupt the per-qid row_number ranks."""
+    from pulsar_beam_spark.operators.clustering import ivfpq_adc_batch_scan
+
+    codes, cents, books = tiny_batch_index
+    dup = ivfpq_adc_batch_scan(
+        codes, cents, books,
+        queries=[(0, [1, 1]), (0, [1, 1]), (0, [95, 95]), (5, [101, 101])],
+        nprobe=1, k=10)
+    uniq = ivfpq_adc_batch_scan(
+        codes, cents, books,
+        queries=[(0, [1, 1]), (5, [101, 101])], nprobe=1, k=10)
+    drows = sorted(tuple(r) for r in dup.collect())
+    urows = sorted(tuple(r) for r in uniq.collect())
+    assert drows == urows, (drows, urows)
+    # non-vacuous: each qid ranks its own probed cell's codes exactly once
+    per_qid = {}
+    for q, v, _a, rn in drows:
+        per_qid.setdefault(q, []).append((v, rn))
+    assert sorted(per_qid) == [0, 5]
+    for q, pairs in per_qid.items():
+        assert len({v for v, _ in pairs}) == len(pairs), (q, pairs)
+        assert sorted(rn for _, rn in pairs) == list(
+            range(1, len(pairs) + 1)), (q, pairs)
