@@ -130,6 +130,15 @@ HEADLINE = [
     "e_ivfpq_batch_rerank_topk", # the composed production read: batch
                                  # ADC candidates + per-query exact
                                  # cosine refine
+    # round-14 additions: the token pipeline end to end, benched as a
+    # pair (the synthetic-table row vs the trained-artifact row — the
+    # inline/persisted pairing the vector family established)
+    "p_sequence_packing_bpe",    # packing under the synthetic
+                                 # gen_bpe_merges table (24 fixed ranks)
+    "p_packing_learned_bpe",     # packing under the TRAINED persisted
+                                 # merge table: train once -> persist ->
+                                 # tokenize -> pack, no training jobs in
+                                 # the query path
 ]
 
 

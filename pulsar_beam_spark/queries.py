@@ -9341,6 +9341,81 @@ def q_bpe_learned_apply(spark, sf):
         bpe_token_count("text", learned).alias("n_bpe_tokens"))
 
 
+def _packing_learned_bpe_oracle() -> str:
+    """Composed train -> persist -> tokenize -> pack oracle: the
+    unrolled training chain (shared CTE prefix, _bpe_train_ctes) yields
+    the learned merge list, per-word subword counts under it encode the
+    corpus at vocab rate, and the per-doc budgets feed the same shard-
+    parallel cumulative-sum packing SQL as p_sequence_packing_bpe."""
+    ctes = _bpe_train_ctes(_BPE_TRAIN_RANKS)
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a, b FROM m{i}"
+        for i in range(1, _BPE_TRAIN_RANKS + 1))
+    reduced = (
+        "list_reduce(list_prepend([s, ''], (SELECT ml FROM ml)), "
+        "(acc, mm) -> [replace(acc[1], '[' || mm[1] || '][' || mm[2] || "
+        "']', '[' || mm[1] || mm[2] || ']'), ''])[1]")
+    ctes.append(f"""
+ml AS MATERIALIZED (SELECT list([a, b] ORDER BY merge_rank) AS ml
+  FROM ({union}))""")
+    ctes.append(f"""
+enc AS MATERIALIZED (
+  SELECT w, length(r) - length(replace(r, '[', '')) AS n_sub
+  FROM (SELECT w, {reduced} AS r FROM s0))""")
+    ctes.append(f"""
+t AS (SELECT doc_id, {_BPE_WORDS_SQL} AS words FROM documents),
+occ AS (SELECT doc_id, unnest(words) AS w FROM t),
+agg AS (SELECT o.doc_id, CAST(sum(e.n_sub) AS BIGINT) AS n_bpe
+        FROM occ o JOIN enc e USING (w) GROUP BY o.doc_id),
+tt AS (SELECT t.doc_id,
+              greatest(1, CAST(coalesce(a.n_bpe, 0) AS BIGINT)) AS toks,
+              {stable_bucket_sql("t.doc_id", 8)} AS shard,
+              {stable_bucket_sql("t.doc_id", 1 << 60)} AS ord
+       FROM t LEFT JOIN agg a USING (doc_id)),
+pp AS (SELECT shard, toks,
+              sum(toks) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                              ROWS UNBOUNDED PRECEDING) - toks AS start_offset
+       FROM tt)""")
+    return ("WITH " + ",".join(ctes) + """
+SELECT shard, CAST(floor(start_offset/2048.0) AS BIGINT) AS pack_id,
+       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_tokens
+FROM pp GROUP BY shard, pack_id ORDER BY shard, pack_id""")
+
+
+@register(
+    "p_packing_learned_bpe",
+    _packing_learned_bpe_oracle(),
+    doc="VERDICT r13 task 3 — the token pipeline composed END TO END: "
+        "merges TRAINED once per corpus and persisted (bpe_merges_dir, "
+        "the tokenizer artifact a real pipeline ships), the query path "
+        "collects the 12-row table and tokenizes with the learned "
+        "codegen chain, and the real subword budgets feed sequence_pack "
+        "— p_sequence_packing_bpe's twin with the synthetic "
+        "gen_bpe_merges table replaced by the TRAINED one. Plan shape "
+        "is identical to the synthetic twin (one shard-partitioned "
+        "cumulative-sum shuffle; the encode adds zero exchanges, no "
+        "training jobs on the query path); the oracle replays training "
+        "via the shared CTE prefix, encodes at vocab rate and packs "
+        "with the same cumulative-sum SQL.",
+)
+def q_packing_learned_bpe(spark, sf):
+    from .operators.text import bpe_token_count
+
+    d = bpe_merges_dir(spark, sf)
+    rows = spark.read.parquet(d).orderBy("merge_rank").collect()
+    learned = tuple((r["a"], r["b"]) for r in rows)
+    docs = T(spark, sf, "documents").withColumn(
+        "toks", F.greatest(F.lit(1).cast("long"),
+                           bpe_token_count("text", learned)))
+    packed = sequence_pack(docs, "doc_id", "toks", context_len=2048,
+                           n_shards=8)
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("pack_tokens"))
+        .orderBy("shard", "pack_id")
+    )
+
+
 # == round-11 additions: fixed-point Lloyd k-means ========================
 # The one family the LLM-pipeline set still lacked as a FIRST-CLASS
 # oracle-bearing entry: distributed cluster TRAINING (the quantizers in

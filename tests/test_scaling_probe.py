@@ -96,6 +96,11 @@ ANCHOR_EXPONENTS = {
     "t_bm25_indexed": 0.15,
     "t_bpe_token_count": 0.18,
     "p_sequence_packing_bpe": 0.18,
+    # round-14: packing under the TRAINED persisted merge table — same
+    # plan shape as the synthetic twin (encode scan + one shard-window
+    # shuffle), trained artifact warm at query time (measured 0.13 vs
+    # the twin's 0.20 in the same probe run)
+    "p_packing_learned_bpe": 0.18,
     # flat by construction: both legs are top-20 TakeOrdered scans whose
     # wall-clock is the BM25 corpus stats pass (measured 1.00x at 10x)
     "t_hybrid_rrf": 0.05,
