@@ -139,6 +139,12 @@ HEADLINE = [
                                  # merge table: train once -> persist ->
                                  # tokenize -> pack, no training jobs in
                                  # the query path
+    "pipeline_semantic_dedup",   # corpus-scale SemDeDup served by the
+                                 # persisted IVFPQ index: chunked batch
+                                 # ADC -> distributed exact refine ->
+                                 # components -> canonical keep (pairs
+                                 # with d_embedding_near_dup, the exact
+                                 # cell-scan twin)
 ]
 
 

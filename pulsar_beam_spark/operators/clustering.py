@@ -834,6 +834,74 @@ def ivfpq_adc_batch_scan(
     )
 
 
+def ivfpq_corpus_candidates(
+    qf: DataFrame,
+    codes: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    *,
+    chunk: int = 512,
+    nprobe: int = 4,
+    k: int = 16,
+    shift: int = MAX_QUANT,
+    id_col: str = "vec_id",
+) -> DataFrame | None:
+    """CORPUS-as-queries batch retrieval — the SemDeDup read shape:
+    every document needs its approximate neighbors, so the whole
+    quantized corpus ``qf`` (``(_kid, qv)``, the quantized_frame shape)
+    flows through ``ivfpq_adc_batch_scan`` in id-range CHUNKS of at
+    most ``chunk`` queries. Per chunk the driver state is the bounded
+    probe+LUT collect (chunk x nprobe x m x ksub ints — never
+    corpus-sized) and the codes artifact is scanned ONCE with that
+    chunk's probed-cell union pushed as an IN filter; a cell-
+    partitioned layout reads ~the probed fraction per chunk at 100 TB.
+    Returns the lazy union of per-chunk (qid, id) candidate frames
+    (one codes scan per chunk in the final plan — pinned in
+    tests/test_plans.py), or None when the corpus/index is empty.
+    Self-candidates (qid == id) are kept: they occupy an ADC slot on
+    both engines identically; downstream pair building drops them."""
+    # materialize the quantized corpus ONCE: the chunk loop collects
+    # N/chunk times, and without this every collect re-scans and
+    # re-quantizes the source parquet — at 100 TB that rescan, not the
+    # pruned codes scans, would dominate. One pass, then each chunk's
+    # range filter reads the in-memory checkpoint.
+    qf = qf.localCheckpoint()
+    n = qf.count()
+    if n == 0 or not cents or not books:
+        return None
+    # chunk by RANK, not by id value: ids may be sparse or offset (the
+    # sf1 weak-scaling fixture strides replicas by 1e9 — a value-strided
+    # loop spins over millions of empty ranges; found when the r14
+    # decade probe hung on exactly that). One approxQuantile pass
+    # yields ~equal-population boundaries; the driver holds n/chunk + 1
+    # doubles — proportional to the chunk count the loop already owns.
+    # The quantile error only skews chunk POPULATIONS a few percent,
+    # never results (chunking is invisible to them: each query's
+    # candidates are independent).
+    nchunks = -(-n // chunk)
+    bs = sorted({int(b) for b in qf.stat.approxQuantile(
+        "_kid", [i / nchunks for i in range(nchunks + 1)],
+        1.0 / (4 * nchunks))})
+    if len(bs) == 1:
+        bs = bs + bs
+    out: DataFrame | None = None
+    for i in range(len(bs) - 1):
+        last = i == len(bs) - 2
+        upper = (F.col("_kid") <= bs[i + 1]) if last \
+            else (F.col("_kid") < bs[i + 1])
+        qrows = (qf.filter((F.col("_kid") >= bs[i]) & upper)
+                 .orderBy("_kid").select("_kid", "qv").collect())
+        if not qrows:
+            continue
+        queries = [(int(r["_kid"]), [int(x) for x in r["qv"]])
+                   for r in qrows]
+        part = ivfpq_adc_batch_scan(
+            codes, cents, books, queries, nprobe=nprobe, k=k, shift=shift,
+            id_col=id_col).select("qid", id_col)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_qv: list[int] | None,

@@ -10686,6 +10686,138 @@ def q_ivfpq_batch_rerank(spark, sf):
     )
 
 
+# == round-14: corpus-scale semantic dedup served by the persisted index
+# (VERDICT r13 task 1 — the SemDeDup shape). The embedding near-dup
+# entry (d_embedding_near_dup) exact-scans within spherical cells; this
+# pipeline instead READS the persisted IVFPQ index with the corpus
+# itself as the query set: chunked batch ADC (one pruned codes scan per
+# chunk, driver state bounded per chunk) proposes top-C approximate
+# neighbors per doc, a DISTRIBUTED exact-cosine refine joins the
+# candidate pairs back to the raw vectors (no driver-side IN list — the
+# candidate set is corpus-sized here, unlike the k-row single-query
+# refine), a threshold keeps semantic duplicates, and connected
+# components pick one canonical doc per cluster.
+
+# chunk bounds the per-chunk driver LUT state (chunk x nprobe x m x
+# ksub ints ~ 8 MB at 2048) and NOT the result: each query's candidate
+# set is independent, so the oracle doesn't model chunking. Larger
+# chunk = fewer codes scans; 2048 keeps the collect far under driver
+# memory while sf0.1 fits in one chunk.
+_SEMD_CHUNK, _SEMD_C, _SEMD_THRESHOLD = 2048, 16, 0.4
+
+
+def _semantic_dedup_oracle() -> str:
+    """Composed replay: shared training prefix (_ivfpq_parts), the
+    multi-query probe/residual/ADC-rank chain with mqq = the WHOLE
+    quantized corpus, exact-cosine refine over the thresholded
+    candidate pairs, then the recursive-CTE closure and canonical
+    keep (the DEDUP_CLUSTERS_ORACLE tail)."""
+    from .operators.clustering import MAX_QUANT as shift
+
+    nprobe, iters, c, th = (_IVFT_NPROBE, _IVFT_ITERS, _SEMD_C,
+                            _SEMD_THRESHOLD)
+    parts, adc_sql, probe_fold = _ivfpq_parts(c)
+    mq_fold = probe_fold.replace("qq.qv", "mqq.qv")
+    parts.append("""
+mqq AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM fq)""")
+    parts.append(f"""
+mprobe AS MATERIALIZED (SELECT qid, cluster FROM (
+    SELECT mqq.qid, cc.cluster,
+           row_number() OVER (PARTITION BY mqq.qid
+                              ORDER BY {mq_fold}, cc.cluster) AS prn
+    FROM c{iters} cc, mqq) WHERE prn <= {nprobe})""")
+    parts.append(f"""
+mqr AS MATERIALIZED (SELECT p.qid, p.cluster AS cell,
+       list_transform(list_zip(mqq.qv, cc.v), x -> x[1] - x[2] + {shift}) AS qv
+       FROM mprobe p JOIN c{iters} cc ON p.cluster = cc.cluster
+       JOIN mqq ON p.qid = mqq.qid)""")
+    parts.append(f"""
+mcand AS MATERIALIZED (SELECT qid, vec_id FROM (
+  SELECT qr.qid, e.vec_id,
+         row_number() OVER (PARTITION BY qr.qid
+                            ORDER BY {adc_sql}, e.vec_id) AS crn
+  FROM enc e JOIN mqr qr ON e.cell = qr.cell) WHERE crn <= {c})""")
+    raw_cos = (
+        "list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))")
+    parts.append(f"""
+raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+pe AS (SELECT DISTINCT least(qid, vec_id) AS id_a,
+              greatest(qid, vec_id) AS id_b
+       FROM mcand WHERE qid <> vec_id),
+pj AS (SELECT id_a, id_b FROM pe
+       JOIN raw a ON pe.id_a = a.vec_id
+       JOIN raw b ON pe.id_b = b.vec_id
+       WHERE {raw_cos} >= {th}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pj
+          UNION SELECT id_b, id_a FROM pj),
+reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)""")
+    return ("WITH RECURSIVE " + ",".join(parts) + """
+SELECT u AS vec_id,
+       CAST(min(r) AS BIGINT) AS component,
+       CAST(CASE WHEN u = min(r) THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM reach GROUP BY u""")
+
+
+@register(
+    "pipeline_semantic_dedup",
+    _semantic_dedup_oracle(),
+    doc="VERDICT r13 task 1 — corpus-scale SEMANTIC dedup served by the "
+        "persisted IVFPQ index (the SemDeDup shape): the whole corpus "
+        "flows as the query set through chunked batch ADC "
+        "(operators/clustering.ivfpq_corpus_candidates — one pruned "
+        "codes scan per 512-query chunk, per-chunk driver state "
+        "bounded at chunk x nprobe x m x ksub ints), candidate pairs "
+        "are refined by a DISTRIBUTED exact-cosine join against the "
+        "raw vectors (both sides shuffle-join on vec_id; no driver IN "
+        "list — the candidate set is corpus-sized), cosine >= 0.4 "
+        "keeps semantic duplicates, and connected components mark the "
+        "min-id canonical per cluster. No all-pairs anywhere: "
+        "candidates are index-pruned, the refine touches only "
+        "candidate pairs. Oracle replays training once (shared "
+        "_ivfpq_parts prefix), the corpus-wide multi-query ADC rank, "
+        "the exact refine and the recursive-CTE closure.",
+)
+def q_semantic_dedup(spark, sf):
+    from .functions.vector import cosine_sim, valid_vector
+    from .operators.clustering import (ivfpq_corpus_candidates,
+                                       quantized_frame)
+
+    codes, cents, books = _load_ivfpq_artifacts(spark, sf)
+    emb = T(spark, sf, "embeddings")
+    empty = spark.range(0).select(
+        F.lit(0).cast("long").alias("vec_id"),
+        F.lit(0).cast("long").alias("component"),
+        F.lit(0).cast("int").alias("is_canonical"))
+    qf = quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+    cand = ivfpq_corpus_candidates(
+        qf, codes, cents, books, chunk=_SEMD_CHUNK, nprobe=_IVFT_NPROBE,
+        k=_SEMD_C)
+    if cand is None:
+        return empty
+    v = (emb.filter(valid_vector("embedding"))
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    pairs = (
+        cand.filter(F.col("qid") != F.col("vec_id"))
+        .select(F.least("qid", "vec_id").alias("id_a"),
+                F.greatest("qid", "vec_id").alias("id_b"))
+        .distinct()
+        .join(v.select(F.col("vec_id").alias("id_a"),
+                       F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col("vec_id").alias("id_b"),
+                       F.col("v").alias("vb")), "id_b")
+        .filter(cosine_sim(F.col("va"), F.col("vb")) >= _SEMD_THRESHOLD)
+        .select("id_a", "id_b"))
+    return dedup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "component", "is_canonical")
+
+
 def ivfpq_artifacts_dir(spark: SparkSession, sf: str) -> str:
     """Persisted composite-index artifacts (operators/clustering.
     ivfpq_build_artifacts): codes/ — (vec_id, cell, _code0.._code7

@@ -142,6 +142,50 @@ class EpochIndexMachine(RuleBasedStateMachine):
         art = self.art if which == "ivfpq_codes" else self.bm_art
         compact_artifact(self.spark, art, which, _fail_point=fail)
 
+    @rule()
+    def fused_rrf_read_matches_one_shot(self):
+        # VERDICT r13 task 6/4 — the TWO-INDEX case: the RRF fusion of
+        # a sparse leg served from the live bm25 partials and a dense
+        # leg served from the live ivfpq codes must equal the fusion
+        # over one-shot rebuilds of BOTH indexes, at any interleaving
+        # of appends/replays/compactions (each single-index invariant
+        # alone does not pin the composed read). A rule, not an
+        # invariant: the fused query is the expensive path and firing
+        # it on every step would dominate the machine's budget.
+        from pulsar_beam_spark.operators.clustering import (
+            ivfpq_adc_scan, ivfpq_encode, quantized_frame)
+        from pulsar_beam_spark.operators.text import (
+            bm25_build_index, bm25_topk_indexed)
+        from pulsar_beam_spark.queries import _rrf_fuse
+        from pulsar_beam_spark.streaming.text_index import bm25_read_index
+        from pulsar_beam_spark.streaming.vector_index import read_artifact
+
+        if not self.epochs:
+            return
+        qrow = (quantized_frame(self._frame(0, 1))
+                .select("qv").head())
+        if qrow is None:
+            return
+        qv = [int(x) for x in qrow["qv"]]
+
+        def fused(parts, codes):
+            p, d, s = parts
+            sparse = bm25_topk_indexed(p, d, s, ["data", "scan"], k=20)
+            dense = (ivfpq_adc_scan(codes, self.cents, self.books, qv,
+                                    nprobe=4, k=20)
+                     .select("vec_id", (-F.col("adc")).cast("double")
+                             .alias("cosine")))
+            return [tuple(r) for r in
+                    _rrf_fuse(sparse, dense, k=10, c=60).collect()]
+
+        got = fused(bm25_read_index(self.spark, self.bm_art),
+                    read_artifact(self.spark, self.art, "ivfpq_codes"))
+        want = fused(bm25_build_index(self._docs_frame(0, self.cursor)),
+                     ivfpq_encode(self._frame(0, self.cursor),
+                                  self.cents, self.books))
+        assert got == want, (
+            f"fused two-index read diverged after epochs {self.epochs}")
+
     @invariant()
     def artifact_equals_one_shot_encode(self):
         from pulsar_beam_spark.operators.clustering import ivfpq_encode

@@ -593,3 +593,57 @@ def test_hybrid_rrf_indexed_never_scans_corpus_text(spark):
         "query-term IN filter must reach the postings scan:\n" + "\n".join(pushed))
     assert any("cell" in p and "In(" in p for p in pushed), (
         "probed-cell IN filter must reach the cells scan:\n" + "\n".join(pushed))
+
+
+def test_semantic_dedup_candidates_plan(spark):
+    """r14 flagship (VERDICT r13 task 1): the SemDeDup read shape's
+    pre-checkpoint plan (dedup_clusters truncates the entry's visible
+    plan, so the pin targets the candidates+refine composition the
+    entry builds). chunk=256 forces TWO chunks on the 500-vector smoke
+    fixture: exactly one codes scan per chunk with that chunk's
+    probed-cell union pushed as an IN filter, no all-pairs join
+    anywhere (no CartesianProduct, no BNLJ), the per-chunk LUT tables
+    broadcast, and the embedding column read only by the refine scans
+    (never by the codes side)."""
+    from pulsar_beam_spark.functions.vector import cosine_sim, valid_vector
+    from pulsar_beam_spark.operators.clustering import (
+        ivfpq_corpus_candidates, quantized_frame)
+    from pulsar_beam_spark.queries import (
+        _KMEANS_DIM, _KMEANS_OFFSET, _KMEANS_SCALE, _IVFT_NPROBE, _SEMD_C,
+        _SEMD_THRESHOLD, _load_ivfpq_artifacts, T)
+    from pyspark.sql import functions as F
+
+    codes, cents, books = _load_ivfpq_artifacts(spark, SF_SMOKE)
+    emb = T(spark, SF_SMOKE, "embeddings")
+    qf = quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+    cand = ivfpq_corpus_candidates(qf, codes, cents, books, chunk=256,
+                                   nprobe=_IVFT_NPROBE, k=_SEMD_C)
+    v = (emb.filter(valid_vector("embedding"))
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("v")))
+    pairs = (
+        cand.filter(F.col("qid") != F.col("vec_id"))
+        .select(F.least("qid", "vec_id").alias("id_a"),
+                F.greatest("qid", "vec_id").alias("id_b"))
+        .distinct()
+        .join(v.select(F.col("vec_id").alias("id_a"),
+                       F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col("vec_id").alias("id_b"),
+                       F.col("v").alias("vb")), "id_b")
+        .filter(cosine_sim(F.col("va"), F.col("vb")) >= _SEMD_THRESHOLD)
+        .select("id_a", "id_b"))
+    plan = formatted_plan(pairs)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema:")[1:]]
+    code_scans = [s for s in schemas if "_code0" in s]
+    assert len(code_scans) == 2, (
+        "one codes scan per chunk (2 chunks forced):\n" + "\n".join(schemas))
+    assert all("embedding" not in s for s in code_scans), code_scans
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    cell_in = [p for p in pushed if "cell" in p and "In(" in p]
+    assert len(cell_in) == 2, (
+        "each chunk's probed-cell union must reach its codes scan:\n"
+        + "\n".join(pushed))
+    # the per-chunk LUT join must be a broadcast (the codes side never
+    # shuffles before ranking)
+    assert "BroadcastHashJoin" in plan, plan[:2000]

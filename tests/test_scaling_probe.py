@@ -43,6 +43,13 @@ ANCHOR_EXPONENTS = {
     "p_span_dedup": 0.28,
     "pipeline_corpus_curation": 0.42,
     "pipeline_curation_clustered": 0.73,
+    # round-14: corpus-as-queries SemDeDup pipeline — inherently ~linear
+    # per decade (every doc is a query: candidates, refine pairs and
+    # components all scale with N; measured 0.86 sf0.1->sf1). At fixed
+    # fixture hyperparameters the per-chunk probed fraction adds a mild
+    # super-linear term; in production n_cells grows with the corpus so
+    # probed rows per chunk stay bounded (see ivfpq_corpus_candidates).
+    "pipeline_semantic_dedup": 1.00,
     "r04_inner_join": 0.11,
     "r05_broadcast_join": 0.09,
     "r08_range_join": 0.19,

@@ -2090,3 +2090,99 @@ def test_sink_with_compaction_cadence_bounds_dirs(spark, tmp_path):
     replayed = sorted(tuple(r) for r in
                       read_artifact(spark, art, "ivfpq_codes").select(*cols).collect())
     assert replayed == want
+
+
+def test_streamed_hybrid_rrf_with_midstream_compaction(spark, tmp_path):
+    """VERDICT r13 task 4 — the RAG read path over LIVE streamed
+    artifacts: BOTH index families (BM25 postings/dictionary/stats and
+    the flat codes/cells vector artifacts) are maintained by streams
+    over the same corpus, a compaction lands in the MIDDLE of each
+    stream's life (between the first and second ingest phases, folding
+    the settled epochs), the streams then resume from their
+    checkpoints, and the fused RRF query reads the live artifacts —
+    the fused ranking must BIT-EQUAL the fusion over one-shot
+    batch-built indexes of the union corpus. This composes the two
+    per-family goldens: each index alone being stream==batch does not
+    prove the COMPOSED read stays exact across an interleaved
+    compact-then-resume history."""
+    from pulsar_beam_spark.operators.clustering import (
+        ivf_cells_scan_topk, ivf_probe_cells, kmeans_fit,
+        pq_train_fixedpoint, quantized_frame)
+    from pulsar_beam_spark.operators.text import (
+        bm25_build_index, bm25_topk_indexed)
+    from pulsar_beam_spark.queries import _query_vec, _rrf_fuse, _IVFT_NPROBE
+    from pulsar_beam_spark.streaming.text_index import (
+        bm25_index_sink, bm25_read_index)
+    from pulsar_beam_spark.streaming.vector_index import (
+        compact_artifact, live_artifact_dirs, read_artifact,
+        vector_index_sink)
+
+    sf = "/root/testdata/sf0.001"
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", "text").limit(60))
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # trained tables are FROZEN inputs to maintenance (retraining is a
+    # batch event that versions the artifact dir, never a stream effect)
+    books = pq_train_fixedpoint(emb)
+    _, cents = kmeans_fit(emb, k=16)
+
+    d_src, v_src = str(tmp_path / "docs"), str(tmp_path / "vecs")
+    d_art, v_art = str(tmp_path / "bm25-art"), str(tmp_path / "vec-art")
+    d_ck, v_ck = str(tmp_path / "bm25-ck"), str(tmp_path / "vec-ck")
+
+    def write_phase(mod_keep):
+        for m in mod_keep:
+            docs.filter(f"doc_id % 4 = {m}").coalesce(1) \
+                .write.mode("append").parquet(d_src)
+            emb.filter(f"vec_id % 4 = {m}").coalesce(1) \
+                .write.mode("append").parquet(v_src)
+
+    def run_sinks():
+        qd = bm25_index_sink(
+            (spark.readStream.schema(docs.schema)
+             .option("maxFilesPerTrigger", "1").parquet(d_src)),
+            d_art, d_ck)
+        qd.awaitTermination(120); qd.stop()
+        qv = vector_index_sink(
+            (spark.readStream.schema(emb.schema)
+             .option("maxFilesPerTrigger", "1").parquet(v_src)),
+            books, cents, v_art, v_ck)
+        qv.awaitTermination(120); qv.stop()
+
+    # phase 1: two files each -> two epochs per stream
+    write_phase([0, 1])
+    run_sinks()
+    # MIDSTREAM compaction: fold the settled epochs of every artifact
+    # (keep_latest=1 protects each stream's replayable window)
+    for which in ("postings", "dictionary", "stats"):
+        compact_artifact(spark, d_art, which, keep_latest=1, min_dirs=2)
+    for which in ("codes", "cells"):
+        compact_artifact(spark, v_art, which, keep_latest=1, min_dirs=2)
+    n_live_mid = len(live_artifact_dirs(v_art, "cells"))
+    # phase 2: the streams RESUME from their checkpoints over new files
+    write_phase([2, 3])
+    run_sinks()
+
+    def fused(sparse_parts, dense_cells):
+        p, d, s = sparse_parts
+        sparse = bm25_topk_indexed(p, d, s, ["data", "scan"], k=20)
+        qv = _query_vec(emb, 0)
+        qrow = (quantized_frame(emb).filter("_kid = 0").select("qv").head())
+        probe = ivf_probe_cells([int(x) for x in qrow["qv"]], cents,
+                                _IVFT_NPROBE)
+        dense = ivf_cells_scan_topk(dense_cells, emb, qv, probe, k=20)
+        return [tuple(r) for r in _rrf_fuse(sparse, dense, k=10, c=60)
+                .collect()]
+
+    got = fused(bm25_read_index(spark, d_art),
+                read_artifact(spark, v_art, "cells"))
+    from pulsar_beam_spark.streaming.vector_index import encode_batch
+
+    want = fused(bm25_build_index(docs),
+                 encode_batch(emb, books, cents).select("vec_id", "cell"))
+    assert got == want and len(got) == 10, (got, want)
+    # non-vacuous interleaving: the mid-stream compaction actually
+    # folded phase-1 epochs, and phase 2 appended fresh ones after it
+    assert n_live_mid == 2, "phase-1 fold must leave consolidated+protected"
+    assert len(live_artifact_dirs(v_art, "cells")) > n_live_mid, (
+        "phase-2 epochs must land after the mid-stream compaction")
