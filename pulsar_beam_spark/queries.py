@@ -10910,6 +10910,11 @@ def q_ivfpq_codes(spark, sf):
 # past ~5 rounds while shared helpers keep changing underneath it.
 # _LAST_GREEN is built by applying the round sets in ascending order, so a
 # name listed in several sets (a re-green) takes the latest round.
+# Round-14 window: 2 never-green (p_packing_learned_bpe,
+# pipeline_semantic_dedup) + the 25 stalest r08 greens
+# (pipeline_corpus_curation, t_repetition_scores, p_weighted_mix,
+# the tpch_q8..q15 block, ...) + 23 r09 greens — stalest-first, shown
+# by scripts/preflight_window.py.
 _ROUND1_VERIFIED = frozenset({
     "flagship_revenue_by_nation", "r01_scan_project", "r03_filter",
     "r04_inner_join", "r05_broadcast_join", "r06_left_join",
@@ -11283,13 +11288,46 @@ _ROUND12_VERIFIED = frozenset({
     "r16_first_last_value", "r16_nth_value", "r17_range_frame",
 })
 
+# Round-13 driver-green rows (CORRECTNESS_r13.json: 50/50 hash-green,
+# zero reds — the 11 round-13 additions fronted first, then the stalest
+# r07/r08 greens). e_ivfpq_batch_topk / e_ivfpq_batch_rerank_topk are
+# KEPT despite the round-14 kernel change (ivfpq_adc_batch_scan gained
+# duplicate-qid dedup — a no-op for these entries, whose query sets are
+# distinct by construction; plans unchanged): both were re-verified
+# in-session r14 hash-green vs DuckDB at sf0.01 through the driver
+# contract AND at sf0.001 through the adversarial-corpus gates.
+_ROUND13_VERIFIED = frozenset({
+    "t_bpe_token_count_1k", "t_bpe_train_merges", "t_bpe_train_apply",
+    "t_bpe_learned_apply", "e_ivfpq_recall_sweep", "e_ivfpq_rerank_topk",
+    "e_ivfpq_rerank_recall", "e_ivfpq_rerank_sweep",
+    "e_ivfpq_rerank_scaled_sweep", "e_ivfpq_batch_topk",
+    "e_ivfpq_batch_rerank_topk", "r_pivot_conditional",
+    "r13_percentile_exact", "r_scalar_subquery",
+    "r_correlated_subquery_q17", "r_having", "r14_grouping_sets",
+    "tpch_q3_shipping_priority", "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items", "tpch_q18_large_orders",
+    "r34_pandas_grouped_agg", "r10_asof_forward", "r_asof_nearest",
+    "r_pareto_cut", "t_sentence_stats", "r_rfm_segmentation",
+    "p_source_overlap_matrix", "e_label_margin", "r_abc_xyz",
+    "p_split_leakage", "r11_stats_aggregates", "tpch_q4_exists_late_ship",
+    "tpch_q2_correlated_min", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q12_priority_by_year",
+    "tpch_q14_promo_effect", "tpch_q16_supplier_part_count",
+    "tpch_q19_disjunctive_filter", "tpch_q22_dormant_customers",
+    "p_deterministic_split", "p_stratified_sample", "p_sequence_packing",
+    "r18_nulls_ordering", "r35_python_udtf", "r23_date_arith",
+    "r27_from_json_struct", "r27_to_json_roundtrip",
+    "sql_shared_dialect_agg",
+})
+
 # name -> most recent round with a hash-green driver row; later sets win.
 _LAST_GREEN: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
      _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
      _ROUND7_VERIFIED, _ROUND8_VERIFIED, _ROUND9_VERIFIED,
-     _ROUND10_VERIFIED, _ROUND11_VERIFIED, _ROUND12_VERIFIED),
+     _ROUND10_VERIFIED, _ROUND11_VERIFIED, _ROUND12_VERIFIED,
+     _ROUND13_VERIFIED),
     start=1,
 ):
     for _n in _names:
