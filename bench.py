@@ -145,6 +145,13 @@ HEADLINE = [
                                  # components -> canonical keep (pairs
                                  # with d_embedding_near_dup, the exact
                                  # cell-scan twin)
+    "d_semantic_incremental_near_dup",  # steady-state semantic screen:
+                                 # NEW batch quantizes + probes the
+                                 # persisted corpus index; cost is
+                                 # batch-proportional (the corpus is
+                                 # touched only through pruned codes
+                                 # cells) — pairs with
+                                 # d_incremental_near_dup (MinHash twin)
 ]
 
 

@@ -10706,12 +10706,17 @@ def q_ivfpq_batch_rerank(spark, sf):
 _SEMD_CHUNK, _SEMD_C, _SEMD_THRESHOLD = 2048, 16, 0.4
 
 
-def _semantic_dedup_oracle() -> str:
-    """Composed replay: shared training prefix (_ivfpq_parts), the
-    multi-query probe/residual/ADC-rank chain with mqq = the WHOLE
-    quantized corpus, exact-cosine refine over the thresholded
-    candidate pairs, then the recursive-CTE closure and canonical
-    keep (the DEDUP_CLUSTERS_ORACLE tail)."""
+_SEMD_RAW_COS = (
+    "list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))")
+
+
+def _semantic_parts() -> list[str]:
+    """Shared oracle prefix of the SemDeDup family: the _ivfpq_parts
+    training replay + the corpus-as-queries probe/residual/ADC-rank
+    chain + the exact-cosine refine down to the thresholded undirected
+    pair set ``pj (id_a < id_b)``."""
     from .operators.clustering import MAX_QUANT as shift
 
     nprobe, iters, c, th = (_IVFT_NPROBE, _IVFT_ITERS, _SEMD_C,
@@ -10737,10 +10742,6 @@ mcand AS MATERIALIZED (SELECT qid, vec_id FROM (
          row_number() OVER (PARTITION BY qr.qid
                             ORDER BY {adc_sql}, e.vec_id) AS crn
   FROM enc e JOIN mqr qr ON e.cell = qr.cell) WHERE crn <= {c})""")
-    raw_cos = (
-        "list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), (x, y) -> x + y)"
-        " / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))"
-        " * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))")
     parts.append(f"""
 raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
@@ -10750,7 +10751,18 @@ pe AS (SELECT DISTINCT least(qid, vec_id) AS id_a,
 pj AS (SELECT id_a, id_b FROM pe
        JOIN raw a ON pe.id_a = a.vec_id
        JOIN raw b ON pe.id_b = b.vec_id
-       WHERE {raw_cos} >= {th}),
+       WHERE {_SEMD_RAW_COS} >= {th})""")
+    return parts
+
+
+def _semantic_dedup_oracle() -> str:
+    """Composed replay: shared training prefix (_ivfpq_parts), the
+    multi-query probe/residual/ADC-rank chain with mqq = the WHOLE
+    quantized corpus, exact-cosine refine over the thresholded
+    candidate pairs, then the recursive-CTE closure and canonical
+    keep (the DEDUP_CLUSTERS_ORACLE tail)."""
+    parts = _semantic_parts()
+    parts.append("""
 edges AS (SELECT id_a AS u, id_b AS v FROM pj
           UNION SELECT id_b, id_a FROM pj),
 reach AS (
@@ -10784,26 +10796,38 @@ FROM reach GROUP BY u""")
         "the exact refine and the recursive-CTE closure.",
 )
 def q_semantic_dedup(spark, sf):
+    pairs = _semantic_pair_frame(spark, sf)
+    if pairs is None:
+        return spark.range(0).select(
+            F.lit(0).cast("long").alias("vec_id"),
+            F.lit(0).cast("long").alias("component"),
+            F.lit(0).cast("int").alias("is_canonical"))
+    return dedup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "component", "is_canonical")
+
+
+def _semantic_pair_frame(spark, sf) -> DataFrame | None:
+    """The SemDeDup pair set served by the persisted index — shared by
+    the components pipeline and the recall audit: chunked corpus-as-
+    queries batch ADC candidates, undirected pair dedup, distributed
+    exact-cosine refine, threshold. (id_a < id_b); None when the
+    corpus/index is empty."""
     from .functions.vector import cosine_sim, valid_vector
     from .operators.clustering import (ivfpq_corpus_candidates,
                                        quantized_frame)
 
     codes, cents, books = _load_ivfpq_artifacts(spark, sf)
     emb = T(spark, sf, "embeddings")
-    empty = spark.range(0).select(
-        F.lit(0).cast("long").alias("vec_id"),
-        F.lit(0).cast("long").alias("component"),
-        F.lit(0).cast("int").alias("is_canonical"))
     qf = quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
     cand = ivfpq_corpus_candidates(
         qf, codes, cents, books, chunk=_SEMD_CHUNK, nprobe=_IVFT_NPROBE,
         k=_SEMD_C)
     if cand is None:
-        return empty
+        return None
     v = (emb.filter(valid_vector("embedding"))
          .select("vec_id", F.col("embedding").cast("array<double>")
                  .alias("v")))
-    pairs = (
+    return (
         cand.filter(F.col("qid") != F.col("vec_id"))
         .select(F.least("qid", "vec_id").alias("id_a"),
                 F.greatest("qid", "vec_id").alias("id_b"))
@@ -10814,8 +10838,162 @@ def q_semantic_dedup(spark, sf):
                        F.col("v").alias("vb")), "id_b")
         .filter(cosine_sim(F.col("va"), F.col("vb")) >= _SEMD_THRESHOLD)
         .select("id_a", "id_b"))
-    return dedup_clusters(pairs).select(
-        F.col("doc_id").alias("vec_id"), "component", "is_canonical")
+
+
+def _semantic_recall_oracle() -> str:
+    """Plain-WITH composition: the shared SemDeDup prefix down to the
+    index-served pair set pj, an exact all-pairs reference over the
+    same guarded corpus, and the counted LEFT JOIN."""
+    parts = _semantic_parts()
+    parts.append(f"""
+ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       FROM raw a JOIN raw b ON a.vec_id < b.vec_id
+       WHERE {_SEMD_RAW_COS} >= {_SEMD_THRESHOLD}),
+hit AS (SELECT ex.id_a, CASE WHEN pj.id_a IS NULL THEN 0 ELSE 1 END AS h
+        FROM ex LEFT JOIN pj ON ex.id_a = pj.id_a AND ex.id_b = pj.id_b)""")
+    return ("WITH " + ",".join(parts) + """
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(coalesce(sum(h), 0) AS BIGINT) AS n_hit,
+       round(coalesce(sum(h), 0) * 1.0 / nullif(count(*), 0), 6) AS recall
+FROM hit""")
+
+
+@register(
+    "d_semantic_dedup_recall",
+    _semantic_recall_oracle(),
+    doc="Recall audit of the index-served SemDeDup pair set against the "
+        "EXACT all-pairs reference (d_embedding_near_dup's kernel, same "
+        "threshold): what fraction of true cosine>=0.4 duplicate pairs "
+        "the chunked batch-ADC candidate stage recovers — the number "
+        "that tells you whether nprobe/C are adequate BEFORE shipping "
+        "the dedup (the e_ivfpq_recall_audit discipline applied to the "
+        "pipeline). The index pair set is a mathematical SUBSET of the "
+        "exact set (its refine applies the same exact-cosine "
+        "threshold), so n_hit counts the LEFT JOIN matches and recall "
+        "= n_hit/n_exact. Oracle composes the shared SemDeDup prefix "
+        "with the exact all-pairs reference.",
+)
+def q_semantic_recall(spark, sf):
+    from .sources.tables import table_rowcount
+
+    emb = T(spark, sf, "embeddings")
+    exact = embedding_near_dup_pairs(
+        emb, threshold=_SEMD_THRESHOLD,
+        n_hint=table_rowcount(sf, "embeddings")).select("id_a", "id_b")
+    idx = _semantic_pair_frame(spark, sf)
+    if idx is None:
+        idx = spark.range(0).select(
+            F.lit(0).cast("long").alias("id_a"),
+            F.lit(0).cast("long").alias("id_b"))
+    joined = exact.join(idx.withColumn("_hit", F.lit(1)),
+                        ["id_a", "id_b"], "left")
+    agg = joined.agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"))
+    return agg.select(
+        "n_exact", "n_hit",
+        F.round(F.col("n_hit") / F.when(F.col("n_exact") > 0,
+                                        F.col("n_exact")), 6)
+        .alias("recall"))
+
+
+def _semantic_incremental_oracle() -> str:
+    """Incremental twin: mqq restricted to the NEW batch (vec_id%5=0),
+    candidates restricted to the EXISTING corpus (vec_id%5<>0), best
+    corpus match per flagged batch doc — the d_incremental_near_dup
+    output shape under the persisted index."""
+    from .operators.clustering import MAX_QUANT as shift
+
+    nprobe, iters, c, th = (_IVFT_NPROBE, _IVFT_ITERS, _SEMD_C,
+                            _SEMD_THRESHOLD)
+    parts, adc_sql, probe_fold = _ivfpq_parts(c)
+    mq_fold = probe_fold.replace("qq.qv", "mqq.qv")
+    parts.append("""
+mqq AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM fq
+       WHERE vec_id % 5 = 0)""")
+    parts.append(f"""
+mprobe AS MATERIALIZED (SELECT qid, cluster FROM (
+    SELECT mqq.qid, cc.cluster,
+           row_number() OVER (PARTITION BY mqq.qid
+                              ORDER BY {mq_fold}, cc.cluster) AS prn
+    FROM c{iters} cc, mqq) WHERE prn <= {nprobe})""")
+    parts.append(f"""
+mqr AS MATERIALIZED (SELECT p.qid, p.cluster AS cell,
+       list_transform(list_zip(mqq.qv, cc.v), x -> x[1] - x[2] + {shift}) AS qv
+       FROM mprobe p JOIN c{iters} cc ON p.cluster = cc.cluster
+       JOIN mqq ON p.qid = mqq.qid)""")
+    parts.append(f"""
+mcand AS MATERIALIZED (SELECT qid, vec_id FROM (
+  SELECT qr.qid, e.vec_id,
+         row_number() OVER (PARTITION BY qr.qid
+                            ORDER BY {adc_sql}, e.vec_id) AS crn
+  FROM enc e JOIN mqr qr ON e.cell = qr.cell
+  WHERE e.vec_id % 5 <> 0) WHERE crn <= {c})""")
+    parts.append(f"""
+raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+sel AS (SELECT mc.qid, mc.vec_id, {_SEMD_RAW_COS} AS cos,
+        row_number() OVER (PARTITION BY mc.qid
+                           ORDER BY {_SEMD_RAW_COS} DESC, mc.vec_id) AS rn
+        FROM mcand mc JOIN raw a ON mc.qid = a.vec_id
+        JOIN raw b ON mc.vec_id = b.vec_id
+        WHERE {_SEMD_RAW_COS} >= {th})""")
+    return ("WITH " + ",".join(parts) + """
+SELECT qid AS vec_id, vec_id AS dup_of, round(cos, 6) AS cosine
+FROM sel WHERE rn = 1""")
+
+
+@register(
+    "d_semantic_incremental_near_dup",
+    _semantic_incremental_oracle(),
+    doc="Production SEMANTIC dedup shape: screen a NEW ingest batch "
+        "(vec_id%5=0) against the EXISTING corpus (rest) through the "
+        "persisted IVFPQ index — d_incremental_near_dup's asymmetric "
+        "contract for embeddings (there the batch re-signs MinHash; "
+        "here the batch quantizes and probes). Queries = the batch "
+        "only (chunked batch ADC), candidates = corpus codes only "
+        "(the %5<>0 filter composes with the probed-cell IN in the "
+        "codes scan), exact-cosine refine, best corpus match per "
+        "flagged batch doc. Steady state cost is batch-proportional: "
+        "the corpus is touched only through its pruned codes cells. "
+        "Oracle restricts mqq to the batch and the ADC rank to corpus "
+        "rows, then replays the refine and the per-qid argmax.",
+)
+def q_semantic_incremental(spark, sf):
+    from .functions.vector import cosine_sim, valid_vector
+    from .operators.clustering import (ivfpq_corpus_candidates,
+                                       quantized_frame)
+
+    codes, cents, books = _load_ivfpq_artifacts(spark, sf)
+    emb = T(spark, sf, "embeddings")
+    empty = spark.range(0).select(
+        F.lit(0).cast("long").alias("vec_id"),
+        F.lit(0).cast("long").alias("dup_of"),
+        F.lit(0.0).alias("cosine"))
+    qf = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+          .filter(F.col("_kid") % 5 == 0))
+    cand = ivfpq_corpus_candidates(
+        qf, codes.filter(F.col("vec_id") % 5 != 0), cents, books,
+        chunk=_SEMD_CHUNK, nprobe=_IVFT_NPROBE, k=_SEMD_C)
+    if cand is None:
+        return empty
+    v = (emb.filter(valid_vector("embedding"))
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(),
+                                          F.col("vec_id").asc())
+    return (
+        cand
+        .join(v.select(F.col("vec_id").alias("qid"),
+                       F.col("v").alias("qv")), "qid")
+        .join(v, "vec_id")
+        .withColumn("_cos", cosine_sim(F.col("v"), F.col("qv")))
+        .filter(F.col("_cos") >= _SEMD_THRESHOLD)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("qid").alias("vec_id"),
+                F.col("vec_id").alias("dup_of"),
+                F.round("_cos", 6).alias("cosine")))
 
 
 def ivfpq_artifacts_dir(spark: SparkSession, sf: str) -> str:

@@ -99,6 +99,8 @@ EMPTY_REGRESSION = [
     "e_kmeans_lloyd", "e_kmeans_centroids", "e_pq_trained_recall",
     "e_ivf_trained_topk", "e_ivf_cells_topk", "e_ivfpq_topk",
     "e_ivfpq_batch_topk", "e_ivfpq_batch_rerank_topk",
+    "pipeline_semantic_dedup", "d_semantic_incremental_near_dup",
+    "d_semantic_dedup_recall",
     "r_pagerank_iter3", "p_split_leakage", "p_rank_calibrate",
     "r_pareto_cut", "r_rfm_segmentation", "r_quartile_bands",
     "r_keyset_pagination", "r_lorenz_deciles", "r_abc_xyz",
@@ -364,6 +366,15 @@ VEC_FAMILY = [
     # the quantizable guard must drop them on BOTH engines while the
     # clean queries keep ranking
     "e_ivfpq_batch_topk", "e_ivfpq_batch_rerank_topk",
+    # round-14: the corpus-as-queries pipeline — poisoned vectors drop
+    # from BOTH the query set (quantizable) and the refine legs
+    # (_finite_vec_sql / valid_vector) on both engines; same contract
+    # for the batch-vs-corpus screen (poison on either side of the %5
+    # split must drop symmetrically) and the recall audit (poison must
+    # vanish from BOTH the exact reference and the index pair set, or
+    # recall would be computed against a phantom denominator)
+    "pipeline_semantic_dedup", "d_semantic_incremental_near_dup",
+    "d_semantic_dedup_recall",
 ]
 
 # vec_id -> poison kind; "corpus" mode hits non-query rows only, "query"

@@ -647,3 +647,26 @@ def test_semantic_dedup_candidates_plan(spark):
     # the per-chunk LUT join must be a broadcast (the codes side never
     # shuffles before ranking)
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_semantic_incremental_plan(spark):
+    """r14: batch-vs-corpus semantic screen through the persisted
+    index. The batch's probed-cell union must reach the codes scan as a
+    pushed IN filter (the corpus is touched only through its pruned
+    cells; the %5<>0 corpus restriction composes post-scan since modulo
+    is not a parquet-pushable predicate), the codes scans never read
+    the embedding column, the LUT join is a broadcast, and nothing
+    degenerates to an all-pairs join."""
+    df = REGISTRY["d_semantic_incremental_near_dup"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema:")[1:]]
+    code_scans = [s for s in schemas if "_code0" in s]
+    assert code_scans and all("embedding" not in s for s in code_scans), (
+        "codes scans must not read embeddings:\n" + "\n".join(schemas))
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("cell" in p and "In(" in p for p in pushed), (
+        "probed-cell union IN filter must reach the codes scan:\n"
+        + "\n".join(pushed))
+    assert "BroadcastHashJoin" in plan, plan[:2000]

@@ -50,6 +50,14 @@ ANCHOR_EXPONENTS = {
     # super-linear term; in production n_cells grows with the corpus so
     # probed rows per chunk stay bounded (see ivfpq_corpus_candidates).
     "pipeline_semantic_dedup": 1.00,
+    # round-14 companions: the batch-vs-corpus semantic screen (weak
+    # scaling grows BOTH the batch and the corpus 10x, so ~linear
+    # candidate work is the honest expectation; measured 0.58) and the
+    # recall audit (dominated by its exact cell-blocked all-pairs
+    # reference leg, the d_embedding_near_dup kernel; measured 0.79 —
+    # the audit is an offline tuning read, not a production path)
+    "d_semantic_incremental_near_dup": 0.58,
+    "d_semantic_dedup_recall": 0.79,
     "r04_inner_join": 0.11,
     "r05_broadcast_join": 0.09,
     "r08_range_join": 0.19,
