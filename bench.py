@@ -152,6 +152,15 @@ HEADLINE = [
                                  # touched only through pruned codes
                                  # cells) — pairs with
                                  # d_incremental_near_dup (MinHash twin)
+    "t_quality_tree_train",      # quality-classifier TRAINING: depth-2
+                                 # CART via integer histogram split-
+                                 # finding, one (feat,val) shuffle per
+                                 # node, 1-row collects (the
+                                 # train-inline contrast row)
+    "t_quality_tree_apply",      # the corpus-wide scorer: fitted tree
+                                 # collapsed to a literal nested-CASE
+                                 # projection — one scan, zero joins,
+                                 # zero exchanges
 ]
 
 

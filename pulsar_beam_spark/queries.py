@@ -10712,46 +10712,55 @@ _SEMD_RAW_COS = (
     " * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))")
 
 
+def _semantic_chain(sfx: str, nprobe: int, c: int, adc_sql: str,
+                    mq_fold: str) -> list[str]:
+    """One (nprobe, c) variant of the corpus-as-queries SemDeDup chain:
+    mprobe{sfx} (per-query probed cells) -> mqr{sfx} (shifted residual
+    queries) -> mcand{sfx} (ADC top-c per query) -> pe{sfx} (undirected
+    candidate pairs) -> pj{sfx} (exact-cosine refined pair set,
+    id_a < id_b). References the shared mqq/c{iters}/enc/raw CTEs, so
+    a sweep appends several chains over ONE training replay (the
+    e_ivfpq_recall_sweep shape applied to pair recall)."""
+    from .operators.clustering import MAX_QUANT as shift
+
+    iters, th = _IVFT_ITERS, _SEMD_THRESHOLD
+    return [f"""
+mprobe{sfx} AS MATERIALIZED (SELECT qid, cluster FROM (
+    SELECT mqq.qid, cc.cluster,
+           row_number() OVER (PARTITION BY mqq.qid
+                              ORDER BY {mq_fold}, cc.cluster) AS prn
+    FROM c{iters} cc, mqq) WHERE prn <= {nprobe})""", f"""
+mqr{sfx} AS MATERIALIZED (SELECT p.qid, p.cluster AS cell,
+       list_transform(list_zip(mqq.qv, cc.v), x -> x[1] - x[2] + {shift}) AS qv
+       FROM mprobe{sfx} p JOIN c{iters} cc ON p.cluster = cc.cluster
+       JOIN mqq ON p.qid = mqq.qid)""", f"""
+mcand{sfx} AS MATERIALIZED (SELECT qid, vec_id FROM (
+  SELECT qr.qid, e.vec_id,
+         row_number() OVER (PARTITION BY qr.qid
+                            ORDER BY {adc_sql}, e.vec_id) AS crn
+  FROM enc e JOIN mqr{sfx} qr ON e.cell = qr.cell) WHERE crn <= {c})""", f"""
+pe{sfx} AS (SELECT DISTINCT least(qid, vec_id) AS id_a,
+              greatest(qid, vec_id) AS id_b
+       FROM mcand{sfx} WHERE qid <> vec_id)""", f"""
+pj{sfx} AS (SELECT id_a, id_b FROM pe{sfx}
+       JOIN raw a ON pe{sfx}.id_a = a.vec_id
+       JOIN raw b ON pe{sfx}.id_b = b.vec_id
+       WHERE {_SEMD_RAW_COS} >= {th})"""]
+
+
 def _semantic_parts() -> list[str]:
     """Shared oracle prefix of the SemDeDup family: the _ivfpq_parts
     training replay + the corpus-as-queries probe/residual/ADC-rank
     chain + the exact-cosine refine down to the thresholded undirected
     pair set ``pj (id_a < id_b)``."""
-    from .operators.clustering import MAX_QUANT as shift
-
-    nprobe, iters, c, th = (_IVFT_NPROBE, _IVFT_ITERS, _SEMD_C,
-                            _SEMD_THRESHOLD)
-    parts, adc_sql, probe_fold = _ivfpq_parts(c)
+    parts, adc_sql, probe_fold = _ivfpq_parts(_SEMD_C)
     mq_fold = probe_fold.replace("qq.qv", "mqq.qv")
     parts.append("""
 mqq AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM fq)""")
     parts.append(f"""
-mprobe AS MATERIALIZED (SELECT qid, cluster FROM (
-    SELECT mqq.qid, cc.cluster,
-           row_number() OVER (PARTITION BY mqq.qid
-                              ORDER BY {mq_fold}, cc.cluster) AS prn
-    FROM c{iters} cc, mqq) WHERE prn <= {nprobe})""")
-    parts.append(f"""
-mqr AS MATERIALIZED (SELECT p.qid, p.cluster AS cell,
-       list_transform(list_zip(mqq.qv, cc.v), x -> x[1] - x[2] + {shift}) AS qv
-       FROM mprobe p JOIN c{iters} cc ON p.cluster = cc.cluster
-       JOIN mqq ON p.qid = mqq.qid)""")
-    parts.append(f"""
-mcand AS MATERIALIZED (SELECT qid, vec_id FROM (
-  SELECT qr.qid, e.vec_id,
-         row_number() OVER (PARTITION BY qr.qid
-                            ORDER BY {adc_sql}, e.vec_id) AS crn
-  FROM enc e JOIN mqr qr ON e.cell = qr.cell) WHERE crn <= {c})""")
-    parts.append(f"""
 raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
-pe AS (SELECT DISTINCT least(qid, vec_id) AS id_a,
-              greatest(qid, vec_id) AS id_b
-       FROM mcand WHERE qid <> vec_id),
-pj AS (SELECT id_a, id_b FROM pe
-       JOIN raw a ON pe.id_a = a.vec_id
-       JOIN raw b ON pe.id_b = b.vec_id
-       WHERE {_SEMD_RAW_COS} >= {th})""")
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')})""")
+    parts += _semantic_chain("", _IVFT_NPROBE, _SEMD_C, adc_sql, mq_fold)
     return parts
 
 
@@ -10806,12 +10815,13 @@ def q_semantic_dedup(spark, sf):
         F.col("doc_id").alias("vec_id"), "component", "is_canonical")
 
 
-def _semantic_pair_frame(spark, sf) -> DataFrame | None:
+def _semantic_pair_frame(spark, sf, nprobe: int = _IVFT_NPROBE,
+                         c: int = _SEMD_C) -> DataFrame | None:
     """The SemDeDup pair set served by the persisted index — shared by
-    the components pipeline and the recall audit: chunked corpus-as-
-    queries batch ADC candidates, undirected pair dedup, distributed
-    exact-cosine refine, threshold. (id_a < id_b); None when the
-    corpus/index is empty."""
+    the components pipeline, the recall audit and the (nprobe, c)
+    sweep: chunked corpus-as-queries batch ADC candidates, undirected
+    pair dedup, distributed exact-cosine refine, threshold.
+    (id_a < id_b); None when the corpus/index is empty."""
     from .functions.vector import cosine_sim, valid_vector
     from .operators.clustering import (ivfpq_corpus_candidates,
                                        quantized_frame)
@@ -10820,8 +10830,8 @@ def _semantic_pair_frame(spark, sf) -> DataFrame | None:
     emb = T(spark, sf, "embeddings")
     qf = quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
     cand = ivfpq_corpus_candidates(
-        qf, codes, cents, books, chunk=_SEMD_CHUNK, nprobe=_IVFT_NPROBE,
-        k=_SEMD_C)
+        qf, codes, cents, books, chunk=_SEMD_CHUNK, nprobe=nprobe,
+        k=c)
     if cand is None:
         return None
     v = (emb.filter(valid_vector("embedding"))
@@ -10895,6 +10905,92 @@ def q_semantic_recall(spark, sf):
         F.round(F.col("n_hit") / F.when(F.col("n_exact") > 0,
                                         F.col("n_exact")), 6)
         .alias("recall"))
+
+
+# (nprobe, c) grid for the pair-recall sweep: nprobe 2->8 at the
+# pipeline's C=16, plus a scaled-C point at the widest probe (the r13
+# rerank lesson: candidate-list width must grow with probe width or the
+# extra probed cells dilute into a fixed-length list).
+_SEMD_SWEEP = ((2, 16), (4, 16), (8, 16), (8, 64))
+
+
+def _semantic_sweep_oracle() -> str:
+    """One training replay (_ivfpq_parts), one exact all-pairs
+    reference, four (nprobe, c) candidate/refine chains, four counted
+    rows — the e_ivfpq_recall_sweep composition applied to SemDeDup
+    pair recall."""
+    parts, adc_sql, probe_fold = _ivfpq_parts(_SEMD_C)
+    mq_fold = probe_fold.replace("qq.qv", "mqq.qv")
+    parts.append("""
+mqq AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM fq)""")
+    parts.append(f"""
+raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')})""")
+    parts.append(f"""
+ex AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       FROM raw a JOIN raw b ON a.vec_id < b.vec_id
+       WHERE {_SEMD_RAW_COS} >= {_SEMD_THRESHOLD})""")
+    sels = []
+    for nprobe, c in _SEMD_SWEEP:
+        sfx = f"_{nprobe}_{c}"
+        parts += _semantic_chain(sfx, nprobe, c, adc_sql, mq_fold)
+        sels.append(
+            f"SELECT CAST({nprobe} AS BIGINT) AS nprobe, "
+            f"CAST({c} AS BIGINT) AS c, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM ex "
+            f"JOIN pj{sfx} USING (id_a, id_b)) AS n_hit, "
+            f"round((SELECT count(*) FROM ex JOIN pj{sfx} "
+            f"USING (id_a, id_b)) * 1.0 "
+            f"/ nullif((SELECT count(*) FROM ex), 0), 6) AS recall")
+    return ("WITH " + ",".join(parts) + " "
+            + " UNION ALL ".join(sels) + " ORDER BY nprobe, c")
+
+
+@register(
+    "d_semantic_dedup_recall_sweep",
+    _semantic_sweep_oracle(),
+    doc="The tuning surface behind d_semantic_dedup_recall's single "
+        "gauge point (0.49 at the fixture's nprobe=4, C=16): pair "
+        "recall of the index-served candidate stage at nprobe 2/4/8 "
+        "with C=16, plus (8, 64) — the scaled-C point the r13 rerank "
+        "sweep showed is required for wider probes to actually help "
+        "(a fixed-length candidate list dilutes as more cells pour "
+        "into it). The exact reference pair set is computed once and "
+        "localCheckpointed; each grid point is one chunked batch-ADC "
+        "pass + refine + a counted join against it. Oracle replays "
+        "training once and appends four suffixed candidate/refine "
+        "chains over the shared prefix.",
+)
+def q_semantic_recall_sweep(spark, sf):
+    from .sources.tables import table_rowcount
+
+    emb = T(spark, sf, "embeddings")
+    exact = embedding_near_dup_pairs(
+        emb, threshold=_SEMD_THRESHOLD,
+        n_hint=table_rowcount(sf, "embeddings")).select("id_a", "id_b")
+    exact = exact.localCheckpoint(eager=True)
+    out = None
+    for nprobe, c in _SEMD_SWEEP:
+        idx = _semantic_pair_frame(spark, sf, nprobe=nprobe, c=c)
+        if idx is None:
+            idx = spark.range(0).select(
+                F.lit(0).cast("long").alias("id_a"),
+                F.lit(0).cast("long").alias("id_b"))
+        row = (exact.join(idx.withColumn("_hit", F.lit(1)),
+                          ["id_a", "id_b"], "left")
+               .agg(F.count("*").cast("long").alias("n_exact"),
+                    F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+                    .alias("n_hit"))
+               .select(F.lit(nprobe).cast("long").alias("nprobe"),
+                       F.lit(c).cast("long").alias("c"),
+                       "n_exact", "n_hit",
+                       F.round(F.col("n_hit")
+                               / F.when(F.col("n_exact") > 0,
+                                        F.col("n_exact")), 6)
+                       .alias("recall")))
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe", "c")
 
 
 def _semantic_incremental_oracle() -> str:
@@ -10994,6 +11090,257 @@ def q_semantic_incremental(spark, sf):
         .select(F.col("qid").alias("vec_id"),
                 F.col("vec_id").alias("dup_of"),
                 F.round("_cos", 6).alias("cosine")))
+
+
+# == trained quality classifier (depth-2 CART, exact integer) ==========
+
+_QTREE_STOPS = "['the','a','of','and','to','in','is','on','for','with']"
+
+
+def _qtree_fv(b: str, row: str = "t") -> str:
+    """The b{n}-selected feature's value on row ``row`` (scalar
+    subqueries so an empty b{n} folds to NULL, never an error)."""
+    return (f"(CASE (SELECT feat FROM {b}) WHEN 'alpha' THEN {row}.alpha "
+            f"WHEN 'mlen' THEN {row}.mlen WHEN 'ntok' THEN {row}.ntok "
+            f"ELSE {row}.stop END)")
+
+
+def _qtree_node_parts(src: str, b: str) -> list[str]:
+    """m/s/b CTE chain for one tree node: melt -> per-(feat, val)
+    class histogram -> window cumsum (every candidate split's left
+    counts in one pass) -> scaled-Gini arg-min with the (imp, feat,
+    val) tie-break, LIMIT 1. Mirrors operators.tree.best_split."""
+    from .operators.tree import FEATURES, IMP_SCALE
+
+    melt = " UNION ALL ".join(
+        f"SELECT '{f}' AS feat, {f} AS val, y FROM {src}" for f in FEATURES)
+    return [f"""
+m{b} AS (SELECT feat, val, CAST(count(*) AS BIGINT) AS n_v,
+         CAST(sum(y) AS BIGINT) AS p_v
+         FROM ({melt}) GROUP BY feat, val)""", f"""
+s{b} AS (SELECT feat, val,
+    CAST(sum(n_v) OVER (PARTITION BY feat ORDER BY val
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nL,
+    CAST(sum(p_v) OVER (PARTITION BY feat ORDER BY val
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pL,
+    CAST(sum(n_v) OVER (PARTITION BY feat) AS BIGINT) AS n,
+    CAST(sum(p_v) OVER (PARTITION BY feat) AS BIGINT) AS p
+    FROM m{b})""", f"""
+b{b} AS (SELECT feat, val AS thr, n, p,
+    (pL * (nL - pL) * {IMP_SCALE}) // nL
+    + ((p - pL) * ((n - nL) - (p - pL)) * {IMP_SCALE}) // (n - nL) AS imp
+    FROM s{b} WHERE nL < n ORDER BY imp, feat, val LIMIT 1)"""]
+
+
+def _qtree_parts() -> list[str]:
+    """Shared prefix of the quality-tree family: integer quality
+    features + rule label, the doc_id%4 training slice, and the
+    bit-exact replay of the three histogram split-finding passes and
+    the four-leaf stats (operators/tree.py fit_depth2)."""
+    from .operators.tree import FEAT_SCALE
+
+    parts = [f"""
+fx AS MATERIALIZED (SELECT doc_id,
+       (alpha_len * {FEAT_SCALE}) // greatest(n_chars, 1) AS alpha,
+       least(((n_chars - n_tokens + 1) * 64) // greatest(n_tokens, 1), 512) AS mlen,
+       least(n_tokens, 512) AS ntok,
+       (stop_hits * {FEAT_SCALE}) // greatest(n_tokens, 1) AS stop,
+       CASE WHEN n_tokens >= 20 AND stop_hits * 100 >= n_tokens
+                 AND alpha_len * 2 >= n_chars THEN 1 ELSE 0 END AS y
+  FROM (SELECT doc_id, length(text) AS n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_len,
+               CAST(len(list_filter(toks, t2 -> list_contains({_QTREE_STOPS}, lower(t2)))) AS BIGINT) AS stop_hits
+        FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+              FROM (SELECT doc_id, coalesce(text, '') AS text
+                    FROM documents))))""", """
+tr0 AS MATERIALIZED (SELECT * FROM fx WHERE doc_id % 4 = 0)"""]
+    parts += _qtree_node_parts("tr0", "0")
+    parts.append(f"""
+trL AS MATERIALIZED (SELECT t.* FROM tr0 t, b0
+      WHERE (CASE b0.feat WHEN 'alpha' THEN t.alpha WHEN 'mlen' THEN t.mlen
+             WHEN 'ntok' THEN t.ntok ELSE t.stop END) <= b0.thr)""")
+    parts.append(f"""
+trR AS MATERIALIZED (SELECT t.* FROM tr0 t, b0
+      WHERE (CASE b0.feat WHEN 'alpha' THEN t.alpha WHEN 'mlen' THEN t.mlen
+             WHEN 'ntok' THEN t.ntok ELSE t.stop END) > b0.thr)""")
+    parts += _qtree_node_parts("trL", "1")
+    parts += _qtree_node_parts("trR", "2")
+    parts.append(f"""
+lv AS (SELECT CASE WHEN {_qtree_fv('b1')} <= (SELECT thr FROM b1)
+              THEN 3 ELSE 4 END AS node,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(t.y) AS BIGINT) AS pos
+       FROM trL t WHERE EXISTS (SELECT 1 FROM b1) GROUP BY 1
+       UNION ALL
+       SELECT 1, CAST(count(*) AS BIGINT), CAST(sum(y) AS BIGINT)
+       FROM trL WHERE NOT EXISTS (SELECT 1 FROM b1) GROUP BY 1
+       UNION ALL
+       SELECT CASE WHEN {_qtree_fv('b2')} <= (SELECT thr FROM b2)
+              THEN 5 ELSE 6 END,
+       CAST(count(*) AS BIGINT), CAST(sum(t.y) AS BIGINT)
+       FROM trR t WHERE EXISTS (SELECT 1 FROM b2) GROUP BY 1
+       UNION ALL
+       SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(y) AS BIGINT)
+       FROM trR WHERE NOT EXISTS (SELECT 1 FROM b2) GROUP BY 1)""")
+    return parts
+
+
+def _qtree_pred_sql(row: str = "t") -> str:
+    """The fitted tree as one nested CASE over scalar subqueries —
+    NULL-free because a leaf row exists for exactly the paths the
+    fitted tree has (node 1 xor nodes 3/4; node 2 xor nodes 5/6)."""
+    def lbl(node: int) -> str:
+        return (f"(SELECT CASE WHEN 2 * pos >= n THEN 1 ELSE 0 END "
+                f"FROM lv WHERE node = {node})")
+    left = (f"CASE WHEN EXISTS (SELECT 1 FROM b1) THEN "
+            f"(CASE WHEN {_qtree_fv('b1', row)} <= (SELECT thr FROM b1) "
+            f"THEN {lbl(3)} ELSE {lbl(4)} END) ELSE {lbl(1)} END")
+    right = (f"CASE WHEN EXISTS (SELECT 1 FROM b2) THEN "
+             f"(CASE WHEN {_qtree_fv('b2', row)} <= (SELECT thr FROM b2) "
+             f"THEN {lbl(5)} ELSE {lbl(6)} END) ELSE {lbl(2)} END")
+    return (f"CASE WHEN {_qtree_fv('b0', row)} <= (SELECT thr FROM b0) "
+            f"THEN ({left}) ELSE ({right}) END")
+
+
+def _qtree_train_oracle() -> str:
+    parts = _qtree_parts()
+    return ("WITH " + ",".join(parts) + """
+SELECT CAST(0 AS BIGINT) AS node, 'split' AS kind, feat AS feature,
+       CAST(thr AS BIGINT) AS threshold, n, p AS pos,
+       CAST(NULL AS BIGINT) AS label FROM b0
+UNION ALL
+SELECT 1, 'split', feat, thr, n, p, NULL FROM b1
+UNION ALL
+SELECT 2, 'split', feat, thr, n, p, NULL FROM b2
+UNION ALL
+SELECT node, 'leaf', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), n, pos,
+       CAST(CASE WHEN 2 * pos >= n THEN 1 ELSE 0 END AS BIGINT) FROM lv""")
+
+
+_QTREE_TRAIN_SCHEMA = ("node long, kind string, feature string, "
+                       "threshold long, n long, pos long, label long")
+
+
+@register(
+    "t_quality_tree_train",
+    _qtree_train_oracle(),
+    doc="TRAIN a quality classifier on a labeled slice (doc_id%4=0) — "
+        "the fastText-filter curation step, here a depth-2 CART fitted "
+        "by exact integer histogram split-finding (operators/tree.py): "
+        "one distributed (feat, val) class-histogram pass per node, a "
+        "window cumsum turning the histogram into every candidate "
+        "split's left/right counts, scaled-Gini (x65536, floor "
+        "division) arg-min with (imp, feat, val) tie-break. Driver "
+        "state is ONE collected row per node (kmeans_fit / "
+        "bpe_train_merges discipline) — at 100 TB each pass is a "
+        "shuffle on (feat, val) with map-side partials; nothing "
+        "corpus-sized leaves the cluster. Label = the hand-written "
+        "quality keep rule (t_quality_scores) restated in exact "
+        "rational arithmetic — the distillation target. Output: the 3 "
+        "split nodes + the fitted leaves with class counts. Oracle "
+        "replays the whole fit bit-exactly (integer-only math).",
+)
+def q_qtree_train(spark, sf):
+    from .operators.tree import fit_depth2, leaf_label, quality_features
+
+    fx = quality_features(T(spark, sf, "documents"))
+    tree = fit_depth2(fx.filter(F.col("doc_id") % 4 == 0))
+    if tree is None:
+        return spark.createDataFrame([], _QTREE_TRAIN_SCHEMA)
+    rows = [(0, "split", tree.root.feat, tree.root.thr, tree.root.n,
+             tree.root.pos, None)]
+    for nid, sp in ((1, tree.left), (2, tree.right)):
+        if sp is not None:
+            rows.append((nid, "split", sp.feat, sp.thr, sp.n, sp.pos, None))
+    for nid, (n, pos) in sorted(tree.leaves.items()):
+        rows.append((nid, "leaf", None, None, n, pos, leaf_label(n, pos)))
+    return spark.createDataFrame(rows, _QTREE_TRAIN_SCHEMA)
+
+
+def _qtree_eval_oracle() -> str:
+    parts = _qtree_parts()
+    parts.append(f"""
+pr AS (SELECT t.y, {_qtree_pred_sql()} AS pred
+       FROM fx t WHERE t.doc_id % 4 <> 0
+         AND EXISTS (SELECT 1 FROM b0))""")
+    return ("WITH " + ",".join(parts) + """
+SELECT CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       round(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS accuracy
+FROM pr GROUP BY 1 = 1""")
+
+
+@register(
+    "t_quality_tree_eval",
+    _qtree_eval_oracle(),
+    doc="HOLDOUT evaluation of the trained quality tree: confusion "
+        "matrix + accuracy on the doc_id%4<>0 rows the fit never saw — "
+        "the number that says whether the distilled scorer can replace "
+        "the rule (fixture: 0.93-0.94 vs 0.86-0.87 majority baseline). "
+        "The fitted tree is a literal nested-CASE projection, so the "
+        "eval plan is one scan + one 1-row aggregate. Oracle replays "
+        "the fit and the same CASE via scalar subqueries.",
+)
+def q_qtree_eval(spark, sf):
+    from .operators.tree import fit_depth2, predict_expr, quality_features
+
+    fx = quality_features(T(spark, sf, "documents"))
+    tree = fit_depth2(fx.filter(F.col("doc_id") % 4 == 0))
+    empty = spark.createDataFrame(
+        [], "tp long, fp long, fn long, tn long, accuracy double")
+    if tree is None:
+        return empty
+    ho = (fx.filter(F.col("doc_id") % 4 != 0)
+          .withColumn("pred", predict_expr(tree)))
+    return (ho.groupBy(F.lit(1).alias("_g"))
+            .agg(F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("long")).alias("tp"),
+                 F.sum(((F.col("pred") == 1) & (F.col("y") == 0)).cast("long")).alias("fp"),
+                 F.sum(((F.col("pred") == 0) & (F.col("y") == 1)).cast("long")).alias("fn"),
+                 F.sum(((F.col("pred") == 0) & (F.col("y") == 0)).cast("long")).alias("tn"),
+                 F.round(F.sum((F.col("pred") == F.col("y")).cast("long"))
+                         / F.count("*"), 6).alias("accuracy"))
+            .drop("_g"))
+
+
+def _qtree_apply_oracle() -> str:
+    parts = _qtree_parts()
+    return ("WITH " + ",".join(parts) + f"""
+SELECT t.doc_id,
+       CAST(CASE WHEN t.doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_train,
+       CAST(t.y AS BIGINT) AS label,
+       CAST({_qtree_pred_sql()} AS BIGINT) AS pred
+FROM fx t WHERE EXISTS (SELECT 1 FROM b0)""")
+
+
+@register(
+    "t_quality_tree_apply",
+    _qtree_apply_oracle(),
+    doc="CORPUS-WIDE apply of the trained quality tree — the 100 TB "
+        "read shape: the fitted tree is collapsed into a literal "
+        "nested-CASE column (predict_expr), so scoring is a single "
+        "whole-stage-codegen'd scan-and-project with ZERO joins and "
+        "ZERO exchanges; per-doc (is_train, label, pred) is the frame "
+        "a filter/mixing stage consumes downstream. Oracle replays "
+        "the fit and applies the same CASE to every row.",
+)
+def q_qtree_apply(spark, sf):
+    from .operators.tree import fit_depth2, predict_expr, quality_features
+
+    fx = quality_features(T(spark, sf, "documents"))
+    tree = fit_depth2(fx.filter(F.col("doc_id") % 4 == 0))
+    empty = spark.createDataFrame(
+        [], "doc_id long, is_train long, label long, pred long")
+    if tree is None:
+        return empty
+    return fx.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("is_train"),
+        F.col("y").cast("long").alias("label"),
+        predict_expr(tree).alias("pred"))
 
 
 def ivfpq_artifacts_dir(spark: SparkSession, sf: str) -> str:

@@ -100,7 +100,11 @@ EMPTY_REGRESSION = [
     "e_ivf_trained_topk", "e_ivf_cells_topk", "e_ivfpq_topk",
     "e_ivfpq_batch_topk", "e_ivfpq_batch_rerank_topk",
     "pipeline_semantic_dedup", "d_semantic_incremental_near_dup",
-    "d_semantic_dedup_recall",
+    "d_semantic_dedup_recall", "d_semantic_dedup_recall_sweep",
+    # round-14 tree trainer: empty corpus => no valid root split => all
+    # three entries must return 0 rows on BOTH engines (fit_depth2 None
+    # vs the b0 LIMIT 1 over an empty histogram)
+    "t_quality_tree_train", "t_quality_tree_eval", "t_quality_tree_apply",
     "r_pagerank_iter3", "p_split_leakage", "p_rank_calibrate",
     "r_pareto_cut", "r_rfm_segmentation", "r_quartile_bands",
     "r_keyset_pagination", "r_lorenz_deciles", "r_abc_xyz",

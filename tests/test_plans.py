@@ -670,3 +670,35 @@ def test_semantic_incremental_plan(spark):
         "probed-cell union IN filter must reach the codes scan:\n"
         + "\n".join(pushed))
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_quality_tree_split_plan(spark):
+    """r14 tree trainer: one histogram pass per node — the melt feeds a
+    single hash aggregate keyed on the tiny (feat, val) domain (map-
+    side partials), the cumsum windows are feat-partitioned (never
+    global), and no join of any kind appears: row-count-sized data
+    never crosses the wire, so the pass scales like a word count."""
+    from pulsar_beam_spark.operators.tree import (quality_features,
+                                                  split_candidates)
+    from pulsar_beam_spark.queries import T
+    from pyspark.sql import functions as F
+
+    fx = quality_features(T(spark, SF_SMOKE, "documents"))
+    cand = split_candidates(fx.filter(F.col("doc_id") % 4 == 0))
+    plan = formatted_plan(cand)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" in plan
+    # the window partitions on feat, never an empty partition spec
+    assert "Window [" in plan or "windowspecdefinition(feat" in plan, plan[:2000]
+
+
+def test_quality_tree_apply_plan(spark):
+    """r14: the corpus-wide apply is the 100 TB read shape — the fitted
+    tree is a literal nested-CASE projection, so the plan is ONE scan
+    with ZERO exchanges and ZERO joins (whole-stage codegen end to
+    end); training costs live in the separate fit jobs, not here."""
+    df = REGISTRY["t_quality_tree_apply"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "Exchange" not in plan, plan[:2000]
+    assert "codegen id" in plan, plan[:2000]

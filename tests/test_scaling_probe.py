@@ -58,6 +58,16 @@ ANCHOR_EXPONENTS = {
     # the audit is an offline tuning read, not a production path)
     "d_semantic_incremental_near_dup": 0.58,
     "d_semantic_dedup_recall": 0.79,
+    # d_semantic_dedup_recall_sweep is deliberately NOT anchored: it is
+    # 4 pair-frame legs + the recall audit's exact leg by construction
+    # (measured 0.85, 221 s at sf1), and each leg is anchored above —
+    # gating the composite would re-measure ~11 min of already-pinned
+    # work on every breach.
+    # round-14 tree trainer: histogram passes shuffle only the tiny
+    # (feat, val) domain and the apply is a pure projection — both are
+    # per-job-overhead-dominated at probe scale (decade-flat).
+    "t_quality_tree_train": 0.07,
+    "t_quality_tree_apply": 0.05,
     "r04_inner_join": 0.11,
     "r05_broadcast_join": 0.09,
     "r08_range_join": 0.19,
