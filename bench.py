@@ -161,6 +161,10 @@ HEADLINE = [
                                  # collapsed to a literal nested-CASE
                                  # projection — one scan, zero joins,
                                  # zero exchanges
+    "t_quality_tree_learned_apply",  # the persisted twin: <=7-row
+                                 # artifact collect + the same
+                                 # projection scan, NO training jobs —
+                                 # the inline/persisted pairing
 ]
 
 

@@ -11343,6 +11343,79 @@ def q_qtree_apply(spark, sf):
         predict_expr(tree).alias("pred"))
 
 
+def quality_tree_dir(spark: SparkSession, sf: str) -> str:
+    """Persisted TRAINED quality-tree artifact (train once per corpus,
+    cached by source identity like every index artifact): one tiny
+    parquet of node rows — the classifier artifact a curation pipeline
+    ships. Adds an `imp` column to the train entry's row shape so the
+    fitted Split objects round-trip exactly."""
+    def build(tmp: str) -> None:
+        from .operators.tree import fit_depth2, leaf_label, quality_features
+
+        fx = quality_features(T(spark, sf, "documents"))
+        tree = fit_depth2(fx.filter(F.col("doc_id") % 4 == 0))
+        rows = []
+        if tree is not None:
+            rows.append((0, "split", tree.root.feat, tree.root.thr,
+                         tree.root.n, tree.root.pos, None, tree.root.imp))
+            for nid, sp in ((1, tree.left), (2, tree.right)):
+                if sp is not None:
+                    rows.append((nid, "split", sp.feat, sp.thr, sp.n,
+                                 sp.pos, None, sp.imp))
+            for nid, (n, pos) in sorted(tree.leaves.items()):
+                rows.append((nid, "leaf", None, None, n, pos,
+                             leaf_label(n, pos), None))
+        spark.createDataFrame(
+            rows, _QTREE_TRAIN_SCHEMA + ", imp long"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    return _ingest_artifact_dir(sf, "documents", "quality-tree-v1-d2", build)
+
+
+def _load_quality_tree(spark: SparkSession, sf: str):
+    """Depth2Tree from the persisted nodes table — a <=7-row collect."""
+    from .operators.tree import Depth2Tree, Split
+
+    rows = spark.read.parquet(quality_tree_dir(spark, sf)).collect()
+    splits = {int(r["node"]): Split(r["feature"], int(r["threshold"]),
+                                    int(r["n"]), int(r["pos"]), int(r["imp"]))
+              for r in rows if r["kind"] == "split"}
+    if 0 not in splits:
+        return None
+    leaves = {int(r["node"]): (int(r["n"]), int(r["pos"]))
+              for r in rows if r["kind"] == "leaf"}
+    return Depth2Tree(splits[0], splits.get(1), splits.get(2), leaves)
+
+
+@register(
+    "t_quality_tree_learned_apply",
+    _qtree_apply_oracle(),
+    doc="The persisted twin of t_quality_tree_apply, completing the "
+        "train-once/persist/query-flat arc for the classifier family "
+        "(t_bpe_learned_apply's contract): the fitted tree is persisted "
+        "as a <=7-row nodes parquet (quality_tree_dir), and the query "
+        "path collects that artifact and runs ONLY the nested-CASE "
+        "projection scan — no histogram passes, no training jobs. "
+        "Shares t_quality_tree_apply's oracle (the fitted tree is a "
+        "deterministic function of the corpus), proving classifier-"
+        "artifact parity the way the persisted index entries do.",
+)
+def q_qtree_learned_apply(spark, sf):
+    from .operators.tree import predict_expr, quality_features
+
+    tree = _load_quality_tree(spark, sf)
+    if tree is None:
+        return spark.createDataFrame(
+            [], "doc_id long, is_train long, label long, pred long")
+    fx = quality_features(T(spark, sf, "documents"))
+    return fx.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("is_train"),
+        F.col("y").cast("long").alias("label"),
+        predict_expr(tree).alias("pred"))
+
+
 def ivfpq_artifacts_dir(spark: SparkSession, sf: str) -> str:
     """Persisted composite-index artifacts (operators/clustering.
     ivfpq_build_artifacts): codes/ — (vec_id, cell, _code0.._code7

@@ -105,6 +105,7 @@ EMPTY_REGRESSION = [
     # three entries must return 0 rows on BOTH engines (fit_depth2 None
     # vs the b0 LIMIT 1 over an empty histogram)
     "t_quality_tree_train", "t_quality_tree_eval", "t_quality_tree_apply",
+    "t_quality_tree_learned_apply",
     "r_pagerank_iter3", "p_split_leakage", "p_rank_calibrate",
     "r_pareto_cut", "r_rfm_segmentation", "r_quartile_bands",
     "r_keyset_pagination", "r_lorenz_deciles", "r_abc_xyz",

@@ -698,7 +698,8 @@ def test_quality_tree_apply_plan(spark):
     tree is a literal nested-CASE projection, so the plan is ONE scan
     with ZERO exchanges and ZERO joins (whole-stage codegen end to
     end); training costs live in the separate fit jobs, not here."""
-    df = REGISTRY["t_quality_tree_apply"].spark(spark, SF_SMOKE)
-    plan = formatted_plan(df)
-    assert "Join" not in plan and "Exchange" not in plan, plan[:2000]
-    assert "codegen id" in plan, plan[:2000]
+    for entry in ("t_quality_tree_apply", "t_quality_tree_learned_apply"):
+        df = REGISTRY[entry].spark(spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert "Join" not in plan and "Exchange" not in plan, (entry, plan[:2000])
+        assert "codegen id" in plan, (entry, plan[:2000])

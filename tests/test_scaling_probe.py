@@ -68,6 +68,7 @@ ANCHOR_EXPONENTS = {
     # per-job-overhead-dominated at probe scale (decade-flat).
     "t_quality_tree_train": 0.07,
     "t_quality_tree_apply": 0.05,
+    "t_quality_tree_learned_apply": 0.00,
     "r04_inner_join": 0.11,
     "r05_broadcast_join": 0.09,
     "r08_range_join": 0.19,
