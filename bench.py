@@ -165,6 +165,10 @@ HEADLINE = [
                                  # artifact collect + the same
                                  # projection scan, NO training jobs —
                                  # the inline/persisted pairing
+    "e_hard_negative_mining",    # contrastive-training feed: per-anchor
+                                 # top-4 band negatives mined through
+                                 # the persisted index (C=64 batch ADC
+                                 # + exact band refine)
 ]
 
 

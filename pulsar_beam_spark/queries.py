@@ -11092,6 +11092,118 @@ def q_semantic_incremental(spark, sf):
                 F.round("_cos", 6).alias("cosine")))
 
 
+# anchors = every 7th vector; candidates per anchor must survive PAST
+# the duplicate band to reach negatives, hence C=64 (vs the dedup's 16);
+# the band's upper bound IS the dedup threshold: a hard negative is by
+# definition the most similar pair the dedup itself would NOT merge.
+_HNEG_C, _HNEG_M, _HNEG_LO = 64, 4, 0.15
+
+
+def _hard_negative_oracle() -> str:
+    """Anchor-restricted replay of the batch ADC chain (the incremental
+    oracle's shape) with the refine flipped from a dup threshold to the
+    [lo, dup) band and a per-anchor top-m rank."""
+    from .operators.clustering import MAX_QUANT as shift
+
+    nprobe, iters, c = _IVFT_NPROBE, _IVFT_ITERS, _HNEG_C
+    lo, hi, m = _HNEG_LO, _SEMD_THRESHOLD, _HNEG_M
+    parts, adc_sql, probe_fold = _ivfpq_parts(c)
+    mq_fold = probe_fold.replace("qq.qv", "mqq.qv")
+    parts.append("""
+mqq AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM fq
+       WHERE vec_id % 7 = 0)""")
+    parts.append(f"""
+mprobe AS MATERIALIZED (SELECT qid, cluster FROM (
+    SELECT mqq.qid, cc.cluster,
+           row_number() OVER (PARTITION BY mqq.qid
+                              ORDER BY {mq_fold}, cc.cluster) AS prn
+    FROM c{iters} cc, mqq) WHERE prn <= {nprobe})""")
+    parts.append(f"""
+mqr AS MATERIALIZED (SELECT p.qid, p.cluster AS cell,
+       list_transform(list_zip(mqq.qv, cc.v), x -> x[1] - x[2] + {shift}) AS qv
+       FROM mprobe p JOIN c{iters} cc ON p.cluster = cc.cluster
+       JOIN mqq ON p.qid = mqq.qid)""")
+    # NB: self-candidates stay IN the top-C rank (the Spark kernel
+    # keeps them — they occupy an ADC slot on both engines identically)
+    # and are dropped at the refine, mirroring the entry's post-kernel
+    # qid != vec_id filter.
+    parts.append(f"""
+mcand AS MATERIALIZED (SELECT qid, vec_id FROM (
+  SELECT qr.qid, e.vec_id,
+         row_number() OVER (PARTITION BY qr.qid
+                            ORDER BY {adc_sql}, e.vec_id) AS crn
+  FROM enc e JOIN mqr qr ON e.cell = qr.cell) WHERE crn <= {c})""")
+    parts.append(f"""
+raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
+sel AS (SELECT mc.qid, mc.vec_id, {_SEMD_RAW_COS} AS cos,
+        row_number() OVER (PARTITION BY mc.qid
+                           ORDER BY {_SEMD_RAW_COS} DESC, mc.vec_id) AS rn
+        FROM mcand mc JOIN raw a ON mc.qid = a.vec_id
+        JOIN raw b ON mc.vec_id = b.vec_id
+        WHERE mc.qid <> mc.vec_id
+          AND {_SEMD_RAW_COS} >= {lo} AND {_SEMD_RAW_COS} < {hi})""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT qid AS anchor_id, vec_id AS negative_id, round(cos, 6) AS cosine
+FROM sel WHERE rn <= {m}""")
+
+
+@register(
+    "e_hard_negative_mining",
+    _hard_negative_oracle(),
+    doc="Contrastive-training data op: per anchor (every 7th vector), "
+        "the top-4 HARD negatives — the most similar corpus vectors "
+        "that are still below the dedup threshold (cosine in "
+        "[0.15, 0.4)) — mined through the persisted IVFPQ index. The "
+        "anchors flow through the chunked batch-ADC kernel with a "
+        "WIDER candidate list (C=64 vs the dedup's 16: negatives sit "
+        "past the duplicate band by construction, so the list must "
+        "reach deeper), self-candidates dropped in-kernel, then the "
+        "distributed exact-cosine refine keeps the band and a per-"
+        "anchor rank takes the hardest 4. This is the embedding-model "
+        "fine-tuning feed (in-batch negatives are easy; these are "
+        "mined), and at 100 TB it reads the corpus only through pruned "
+        "codes cells. Oracle replays the anchor-restricted chain with "
+        "the band filter and top-m rank.",
+)
+def q_hard_negative_mining(spark, sf):
+    from .functions.vector import cosine_sim, valid_vector
+    from .operators.clustering import (ivfpq_corpus_candidates,
+                                       quantized_frame)
+
+    codes, cents, books = _load_ivfpq_artifacts(spark, sf)
+    emb = T(spark, sf, "embeddings")
+    empty = spark.range(0).select(
+        F.lit(0).cast("long").alias("anchor_id"),
+        F.lit(0).cast("long").alias("negative_id"),
+        F.lit(0.0).alias("cosine"))
+    qf = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+          .filter(F.col("_kid") % 7 == 0))
+    cand = ivfpq_corpus_candidates(
+        qf, codes, cents, books, chunk=_SEMD_CHUNK, nprobe=_IVFT_NPROBE,
+        k=_HNEG_C)
+    if cand is None:
+        return empty
+    v = (emb.filter(valid_vector("embedding"))
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(),
+                                          F.col("vec_id").asc())
+    return (
+        cand.filter(F.col("qid") != F.col("vec_id"))
+        .join(v.select(F.col("vec_id").alias("qid"),
+                       F.col("v").alias("qv")), "qid")
+        .join(v, "vec_id")
+        .withColumn("_cos", cosine_sim(F.col("v"), F.col("qv")))
+        .filter((F.col("_cos") >= _HNEG_LO)
+                & (F.col("_cos") < _SEMD_THRESHOLD))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HNEG_M)
+        .select(F.col("qid").alias("anchor_id"),
+                F.col("vec_id").alias("negative_id"),
+                F.round("_cos", 6).alias("cosine")))
+
+
 # == trained quality classifier (depth-2 CART, exact integer) ==========
 
 _QTREE_STOPS = "['the','a','of','and','to','in','is','on','for','with']"

@@ -101,6 +101,7 @@ EMPTY_REGRESSION = [
     "e_ivfpq_batch_topk", "e_ivfpq_batch_rerank_topk",
     "pipeline_semantic_dedup", "d_semantic_incremental_near_dup",
     "d_semantic_dedup_recall", "d_semantic_dedup_recall_sweep",
+    "e_hard_negative_mining",
     # round-14 tree trainer: empty corpus => no valid root split => all
     # three entries must return 0 rows on BOTH engines (fit_depth2 None
     # vs the b0 LIMIT 1 over an empty histogram)
@@ -380,6 +381,10 @@ VEC_FAMILY = [
     # recall would be computed against a phantom denominator)
     "pipeline_semantic_dedup", "d_semantic_incremental_near_dup",
     "d_semantic_dedup_recall",
+    # round-14: hard-negative mining — poison must vanish from the
+    # anchor set (quantizable guard; anchor 0 is poisoned in query
+    # mode) and from the refine legs on both engines
+    "e_hard_negative_mining",
 ]
 
 # vec_id -> poison kind; "corpus" mode hits non-query rows only, "query"

@@ -656,20 +656,24 @@ def test_semantic_incremental_plan(spark):
     cells; the %5<>0 corpus restriction composes post-scan since modulo
     is not a parquet-pushable predicate), the codes scans never read
     the embedding column, the LUT join is a broadcast, and nothing
-    degenerates to an all-pairs join."""
-    df = REGISTRY["d_semantic_incremental_near_dup"].spark(spark, SF_SMOKE)
-    plan = formatted_plan(df)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoop" not in plan
-    schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema:")[1:]]
-    code_scans = [s for s in schemas if "_code0" in s]
-    assert code_scans and all("embedding" not in s for s in code_scans), (
-        "codes scans must not read embeddings:\n" + "\n".join(schemas))
-    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
-    assert any("cell" in p and "In(" in p for p in pushed), (
-        "probed-cell union IN filter must reach the codes scan:\n"
-        + "\n".join(pushed))
-    assert "BroadcastHashJoin" in plan, plan[:2000]
+    degenerates to an all-pairs join. e_hard_negative_mining shares the
+    identical kernel read shape (anchors instead of a batch, band
+    instead of a dup threshold) and is pinned alongside."""
+    for entry in ("d_semantic_incremental_near_dup",
+                  "e_hard_negative_mining"):
+        df = REGISTRY[entry].spark(spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, entry
+        assert "BroadcastNestedLoop" not in plan, entry
+        schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema:")[1:]]
+        code_scans = [s for s in schemas if "_code0" in s]
+        assert code_scans and all("embedding" not in s for s in code_scans), (
+            entry + ": codes scans must not read embeddings:\n" + "\n".join(schemas))
+        pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+        assert any("cell" in p and "In(" in p for p in pushed), (
+            entry + ": probed-cell union IN filter must reach the codes scan:\n"
+            + "\n".join(pushed))
+        assert "BroadcastHashJoin" in plan, (entry, plan[:2000])
 
 
 def test_quality_tree_split_plan(spark):
