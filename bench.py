@@ -169,6 +169,10 @@ HEADLINE = [
                                  # top-4 band negatives mined through
                                  # the persisted index (C=64 batch ADC
                                  # + exact band refine)
+    "pipeline_contrastive_triplets",  # the composed deliverable:
+                                 # (anchor, positive, hard-negative)
+                                 # triplets — ONE kernel read, both
+                                 # legs rank the checkpointed refine
 ]
 
 

@@ -11099,14 +11099,15 @@ def q_semantic_incremental(spark, sf):
 _HNEG_C, _HNEG_M, _HNEG_LO = 64, 4, 0.15
 
 
-def _hard_negative_oracle() -> str:
-    """Anchor-restricted replay of the batch ADC chain (the incremental
-    oracle's shape) with the refine flipped from a dup threshold to the
-    [lo, dup) band and a per-anchor top-m rank."""
+def _anchor_chain_parts() -> list[str]:
+    """Shared oracle prefix of the contrastive-mining family: the
+    _ivfpq_parts training replay, the ANCHOR-restricted (vec_id%7=0)
+    batch ADC chain at C=64, and the exact-cosine refine over every
+    non-self candidate (`selc` — unfiltered by band, so both the
+    positive and the negative legs rank over the same frame)."""
     from .operators.clustering import MAX_QUANT as shift
 
     nprobe, iters, c = _IVFT_NPROBE, _IVFT_ITERS, _HNEG_C
-    lo, hi, m = _HNEG_LO, _SEMD_THRESHOLD, _HNEG_M
     parts, adc_sql, probe_fold = _ivfpq_parts(c)
     mq_fold = probe_fold.replace("qq.qv", "mqq.qv")
     parts.append("""
@@ -11136,13 +11137,23 @@ mcand AS MATERIALIZED (SELECT qid, vec_id FROM (
     parts.append(f"""
 raw AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         WHERE {_finite_vec_sql('embedding::DOUBLE[]')}),
-sel AS (SELECT mc.qid, mc.vec_id, {_SEMD_RAW_COS} AS cos,
-        row_number() OVER (PARTITION BY mc.qid
-                           ORDER BY {_SEMD_RAW_COS} DESC, mc.vec_id) AS rn
+selc AS MATERIALIZED (SELECT mc.qid, mc.vec_id, {_SEMD_RAW_COS} AS cos
         FROM mcand mc JOIN raw a ON mc.qid = a.vec_id
         JOIN raw b ON mc.vec_id = b.vec_id
-        WHERE mc.qid <> mc.vec_id
-          AND {_SEMD_RAW_COS} >= {lo} AND {_SEMD_RAW_COS} < {hi})""")
+        WHERE mc.qid <> mc.vec_id)""")
+    return parts
+
+
+def _hard_negative_oracle() -> str:
+    """Anchor chain + the [lo, dup) band filter and per-anchor top-m
+    rank (filter BEFORE rank == the entry's filter-then-row_number)."""
+    lo, hi, m = _HNEG_LO, _SEMD_THRESHOLD, _HNEG_M
+    parts = _anchor_chain_parts()
+    parts.append(f"""
+sel AS (SELECT qid, vec_id, cos,
+        row_number() OVER (PARTITION BY qid
+                           ORDER BY cos DESC, vec_id) AS rn
+        FROM selc WHERE cos >= {lo} AND cos < {hi})""")
     return ("WITH " + ",".join(parts) + f"""
 SELECT qid AS anchor_id, vec_id AS negative_id, round(cos, 6) AS cosine
 FROM sel WHERE rn <= {m}""")
@@ -11167,34 +11178,16 @@ FROM sel WHERE rn <= {m}""")
         "the band filter and top-m rank.",
 )
 def q_hard_negative_mining(spark, sf):
-    from .functions.vector import cosine_sim, valid_vector
-    from .operators.clustering import (ivfpq_corpus_candidates,
-                                       quantized_frame)
-
-    codes, cents, books = _load_ivfpq_artifacts(spark, sf)
-    emb = T(spark, sf, "embeddings")
-    empty = spark.range(0).select(
-        F.lit(0).cast("long").alias("anchor_id"),
-        F.lit(0).cast("long").alias("negative_id"),
-        F.lit(0.0).alias("cosine"))
-    qf = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
-          .filter(F.col("_kid") % 7 == 0))
-    cand = ivfpq_corpus_candidates(
-        qf, codes, cents, books, chunk=_SEMD_CHUNK, nprobe=_IVFT_NPROBE,
-        k=_HNEG_C)
-    if cand is None:
-        return empty
-    v = (emb.filter(valid_vector("embedding"))
-         .select("vec_id", F.col("embedding").cast("array<double>")
-                 .alias("v")))
+    refined = _anchor_refined_frame(spark, sf)
+    if refined is None:
+        return spark.range(0).select(
+            F.lit(0).cast("long").alias("anchor_id"),
+            F.lit(0).cast("long").alias("negative_id"),
+            F.lit(0.0).alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(),
                                           F.col("vec_id").asc())
     return (
-        cand.filter(F.col("qid") != F.col("vec_id"))
-        .join(v.select(F.col("vec_id").alias("qid"),
-                       F.col("v").alias("qv")), "qid")
-        .join(v, "vec_id")
-        .withColumn("_cos", cosine_sim(F.col("v"), F.col("qv")))
+        refined
         .filter((F.col("_cos") >= _HNEG_LO)
                 & (F.col("_cos") < _SEMD_THRESHOLD))
         .withColumn("rn", F.row_number().over(w))
@@ -11202,6 +11195,109 @@ def q_hard_negative_mining(spark, sf):
         .select(F.col("qid").alias("anchor_id"),
                 F.col("vec_id").alias("negative_id"),
                 F.round("_cos", 6).alias("cosine")))
+
+
+def _anchor_refined_frame(spark, sf) -> DataFrame | None:
+    """(qid, vec_id, _cos) for every non-self candidate of every anchor
+    (vec_id%7=0) through the persisted index at C=64 — the shared frame
+    the negative band rank AND the positive top-1 both consume; None
+    when the corpus/index is empty."""
+    from .functions.vector import cosine_sim, valid_vector
+    from .operators.clustering import (ivfpq_corpus_candidates,
+                                       quantized_frame)
+
+    codes, cents, books = _load_ivfpq_artifacts(spark, sf)
+    emb = T(spark, sf, "embeddings")
+    qf = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
+          .filter(F.col("_kid") % 7 == 0))
+    cand = ivfpq_corpus_candidates(
+        qf, codes, cents, books, chunk=_SEMD_CHUNK, nprobe=_IVFT_NPROBE,
+        k=_HNEG_C)
+    if cand is None:
+        return None
+    v = (emb.filter(valid_vector("embedding"))
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    return (
+        cand.filter(F.col("qid") != F.col("vec_id"))
+        .join(v.select(F.col("vec_id").alias("qid"),
+                       F.col("v").alias("qv")), "qid")
+        .join(v, "vec_id")
+        .withColumn("_cos", cosine_sim(F.col("v"), F.col("qv")))
+        .select("qid", "vec_id", "_cos"))
+
+
+def _contrastive_triplets_oracle() -> str:
+    """Anchor chain + BOTH legs over the shared refined frame: the
+    positive is the top-1 candidate at-or-above the dup threshold, the
+    negatives are the band top-m; anchors lacking a positive drop at
+    the inner join (a contrastive pair needs one)."""
+    lo, hi, m = _HNEG_LO, _SEMD_THRESHOLD, _HNEG_M
+    parts = _anchor_chain_parts()
+    parts.append(f"""
+pos AS (SELECT qid, vec_id, cos FROM (
+    SELECT qid, vec_id, cos,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, vec_id) AS rn
+    FROM selc WHERE cos >= {hi}) WHERE rn = 1)""")
+    parts.append(f"""
+neg AS (SELECT qid, vec_id, cos FROM (
+    SELECT qid, vec_id, cos,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, vec_id) AS rn
+    FROM selc WHERE cos >= {lo} AND cos < {hi}) WHERE rn <= {m})""")
+    return ("WITH " + ",".join(parts) + """
+SELECT p.qid AS anchor_id, p.vec_id AS positive_id,
+       round(p.cos, 6) AS pos_cosine,
+       n.vec_id AS negative_id, round(n.cos, 6) AS neg_cosine
+FROM pos p JOIN neg n ON p.qid = n.qid""")
+
+
+@register(
+    "pipeline_contrastive_triplets",
+    _contrastive_triplets_oracle(),
+    doc="The composed contrastive-training deliverable: (anchor, "
+        "positive, hard-negative) triplets from ONE index read. The "
+        "anchor set's C=64 batch-ADC candidates are refined with exact "
+        "cosine once, then BOTH legs rank the same frame — positive = "
+        "top-1 at-or-above the dedup threshold (the anchor's best "
+        "duplicate), negatives = the [0.15, 0.4) band top-4 "
+        "(e_hard_negative_mining's contract) — and an inner join on "
+        "the anchor emits one row per (anchor, negative) with both "
+        "cosines; anchors without a positive drop (a triplet needs "
+        "one). The refined frame is localCheckpointed so the kernel's "
+        "chunked collects run once, not once per leg. Oracle ranks the "
+        "shared `selc` frame twice over one training replay.",
+)
+def q_contrastive_triplets(spark, sf):
+    refined = _anchor_refined_frame(spark, sf)
+    empty = spark.range(0).select(
+        F.lit(0).cast("long").alias("anchor_id"),
+        F.lit(0).cast("long").alias("positive_id"),
+        F.lit(0.0).alias("pos_cosine"),
+        F.lit(0).cast("long").alias("negative_id"),
+        F.lit(0.0).alias("neg_cosine"))
+    if refined is None:
+        return empty
+    refined = refined.localCheckpoint(eager=True)
+    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(),
+                                          F.col("vec_id").asc())
+    pos = (refined.filter(F.col("_cos") >= _SEMD_THRESHOLD)
+           .withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select(F.col("qid").alias("anchor_id"),
+                   F.col("vec_id").alias("positive_id"),
+                   F.round("_cos", 6).alias("pos_cosine")))
+    neg = (refined.filter((F.col("_cos") >= _HNEG_LO)
+                          & (F.col("_cos") < _SEMD_THRESHOLD))
+           .withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= _HNEG_M)
+           .select(F.col("qid").alias("anchor_id"),
+                   F.col("vec_id").alias("negative_id"),
+                   F.round("_cos", 6).alias("neg_cosine")))
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "positive_id", "pos_cosine",
+        "negative_id", "neg_cosine")
 
 
 # == trained quality classifier (depth-2 CART, exact integer) ==========

@@ -101,7 +101,7 @@ EMPTY_REGRESSION = [
     "e_ivfpq_batch_topk", "e_ivfpq_batch_rerank_topk",
     "pipeline_semantic_dedup", "d_semantic_incremental_near_dup",
     "d_semantic_dedup_recall", "d_semantic_dedup_recall_sweep",
-    "e_hard_negative_mining",
+    "e_hard_negative_mining", "pipeline_contrastive_triplets",
     # round-14 tree trainer: empty corpus => no valid root split => all
     # three entries must return 0 rows on BOTH engines (fit_depth2 None
     # vs the b0 LIMIT 1 over an empty histogram)
@@ -383,8 +383,9 @@ VEC_FAMILY = [
     "d_semantic_dedup_recall",
     # round-14: hard-negative mining — poison must vanish from the
     # anchor set (quantizable guard; anchor 0 is poisoned in query
-    # mode) and from the refine legs on both engines
-    "e_hard_negative_mining",
+    # mode) and from the refine legs on both engines; the composed
+    # triplets pipeline inherits the same contract on both legs
+    "e_hard_negative_mining", "pipeline_contrastive_triplets",
 ]
 
 # vec_id -> poison kind; "corpus" mode hits non-query rows only, "query"

@@ -707,3 +707,18 @@ def test_quality_tree_apply_plan(spark):
         plan = formatted_plan(df)
         assert "Join" not in plan and "Exchange" not in plan, (entry, plan[:2000])
         assert "codegen id" in plan, (entry, plan[:2000])
+
+
+def test_contrastive_triplets_plan(spark):
+    """r14 composed read: the localCheckpoint truncates the kernel (its
+    shape is pinned via e_hard_negative_mining); the visible plan must
+    be the two qid-partitioned ranks over the checkpointed refine plus
+    a hash join on the anchor — never a cartesian/BNLJ, never a
+    global window."""
+    df = REGISTRY["pipeline_contrastive_triplets"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Window") >= 2, plan[:2000]
+    assert "windowspecdefinition(qid" in plan or "PartitionBy: [qid" in plan \
+        or "partitionBy=[qid" in plan, plan[:2000]

@@ -71,8 +71,10 @@ ANCHOR_EXPONENTS = {
     "t_quality_tree_learned_apply": 0.00,
     # anchors AND corpus both grow 10x under weak scaling, so ~linear
     # candidate+refine work bounds the honest expectation (the
-    # d_semantic_incremental_near_dup argument); measured 0.46
+    # d_semantic_incremental_near_dup argument); measured 0.46, and the
+    # composed triplets read adds only the checkpointed double-rank
     "e_hard_negative_mining": 0.46,
+    "pipeline_contrastive_triplets": 0.53,
     "r04_inner_join": 0.11,
     "r05_broadcast_join": 0.09,
     "r08_range_join": 0.19,
