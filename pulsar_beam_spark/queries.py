@@ -11551,40 +11551,29 @@ def q_qtree_apply(spark, sf):
         predict_expr(tree).alias("pred"))
 
 
-def quality_tree_dir(spark: SparkSession, sf: str) -> str:
-    """Persisted TRAINED quality-tree artifact (train once per corpus,
-    cached by source identity like every index artifact): one tiny
-    parquet of node rows — the classifier artifact a curation pipeline
-    ships. Adds an `imp` column to the train entry's row shape so the
-    fitted Split objects round-trip exactly."""
-    def build(tmp: str) -> None:
-        from .operators.tree import fit_depth2, leaf_label, quality_features
+def _qtree_artifact_rows(tree) -> list[tuple]:
+    """The train entry's node rows + an `imp` column so the fitted
+    Split objects round-trip exactly; [] for the no-tree case."""
+    from .operators.tree import leaf_label
 
-        fx = quality_features(T(spark, sf, "documents"))
-        tree = fit_depth2(fx.filter(F.col("doc_id") % 4 == 0))
-        rows = []
-        if tree is not None:
-            rows.append((0, "split", tree.root.feat, tree.root.thr,
-                         tree.root.n, tree.root.pos, None, tree.root.imp))
-            for nid, sp in ((1, tree.left), (2, tree.right)):
-                if sp is not None:
-                    rows.append((nid, "split", sp.feat, sp.thr, sp.n,
-                                 sp.pos, None, sp.imp))
-            for nid, (n, pos) in sorted(tree.leaves.items()):
-                rows.append((nid, "leaf", None, None, n, pos,
-                             leaf_label(n, pos), None))
-        spark.createDataFrame(
-            rows, _QTREE_TRAIN_SCHEMA + ", imp long"
-        ).coalesce(1).write.mode("overwrite").parquet(tmp)
-
-    return _ingest_artifact_dir(sf, "documents", "quality-tree-v1-d2", build)
+    if tree is None:
+        return []
+    rows = [(0, "split", tree.root.feat, tree.root.thr,
+             tree.root.n, tree.root.pos, None, tree.root.imp)]
+    for nid, sp in ((1, tree.left), (2, tree.right)):
+        if sp is not None:
+            rows.append((nid, "split", sp.feat, sp.thr, sp.n,
+                         sp.pos, None, sp.imp))
+    for nid, (n, pos) in sorted(tree.leaves.items()):
+        rows.append((nid, "leaf", None, None, n, pos,
+                     leaf_label(n, pos), None))
+    return rows
 
 
-def _load_quality_tree(spark: SparkSession, sf: str):
-    """Depth2Tree from the persisted nodes table — a <=7-row collect."""
+def _tree_from_node_rows(rows):
+    """Depth2Tree back from persisted node rows; None when no root."""
     from .operators.tree import Depth2Tree, Split
 
-    rows = spark.read.parquet(quality_tree_dir(spark, sf)).collect()
     splits = {int(r["node"]): Split(r["feature"], int(r["threshold"]),
                                     int(r["n"]), int(r["pos"]), int(r["imp"]))
               for r in rows if r["kind"] == "split"}
@@ -11593,6 +11582,63 @@ def _load_quality_tree(spark: SparkSession, sf: str):
     leaves = {int(r["node"]): (int(r["n"]), int(r["pos"]))
               for r in rows if r["kind"] == "leaf"}
     return Depth2Tree(splits[0], splits.get(1), splits.get(2), leaves)
+
+
+def quality_tree_dir(spark: SparkSession, sf: str) -> str:
+    """Persisted TRAINED quality-tree artifact (train once per corpus,
+    cached by source identity like every index artifact): one tiny
+    parquet of node rows — the classifier artifact a curation pipeline
+    ships."""
+    def build(tmp: str) -> None:
+        from .operators.tree import fit_depth2, quality_features
+
+        fx = quality_features(T(spark, sf, "documents"))
+        tree = fit_depth2(fx.filter(F.col("doc_id") % 4 == 0))
+        spark.createDataFrame(
+            _qtree_artifact_rows(tree), _QTREE_TRAIN_SCHEMA + ", imp long"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    return _ingest_artifact_dir(sf, "documents", "quality-tree-v1-d2", build)
+
+
+def _load_quality_tree(spark: SparkSession, sf: str):
+    """Depth2Tree from the persisted nodes table — a <=7-row collect."""
+    return _tree_from_node_rows(
+        spark.read.parquet(quality_tree_dir(spark, sf)).collect())
+
+
+def ensure_topic_quality_tree(spark: SparkSession, topic_dir: str,
+                              artifact_dir: str) -> tuple[str, str]:
+    """The classifier joins the lifecycle contract as its 5th artifact
+    family (BM25 / PQ codes / IVF cells / IVFPQ precedent): the
+    depth-2 tree is trained from a LIVING topic's documents and
+    persisted under `nodes`; the training slice is the md5
+    stable_bucket < 25 of the STRING message id (the fixture entries'
+    doc_id%4 works only for integer ids; the hash split is the
+    p_deterministic_split discipline and reproduces on any engine);
+    staleness is decided by ensure_artifact — append => stale
+    => retrain picks up the new rows; compact() => compacted => the
+    fitted tree is served AS-IS (it is a deterministic function of
+    content, which compaction preserves). Returns
+    ``(artifact_dir, verdict)`` with the PRE-build classification."""
+    import os
+
+    from .model.artifacts import ensure_artifact
+
+    def rebuild(adir: str) -> None:
+        from .operators.sampling import stable_bucket
+        from .operators.tree import fit_depth2, quality_features
+
+        fx = quality_features(topic_docs_frame(spark, topic_dir))
+        tree = fit_depth2(fx.filter(stable_bucket(F.col("doc_id")) < 25))
+        spark.createDataFrame(
+            _qtree_artifact_rows(tree), _QTREE_TRAIN_SCHEMA + ", imp long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(adir, "nodes"))
+
+    verdict = ensure_artifact(topic_dir, artifact_dir, rebuild,
+                              recipe="quality-tree-v1-d2")
+    return artifact_dir, verdict
 
 
 @register(

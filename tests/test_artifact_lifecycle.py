@@ -420,3 +420,77 @@ def test_crash_mid_rebuild_never_leaves_fresh_stamp(spark, tmp_path):
     assert verdict == "stale"
     assert artifact_staleness(d, art) == "fresh"
     assert _artifact_rows(spark, art) == _reencode_rows(spark, d)
+
+
+def test_topic_quality_tree_lifecycle_compact_serves_append_retrains(
+        spark, tmp_path):
+    """r14 — the lifecycle contract on the CLASSIFIER artifact (5th
+    family): the depth-2 quality tree trained from a living topic via
+    queries.ensure_topic_quality_tree. compact() must NOT retrain and
+    the artifact-served predictions must stay exactly equal against the
+    compacted topic; append must force a retrain whose predictions
+    match an inline refit and cover the new rows."""
+    from pulsar_beam_spark.operators.tree import (fit_depth2, predict_expr,
+                                                  quality_features)
+    from pulsar_beam_spark.queries import (_tree_from_node_rows,
+                                           ensure_topic_quality_tree,
+                                           topic_docs_frame)
+
+    store = TopicDirStore(str(tmp_path / "store"), flush_interval_s=None)
+    good = ("the quick brown fox jumps over the lazy dog and runs on "
+            "through the field with a pack of hounds in pursuit for "
+            "quite a while longer than expected today")
+    corpus = [good, "junk!!! ### $$$ %%%", "tiny", good + " again and again",
+              "1234 5678 9012 3456 7890", good + " once more for luck",
+              "short one", good.replace("fox", "cat"), "!!!"]
+    for t in corpus:
+        store.append(TOPIC, t.encode())
+    d = store.topic_dir(TOPIC)
+    art = str(tmp_path / "qtree-art")
+
+    def artifact_preds():
+        tree = _tree_from_node_rows(
+            spark.read.parquet(os.path.join(art, "nodes")).collect())
+        fx = quality_features(topic_docs_frame(spark, d))
+        return sorted(
+            (r["doc_id"], r["pred"]) for r in
+            fx.withColumn("pred", predict_expr(tree))
+            .select("doc_id", "pred").collect())
+
+    def inline_preds():
+        from pulsar_beam_spark.operators.sampling import stable_bucket
+
+        fx = quality_features(topic_docs_frame(spark, d))
+        tree = fit_depth2(fx.filter(stable_bucket(F.col("doc_id")) < 25))
+        return sorted(
+            (r["doc_id"], r["pred"]) for r in
+            fx.withColumn("pred", predict_expr(tree))
+            .select("doc_id", "pred").collect())
+
+    # absent -> stale -> trained; artifact-served == inline refit
+    assert ensure_topic_quality_tree(spark, d, art)[1] == "stale"
+    q1 = artifact_preds()
+    assert q1 == inline_preds() and len(q1) == len(corpus)
+    assert {p for _, p in q1} == {0, 1}, "the tree must actually separate"
+
+    # compact: 'compacted', served as-is (sentinel survives), equal
+    sent = _sentinel(art, "nodes")
+    r = store.compact(TOPIC, watermark_us=2**62, min_files=2)
+    assert r["merged"] == len(corpus)
+    assert ensure_topic_quality_tree(spark, d, art)[1] == "compacted"
+    assert os.path.exists(sent), "compacted verdict must not retrain"
+    assert artifact_preds() == q1
+    assert inline_preds() == q1
+
+    # append: stale -> retrained (sentinel gone), new rows covered
+    store.append(TOPIC, (good + " with fresh late arriving text").encode())
+    store.append(TOPIC, b"@@@ ###")
+    assert ensure_topic_quality_tree(spark, d, art)[1] == "stale"
+    assert not os.path.exists(sent), "append must force a retrain"
+    q3 = artifact_preds()
+    assert q3 == inline_preds()
+    assert len(q3) == len(corpus) + 2
+    # idempotent second ensure: fresh, no rebuild
+    sent2 = _sentinel(art, "nodes")
+    assert ensure_topic_quality_tree(spark, d, art)[1] == "fresh"
+    assert os.path.exists(sent2)
