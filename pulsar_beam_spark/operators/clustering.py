@@ -45,6 +45,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.litarr import lit_arr
 from ..functions.vector import valid_vector
 
 DEFAULT_SCALE = 100_000
@@ -129,7 +130,7 @@ def sq_dist_to_literal(qv_col: Column | str, centroid: list[int]) -> Column:
     """Exact integer squared-L2 distance to a literal quantized centroid."""
     qv = F.col(qv_col) if isinstance(qv_col, str) else qv_col
     return F.aggregate(
-        F.zip_with(qv, F.lit([int(c) for c in centroid]).cast("array<long>"),
+        F.zip_with(qv, lit_arr([int(c) for c in centroid], "long"),
                    lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
@@ -144,7 +145,7 @@ def _dists_expr(qv_col: str, centroids: list[list[int]]) -> Column:
     the per-call driver cost of building/analyzing the assignment plan
     drops ~10x (measured on the sf1 probe; the executed work is
     identical)."""
-    cents = F.lit([[int(x) for x in c] for c in centroids]).cast("array<array<long>>")
+    cents = lit_arr([[int(x) for x in c] for c in centroids], "long")
     return F.transform(
         cents,
         lambda c: F.aggregate(
@@ -391,7 +392,7 @@ def ivf_trained_topk(
     if not cents or query_vec is None or query_qv is None:
         return empty
     probe = ivf_probe_cells(query_qv, cents, nprobe)
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = lit_arr([float(x) for x in query_vec])
     cell = assign_struct("qv", cents).getField("cluster")
     cos = cosine_sim(F.col("_v"), qlit)
     return (
@@ -459,7 +460,7 @@ def ivf_cells_scan_topk(
     training job anywhere in this plan."""
     from ..functions.vector import cosine_sim, valid_vector
 
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = lit_arr([float(x) for x in query_vec])
     cand = (cells.filter(F.col("cell").isin([int(j) for j in probe]))
             .select(id_col))
     base = (emb.filter(valid_vector(vec_col))
@@ -745,11 +746,11 @@ def ivfpq_adc_scan(
     luts = ivfpq_query_luts(query_qv, cents, books, probe, shift)
 
     def adc_for(c: int) -> Column:
-        t = F.element_at(F.lit([int(x) for x in luts[c][0]]).cast("array<long>"),
+        t = F.element_at(lit_arr([int(x) for x in luts[c][0]], "long"),
                          (F.col("_code0").cast("int") + 1))
         for mi in range(1, m):
             t = t + F.element_at(
-                F.lit([int(x) for x in luts[c][mi]]).cast("array<long>"),
+                lit_arr([int(x) for x in luts[c][mi]], "long"),
                 (F.col(f"_code{mi}").cast("int") + 1))
         return t
 
@@ -763,6 +764,74 @@ def ivfpq_adc_scan(
         .orderBy("adc", id_col)
         .limit(k)
     )
+
+
+def ivfpq_batch_lut_rows(
+    queries: list[tuple[int, list[int]]],
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    nprobe: int,
+    shift: int,
+) -> tuple[list[tuple], set[int]]:
+    """Vectorized (numpy int64) builder of the batch-ADC LUT rows —
+    bit-identical to the pure-Python ``ivf_probe_cells`` +
+    ``ivfpq_query_luts`` loop it replaces (equality gated in
+    tests/test_clustering.py), ~100x faster on the driver: at corpus-
+    as-queries scale the Python loop was ~6000 int ops per query of
+    SERIAL driver time (the r14 census put pipeline_semantic_dedup at
+    9.9 s construct / 0.02 s execute), which is dead time for every
+    executor at any cluster size (guide §5: the driver should do
+    almost no data work).
+
+    Exactness: every intermediate is bounded by the ``_check_quant_dim``
+    int64 domain argument (squared distances <= dim * (2*MAX_QUANT)^2;
+    shifted residuals in [0, 2*MAX_QUANT]), so int64 numpy equals
+    arbitrary-precision Python ints; the probe order uses a STABLE
+    argsort, matching ``sorted((dist, cell))``'s tie-break exactly.
+
+    Returns (rows, probed_cell_union) with rows in the same
+    (first-occurrence qid, probe-rank) order the scalar loop produced;
+    duplicate qids keep the first occurrence (the batch(dups) ==
+    batch(set) gate).
+    """
+    m = len(books)
+    sub = len(books[0][0])
+    seen: set[int] = set()
+    qids: list[int] = []
+    qvecs: list[list[int]] = []
+    for qid, qv in queries:
+        if int(qid) in seen:
+            continue
+        seen.add(int(qid))
+        qids.append(int(qid))
+        qvecs.append(qv)
+    if not qids:
+        return [], set()
+    dim = len(qvecs[0])
+    _check_quant_dim(dim)
+    Q = np.asarray(qvecs, dtype=np.int64)                 # q x dim
+    C = np.asarray(cents, dtype=np.int64)                 # k x dim
+    d = ((Q * Q).sum(1)[:, None] - 2 * (Q @ C.T)
+         + (C * C).sum(1)[None, :])                       # q x k exact
+    probe = np.argsort(d, axis=1, kind="stable")[:, :nprobe]  # ties -> low cell
+    R = Q[:, None, :] - C[probe] + int(shift)             # q x nprobe x dim
+    B = [np.asarray(book, dtype=np.int64) for book in books]
+    luts = []
+    for mi in range(m):
+        s = R[:, :, mi * sub:(mi + 1) * sub]              # q x nprobe x sub
+        bm = B[mi]                                        # ksub x sub
+        luts.append((s * s).sum(-1)[:, :, None]
+                    - 2 * (s @ bm.T)
+                    + (bm * bm).sum(-1)[None, None, :])   # q x nprobe x ksub
+    rows: list[tuple] = []
+    all_cells: set[int] = set()
+    for i, qid in enumerate(qids):
+        for p in range(probe.shape[1]):
+            c = int(probe[i, p])
+            all_cells.add(c)
+            rows.append(tuple([qid, c]
+                              + [luts[mi][i, p].tolist() for mi in range(m)]))
+    return rows, all_cells
 
 
 def ivfpq_adc_batch_scan(
@@ -800,21 +869,10 @@ def ivfpq_adc_batch_scan(
     # (qid, cell) LUT rows, double every candidate through the join and
     # corrupt the per-qid row_number ranks (each vec_id would appear at
     # two ranks). Keep the first occurrence — batch(dups) == batch(set),
-    # pinned by the adversarial gate.
-    seen_qids: set[int] = set()
-    rows = []
-    all_cells: set[int] = set()
-    for qid, qv in queries:
-        if int(qid) in seen_qids:
-            continue
-        seen_qids.add(int(qid))
-        probe = ivf_probe_cells(qv, cents, nprobe)
-        luts = ivfpq_query_luts(qv, cents, books, probe, shift)
-        for c in probe:
-            all_cells.add(int(c))
-            rows.append(tuple([int(qid), int(c)]
-                              + [[int(x) for x in luts[c][mi]]
-                                 for mi in range(m)]))
+    # pinned by the adversarial gate. The probe/LUT computation is the
+    # vectorized int64 kernel (bit-equal to the scalar loop, gated in
+    # tests/test_clustering.py).
+    rows, all_cells = ivfpq_batch_lut_rows(queries, cents, books, nprobe, shift)
     schema = ("qid long, cell long, "
               + ", ".join(f"l{mi} array<long>" for mi in range(m)))
     lutdf = codes.sparkSession.createDataFrame(rows, schema)
@@ -879,6 +937,17 @@ def ivfpq_corpus_candidates(
     # never results (chunking is invisible to them: each query's
     # candidates are independent).
     nchunks = -(-n // chunk)
+    if nchunks == 1:
+        # single chunk: every query is collected anyway, so the
+        # boundary-quantile pass is a pure extra job — skip it (r14;
+        # chunking only exists to bound driver state, and results are
+        # chunking-invariant by construction)
+        qrows = qf.orderBy("_kid").select("_kid", "qv").collect()
+        queries = [(int(r["_kid"]), [int(x) for x in r["qv"]])
+                   for r in qrows]
+        return ivfpq_adc_batch_scan(
+            codes, cents, books, queries, nprobe=nprobe, k=k, shift=shift,
+            id_col=id_col).select("qid", id_col)
     bs = sorted({int(b) for b in qf.stat.approxQuantile(
         "_kid", [i / nchunks for i in range(nchunks + 1)],
         1.0 / (4 * nchunks))})
@@ -1053,7 +1122,7 @@ def pq_int_code_exprs(qv_col: str, books: list[list[list[int]]]) -> list[Column]
     sub = len(books[0][0])
     for mi, book in enumerate(books):
         sl = F.slice(F.col(qv_col), mi * sub + 1, sub)
-        book_lit = F.lit([[int(x) for x in cw] for cw in book]).cast("array<array<long>>")
+        book_lit = lit_arr([[int(x) for x in cw] for cw in book], "long")
         # NOTE: a one-parameter lambda only — PySpark maps the lambda's
         # ARITY onto transform's (element[, index]) signature, so a
         # captured-default second parameter would silently bind the int
@@ -1127,11 +1196,11 @@ def pq_adc_int_topk(
     for mi, book in enumerate(books):
         qs = query_qv[mi * sub:(mi + 1) * sub]
         luts.append([sum((a - b) * (a - b) for a, b in zip(qs, cw)) for cw in book])
-    adc = F.element_at(F.lit([int(x) for x in luts[0]]).cast("array<long>"),
+    adc = F.element_at(lit_arr([int(x) for x in luts[0]], "long"),
                        (F.col("_code0") + 1).cast("int"))
     for mi in range(1, len(books)):
         adc = adc + F.element_at(
-            F.lit([int(x) for x in luts[mi]]).cast("array<long>"),
+            lit_arr([int(x) for x in luts[mi]], "long"),
             (F.col(f"_code{mi}") + 1).cast("int"))
     return (
         codes.select(F.col("_kid").alias(id_col), adc.alias("adc"))

@@ -21,6 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litarr import lit_arr
 from ..functions.vector import cosine_sim, valid_vector
 
 
@@ -51,7 +52,7 @@ def brute_force_topk(
     sequential fold, so the raw order itself is parity-exact).
     """
     emb = emb.filter(valid_vector(vec_col))
-    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    q = lit_arr([float(x) for x in query_vec]).cast("array<double>")
     return (
         emb.select(
             F.col(id_col).alias("vec_id"),
@@ -88,7 +89,7 @@ def mips_topk(
     signal, and one rule across the family keeps the contract simple).
     """
     emb = emb.filter(valid_vector(vec_col))
-    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    q = lit_arr([float(x) for x in query_vec]).cast("array<double>")
     dot = F.aggregate(
         F.zip_with(F.col(vec_col).cast("array<double>"), q, lambda x, y: x * y),
         F.lit(0.0),
@@ -114,7 +115,7 @@ def _signature_expr(vec_col: str, planes: np.ndarray):
     """Bit-pack sign(v . plane_i) into a long, all in JVM expressions."""
     bits_exprs = []
     for i, plane in enumerate(planes):
-        const = F.array(*[F.lit(float(x)) for x in plane])
+        const = lit_arr([float(x) for x in plane])
         d = F.aggregate(
             F.zip_with(F.col(vec_col).cast("array<double>"), const, lambda x, y: x * y),
             F.lit(0.0),
@@ -247,14 +248,18 @@ def ivf_topk(
     # argmax_c (v.c / ||v||) == argmax_c (v.c): the norm is a shared
     # positive factor, so skip it — one fewer fold per row in the
     # assignment expression (the per-row hot path).
-    dots = F.array(*[
-        F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
+    # transform over ONE nested literal instead of n_centroids unrolled
+    # folds: same element values in the same order (array_position /
+    # array_max see an identical array), but the tree is built in a
+    # handful of py4j calls instead of n*dim (round-14, guide §7.3).
+    dots = F.transform(
+        lit_arr([[float(x) for x in c] for c in cent]),
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: x * y),
             F.lit(0.0),
             lambda a, x: a + x,
-        )
-        for c in cent
-    ])
+        ),
+    )
     cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
     # invalid vectors (NULL/non-finite/zero-norm) never enter a cell:
     # their NaN dots make argmax engine-dependent and their cosine
@@ -264,7 +269,7 @@ def ivf_topk(
         .withColumn("__cell", cell)
         .filter(F.col("__cell").isin(probe_ids))
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    q = lit_arr([float(x) for x in query_vec]).cast("array<double>")
     return (
         probed.select(
             F.col(id_col).alias("vec_id"),
@@ -310,7 +315,7 @@ def hyperplane_lsh_topk(
     # say True), so invalid vectors never receive a signature
     bucketed = emb.filter(valid_vector(vec_col)).withColumn("__bucket", sig)
     probed = bucketed.filter(F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qsig))) <= multiprobe_hamming)
-    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    q = lit_arr([float(x) for x in query_vec]).cast("array<double>")
     return (
         probed.select(
             F.col(id_col).alias("vec_id"),
@@ -383,18 +388,33 @@ def pq_encode(
     """
     sub_dim = len(codebooks[0][0])
 
-    def encode_score(mi, cw):
-        lits = F.array(*[F.lit(float(x)) for x in cw])
-        sub = F.slice(F.col(vec_col), mi * sub_dim + 1, sub_dim)
-        return F.aggregate(
-            F.zip_with(sub, lits,
-                       lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x,
+    # Round-14: one ``transform`` over a nested codeword literal per
+    # subspace instead of K unrolled fold expressions. The distance
+    # array has the same K elements in the same order (identical
+    # sequential folds, identical argmin), so codes and oracle hashes
+    # are untouched — but the tree is built in ~10 py4j calls per
+    # subspace instead of ~K * sub_dim (measured 6.8 s -> <0.3 s of
+    # driver time per query; guide §7.3 — large plans are driver-side
+    # serial cost). Execution also sheds K-1 redundant slice() evals
+    # per row: the old form recomputed the subspace slice inside every
+    # codeword's fold.
+    code_cols = []
+    def _dists(book, sub):
+        # NOTE: one-parameter lambda only — F.transform maps lambda
+        # ARITY onto (element, index), so a captured-default second
+        # parameter would silently bind the int index (see
+        # clustering.pq_int_code_exprs). Closure via def instead.
+        return F.transform(
+            lit_arr([[float(x) for x in cw] for cw in book]),
+            lambda cw: F.aggregate(
+                F.zip_with(sub, cw,
+                           lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
         )
 
-    code_cols = []
     for mi, book in enumerate(codebooks):
-        ds = F.array(*[encode_score(mi, cw) for cw in book])
+        ds = _dists(book, F.slice(F.col(vec_col), mi * sub_dim + 1, sub_dim))
         code_cols.append(
             (F.array_position(ds, F.array_min(ds)) - 1)
             .cast("tinyint").alias(f"_code{mi}"))
@@ -431,11 +451,11 @@ def pq_adc_scan(
             row.append(d)
         lut.append(row)
 
-    adc = F.element_at(F.array(*[F.lit(x) for x in lut[0]]),
+    adc = F.element_at(lit_arr(lut[0]),
                        F.col("_code0").cast("int") + 1)
     for mi in range(1, m):
         adc = adc + F.element_at(
-            F.array(*[F.lit(x) for x in lut[mi]]),
+            lit_arr(lut[mi]),
             F.col(f"_code{mi}").cast("int") + 1)
     return (
         codes.select(F.col(id_col), F.round(adc, 6).alias("pq_dist"))

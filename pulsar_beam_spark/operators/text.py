@@ -10,6 +10,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litarr import lit_arr
 from ..functions.texthash import exploded_nonnull, poly_fingerprint, tokens
 from ..sources.tables import spread_small_input
 
@@ -41,7 +42,7 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _hit_count(toks, lexicon: tuple[str, ...]):
-    lex = F.array(*[F.lit(w) for w in lexicon])
+    lex = lit_arr(list(lexicon), "string")
     return F.size(F.filter(toks, lambda t: F.array_contains(lex, F.lower(t))))
 
 
@@ -97,7 +98,7 @@ def top_terms(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame
     """Global term frequency top-k, stopwords removed; deterministic
     tie-break by term. Explode -> groupBy benefits from map-side partial
     aggregation; top-k is TakeOrderedAndProject (no global sort shuffle)."""
-    stop = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    stop = lit_arr(list(STOPWORDS_EN), "string")
     return (
         exploded_nonnull(spread_small_input(docs), [], tokens(text_col), "term")
         .filter(~F.array_contains(stop, F.lower(F.col("term"))))
@@ -416,7 +417,7 @@ def bpe_token_count_hof(text_col, merges, max_words: int | None = None):
     is Spark's interpreted HOF path (~linear in ranks x words); for the
     throughput path see bpe_token_count_arrow, bit-equality gated."""
     _check_merge_alphabet(merges)
-    ml = F.lit([[a, b] for a, b in merges]).cast("array<array<string>>")
+    ml = lit_arr([[a, b] for a, b in merges], "string").cast("array<array<string>>")
 
     def word_tokens(w):
         s0 = F.regexp_replace(w, "(.)", "[$1]")

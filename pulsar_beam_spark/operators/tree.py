@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import STOPWORDS_EN
+from ..functions.litarr import lit_arr
 from ..functions.texthash import tokens
 
 # fixed-point feature scale and the Gini impurity scale
@@ -57,7 +58,7 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
     # this bit-exact trainer could silently diverge.
     txt = F.coalesce(F.col(text_col), F.lit(""))
     t = tokens(txt)
-    lex = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    lex = lit_arr(list(STOPWORDS_EN), "string")
     stop_hits = F.size(F.filter(t, lambda x: F.array_contains(lex, F.lower(x))))
     base = docs.select(
         F.col(id_col),
@@ -158,7 +159,14 @@ def _leaf_stats(df: DataFrame, node_ids: tuple[int, int],
 def fit_depth2(train: DataFrame) -> Depth2Tree | None:
     """Three histogram passes + one leaf-stat pass, each a distributed
     aggregation over (a partition of) the training slice; the collects
-    are one row per node. None when the root has no valid split."""
+    are one row per node. None when the root has no valid split.
+
+    The feature frame is localCheckpointed once (r14 optimization,
+    guide §5: reused >= 5x and recomputing it repeats the tokenize/
+    feature-extraction scan of the raw documents for every node pass;
+    the materialized frame is 5 BIGINTs per training row). Results are
+    unchanged — the same rows feed every pass."""
+    train = train.localCheckpoint()
     root = best_split(train)
     if root is None:
         return None

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litarr import lit_arr
 from ..functions.vector import cosine_sim, l2_norm, valid_vector
 
 
@@ -97,7 +98,7 @@ def range_search(
     LSH pre-filter composes in front exactly as in similarity.py when
     the selectivity is known to be tiny.)
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    q = lit_arr([float(x) for x in query_vec]).cast("array<double>")
     cos = cosine_sim(_vd(vec_col), q)
     # invalid-vector drop (family contract): one zero-norm row would
     # abort the whole 100 TB scan with ANSI DIVIDE_BY_ZERO

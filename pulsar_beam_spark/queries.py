@@ -62,6 +62,7 @@ from .operators.text import (
     bpe_token_stats,
     gen_bpe_merges,
 )
+from .functions.litarr import lit_arr
 from .functions.texthash import poly_fingerprint
 from .model.topic import gen_key_from_names, tenant_from_topic_col, topic_key_col
 from .sources.tables import load_table
@@ -3097,7 +3098,7 @@ def q_ann_recall_audit(spark, sf):
             d += x * float(y)
         if d > 0:
             qsig |= 1 << i
-    q = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
+    q = lit_arr([float(x) for x in qvec]).cast("array<double>")
     cos = cosine_sim(F.col("embedding"), q)
     sigs = emb.withColumn("__sig", _signature_expr("embedding", planes))
     probed = sigs.filter(
@@ -5622,12 +5623,14 @@ def q_centroid_assign(spark, sf):
     cent = np.random.default_rng(123).standard_normal((4, 64))
     emb = T(spark, sf, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    dots = F.array(*[
-        F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
-            F.lit(0.0), lambda a, x: a + x)
-        for c in cent
-    ])
+    # transform over ONE nested centroid literal (round-14): identical
+    # element values/order to the old unrolled F.array of folds, built
+    # in a handful of py4j calls instead of n_centroids * dim
+    dots = F.transform(
+        lit_arr([[float(x) for x in c] for c in cent]),
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x))
     cell = F.array_position(dots, F.array_max(dots)).cast("int")
     return (
         emb.select("vec_id", cell.alias("cell"))
@@ -5679,13 +5682,11 @@ def q_silhouette(spark, sf):
     cent = np.random.default_rng(123).standard_normal((4, 64))
     emb = T(spark, sf, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    dists = F.array(*[
-        F.sqrt(F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]),
-                       lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x))
-        for c in cent
-    ])
+    dists = F.transform(
+        lit_arr([[float(x) for x in c] for c in cent]),
+        lambda c: F.sqrt(F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)))
     sorted_d = F.array_sort(dists)
     a, b = sorted_d[0], sorted_d[1]
     sm = F.round((b - a) / F.greatest(a, b) * 1e6, 0).cast("long")
@@ -6862,14 +6863,13 @@ def q_cluster_inertia(spark, sf):
     cent = np.random.default_rng(123).standard_normal((4, 64))
     emb = T(spark, sf, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    dots = F.array(*[
-        F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
-            F.lit(0.0), lambda a, x: a + x)
-        for c in cent
-    ])
+    dots = F.transform(
+        lit_arr([[float(x) for x in c] for c in cent]),
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x))
     vv = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    ccs = F.array(*[F.lit(float((c * c).sum())) for c in cent])
+    ccs = lit_arr([float((c * c).sum()) for c in cent])
     cell = F.array_position(dots, F.array_max(dots))
     d2m = F.round(
         (vv - 2 * F.element_at(dots, cell.cast("int")) + F.element_at(ccs, cell.cast("int"))) * 1e6, 0
@@ -7454,16 +7454,14 @@ def q_label_margin(spark, sf):
     for r in cd.collect():  # 10 labels x 64 dims — plan constants
         cent.setdefault(r["label"], {})[r["d"]] = r["c"]
     labels = sorted(cent)
-    cvecs = [
-        F.array(*[F.lit(int(cent[lab][d])) for d in sorted(cent[lab])]) for lab in labels
-    ]
-    dots = F.array(*[
-        F.aggregate(
+    dots = F.transform(
+        lit_arr([[int(cent[lab][d]) for d in sorted(cent[lab])]
+                 for lab in labels], "long"),
+        lambda cv: F.aggregate(
             F.zip_with(F.col("v"), cv, lambda x, y: x * y),
-            F.lit(0).cast("long"), lambda a, x: a + x)
-        for cv in cvecs
-    ])
-    idx = F.array_position(F.array(*[F.lit(int(l)) for l in labels]), F.col("label"))
+            F.lit(0).cast("long"), lambda a, x: a + x))
+    idx = F.array_position(lit_arr([int(l) for l in labels], "long"),
+                           F.col("label"))
     own = F.element_at(dots, idx.cast("int"))
     best_other = F.array_max(
         F.zip_with(
@@ -8062,10 +8060,15 @@ def q_pagerank(spark, sf):
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
     ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
     # loop-invariant relations: materialize once instead of re-deriving
-    # the scan+self-join in every iteration's lineage (3x plan blowup)
+    # the scan+self-join in every iteration's lineage (3x plan blowup).
+    # r14: checkpoint EDGES first — previously outdeg's and edges_od's
+    # checkpoints each recomputed the lineitem self-join (the expensive
+    # part: two sorts of the fact table); deriving both from the
+    # materialized edge list runs the self-join exactly once.
     nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
     outdeg = outdeg.localCheckpoint(eager=True)
     edges_od = edges.join(outdeg, "src").localCheckpoint(eager=True)
     n = nodes.count()  # one tiny count job; n is a plan constant below

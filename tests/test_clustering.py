@@ -401,6 +401,55 @@ def test_ivfpq_batch_scan_equals_per_query_scans(spark):
         assert sorted(got[qid]) == want, f"qid {qid} diverged"
 
 
+def test_batch_lut_rows_equal_scalar_loop():
+    """r14 optimization: the vectorized int64 probe+LUT builder must be
+    bit-identical to the pure-Python ivf_probe_cells/ivfpq_query_luts
+    loop it replaced — rows (order included), probed-cell union,
+    duplicate-qid drop, and the stable tie-break on equal probe
+    distances (adversarial: duplicated centroids force ties)."""
+    import random
+
+    from pulsar_beam_spark.operators.clustering import (
+        MAX_QUANT,
+        ivf_probe_cells,
+        ivfpq_batch_lut_rows,
+        ivfpq_query_luts,
+    )
+
+    rng = random.Random(7)
+    dim, m, ksub, ncell, nprobe, shift = 16, 4, 5, 6, 3, MAX_QUANT
+    cents = [[rng.randrange(0, MAX_QUANT) for _ in range(dim)]
+             for _ in range(ncell)]
+    cents[3] = list(cents[1])  # duplicated centroid -> tied probe dists
+    books = [[[rng.randrange(0, 2 * MAX_QUANT) for _ in range(dim // m)]
+              for _ in range(ksub)] for _ in range(m)]
+    queries = [(qid, [rng.randrange(0, MAX_QUANT) for _ in range(dim)])
+               for qid in (5, 9, 5, 2)]  # duplicate qid 5
+
+    want_rows: list[tuple] = []
+    want_cells: set[int] = set()
+    seen: set[int] = set()
+    for qid, qv in queries:
+        if qid in seen:
+            continue
+        seen.add(qid)
+        probe = ivf_probe_cells(qv, cents, nprobe)
+        luts = ivfpq_query_luts(qv, cents, books, probe, shift)
+        for c in probe:
+            want_cells.add(int(c))
+            want_rows.append(tuple([qid, int(c)]
+                                   + [[int(x) for x in luts[c][mi]]
+                                      for mi in range(m)]))
+
+    got_rows, got_cells = ivfpq_batch_lut_rows(queries, cents, books,
+                                               nprobe, shift)
+    assert got_cells == want_cells
+    assert got_rows == want_rows
+
+    # empty query set: both paths produce nothing
+    assert ivfpq_batch_lut_rows([], cents, books, nprobe, shift) == ([], set())
+
+
 def test_ivfpq_residual_books_rejects_underdetermined_sample(spark):
     """r12 task 4 audit: a residual training sample smaller than
     4*ksub leaves codewords collapsed onto single points — the books
