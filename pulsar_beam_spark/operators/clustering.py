@@ -253,6 +253,7 @@ def kmeans_fit(
     offset: float = DEFAULT_OFFSET,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    aux: dict | None = None,
 ) -> tuple[DataFrame, list[list[int]]]:
     """Run ``iters`` Lloyd iterations; returns (quantized corpus frame
     ``(id, qv)``, final centroids as Python ints).
@@ -260,16 +261,32 @@ def kmeans_fit(
     Init is the k smallest ids' vectors (deterministic under any
     partitioning, unlike a sample) — one bounded k-row collect; each
     iteration's update collects exactly k*dim partial-agg rows.
+
+    ``aux``, when passed, receives ``train_ckpt``: the materialized
+    quantized frame the training loop reads — callers that run MORE
+    bounded passes over the same corpus image (residual-book sampling)
+    reuse it instead of re-scanning the source (r14; same rows either
+    way, so results are identical).
     """
     q = quantized_frame(emb, dim, scale, offset, id_col, vec_col)
-    init = q.orderBy("_kid").limit(k).select("qv").collect()
+    # r14: the init collect and every Lloyd iteration used to re-scan
+    # the parquet and re-quantize (scan+HOF transform) per job — 3+
+    # redundant passes. Train against ONE materialized image of the
+    # quantized corpus instead; the RETURNED frame keeps the original
+    # lineage so downstream plans (pushed filters, pruned scans — the
+    # shapes test_plans.py pins) are untouched, and results are
+    # identical either way (same rows feed every pass).
+    qt = q.localCheckpoint()
+    if aux is not None:
+        aux["train_ckpt"] = qt
+    init = qt.orderBy("_kid").limit(k).select("qv").collect()
     cents = [[int(x) for x in r["qv"]] for r in init]
     if not cents:
         return q, cents
     for _ in range(iters):
         rows = (
-            q.select(assign_struct("qv", cents).getField("cluster").alias("cluster"),
-                     F.posexplode("qv").alias("d", "x"))
+            qt.select(assign_struct("qv", cents).getField("cluster").alias("cluster"),
+                      F.posexplode("qv").alias("d", "x"))
             .groupBy("cluster", "d")
             .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
             .collect()
@@ -688,8 +705,9 @@ def ivfpq_build_artifacts(
     centroids (n_cells rows) and codebooks (M x ksub rows) as tiny
     tables the query path collects. Empty corpus -> (empty frame, [],
     [])."""
+    aux: dict = {}
     q, cents = kmeans_fit(emb, n_cells, iters, dim, scale, offset,
-                          id_col, vec_col)
+                          id_col, vec_col, aux=aux)
     empty = q.select(
         F.col("_kid").alias(id_col),
         F.lit(None).cast("long").alias("cell"),
@@ -1006,15 +1024,18 @@ def ivfpq_topk(
     Returns (id, adc) ordered by (adc, id). None query / empty corpus
     -> empty frame (the vector-family contract).
     """
+    aux: dict = {}
     q, cents = kmeans_fit(emb, n_cells, iters, dim, scale, offset,
-                          id_col, vec_col)
+                          id_col, vec_col, aux=aux)
     empty = q.select(
         F.col("_kid").alias(id_col), F.lit(None).cast("long").alias("adc")
     ).where(F.lit(False))
     if not cents or query_qv is None:
         return empty
     shift = MAX_QUANT
-    books = ivfpq_residual_books(q, cents, m, ksub, iters, sample_cap, shift)
+    # sample from the training checkpoint: same rows, no parquet re-scan
+    books = ivfpq_residual_books(aux.get("train_ckpt", q), cents, m, ksub,
+                                 iters, sample_cap, shift)
     if not books:
         return empty
     codes = _ivfpq_encode_q(q, cents, books, shift, id_col)

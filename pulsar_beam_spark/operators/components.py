@@ -176,8 +176,41 @@ def connected_components_star(
 
 # Above this many edges the O(diameter) propagation loop is no longer a
 # safe default (an adversarial chain means unbounded rounds); hand off to
-# the O(log n) star contraction.
+# the O(log n) star contraction.  Below it, auto mode solves the
+# components on the DRIVER (union-find over a bounded collect) — see
+# dedup_clusters.
 STAR_EDGE_THRESHOLD = 100_000
+
+
+def unionfind_components(edge_rows) -> dict:
+    """Min-root union-find over an in-memory edge list: returns
+    {node: component} where component is the minimum node id of the
+    node's connected component — exactly ``connected_components``'s
+    contract (isolated nodes absent, since they never appear in
+    ``edge_rows``). Union-by-min keeps every root the component
+    minimum; path compression keeps lookups near-linear."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return {n: find(n) for n in parent}
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
@@ -188,14 +221,36 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 
     ``algorithm``: "propagation" (O(diameter) rounds — right for the
     small dense clusters near-dup graphs produce), "star" (O(log n)
-    rounds — right for huge or adversarially-chained graphs), or "auto"
-    (propagation below STAR_EDGE_THRESHOLD edges, star above; the one
-    count() this costs is trivial next to either loop)."""
+    rounds — right for huge or adversarially-chained graphs), or "auto":
+    below STAR_EDGE_THRESHOLD edges the component labels are computed by
+    a driver-side union-find over ONE bounded collect (<= 100k edges =
+    ~2 MB — the probe-cells bounded-collect pattern; labels are
+    identical to the distributed loops, gated in tests/test_operators
+    .py), above it the star contraction. Rationale (r14, guide §1.2):
+    the propagation loop costs 2 driver-synchronized jobs per round —
+    ~10 serial job launches for a graph that fits in L2 cache — and
+    that fixed cost is dead time for the whole cluster at any scale;
+    the threshold keeps the driver's state hard-bounded while graphs
+    big enough to matter stay distributed."""
     if algorithm == "auto":
-        # materialize once: the dispatch count() and the CC loop both read
-        # the checkpoint instead of recomputing the (near-dup) pair lineage
+        # materialize once: the dispatch count() and whichever solver
+        # runs both read the checkpoint instead of recomputing the
+        # (near-dup) pair lineage
         pairs = pairs.localCheckpoint()
-        algorithm = "star" if pairs.count() > STAR_EDGE_THRESHOLD else "propagation"
+        if pairs.count() > STAR_EDGE_THRESHOLD:
+            algorithm = "star"
+        else:
+            spark = pairs.sparkSession
+            labels = unionfind_components(
+                (r[0], r[1])
+                for r in pairs.select(id_a, id_b).collect())
+            return spark.createDataFrame(
+                [(int(n), int(c)) for n, c in sorted(labels.items())],
+                "doc_id long, component long",
+            ).select(
+                "doc_id", "component",
+                (F.col("doc_id") == F.col("component")).cast("int")
+                .alias("is_canonical"))
     cc = connected_components if algorithm == "propagation" else connected_components_star
     comp = cc(pairs, id_a, id_b)
     return comp.select(

@@ -172,21 +172,32 @@ def fit_depth2(train: DataFrame) -> Depth2Tree | None:
         return None
     lcond = F.col(root.feat) <= F.lit(root.thr)
     tl, tr_ = train.filter(lcond), train.filter(~lcond)
-    left, right = best_split(tl), best_split(tr_)
-    leaves: dict[int, tuple[int, int]] = {}
-    if left is None:
-        # no valid split => the whole left partition is one leaf
-        rows = tl.agg(F.count("*").alias("n"), F.sum("y").alias("pos")).collect()
-        leaves[1] = (int(rows[0]["n"]), int(rows[0]["pos"] or 0))
-    else:
-        leaves.update(_leaf_stats(
-            tl, (3, 4), F.col(left.feat) <= F.lit(left.thr)))
-    if right is None:
-        rows = tr_.agg(F.count("*").alias("n"), F.sum("y").alias("pos")).collect()
-        leaves[2] = (int(rows[0]["n"]), int(rows[0]["pos"] or 0))
-    else:
-        leaves.update(_leaf_stats(
-            tr_, (5, 6), F.col(right.feat) <= F.lit(right.thr)))
+
+    # The two child searches (and then the two leaf-stat passes) are
+    # independent jobs over disjoint partitions of the checkpointed
+    # slice — submit them concurrently so the second back-fills the
+    # first's task tail instead of waiting for a full driver round-trip
+    # (r14, guide §2.6). Results are unchanged: each job is the same
+    # aggregation either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _side_leaves(side_df, child, shallow_id, deep_ids):
+        if child is None:
+            # no valid split => the whole side is one leaf
+            rows = side_df.agg(F.count("*").alias("n"),
+                               F.sum("y").alias("pos")).collect()
+            return {shallow_id: (int(rows[0]["n"]), int(rows[0]["pos"] or 0))}
+        return _leaf_stats(side_df, deep_ids,
+                           F.col(child.feat) <= F.lit(child.thr))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fl, fr = ex.submit(best_split, tl), ex.submit(best_split, tr_)
+        left, right = fl.result(), fr.result()
+        gl = ex.submit(_side_leaves, tl, left, 1, (3, 4))
+        gr = ex.submit(_side_leaves, tr_, right, 2, (5, 6))
+        leaves: dict[int, tuple[int, int]] = {}
+        leaves.update(gl.result())
+        leaves.update(gr.result())
     return Depth2Tree(root, left, right, leaves)
 
 

@@ -20,6 +20,7 @@ oracle parity (SURVEY.md §5.2):
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -9332,7 +9333,7 @@ def q_bpe_learned_apply(spark, sf):
     from .operators.text import bpe_token_count
 
     d = bpe_merges_dir(spark, sf)
-    rows = spark.read.parquet(d).orderBy("merge_rank").collect()
+    rows = _read_tiny_parquet(d, ["merge_rank"])
     learned = tuple((r["a"], r["b"]) for r in rows)
     docs = T(spark, sf, "documents")
     n_words = F.size(F.regexp_extract_all(
@@ -9405,7 +9406,7 @@ def q_packing_learned_bpe(spark, sf):
     from .operators.text import bpe_token_count
 
     d = bpe_merges_dir(spark, sf)
-    rows = spark.read.parquet(d).orderBy("merge_rank").collect()
+    rows = _read_tiny_parquet(d, ["merge_rank"])
     learned = tuple((r["a"], r["b"]) for r in rows)
     docs = T(spark, sf, "documents").withColumn(
         "toks", F.greatest(F.lit(1).cast("long"),
@@ -9825,7 +9826,7 @@ def q_ivf_cells(spark, sf):
     d = ivf_cells_dir(spark, sf)
     cells = spark.read.parquet(f"{d}/cells")
     cents = [[int(x) for x in r["v"]] for r in
-             spark.read.parquet(f"{d}/centroids").orderBy("cell").collect()]
+             _read_tiny_parquet(f"{d}/centroids", ["cell"])]
     qv = _query_vec(emb, 0)
     qrow = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
             .filter(F.col("_kid") == 0).select("qv").head())
@@ -9895,7 +9896,7 @@ def q_hybrid_rrf_indexed(spark, sf):
     vd = ivf_cells_dir(spark, sf)
     cells = spark.read.parquet(f"{vd}/cells")
     cents = [[int(x) for x in r["v"]] for r in
-             spark.read.parquet(f"{vd}/centroids").orderBy("cell").collect()]
+             _read_tiny_parquet(f"{vd}/centroids", ["cell"])]
     qv = _query_vec(emb, 0)
     qrow = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
             .filter(F.col("_kid") == 0).select("qv").head())
@@ -10158,16 +10159,7 @@ def q_ivfpq_recall_sweep(spark, sf):
     k = 10
     emb = T(spark, sf, "embeddings")
     qv = _query_vec(emb, 0)
-    d = ivfpq_artifacts_dir(spark, sf)
-    codes = spark.read.parquet(f"{d}/codes")
-    cents = [[int(x) for x in r["v"]] for r in
-             spark.read.parquet(f"{d}/centroids").orderBy("cell").collect()]
-    brows = spark.read.parquet(f"{d}/books").orderBy("mi", "code").collect()
-    books: list[list[list[int]]] = []
-    for r in brows:
-        while len(books) <= r["mi"]:
-            books.append([])
-        books[r["mi"]].append([int(x) for x in r["v"]])
+    codes, cents, books = _load_ivfpq_artifacts(spark, sf)
     qrow = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
             .filter(F.col("_kid") == 0).select("qv").head())
     if not cents or not books or qv is None or qrow is None:
@@ -10192,17 +10184,34 @@ def q_ivfpq_recall_sweep(spark, sf):
 _IVFPQ_RERANK_C = 64
 
 
+def _read_tiny_parquet(path: str, order_cols: list[str]) -> list[dict]:
+    """Driver-local read of a TINY artifact table (n_cells / m*ksub
+    rows) — r14: the two trained-table loads were one Spark collect job
+    each (~0.2 s of job launch per artifact-served entry for 16-144
+    rows); pyarrow reads the same files in milliseconds with identical
+    values (plain int64 columns). The CODES table — the only
+    corpus-sized artifact — stays a Spark scan."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    tbl = _pq.ParquetDataset(files if files else path).read()
+    rows = tbl.to_pylist()
+    rows.sort(key=lambda r: tuple(r[c] for c in order_cols))
+    return rows
+
+
 def _load_ivfpq_artifacts(spark: SparkSession, sf: str):
     """(codes frame, centroids, books) from the persisted artifact dir
-    — the two trained tables are bounded collects (n_cells rows /
-    m x ksub rows)."""
+    — the two trained tables are bounded DRIVER-LOCAL reads (n_cells
+    rows / m x ksub rows; no Spark job), the codes a lazy frame."""
     d = ivfpq_artifacts_dir(spark, sf)
     codes = spark.read.parquet(f"{d}/codes")
     cents = [[int(x) for x in r["v"]] for r in
-             spark.read.parquet(f"{d}/centroids").orderBy("cell").collect()]
-    brows = spark.read.parquet(f"{d}/books").orderBy("mi", "code").collect()
+             _read_tiny_parquet(f"{d}/centroids", ["cell"])]
     books: list[list[list[int]]] = []
-    for r in brows:
+    for r in _read_tiny_parquet(f"{d}/books", ["mi", "code"]):
         while len(books) <= r["mi"]:
             books.append([])
         books[r["mi"]].append([int(x) for x in r["v"]])
@@ -11607,7 +11616,7 @@ def quality_tree_dir(spark: SparkSession, sf: str) -> str:
 def _load_quality_tree(spark: SparkSession, sf: str):
     """Depth2Tree from the persisted nodes table — a <=7-row collect."""
     return _tree_from_node_rows(
-        spark.read.parquet(quality_tree_dir(spark, sf)).collect())
+        _read_tiny_parquet(quality_tree_dir(spark, sf), ["node"]))
 
 
 def ensure_topic_quality_tree(spark: SparkSession, topic_dir: str,
@@ -11731,16 +11740,7 @@ def q_ivfpq_codes(spark, sf):
     from .operators.clustering import ivfpq_adc_scan, quantized_frame
 
     emb = T(spark, sf, "embeddings")
-    d = ivfpq_artifacts_dir(spark, sf)
-    codes = spark.read.parquet(f"{d}/codes")
-    cents = [[int(x) for x in r["v"]] for r in
-             spark.read.parquet(f"{d}/centroids").orderBy("cell").collect()]
-    brows = spark.read.parquet(f"{d}/books").orderBy("mi", "code").collect()
-    books: list[list[list[int]]] = []
-    for r in brows:
-        while len(books) <= r["mi"]:
-            books.append([])
-        books[r["mi"]].append([int(x) for x in r["v"]])
+    codes, cents, books = _load_ivfpq_artifacts(spark, sf)
     qrow = (quantized_frame(emb, _KMEANS_DIM, _KMEANS_SCALE, _KMEANS_OFFSET)
             .filter(F.col("_kid") == 0).select("qv").head())
     if not cents or not books or qrow is None:

@@ -724,6 +724,46 @@ def test_connected_components_chain_and_islands(spark):
     assert canon == {3: 1, 9: 0, 5: 0, 7: 0, 20: 1, 21: 0}
 
 
+def test_unionfind_tier_equals_distributed_loops(spark):
+    """r14: auto-mode dedup_clusters solves sub-threshold graphs with a
+    driver union-find — its labels must equal BOTH distributed loops on
+    a random multi-component graph (chains, triangles, dup edges,
+    reversed edges), and the auto path must still produce the exact
+    (doc_id, component, is_canonical) contract."""
+    import random
+
+    from pulsar_beam_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+        dedup_clusters,
+        unionfind_components,
+    )
+
+    rng = random.Random(14)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(b, a) for a, b in edges[:10]] + edges[:5]  # dups + reversed
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    want = {r["node"]: r["component"]
+            for r in connected_components(df).collect()}
+    star = {r["node"]: r["component"]
+            for r in connected_components_star(df).collect()}
+    uf = unionfind_components(edges)
+    assert uf == want == star
+
+    rows = dedup_clusters(df).collect()  # auto -> union-find tier
+    assert {r["doc_id"]: r["component"] for r in rows} == want
+    for r in rows:
+        assert r["is_canonical"] == int(r["doc_id"] == r["component"])
+
+    # empty pair set: empty frame, right schema
+    empty = dedup_clusters(
+        spark.createDataFrame([], "id_a long, id_b long"))
+    assert empty.columns == ["doc_id", "component", "is_canonical"]
+    assert empty.count() == 0
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 30-node path graph needs many propagation rounds — exercises the
     convergence loop + lineage truncation, and the fixpoint test."""
