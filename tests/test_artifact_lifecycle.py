@@ -461,7 +461,12 @@ def test_topic_quality_tree_lifecycle_compact_serves_append_retrains(
         from pulsar_beam_spark.operators.sampling import stable_bucket
 
         fx = quality_features(topic_docs_frame(spark, d))
-        tree = fit_depth2(fx.filter(stable_bucket(F.col("doc_id")) < 25))
+        # mirror ensure_topic_quality_tree's degenerate-slice fallback:
+        # message ids are wall-clock-stamped, so the md5 bucket can
+        # intermittently catch <2 feature-distinct rows on this tiny
+        # topic — both sides then train on the whole topic
+        tree = (fit_depth2(fx.filter(stable_bucket(F.col("doc_id")) < 25))
+                or fit_depth2(fx))
         return sorted(
             (r["doc_id"], r["pred"]) for r in
             fx.withColumn("pred", predict_expr(tree))
@@ -494,3 +499,45 @@ def test_topic_quality_tree_lifecycle_compact_serves_append_retrains(
     sent2 = _sentinel(art, "nodes")
     assert ensure_topic_quality_tree(spark, d, art)[1] == "fresh"
     assert os.path.exists(sent2)
+
+
+def test_topic_quality_tree_degenerate_slice_falls_back_to_full_topic(
+        spark, tmp_path, monkeypatch):
+    """r14: the md5 training slice is wall-clock-dependent (message ids
+    embed the append timestamp), so on a tiny topic it can catch <2
+    feature-distinct rows and the artifact would persist ROOTLESS —
+    intermittently, since the slice changes run to run. The builder
+    must fall back to training on the whole topic. Forced
+    deterministically here: stable_bucket is patched to put NOTHING in
+    the slice; the artifact must still carry a root and its
+    predictions must equal a full-topic refit."""
+    from pulsar_beam_spark.operators import sampling
+    from pulsar_beam_spark.operators.tree import (fit_depth2, predict_expr,
+                                                  quality_features)
+    from pulsar_beam_spark.queries import (_tree_from_node_rows,
+                                           ensure_topic_quality_tree,
+                                           topic_docs_frame)
+
+    store = TopicDirStore(str(tmp_path / "store"), flush_interval_s=None)
+    good = ("the quick brown fox jumps over the lazy dog and keeps "
+            "going for quite a while longer than expected")
+    for t in (good, "junk!!! ###", "tiny", good + " again", "12 34 56"):
+        store.append(TOPIC, t.encode())
+    d = store.topic_dir(TOPIC)
+    art = str(tmp_path / "qtree-art")
+
+    monkeypatch.setattr(sampling, "stable_bucket",
+                        lambda col, n_buckets=100: F.lit(99))
+    assert ensure_topic_quality_tree(spark, d, art)[1] == "stale"
+    tree = _tree_from_node_rows(
+        spark.read.parquet(os.path.join(art, "nodes")).collect())
+    assert tree is not None, "fallback must have trained on the full topic"
+    fx = quality_features(topic_docs_frame(spark, d))
+    want = fit_depth2(fx)
+    got = sorted((r["doc_id"], r["pred"]) for r in
+                 fx.withColumn("pred", predict_expr(tree))
+                 .select("doc_id", "pred").collect())
+    exp = sorted((r["doc_id"], r["pred"]) for r in
+                 fx.withColumn("pred", predict_expr(want))
+                 .select("doc_id", "pred").collect())
+    assert got == exp
