@@ -936,6 +936,32 @@ def ivfpq_corpus_candidates(
     tests/test_plans.py), or None when the corpus/index is empty.
     Self-candidates (qid == id) are kept: they occupy an ADC slot on
     both engines identically; downstream pair building drops them."""
+    # single-chunk probe BEFORE any materialization: a bare
+    # limit(chunk+1).count() short-circuits after the first partitions
+    # (CollectLimit grows its partition set incrementally), so it never
+    # costs a full quantize pass. When the corpus fits one chunk — every
+    # sub-2048-query caller, i.e. all benched SFs — the whole
+    # checkpoint+count preamble (two extra driver-serialized jobs, one
+    # of them a full eager pass) collapses into this probe + the one
+    # collect below (r14: 3 jobs -> 2, the probe near-free).
+    if not cents or not books:
+        return None
+    qprobe = qf.limit(chunk + 1).count()
+    if qprobe == 0:
+        return None
+    if qprobe <= chunk:
+        # single chunk: the collect below is the ONLY pass over qf, so
+        # there is nothing for a checkpoint to de-duplicate; the
+        # bounded row list is sorted driver-side instead of paying the
+        # orderBy's range exchange + sort inside the collect job (the
+        # LUT builder only needs a deterministic qid order)
+        qrows = qf.select("_kid", "qv").collect()
+        queries = sorted(
+            ((int(r["_kid"]), [int(x) for x in r["qv"]]) for r in qrows),
+            key=lambda t: t[0])
+        return ivfpq_adc_batch_scan(
+            codes, cents, books, queries, nprobe=nprobe, k=k, shift=shift,
+            id_col=id_col).select("qid", id_col)
     # materialize the quantized corpus ONCE: the chunk loop collects
     # N/chunk times, and without this every collect re-scans and
     # re-quantizes the source parquet — at 100 TB that rescan, not the
@@ -943,8 +969,6 @@ def ivfpq_corpus_candidates(
     # range filter reads the in-memory checkpoint.
     qf = qf.localCheckpoint()
     n = qf.count()
-    if n == 0 or not cents or not books:
-        return None
     # chunk by RANK, not by id value: ids may be sparse or offset (the
     # sf1 weak-scaling fixture strides replicas by 1e9 — a value-strided
     # loop spins over millions of empty ranges; found when the r14
@@ -955,17 +979,6 @@ def ivfpq_corpus_candidates(
     # never results (chunking is invisible to them: each query's
     # candidates are independent).
     nchunks = -(-n // chunk)
-    if nchunks == 1:
-        # single chunk: every query is collected anyway, so the
-        # boundary-quantile pass is a pure extra job — skip it (r14;
-        # chunking only exists to bound driver state, and results are
-        # chunking-invariant by construction)
-        qrows = qf.orderBy("_kid").select("_kid", "qv").collect()
-        queries = [(int(r["_kid"]), [int(x) for x in r["qv"]])
-                   for r in qrows]
-        return ivfpq_adc_batch_scan(
-            codes, cents, books, queries, nprobe=nprobe, k=k, shift=shift,
-            id_col=id_col).select("qid", id_col)
     bs = sorted({int(b) for b in qf.stat.approxQuantile(
         "_kid", [i / nchunks for i in range(nchunks + 1)],
         1.0 / (4 * nchunks))})
@@ -977,11 +990,12 @@ def ivfpq_corpus_candidates(
         upper = (F.col("_kid") <= bs[i + 1]) if last \
             else (F.col("_kid") < bs[i + 1])
         qrows = (qf.filter((F.col("_kid") >= bs[i]) & upper)
-                 .orderBy("_kid").select("_kid", "qv").collect())
+                 .select("_kid", "qv").collect())
         if not qrows:
             continue
-        queries = [(int(r["_kid"]), [int(x) for x in r["qv"]])
-                   for r in qrows]
+        queries = sorted(
+            ((int(r["_kid"]), [int(x) for x in r["qv"]]) for r in qrows),
+            key=lambda t: t[0])
         part = ivfpq_adc_batch_scan(
             codes, cents, books, queries, nprobe=nprobe, k=k, shift=shift,
             id_col=id_col).select("qid", id_col)
