@@ -268,6 +268,8 @@ def kmeans_fit(
     reuse it instead of re-scanning the source (r14; same rows either
     way, so results are identical).
     """
+    from ..sources.tables import spread_small_input
+
     q = quantized_frame(emb, dim, scale, offset, id_col, vec_col)
     # r14: the init collect and every Lloyd iteration used to re-scan
     # the parquet and re-quantize (scan+HOF transform) per job — 3+
@@ -275,8 +277,14 @@ def kmeans_fit(
     # quantized corpus instead; the RETURNED frame keeps the original
     # lineage so downstream plans (pushed filters, pruned scans — the
     # shapes test_plans.py pins) are untouched, and results are
-    # identical either way (same rows feed every pass).
-    qt = q.localCheckpoint()
+    # identical either way (same rows feed every pass). The image is
+    # spread to full width first: the single-row-group local fixture
+    # checkpoints into ONE partition, serializing every iteration's
+    # assign+agg on one core (0.87 s/iteration measured at sf0.1 vs
+    # the shuffle's 128k-row cost; a no-op at real split counts). All
+    # consumers are partitioning-invariant: orderBy+limit init, keyed
+    # integer aggregation, and the _kid-strided residual-book sample.
+    qt = spread_small_input(q).localCheckpoint()
     if aux is not None:
         aux["train_ckpt"] = qt
     init = qt.orderBy("_kid").limit(k).select("qv").collect()
