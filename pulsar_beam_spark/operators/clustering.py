@@ -22,15 +22,18 @@ The offset cancels in every distance (only differences enter), so it
 affects nothing but the non-negativity guarantee; ``scale`` bounds the
 quantization error at ``0.5/scale`` per component.
 
-Scale shape — the Spark MLlib KMeans loop re-expressed declaratively:
-the ASSIGNMENT is a pure whole-stage-codegen projection against k
-literal centroid arrays (no join, no shuffle, no Python); the UPDATE is
-one ``posexplode`` + ``groupBy(cluster, dim)`` partial-aggregated
-shuffle whose result is exactly ``k * dim`` rows — the only driver
-collect, bounded by construction (MLlib collects the same k*dim partial
-sums via treeAggregate). At 100 TB each iteration costs one corpus scan
-plus that k*dim-row shuffle; the iteration count is a small constant
-fixed in the entry and in its oracle's unrolled CTEs.
+Scale shape — the Spark MLlib KMeans loop re-expressed: the ASSIGNMENT
+is a vectorized Arrow kernel against k literal centroid arrays (no
+join, no shuffle); the UPDATE emits per-partition ``(cluster, d, s,
+n)`` integer partials from the SAME Arrow pass (``lloyd_partials`` —
+at most k*dim rows per task, exactly MLlib's treeAggregate shape) and
+reduces them in one tiny shuffle to the ``k * dim`` rows of the only
+driver collect, bounded by construction. The declarative
+``posexplode`` + ``groupBy(cluster, dim)`` form — the oracle's shape —
+is kept as ``lloyd_update_exploded``, the reference both paths are
+gated equal against. At 100 TB each iteration costs one corpus scan
+plus that k*dim-per-task shuffle; the iteration count is a small
+constant fixed in the entry and in its oracle's unrolled CTEs.
 
 The reference (kafkaesque-io/pulsar-beam) has no clustering operator;
 this extends the LLM-pipeline family next to the trained quantizers in
@@ -226,6 +229,100 @@ def py_update(cents: list[list[int]], rows) -> list[list[int]]:
     return out
 
 
+def lloyd_update_exploded(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """``(cluster, d, s, n)`` Lloyd-update sums via the declarative
+    shape: assignment projection, ``posexplode`` to (dim, component),
+    ``groupBy(cluster, d)`` partial-aggregated shuffle.
+
+    This is the REFERENCE implementation — the operator-level mirror of
+    the oracle's unrolled update CTEs, kept for the cross-implementation
+    equality gate in tests/test_clustering.py. The execution default is
+    ``lloyd_update`` below: the posexplode generates dim x rows through
+    the JVM and ships the corpus through the assignment's Arrow boundary
+    only to immediately re-aggregate to <= k*dim rows per partition —
+    the fused kernel computes the same partial sums inside the SAME
+    Arrow pass that does the assignment (r14; exact integer arithmetic,
+    so the partials are bit-identical and their sum is order-free)."""
+    return (
+        q.select(assign_struct("qv", cents).getField("cluster").alias("cluster"),
+                 F.posexplode("qv").alias("d", "x"))
+        .groupBy("cluster", "d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    )
+
+
+def lloyd_partials(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Per-partition ``(cluster, d, s, n)`` Lloyd partial sums, fused
+    with the assignment into ONE ``mapInArrow`` pass over ``(qv)``.
+
+    Exactness: the distance/argmin kernel is byte-for-byte the
+    ``assign_struct`` formula (exact int64, first-index ties); the
+    per-partition component sums are exact int64 adds (``np.add.at`` is
+    unbuffered) of the same quantized values the exploded path sums, and
+    integer addition is associative, so ``sum(s)`` / ``sum(n)`` over the
+    partials equals the exploded path's ``sum(x)`` / ``count(*)`` for
+    every (cluster, d) — gated in tests/test_clustering.py. Clusters
+    with no members in a partition are NOT emitted (matching groupBy,
+    which only sees existing groups — the carry-over contract).
+
+    Scale shape: each task emits at most ``k * dim`` rows, so the
+    downstream shuffle is tasks x k x dim tiny rows instead of
+    corpus x dim exploded rows (the explode's map-side partial agg
+    already bounded the shuffle BYTES; this removes the dim x row
+    generation and one corpus-sized Python boundary crossing).
+    Overflow: a partition-local sum wraps only past ~2^63 / MAX_QUANT
+    ~ 6e10 rows per task — orders of magnitude past any real partition;
+    the corpus-level sum stays a Spark ANSI long sum (loud on
+    overflow), exactly as before."""
+    assert centroids, "lloyd_partials: empty centroid list"
+    _check_quant_dim(len(centroids[0]))
+    cents = np.asarray([[int(x) for x in c] for c in centroids], dtype=np.int64)
+    k, dim = cents.shape
+    cc = (cents * cents).sum(axis=1)
+
+    def _partials(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        sums = _np.zeros((k, dim), dtype=_np.int64)
+        counts = _np.zeros(k, dtype=_np.int64)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat = b.column(0).flatten().to_numpy(zero_copy_only=False)
+            v = _np.asarray(flat, dtype=_np.int64).reshape(b.num_rows, dim)
+            d = (v * v).sum(axis=1)[:, None] - 2 * (v @ cents.T) + cc[None, :]
+            cl = d.argmin(axis=1)
+            _np.add.at(sums, cl, v)
+            counts += _np.bincount(cl, minlength=k)
+        nz = _np.flatnonzero(counts)
+        if len(nz):
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array(_np.repeat(nz, dim), type=_pa.int64()),
+                    _pa.array(_np.tile(_np.arange(dim, dtype=_np.int64), len(nz)),
+                              type=_pa.int64()),
+                    _pa.array(sums[nz].reshape(-1), type=_pa.int64()),
+                    _pa.array(_np.repeat(counts[nz], dim), type=_pa.int64()),
+                ],
+                names=["cluster", "d", "s", "n"],
+            )
+
+    return q.select("qv").mapInArrow(
+        _partials, "cluster long, d long, s long, n long")
+
+
+def lloyd_update(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """``(cluster, d, s, n)`` Lloyd-update sums — fused execution
+    default: per-partition Arrow partials + one k*dim-row shuffle.
+    Row-equal to ``lloyd_update_exploded`` (gated)."""
+    return (
+        lloyd_partials(q, cents)
+        .groupBy("cluster", "d")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+
+
 def quantized_frame(
     emb: DataFrame,
     dim: int = 64,
@@ -292,13 +389,7 @@ def kmeans_fit(
     if not cents:
         return q, cents
     for _ in range(iters):
-        rows = (
-            qt.select(assign_struct("qv", cents).getField("cluster").alias("cluster"),
-                      F.posexplode("qv").alias("d", "x"))
-            .groupBy("cluster", "d")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
+        rows = lloyd_update(qt, cents).collect()
         cents = py_update(cents, rows)
     return q, cents
 
@@ -342,10 +433,11 @@ def kmeans_cluster_means(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(cluster, d, m): per-dimension integer mean of the FINAL
-    assignment, computed distributively (posexplode + groupBy + ``div``)
-    — i.e. the (iters+1)-th update step, emitted for non-empty clusters
-    only. This is the entry that puts the update arithmetic itself in
-    the hash-checked output."""
+    assignment, computed distributively (fused Arrow partials +
+    ``groupBy`` + ``div`` — row-equal to the oracle's posexplode shape,
+    see ``lloyd_update``) — i.e. the (iters+1)-th update step, emitted
+    for non-empty clusters only. This is the entry that puts the update
+    arithmetic itself in the hash-checked output."""
     q, cents = kmeans_fit(emb, k, iters, dim, scale, offset, id_col, vec_col)
     if not cents:
         return q.select(
@@ -354,10 +446,7 @@ def kmeans_cluster_means(
             F.lit(None).cast("long").alias("m"),
         ).where(F.lit(False))
     return (
-        q.select(assign_struct("qv", cents).getField("cluster").alias("cluster"),
-                 F.posexplode("qv").alias("d", "x"))
-        .groupBy("cluster", "d")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        lloyd_update(q, cents)
         .select("cluster", F.col("d").cast("long").alias("d"),
                 F.expr("s div n").alias("m"))
     )

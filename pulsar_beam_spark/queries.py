@@ -9537,11 +9537,13 @@ GROUP BY cluster, t.d""")
         "argmin ties first-index on both engines, and the centroid "
         "update an all-non-negative integer division where Spark div == "
         "DuckDB // == Python //. Assignment is a literal-centroid "
-        "codegen projection (no join); each update is one posexplode "
-        "groupBy shuffle collecting exactly k*dim bounded rows — the "
-        "Spark MLlib KMeans loop shape, so per-iteration cost at 100 TB "
-        "is one scan + one k*dim-row shuffle. Output: the final "
-        "(vec_id, cluster, sq_dist) assignment.",
+        "vectorized kernel (no join); each update emits k*dim-per-task "
+        "Arrow partials fused into the assignment pass (row-equal to "
+        "the oracle's posexplode+groupBy shape, gated) and collects "
+        "exactly k*dim bounded rows — the Spark MLlib KMeans loop "
+        "shape, so per-iteration cost at 100 TB is one scan + one tiny "
+        "shuffle. Output: the final (vec_id, cluster, sq_dist) "
+        "assignment.",
 )
 def q_kmeans_lloyd(spark, sf):
     from .operators.clustering import kmeans_assign
@@ -9556,8 +9558,9 @@ def q_kmeans_lloyd(spark, sf):
     _kmeans_means_oracle(),
     doc="The k-means UPDATE arithmetic itself as hash-checked output: "
         "per-dimension integer means of the final assignment (the "
-        "iters+1-th update step), computed distributively via "
-        "posexplode + groupBy(cluster, d) + integer div — k*dim rows. "
+        "iters+1-th update step), computed distributively via fused "
+        "Arrow partials + groupBy(cluster, d) + integer div — k*dim "
+        "rows, row-equal to the oracle's posexplode shape (gated). "
         "Non-empty clusters only (carryover is an intra-loop concern; "
         "the oracle's final step group-bys identically).",
 )

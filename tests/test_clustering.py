@@ -226,6 +226,44 @@ def test_vectorized_assign_equals_reference_exprs(spark):
     assert ref == vec and len(ref) > 0
 
 
+def test_fused_lloyd_update_equals_exploded_reference(spark):
+    """lloyd_update (fused Arrow partials, r14) and lloyd_update_exploded
+    (posexplode + groupBy — the oracle's exact shape) must produce the
+    SAME (cluster, d, s, n) rows on the fixture, under (a) the real init
+    centroids, (b) a centroid table with a DUPLICATED centroid (argmin
+    ties -> the duplicate gets no members and must be ABSENT from both
+    row sets, the carry-over contract) and (c) a far-away centroid
+    (empty cluster, same absence contract)."""
+    from pulsar_beam_spark.operators.clustering import (
+        lloyd_update,
+        lloyd_update_exploded,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q, cents = kmeans_fit(emb)
+    far = [3 * 10 ** 8 // 2] * 64  # MAX_QUANT corner: in-domain, no member
+    cases = {
+        "init": cents,
+        "dup": cents + [list(cents[0])],
+        "empty": cents + [far],
+    }
+    for label, table in cases.items():
+        ref = sorted(tuple(int(x) for x in r)
+                     for r in lloyd_update_exploded(q, table).collect())
+        fused = sorted(tuple(int(x) for x in r)
+                       for r in lloyd_update(q, table).collect())
+        assert fused == ref and len(ref) > 0, label
+        if label != "init":
+            emitted = {r[0] for r in fused}
+            assert len(table) - 1 not in emitted, label  # dup/far never win
+    # single-partition image (the checkpointed trainer path shape)
+    one = q.coalesce(1)
+    assert (sorted(tuple(int(x) for x in r)
+                   for r in lloyd_update(one, cents).collect())
+            == sorted(tuple(int(x) for x in r)
+                      for r in lloyd_update_exploded(one, cents).collect()))
+
+
 def test_ivf_trained_probed_candidates_rank_like_brute_force(spark):
     """Every hit the trained IVF returns must appear in the brute-force
     ranking with the SAME rounded cosine (the probe prunes, never
