@@ -11642,20 +11642,25 @@ def ensure_topic_quality_tree(spark: SparkSession, topic_dir: str,
 
     def rebuild(adir: str) -> None:
         from .operators.sampling import stable_bucket
-        from .operators.tree import fit_depth2, quality_features
+        from .operators.tree import fit_depth2, leaf_label, quality_features
 
         fx = quality_features(topic_docs_frame(spark, topic_dir))
         tree = fit_depth2(fx.filter(stable_bucket(F.col("doc_id")) < 25))
-        if tree is None:
+        if tree is None or len({leaf_label(*v)
+                                for v in tree.leaves.values()}) < 2:
             # degenerate hash slice: on a tiny topic the 25% md5 bucket
-            # can catch <2 feature-distinct rows — and message ids are
-            # wall-clock-stamped, so WHICH rows land in the slice is not
-            # reproducible run to run (r14: found as an intermittent
-            # rootless artifact in the lifecycle golden). Fall back to
-            # training on the whole topic: still a deterministic
-            # function of content, which is exactly what the
-            # compact-serves-as-is lifecycle verdict requires.
-            tree = fit_depth2(fx)
+            # can catch <2 feature-distinct rows (rootless tree) — or
+            # rows of a SINGLE label class, which trains a structurally
+            # valid tree that cannot separate (every leaf votes the
+            # same way). Message ids are wall-clock-stamped, so WHICH
+            # rows land in the slice is not reproducible run to run
+            # (r14: both modes found as intermittent lifecycle-golden
+            # failures). Fall back to training on the whole topic:
+            # still a deterministic function of content, which is
+            # exactly what the compact-serves-as-is lifecycle verdict
+            # requires. (`or tree` keeps the slice tree when the whole
+            # topic is itself too degenerate to fit.)
+            tree = fit_depth2(fx) or tree
         spark.createDataFrame(
             _qtree_artifact_rows(tree), _QTREE_TRAIN_SCHEMA + ", imp long"
         ).coalesce(1).write.mode("overwrite").parquet(

@@ -459,14 +459,18 @@ def test_topic_quality_tree_lifecycle_compact_serves_append_retrains(
 
     def inline_preds():
         from pulsar_beam_spark.operators.sampling import stable_bucket
+        from pulsar_beam_spark.operators.tree import leaf_label
 
         fx = quality_features(topic_docs_frame(spark, d))
         # mirror ensure_topic_quality_tree's degenerate-slice fallback:
         # message ids are wall-clock-stamped, so the md5 bucket can
-        # intermittently catch <2 feature-distinct rows on this tiny
-        # topic — both sides then train on the whole topic
-        tree = (fit_depth2(fx.filter(stable_bucket(F.col("doc_id")) < 25))
-                or fit_depth2(fx))
+        # intermittently catch <2 feature-distinct rows OR a
+        # single-class slice on this tiny topic — both sides then train
+        # on the whole topic
+        tree = fit_depth2(fx.filter(stable_bucket(F.col("doc_id")) < 25))
+        if tree is None or len({leaf_label(*v)
+                                for v in tree.leaves.values()}) < 2:
+            tree = fit_depth2(fx) or tree
         return sorted(
             (r["doc_id"], r["pred"]) for r in
             fx.withColumn("pred", predict_expr(tree))
@@ -541,3 +545,52 @@ def test_topic_quality_tree_degenerate_slice_falls_back_to_full_topic(
                  fx.withColumn("pred", predict_expr(want))
                  .select("doc_id", "pred").collect())
     assert got == exp
+
+
+def test_topic_quality_tree_single_class_slice_falls_back_to_full_topic(
+        spark, tmp_path, monkeypatch):
+    """r14 (resume): the OTHER degenerate slice mode — >= 2
+    feature-distinct rows but a SINGLE label class, which trains a
+    structurally valid tree whose every leaf votes the same way (found
+    as the intermittent 'tree must actually separate' failure in the
+    lifecycle golden; which rows land in the md5 slice is wall-clock-
+    dependent). Forced deterministically: stable_bucket is patched so
+    the slice holds exactly the junk documents; the builder must fall
+    back to the whole topic and the served tree must separate."""
+    from pulsar_beam_spark.operators import sampling
+    from pulsar_beam_spark.operators.tree import (leaf_label, predict_expr,
+                                                  quality_features)
+    from pulsar_beam_spark.queries import (_tree_from_node_rows,
+                                           ensure_topic_quality_tree,
+                                           topic_docs_frame)
+
+    store = TopicDirStore(str(tmp_path / "store"), flush_interval_s=None)
+    good = ("the quick brown fox jumps over the lazy dog and runs on "
+            "through the field with a pack of hounds in pursuit for "
+            "quite a while longer than expected today")
+    junk = ["junk!!! ### $$$ %%%", "1234 5678 9012 3456 7890", "!!! @@@"]
+    for t in [good, good + " again and again", good + " once more"] + junk:
+        store.append(TOPIC, t.encode())
+    d = store.topic_dir(TOPIC)
+    art = str(tmp_path / "qtree-art")
+
+    junk_ids = [r["doc_id"] for r in
+                topic_docs_frame(spark, d).select("doc_id", "text").collect()
+                if r["text"] in junk]
+    assert len(junk_ids) == len(junk)
+    monkeypatch.setattr(
+        sampling, "stable_bucket",
+        lambda col, n_buckets=100: F.when(col.isin(junk_ids), F.lit(0))
+        .otherwise(F.lit(99)))
+
+    assert ensure_topic_quality_tree(spark, d, art)[1] == "stale"
+    tree = _tree_from_node_rows(
+        spark.read.parquet(os.path.join(art, "nodes")).collect())
+    labels = {leaf_label(*v) for v in tree.leaves.values()}
+    assert labels == {0, 1}, (
+        "single-class slice must fall back to whole-topic training")
+    fx = quality_features(topic_docs_frame(spark, d))
+    preds = {r["pred"] for r in
+             fx.withColumn("pred", predict_expr(tree))
+             .select("pred").collect()}
+    assert preds == {0, 1}
