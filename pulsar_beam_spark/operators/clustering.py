@@ -910,6 +910,76 @@ def ivfpq_batch_lut_rows(
     batch(set) gate).
     """
     m = len(books)
+    rows_np = _ivfpq_batch_lut_np(queries, cents, books, nprobe, shift)
+    if rows_np is None:
+        return [], set()
+    qids, probe, luts = rows_np
+    rows: list[tuple] = []
+    all_cells: set[int] = set()
+    for i, qid in enumerate(qids):
+        for p in range(probe.shape[1]):
+            c = int(probe[i, p])
+            all_cells.add(c)
+            rows.append(tuple([qid, c]
+                              + [luts[mi][i, p].tolist() for mi in range(m)]))
+    return rows, all_cells
+
+
+def ivfpq_batch_lut_frame(
+    spark,
+    queries: list[tuple[int, list[int]]],
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    nprobe: int,
+    shift: int,
+) -> tuple[DataFrame | None, set[int]]:
+    """The batch-ADC LUT table as a DataFrame, shipped to the JVM as ONE
+    Arrow batch instead of a verified row list: ``createDataFrame(rows,
+    schema)`` walks every nested value through the Python type verifier
+    (~1.1M ``verify()`` calls and >1 s of serial driver time for the
+    corpus-as-queries table at sf0.1 — profiled in round 14), while a
+    pyarrow Table built zero-copy from the kernel's own int64 arrays
+    crosses in milliseconds (guide §6 "Arrow for driver transfers").
+
+    Values and row order are IDENTICAL to ``ivfpq_batch_lut_rows``
+    (same numpy kernel; ``np.repeat``/``ravel``/``reshape`` reproduce
+    the (first-occurrence qid, probe-rank) nesting exactly) and the
+    resulting schema matches the DDL the row path declared — both gated
+    in tests/test_clustering.py. Returns (frame | None-when-empty,
+    probed_cell_union)."""
+    import pyarrow as pa
+
+    rows_np = _ivfpq_batch_lut_np(queries, cents, books, nprobe, shift)
+    if rows_np is None:
+        return None, set()
+    qids, probe, luts = rows_np
+    m = len(books)
+    ksub = len(books[0])
+    nq, npr = probe.shape
+    offsets = pa.array(np.arange(0, nq * npr * ksub + 1, ksub,
+                                 dtype=np.int32))
+    cols: dict[str, pa.Array] = {
+        "qid": pa.array(np.repeat(np.asarray(qids, dtype=np.int64), npr)),
+        "cell": pa.array(probe.reshape(-1).astype(np.int64)),
+    }
+    for mi in range(m):
+        flat = np.ascontiguousarray(luts[mi].reshape(-1))
+        cols[f"l{mi}"] = pa.ListArray.from_arrays(offsets, pa.array(flat))
+    return (spark.createDataFrame(pa.table(cols)),
+            {int(c) for c in np.unique(probe)})
+
+
+def _ivfpq_batch_lut_np(
+    queries: list[tuple[int, list[int]]],
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    nprobe: int,
+    shift: int,
+):
+    """Shared numpy core of the two LUT builders: (qids, probe q x nprobe,
+    luts m x (q x nprobe x ksub)) or None for an empty query set. Exact
+    int64 throughout (see ivfpq_batch_lut_rows' exactness note)."""
+    m = len(books)
     sub = len(books[0][0])
     seen: set[int] = set()
     qids: list[int] = []
@@ -921,32 +991,24 @@ def ivfpq_batch_lut_rows(
         qids.append(int(qid))
         qvecs.append(qv)
     if not qids:
-        return [], set()
+        return None
     dim = len(qvecs[0])
     _check_quant_dim(dim)
-    Q = np.asarray(qvecs, dtype=np.int64)                 # q x dim
-    C = np.asarray(cents, dtype=np.int64)                 # k x dim
+    Q = np.asarray(qvecs, dtype=np.int64)
+    C = np.asarray(cents, dtype=np.int64)
     d = ((Q * Q).sum(1)[:, None] - 2 * (Q @ C.T)
-         + (C * C).sum(1)[None, :])                       # q x k exact
-    probe = np.argsort(d, axis=1, kind="stable")[:, :nprobe]  # ties -> low cell
-    R = Q[:, None, :] - C[probe] + int(shift)             # q x nprobe x dim
+         + (C * C).sum(1)[None, :])
+    probe = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+    R = Q[:, None, :] - C[probe] + int(shift)
     B = [np.asarray(book, dtype=np.int64) for book in books]
     luts = []
     for mi in range(m):
-        s = R[:, :, mi * sub:(mi + 1) * sub]              # q x nprobe x sub
-        bm = B[mi]                                        # ksub x sub
+        s = R[:, :, mi * sub:(mi + 1) * sub]
+        bm = B[mi]
         luts.append((s * s).sum(-1)[:, :, None]
                     - 2 * (s @ bm.T)
-                    + (bm * bm).sum(-1)[None, None, :])   # q x nprobe x ksub
-    rows: list[tuple] = []
-    all_cells: set[int] = set()
-    for i, qid in enumerate(qids):
-        for p in range(probe.shape[1]):
-            c = int(probe[i, p])
-            all_cells.add(c)
-            rows.append(tuple([qid, c]
-                              + [luts[mi][i, p].tolist() for mi in range(m)]))
-    return rows, all_cells
+                    + (bm * bm).sum(-1)[None, None, :])
+    return qids, probe, luts
 
 
 def ivfpq_adc_batch_scan(
@@ -986,11 +1048,15 @@ def ivfpq_adc_batch_scan(
     # two ranks). Keep the first occurrence — batch(dups) == batch(set),
     # pinned by the adversarial gate. The probe/LUT computation is the
     # vectorized int64 kernel (bit-equal to the scalar loop, gated in
-    # tests/test_clustering.py).
-    rows, all_cells = ivfpq_batch_lut_rows(queries, cents, books, nprobe, shift)
-    schema = ("qid long, cell long, "
-              + ", ".join(f"l{mi} array<long>" for mi in range(m)))
-    lutdf = codes.sparkSession.createDataFrame(rows, schema)
+    # tests/test_clustering.py) and ships as ONE Arrow batch — the row
+    # path's per-value Python verifier was >1 s of serial driver time
+    # at corpus-as-queries scale (gated row- and schema-equal).
+    lutdf, all_cells = ivfpq_batch_lut_frame(
+        codes.sparkSession, queries, cents, books, nprobe, shift)
+    if lutdf is None:
+        schema = ("qid long, cell long, "
+                  + ", ".join(f"l{mi} array<long>" for mi in range(m)))
+        lutdf = codes.sparkSession.createDataFrame([], schema)
     adc = F.element_at(F.col("l0"), F.col("_code0").cast("int") + 1)
     for mi in range(1, m):
         adc = adc + F.element_at(F.col(f"l{mi}"),

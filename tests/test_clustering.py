@@ -488,6 +488,46 @@ def test_batch_lut_rows_equal_scalar_loop():
     assert ivfpq_batch_lut_rows([], cents, books, nprobe, shift) == ([], set())
 
 
+def test_batch_lut_frame_equals_row_path(spark):
+    """r14 optimization: the Arrow-shipped LUT frame must be row-equal
+    (order included), schema-equal, and probed-cell-union-equal to the
+    verified-row-list createDataFrame path it replaced — including the
+    duplicate-qid drop and duplicated-centroid probe ties — and must
+    return (None, empty) for an empty query set so the caller keeps the
+    empty-DDL fallback."""
+    import random
+
+    from pulsar_beam_spark.operators.clustering import (
+        MAX_QUANT,
+        ivfpq_batch_lut_frame,
+        ivfpq_batch_lut_rows,
+    )
+
+    rng = random.Random(11)
+    dim, m, ksub, ncell, nprobe, shift = 16, 4, 5, 6, 3, MAX_QUANT
+    cents = [[rng.randrange(0, MAX_QUANT) for _ in range(dim)]
+             for _ in range(ncell)]
+    cents[4] = list(cents[0])  # duplicated centroid -> tied probe dists
+    books = [[[rng.randrange(0, 2 * MAX_QUANT) for _ in range(dim // m)]
+              for _ in range(ksub)] for _ in range(m)]
+    queries = [(qid, [rng.randrange(0, MAX_QUANT) for _ in range(dim)])
+               for qid in (5, 9, 5, 2)]  # duplicate qid 5
+
+    rows, cells = ivfpq_batch_lut_rows(queries, cents, books, nprobe, shift)
+    ddl = ("qid long, cell long, "
+           + ", ".join(f"l{mi} array<long>" for mi in range(m)))
+    old = spark.createDataFrame(rows, ddl)
+    new, cells2 = ivfpq_batch_lut_frame(spark, queries, cents, books,
+                                        nprobe, shift)
+    assert cells2 == cells
+    assert new.schema == old.schema
+    assert [tuple(r) for r in new.collect()] == [tuple(r) for r in old.collect()]
+
+    empty, empty_cells = ivfpq_batch_lut_frame(spark, [], cents, books,
+                                               nprobe, shift)
+    assert empty is None and empty_cells == set()
+
+
 def test_ivfpq_residual_books_rejects_underdetermined_sample(spark):
     """r12 task 4 audit: a residual training sample smaller than
     4*ksub leaves codewords collapsed onto single points — the books
