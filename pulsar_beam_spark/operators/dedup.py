@@ -234,6 +234,7 @@ def minhash_signatures(
     n: int = 3,
     seed: int = 42,
     portable: bool = False,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as ``array<bigint>`` of length num_hashes.
 
@@ -246,13 +247,19 @@ def minhash_signatures(
     explode→distinct() formulation paid a full extra shuffle of the
     (id, shingle-string) rows just to dedup within doc — row-local
     array_distinct does that for free in the scan projection.)
+
+    ``arrays`` (r15, guide §5): a precomputed ``doc_shingle_arrays``
+    frame — (id, shset) — to derive the signatures from. The candidate-
+    verify pipelines need the shingle arrays anyway; passing the SAME
+    (checkpointed) frame here means the corpus is tokenized+shingled
+    once per query instead of once per consumer. Values are identical by
+    construction (the default path builds the same frame inline).
     """
     from ..sources.tables import spread_small_input
 
-    sets = exploded_nonnull(
-        doc_shingle_arrays(spread_small_input(docs), id_col, text_col, n),
-        ["id"], F.col("shset"), "shingle",
-    )
+    if arrays is None:
+        arrays = doc_shingle_arrays(spread_small_input(docs), id_col, text_col, n)
+    sets = exploded_nonnull(arrays, ["id"], F.col("shset"), "shingle")
     if portable:
         # cross-engine-checkable variant: md5-based base hash and 31-bit
         # parameters keep every product exact in 64-bit — a DuckDB oracle
@@ -341,8 +348,20 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from banding, then
     *exact* Jaccard verification of candidates only (the standard
-    candidate-verify pattern; verification cost is |candidates|, not |D|^2)."""
-    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, n, portable=portable)
+    candidate-verify pattern; verification cost is |candidates|, not |D|^2).
+
+    The (id, shingle-set) frame is computed ONCE and localCheckpointed
+    (r15, guide §5): signatures, the verify join's a-side and its b-side
+    all read the materialized arrays instead of re-tokenizing the corpus
+    — previously the tokenize+shingle projection ran three times per
+    query (once in the signature explode, once per self-join side; the
+    narrow subtree has no exchange, so nothing was reused). At cluster
+    scale this is the same discipline as embedding_near_dup's assigned
+    checkpoint: corpus-sized, executor-local, rebuilt per query.
+    """
+    arrs = doc_shingle_arrays(docs, id_col, text_col, n).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, n,
+                              portable=portable, arrays=arrs)
     cand = minhash_lsh_candidates(sigs, bands, sig_len=num_hashes, portable=portable)
     # verification joins the candidate pairs against per-doc shingle
     # ARRAYS (computed once per doc per side): intersection is
@@ -352,7 +371,6 @@ def minhash_near_dup_pairs(
     # expressions land in the post-join projection where they evaluate
     # row-at-a-time over wide joined rows instead of in the scan-side
     # columnar projection.)
-    arrs = doc_shingle_arrays(docs, id_col, text_col, n)
     sa = arrs.select(F.col("id").alias("id_a"), F.col("shset").alias("set_a"))
     sb = arrs.select(F.col("id").alias("id_b"), F.col("shset").alias("set_b"))
     verified = (
@@ -732,9 +750,19 @@ def incremental_near_dup(
     new batch is small. Verification touches candidates only, and the
     best-match window partitions by new-doc id — bounded by the batch,
     not the corpus.
+
+    Each side's (id, shingle-set) frame is computed ONCE and
+    localCheckpointed (r15, guide §5): the signature explode and the
+    verify join read the materialized arrays, so the corpus text is
+    tokenized+shingled once per query instead of twice — the redundant
+    corpus re-scan VERDICT r14 flagged on the sf1 probe.
     """
-    sig_new = minhash_signatures(new_docs, num_hashes, id_col, text_col, n)
-    sig_old = minhash_signatures(corpus, num_hashes, id_col, text_col, n)
+    arr_new = doc_shingle_arrays(new_docs, id_col, text_col, n).localCheckpoint(eager=False)
+    arr_old = doc_shingle_arrays(corpus, id_col, text_col, n).localCheckpoint(eager=False)
+    sig_new = minhash_signatures(new_docs, num_hashes, id_col, text_col, n,
+                                 arrays=arr_new)
+    sig_old = minhash_signatures(corpus, num_hashes, id_col, text_col, n,
+                                 arrays=arr_old)
     bn = _band_buckets(sig_new, bands, num_hashes).alias("n")
     bo = _band_buckets(sig_old, bands, num_hashes).alias("o")
     cand = (
@@ -745,10 +773,10 @@ def incremental_near_dup(
         .select(F.col("n.id").alias("id_new"), F.col("o.id").alias("id_old"))
         .distinct()
     )
-    an = doc_shingle_arrays(new_docs, id_col, text_col, n).select(
+    an = arr_new.select(
         F.col("id").alias("id_new"), F.col("shset").alias("set_n")
     )
-    ao = doc_shingle_arrays(corpus, id_col, text_col, n).select(
+    ao = arr_old.select(
         F.col("id").alias("id_old"), F.col("shset").alias("set_o")
     )
     verified = (

@@ -8056,22 +8056,52 @@ def q_pagerank(spark, sf):
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
     nodes = li.select(F.col("l_partkey").alias("node")).distinct()
     a, b = li.alias("a"), li.alias("b")
+    # Adjacency as a NON-EXTRACTABLE residual (b.ln - a.ln == 1 instead
+    # of b.ln == a.ln + 1, r15): written as `b == a + 1` Catalyst lifts
+    # the linenumber pair into the equi-join KEYS, making the two join
+    # children hash on DIFFERENT expressions (one side carries the +1) —
+    # two scans, two exchanges, two sorts of the fact table. Keyed on
+    # l_orderkey alone the children are byte-identical subtrees, so
+    # ReuseExchange runs the scan+shuffle+sort ONCE; the within-order
+    # pairing fan-out is bounded by orderline count (<= 7), and the
+    # adjacency residual filters it row-locally. Rows verified identical
+    # (count + value hash) at sf1; A/B median 5.4 -> 4.1 s for the
+    # edge-list derivation.
     edges = a.join(
         b,
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        & (F.col("b.l_linenumber") - F.col("a.l_linenumber") == 1),
     ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    # loop-invariant relations: materialize once instead of re-deriving
-    # the scan+self-join in every iteration's lineage (3x plan blowup).
-    # r14: checkpoint EDGES first — previously outdeg's and edges_od's
-    # checkpoints each recomputed the lineitem self-join (the expensive
-    # part: two sorts of the fact table); deriving both from the
-    # materialized edge list runs the self-join exactly once.
-    nodes = nodes.localCheckpoint(eager=True)
-    edges = edges.localCheckpoint(eager=True)
+    # Loop-invariant relations: materialize once instead of re-deriving
+    # the scan+self-join in every iteration's lineage (r14). An explicit
+    # hash-repartition pin on each checkpoint's join key was prototyped
+    # for r15 (the guide §2.4 layout-reuse shape) and REJECTED with
+    # measurements: under AQE, localCheckpoint's LogicalRDD comes back
+    # with UnknownPartitioning (the adaptive plan's partitioning is not
+    # recorded), so every iteration re-exchanges the loop state no matter
+    # how the checkpoint was laid out — the pins only added three
+    # shuffles (sf1 A/B: pinned 10.1 s vs unpinned 9.45 s median, rows
+    # equal). The iteration joins instead go through AQE's runtime
+    # broadcast conversion (contrib and the rank state are node-sized),
+    # which keeps the 6M-row edge side un-shuffled — the same effect the
+    # pins were after, decided from actual sizes.
+    edges = edges.localCheckpoint(eager=True)  # self-join runs exactly once
     outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
     outdeg = outdeg.localCheckpoint(eager=True)
     edges_od = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    # The dangling-node SET is loop-invariant: precompute it as a boolean
+    # on the node state so each iteration's dangling mass is a filter +
+    # scalar agg over the node-sized checkpoint instead of a per-iteration
+    # anti-join (row-equality of this rewrite was verified at sf0.1 and
+    # sf1 in round 14; the integer sum is order-independent, so the
+    # dangling total is bit-identical).
+    nodes = (
+        nodes.join(outdeg.select(F.col("src").alias("node"),
+                                 F.lit(True).alias("has_out")),
+                   "node", "left")
+        .select("node", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+        .localCheckpoint(eager=True)
+    )
     n = nodes.count()  # one tiny count job; n is a plan constant below
     if n == 0:
         # empty graph: no nodes to rank (S/n below would divide by zero);
@@ -8081,10 +8111,10 @@ def q_pagerank(spark, sf):
     r0 = int(math.floor(S / n + 0.5))  # half-away round, = both engines
     r = nodes.withColumn("r", F.lit(r0).cast("long"))
     for _ in range(_PR_ITERS):
-        dang = r.join(outdeg, r.node == outdeg.src, "left_anti").agg(
+        dang = r.filter(~F.col("has_out")).agg(
             F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("d"))
         contrib = (
-            edges_od.join(r, edges_od.src == r.node)
+            edges_od.join(r.select("node", "r"), edges_od.src == F.col("node"))
             .groupBy("dst")
             .agg(F.sum(F.round(F.col("r").cast("double") / F.col("od"), 0)
                        .cast("long")).alias("s"))
@@ -8093,7 +8123,7 @@ def q_pagerank(spark, sf):
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .crossJoin(F.broadcast(dang))
             .select(
-                "node",
+                "node", "has_out",
                 F.round(
                     F.lit(0.15 * S / n)
                     + damp * (F.coalesce(F.col("s"), F.lit(0))
@@ -8101,7 +8131,11 @@ def q_pagerank(spark, sf):
                 ).cast("long").alias("r"),
             )
             # rank state is node-sized; truncating per round keeps every
-            # iteration's plan flat (components.py discipline)
+            # iteration's plan flat (components.py discipline). Coarser
+            # cadences were measured and rejected at sf1: checkpoint
+            # every-other-iteration 9.81 s, no checkpoints 11.16 s (the
+            # dang + contrib branches recompute the un-truncated state),
+            # per-iteration 9.45 s median.
             .localCheckpoint(eager=True)
         )
     return r.orderBy(F.col("r").desc(), "node").limit(20).select(
@@ -11946,8 +11980,11 @@ _ROUND5_VERIFIED = frozenset({
     # p_split_leakage re-fronted (round 7): leak_rate denominator gained
     # nullif(0) to match DuckDB's x/0 -> NULL on an empty eval split.
     "t_js_divergence", "r_hierarchy_rollup",
+    # r_pagerank_iter3 re-fronted (round 15): the iteration loop moved to
+    # the pinned P-wide co-partitioned layout + precomputed dangling flag
+    # (results bit-identical, but the plan changed — fresh hash wanted).
     "r_chi_square_mix", "t_bigram_entropy", "r_segment_migration",
-    "r_rolling_median", "r_pagerank_iter3", "r_degree_distribution",
+    "r_rolling_median", "r_degree_distribution",
     "sql_shared_dialect_group_by_all", "sql_shared_dialect_lateral",
     "r_variant_shred", "r_basket_lift", "r21_except_intersect_all",
     "l_dataset_diff", "r_autocorr_daily",
@@ -12097,7 +12134,7 @@ _ROUND10_VERIFIED = frozenset({
     "r_seasonality_index", "r_new_vs_returning", "r_rolling_active_users",
     "r_survival_curve", "r_backlog_aging", "t_js_divergence",
     "r_hierarchy_rollup", "r_chi_square_mix", "t_bigram_entropy",
-    "r_segment_migration", "r_rolling_median", "r_pagerank_iter3",
+    "r_segment_migration", "r_rolling_median",
     "r_degree_distribution", "sql_shared_dialect_group_by_all",
     "sql_shared_dialect_lateral",
 })
@@ -12193,6 +12230,32 @@ _ROUND13_VERIFIED = frozenset({
     "sql_shared_dialect_agg",
 })
 
+# Round-14 driver-green rows (CORRECTNESS_r14.json: 50/50 hash-green,
+# zero reds — the round-14 build additions (semantic-dedup family,
+# quality tree, learned-BPE packing) fronted first, then the stalest
+# r03/r08/r09 greens).
+_ROUND14_VERIFIED = frozenset({
+    "p_packing_learned_bpe", "pipeline_semantic_dedup",
+    "d_semantic_dedup_recall", "d_semantic_dedup_recall_sweep",
+    "d_semantic_incremental_near_dup", "e_hard_negative_mining",
+    "pipeline_contrastive_triplets", "t_quality_tree_train",
+    "t_quality_tree_eval", "t_quality_tree_apply",
+    "t_quality_tree_learned_apply", "sql_shared_dialect_window",
+    "r11_misc_aggregates", "r_unpivot", "r_gap_fill_forward",
+    "pipeline_corpus_curation", "t_repetition_scores", "t_pii_scrub",
+    "p_weighted_mix", "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q13_order_distribution", "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers", "r_sessionize_gap", "r_scd2_intervals",
+    "p_decontaminate", "p_chunk_documents", "p_shard_shuffle",
+    "r_merge_upsert", "p_span_dedup", "m_frame_sample", "d_dedup_clusters",
+    "d_incremental_near_dup", "pipeline_curation_clustered", "r_anova_dow",
+    "d_embedding_near_dup", "s_ann_lsh_topk", "s_ann_ivf_topk",
+    "s_ann_recall_audit", "e_vector_quantize", "e_range_search",
+    "r_skew_salted_agg", "r_skew_salted_join", "r_funnel_sequence",
+    "d_fuzzy_name_pairs", "l_zorder_layout", "t_unigram_logprob",
+    "e_mips_topk", "r_ewma_smoothing",
+})
+
 # name -> most recent round with a hash-green driver row; later sets win.
 _LAST_GREEN: dict[str, int] = {}
 for _rnd, _names in enumerate(
@@ -12200,11 +12263,30 @@ for _rnd, _names in enumerate(
      _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
      _ROUND7_VERIFIED, _ROUND8_VERIFIED, _ROUND9_VERIFIED,
      _ROUND10_VERIFIED, _ROUND11_VERIFIED, _ROUND12_VERIFIED,
-     _ROUND13_VERIFIED),
+     _ROUND13_VERIFIED, _ROUND14_VERIFIED),
     start=1,
 ):
     for _n in _names:
         _LAST_GREEN[_n] = _rnd
+
+# Fixed round-over-round PERF overlap (VERDICT r14 "Next round" item 6):
+# the disjoint-sample rotation made consecutive CORRECTNESS windows share
+# ZERO names (PERF_r14: n_common=0, per_query={}), so the driver's
+# round-over-round diff was vacuous. These 15 entries — all hash-green in
+# CORRECTNESS_r14.json, spanning the heavy bench families (semantic
+# dedup, quality tree, MinHash screens, clustering, TPCH joins) — are
+# pinned at the FRONT of every window from round 15 on, so every PERF
+# diff has n_common >= 15 while the remaining ~35 slots keep rotating
+# stalest-first.
+_PERF_OVERLAP: tuple[str, ...] = (
+    "pipeline_semantic_dedup", "d_semantic_incremental_near_dup",
+    "e_hard_negative_mining", "pipeline_contrastive_triplets",
+    "t_quality_tree_train", "t_quality_tree_apply",
+    "d_incremental_near_dup", "pipeline_curation_clustered",
+    "d_embedding_near_dup", "d_dedup_clusters",
+    "tpch_q9_product_profit", "tpch_q21_waiting_suppliers",
+    "r_sessionize_gap", "s_ann_ivf_topk", "e_vector_quantize",
+)
 
 
 def _driver_order() -> list[str]:
@@ -12216,20 +12298,25 @@ def _driver_order() -> list[str]:
     2. no-oracle entries that never got even a rows-only row (empty since
        round 6: every entry carries an oracle — machinery kept for any
        future genuinely non-SQL-expressible entry);
-    3. everything green, STALEST FIRST (ascending last-green round, then
-       registry insertion order) — the rotation that keeps old hashes
-       from silently drifting as shared helpers change.
+    3. the fixed _PERF_OVERLAP subset — pinned in every window so the
+       driver's round-over-round PERF diff always has common entries;
+    4. everything else green, STALEST FIRST (ascending last-green round,
+       then registry insertion order) — the rotation that keeps old
+       hashes from silently drifting as shared helpers change.
     """
     reg_idx = {n: i for i, n in enumerate(REGISTRY)}
     front = [n for n, s in REGISTRY.items()
              if n not in _LAST_GREEN and s.oracle is not None]
     never_rowed = [n for n, s in REGISTRY.items()
                    if n not in _LAST_GREEN and s.oracle is None]
+    pinned = [n for n in _PERF_OVERLAP
+              if n in _LAST_GREEN and n not in front and n not in never_rowed]
+    rest = set(pinned)
     back = sorted(
-        (n for n in REGISTRY if n in _LAST_GREEN),
+        (n for n in REGISTRY if n in _LAST_GREEN and n not in rest),
         key=lambda n: (_LAST_GREEN[n], reg_idx[n]),
     )
-    return never_rowed + front + back
+    return never_rowed + front + pinned + back
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
