@@ -609,9 +609,28 @@ def bpe_train_merges(
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(int(ranks)):
-        s = F.regexp_replace("w", "(.)", "[$1]")
-        for a, b, _cnt in merges:
-            s = F.replace(s, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+        # The current table rides as DATA in one array literal folded
+        # with aggregate() (r15): every rank's plan is then STRUCTURALLY
+        # IDENTICAL — only the literal's value changes — so whole-stage
+        # codegen compiles the pair-count stage once and later ranks
+        # reuse it; the previous unrolled replace chain produced a NEW
+        # plan (and a fresh codegen compile) at every rank, which
+        # dominated the vocab-rate jobs (sf0.1: 31-row vocab, 0.4-1.5 s
+        # per rank, nearly all driver-side). Fold order = chain order
+        # (left to right) — the same equivalence bpe_token_count_hof
+        # gates against the SQL oracle.
+        if merges:
+            ml = lit_arr([[a, b] for a, b, _cnt in merges], "string")
+        else:
+            ml = F.expr("CAST(array() AS array<array<string>>)")
+        s = F.aggregate(ml, F.regexp_replace("w", "(.)", "[$1]"),
+                        lambda acc, m: F.replace(
+                            acc,
+                            F.concat(F.lit("["), F.element_at(m, 1),
+                                     F.lit("]["), F.element_at(m, 2),
+                                     F.lit("]")),
+                            F.concat(F.lit("["), F.element_at(m, 1),
+                                     F.element_at(m, 2), F.lit("]"))))
         syms = F.split(F.btrim(s, F.lit("[]")), r"\]\[")
         pairs = F.zip_with(
             F.slice(syms, F.lit(1), F.size(syms) - 1),
