@@ -8058,15 +8058,16 @@ def q_pagerank(spark, sf):
     a, b = li.alias("a"), li.alias("b")
     # Adjacency as a NON-EXTRACTABLE residual (b.ln - a.ln == 1 instead
     # of b.ln == a.ln + 1, r15): written as `b == a + 1` Catalyst lifts
-    # the linenumber pair into the equi-join KEYS, making the two join
-    # children hash on DIFFERENT expressions (one side carries the +1) —
-    # two scans, two exchanges, two sorts of the fact table. Keyed on
-    # l_orderkey alone the children are byte-identical subtrees, so
-    # ReuseExchange runs the scan+shuffle+sort ONCE; the within-order
-    # pairing fan-out is bounded by orderline count (<= 7), and the
-    # adjacency residual filters it row-locally. Rows verified identical
-    # (count + value hash) at sf1; A/B median 5.4 -> 4.1 s for the
-    # edge-list derivation.
+    # the linenumber pair into the equi-join KEYS — the join then hashes
+    # and compares the composite (l_orderkey, l_linenumber±1) on both
+    # sides. Keyed on l_orderkey alone (the within-order fan-out is
+    # bounded by orderline count, <= 7 in TPC-H) the hashed relation and
+    # the shuffle key narrow to one long, and the adjacency check runs
+    # as a row-local post-match filter. Rows verified identical (count +
+    # value hash) at sf1; interleaved A/B median 5.4 -> 4.1 s for the
+    # edge-list derivation (BroadcastHashJoin locally; the same key
+    # narrowing applies to the SMJ shape a cluster-scale planner picks —
+    # plan captures in plans/r15/).
     edges = a.join(
         b,
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))

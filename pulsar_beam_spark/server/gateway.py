@@ -646,9 +646,135 @@ def _sse_generator(store: TopicDirStore, topic_fn: str, poll_interval: float = 0
     return frames
 
 
+class _FastHeaders:
+    """Minimal header view for the fast request parse: the accessors the
+    dispatch path uses (case-insensitive ``get`` returning the FIRST
+    occurrence — email.message.Message.get semantics — and ordered
+    ``items()``, which _dispatch feeds into HeaderMap unchanged)."""
+
+    __slots__ = ("_items", "_lower")
+
+    def __init__(self, items):
+        self._items = items
+        lower = {}
+        for k, v in items:
+            lower.setdefault(k.lower(), v)
+        self._lower = lower
+
+    def items(self):
+        return list(self._items)
+
+    def get(self, key, default=None):
+        return self._lower.get(key.lower(), default)
+
+
 class _Handler(BaseHTTPRequestHandler):
     app: GatewayApp  # set by make_server
     protocol_version = "HTTP/1.1"
+
+    # Fast request parse (r15 — VERDICT r14 item 8): stdlib
+    # BaseHTTPRequestHandler routes every request through
+    # http.client.parse_headers, i.e. the email-MIME parser (~260 us per
+    # request measured on this host — over half the server-side cost of
+    # a keep-alive POST). The hot path below is a bounded manual parse
+    # with the same limits and status codes as the stdlib loop (65536-
+    # byte request line -> 414, 65536-byte header line / >100 headers ->
+    # 431, unknown method -> 501) and the same keep-alive rules; any
+    # shape outside the common case (non-3-token request line, a version
+    # other than HTTP/1.0 / HTTP/1.1) falls back to the stdlib
+    # parse_request so legacy/malformed semantics (400/505, HTTP/0.9)
+    # stay byte-identical. The gateway-robustness suite runs every
+    # malformed-input case through this path unchanged.
+    _MAX_HEADERS = 100
+
+    def handle_one_request(self):
+        from http import HTTPStatus
+
+        try:
+            self.raw_requestline = self.rfile.readline(65537)
+            if len(self.raw_requestline) > 65536:
+                self.requestline = ""
+                self.request_version = ""
+                self.command = ""
+                self.send_error(HTTPStatus.REQUEST_URI_TOO_LONG)
+                return
+            if not self.raw_requestline:
+                self.close_connection = True
+                return
+            self.command = ""
+            self.requestline = requestline = self.raw_requestline.decode(
+                "iso-8859-1").rstrip("\r\n")
+            words = requestline.split()
+            if len(words) != 3 or words[2] not in ("HTTP/1.1", "HTTP/1.0"):
+                self._slow_dispatch()  # stdlib semantics for rare forms
+                return
+            command, path, version = words
+            # identity fields first: send_error reads request_version /
+            # command when a header-limit branch fires below
+            self.command = command
+            self.path = path
+            self.request_version = version
+            items: list[tuple[str, str]] = []
+            while True:
+                line = self.rfile.readline(65537)
+                if len(line) > 65536:
+                    self.send_error(
+                        HTTPStatus.REQUEST_HEADER_FIELDS_TOO_LARGE,
+                        "Line too long")
+                    return
+                if line in (b"\r\n", b"\n", b""):
+                    break
+                if len(items) >= self._MAX_HEADERS:
+                    self.send_error(
+                        HTTPStatus.REQUEST_HEADER_FIELDS_TOO_LARGE,
+                        "Too many headers")
+                    return
+                if line[:1] in (b" ", b"\t") and items:
+                    # obs-fold continuation: joined onto the prior value
+                    k, v = items[-1]
+                    items[-1] = (k, v + " "
+                                 + line.decode("iso-8859-1").strip())
+                    continue
+                k, _, v = line.decode("iso-8859-1").partition(":")
+                items.append((k.strip(), v.strip()))
+            self.headers = _FastHeaders(items)
+            self.close_connection = version == "HTTP/1.0"
+            conntype = (self.headers.get("Connection") or "").lower()
+            if conntype == "close":
+                self.close_connection = True
+            elif conntype == "keep-alive":
+                self.close_connection = False
+            if (self.headers.get("Expect") or "").lower() == "100-continue":
+                if not self.handle_expect_100():
+                    return
+            mname = "do_" + command
+            if not hasattr(self, mname):
+                self.send_error(
+                    HTTPStatus.NOT_IMPLEMENTED,
+                    f"Unsupported method ({command!r})")
+                return
+            getattr(self, mname)()
+            self.wfile.flush()
+        except TimeoutError as e:
+            self.log_error("Request timed out: %r", e)
+            self.close_connection = True
+
+    def _slow_dispatch(self):
+        """stdlib parse for request shapes the fast path declines —
+        self.raw_requestline is set; parse_request reads the headers and
+        emits the canonical 400/505 errors itself."""
+        if not self.parse_request():
+            return
+        mname = "do_" + self.command
+        if not hasattr(self, mname):
+            from http import HTTPStatus
+
+            self.send_error(
+                HTTPStatus.NOT_IMPLEMENTED,
+                f"Unsupported method ({self.command!r})")
+            return
+        getattr(self, mname)()
+        self.wfile.flush()
 
     def log_message(self, fmt, *args):  # quiet; Logger middleware analogue
         pass
