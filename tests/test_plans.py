@@ -416,17 +416,40 @@ _BNLJ_ALLOWED = {
 }
 
 
+_REGISTRY_PLANS_CACHE: dict[str, str] = {}
+
+
+def _registry_plans(spark) -> dict[str, str]:
+    """One simple-mode plan per registry entry, built ONCE for both
+    registry-wide gates (they previously each re-constructed all 279
+    entries — including the trained family's bounded-collect training
+    loops — ~150 s per gate) and from a small thread pool (guide §2.6:
+    actions are only sequential because the driver submits them
+    sequentially; entry constructions are independent, and the artifact
+    cache builds atomically via tmp-dir rename, so concurrent builders
+    never read a partial artifact)."""
+    if not _REGISTRY_PLANS_CACHE:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pulsar_beam_spark.plans.explain import simple_plan
+
+        def one(item):
+            name, spec = item
+            return name, simple_plan(spec.spark(spark, SF_SMOKE))
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            _REGISTRY_PLANS_CACHE.update(pool.map(one, REGISTRY.items()))
+    return _REGISTRY_PLANS_CACHE
+
+
 def test_registry_wide_no_unbounded_nested_loop_joins(spark):
     """Full-registry plan audit: no entry may contain a CartesianProduct,
     and BroadcastNestedLoopJoin counts must match the scalar-broadcast
     allowlist above exactly — a new BNLJ anywhere (usually a join
     condition Catalyst couldn't plan as an equi-join) fails here with
     the entry name instead of surfacing as a 100-TB hang."""
-    from pulsar_beam_spark.plans.explain import simple_plan
-
     offenders = {}
-    for name, spec in REGISTRY.items():
-        plan = simple_plan(spec.spark(spark, SF_SMOKE))
+    for name, plan in _registry_plans(spark).items():
         cart = plan.count("CartesianProduct")
         bnlj = plan.count("BroadcastNestedLoopJoin")
         if cart or bnlj != _BNLJ_ALLOWED.get(name, 0):
@@ -473,11 +496,9 @@ def test_registry_wide_global_windows_bounded(spark):
     bounded-input allowlist above.  A new ORDER-BY-without-PARTITION-BY
     window over a table-scaling input fails here with the entry name
     instead of becoming the classic single-task bottleneck at 100 TB."""
-    from pulsar_beam_spark.plans.explain import simple_plan
-
     offenders = {}
-    for name, spec in REGISTRY.items():
-        n = _global_window_count(simple_plan(spec.spark(spark, SF_SMOKE)))
+    for name, plan in _registry_plans(spark).items():
+        n = _global_window_count(plan)
         if n != _GLOBAL_WINDOW_ALLOWED.get(name, 0):
             offenders[name] = (n, _GLOBAL_WINDOW_ALLOWED.get(name, 0))
     assert not offenders, f"unexpected global windows: {offenders}"
